@@ -1,0 +1,59 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tutorial-parity relational operators (SURVEY.md §2), as pure
+  * `DataFrame => DataFrame` transformations so the same code path runs
+  * batch (driver Verify/Bench over parquet) and streaming (MemoryStream /
+  * Kafka). Citations are reference file:line.
+  *
+  * Catalyst handles placement: filters written after joins still push down
+  * (PushDownPredicates), projections prune the parquet scan
+  * (ColumnPruning), small dimension sides broadcast automatically — the
+  * manual optimizations the reference performs in query text (its
+  * `PARTITION BY player_id` CSAS, hand-placed WHEREs) are free here
+  * (SURVEY.md §4).
+  */
+object Ops {
+
+  /** P5 (README.md:136-148): CASE WHEN … THEN … ELSE … END projection. */
+  def caseLabel(input: Column, cases: Seq[(Column, String)], default: String): Column =
+    cases.foldRight(lit(default)) { case ((cond, v), els) => when(cond, v).otherwise(els) }
+
+  /** A2 (README.md:278-304, all.sql:77-92): SUM(CASE WHEN cond THEN 1 ELSE
+    * 0 END) — the conditional-aggregation pivot. Runs map-side partial
+    * aggregation before the shuffle (HashAggregate partial/final).
+    */
+  def sumIf(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+
+  /** J1/J2 (README.md:367-375, all.sql:56-63,94-98): enrich a fact/stream
+    * with a dimension. `broadcastDim` pins the broadcast-hash strategy for
+    * dimension tables that are small relative to executors (the planner
+    * would usually choose it anyway under the 10MB threshold; at 100 TB
+    * the hint documents intent and survives stats misestimates).
+    * No manual co-partitioning needed — EnsureRequirements shuffles when
+    * it must (the reference does this by hand via `PARTITION BY`,
+    * all.sql:45-51).
+    */
+  def enrichJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, joinType: String = "inner",
+      broadcastDim: Boolean = true): DataFrame = {
+    val d = if (broadcastDim) broadcast(dim) else dim
+    fact.join(d, fact(factKey) === d(dimKey), joinType)
+  }
+
+  /** S4 (all.sql:45-51): CSAS re-key — projection + hash repartition on the
+    * new key. Semantically a no-op in-engine (Catalyst re-shuffles joins
+    * itself); kept for materializing co-partitioned sinks, where it
+    * pre-pays the join exchange.
+    */
+  def rekey(df: DataFrame, keyCol: String, projectCols: Seq[String]): DataFrame =
+    df.select(projectCols.map(col): _*).repartition(col(keyCol))
+
+  /** A6 (README.md:379-411): derived metric over aggregates —
+    * CAST(x AS DOUBLE)/CAST(y AS DOUBLE).
+    */
+  def ratio(num: Column, den: Column): Column =
+    num.cast("double") / den.cast("double")
+}

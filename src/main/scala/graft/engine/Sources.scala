@@ -1,0 +1,111 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source layer: every collection enters the engine as a DataFrame with a
+  * declared schema, regardless of physical origin (parquet snapshot, Kafka
+  * topic, JDBC table, in-memory test stream). Downstream operators are
+  * mode-agnostic — the same `DataFrame => DataFrame` code path runs batch
+  * and streaming (SURVEY.md §7.1).
+  *
+  * Reference mapping:
+  *  - S1 `CREATE SOURCE CONNECTOR` (JDBC) → [[fromJdbcSnapshot]]
+  *    (reference: files/ksqldb-cli/all.sql:3-18)
+  *  - S2/S3 `CREATE TABLE` / `CREATE STREAM` over a topic → [[fromKafkaJson]]
+  *    (reference: files/ksqldb-cli/all.sql:20-43)
+  *  - S8 `SET 'auto.offset.reset'='earliest'` → `startingOffsets=earliest`
+  *    (reference: files/ksqldb-cli/all.sql:1)
+  *  - Driver testdata parquet → [[table]]
+  */
+object Sources {
+
+  /** Batch parquet source for the driver's testdata tables.
+    * Scale note: parquet scans get vectorized reads, column pruning and
+    * predicate pushdown from Catalyst for free; at 100 TB the same call
+    * reads a partitioned directory and prunes partitions.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Streaming source over a Kafka topic carrying string keys and schemaless
+    * JSON values — the reference's only wire format (all.sql:15-17,29,41).
+    *
+    * Output columns: `keyName` (string key), the value schema's fields, plus
+    * `_offset` (Kafka offset — feeds LATEST_BY_OFFSET semantics via max_by)
+    * and `_ts` (broker timestamp).
+    *
+    * Requires the spark-sql-kafka connector on the classpath at runtime
+    * (not bundled in this build environment — exercised in production only;
+    * tests use [[fromMemory]]).
+    */
+  def fromKafkaJson(
+      spark: SparkSession,
+      brokers: String,
+      topic: String,
+      valueSchema: StructType,
+      keyName: String = "key",
+      startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(
+        col("key").cast("string").as(keyName),
+        from_json(col("value").cast("string"), valueSchema).as("_v"),
+        col("offset").as("_offset"),
+        col("timestamp").as("_ts"))
+      .select((col(keyName) +: valueSchema.fieldNames.map(f => col(s"_v.$f")))
+        :+ col("_offset") :+ col("_ts"): _*)
+
+  /** Batch twin of [[fromKafkaJson]] for replaying a topic dump (or any
+    * batch DataFrame with `key`/`value` binary columns) through the same
+    * deserialization path.
+    */
+  def decodeKafkaJson(
+      raw: DataFrame,
+      valueSchema: StructType,
+      keyName: String = "key"): DataFrame =
+    raw.select(
+        col("key").cast("string").as(keyName),
+        from_json(col("value").cast("string"), valueSchema).as("_v"),
+        col("offset").as("_offset"))
+      .select((col(keyName) +: valueSchema.fieldNames.map(f => col(s"_v.$f")))
+        :+ col("_offset"): _*)
+
+  /** JDBC snapshot source — the engine's model of the reference's JDBC
+    * source connector (S1, all.sql:3-18). The tutorial's MySQL data is
+    * static after init.sql, so a snapshot is exact parity; incremental
+    * fidelity = periodic re-read with `WHERE id > $watermark` (see
+    * [[fromJdbcIncrement]]).
+    *
+    * Scale note: `partitionColumn`/`numPartitions` split the read across
+    * executors; without them a JDBC read is a single task.
+    */
+  def fromJdbcSnapshot(
+      spark: SparkSession,
+      url: String,
+      dbtable: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    options.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  /** Incremental JDBC pull: rows with `incrementingCol` strictly greater
+    * than `lastSeen` — mirrors the connector's `mode=incrementing`
+    * (all.sql:10-12). Caller loops this inside a scheduled refresh /
+    * foreachBatch and feeds [[graft.engine.Sinks.toKafkaJson]].
+    */
+  def fromJdbcIncrement(
+      spark: SparkSession,
+      url: String,
+      dbtable: String,
+      incrementingCol: String,
+      lastSeen: Long): DataFrame =
+    fromJdbcSnapshot(
+      spark, url,
+      s"(SELECT * FROM $dbtable WHERE $incrementingCol > $lastSeen) AS _inc")
+}

@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.util.hashing.MurmurHash3
+
+/** Shared scalar kernels. Each is a plain JVM function over Catalyst
+  * runtime types (ArrayData / UTF8String), so the same code runs from both
+  * an Expression's interpreted `eval` and its generated Java (whole-stage
+  * codegen emits a static call into this object — Scala standalone objects
+  * produce static forwarders, so `graft.functions.Kernels.cosine(a, b)` is
+  * valid generated Java).
+  *
+  * All hashing is seeded MurmurHash3 / splitmix64 — deterministic across
+  * JVMs and executors, a hard requirement for shuffle-stable dedup keys.
+  */
+object Kernels {
+
+  /** Cosine similarity of two float vectors, accumulated in Double in
+    * element order (index 0..n-1). The fixed order makes results
+    * reproducible bit-for-bit regardless of parallelism.
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Dot product of two float vectors (Double accumulation, fixed order). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** splitmix64 — public-domain 64-bit mixer (Steele et al., "Fast
+    * Splittable Pseudorandom Number Generators", OOPSLA'14). Used to derive
+    * the per-hash-function affine constants for MinHash.
+    */
+  @inline def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** 64-bit token hash from two seeded murmur32 passes over UTF-8 bytes. */
+  @inline def hash64(s: UTF8String, seed: Int): Long = {
+    val bytes = s.getBytes
+    val h1 = MurmurHash3.bytesHash(bytes, seed)
+    val h2 = MurmurHash3.bytesHash(bytes, seed ^ 0x5bd1e995)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  /** MinHash signature of a token/shingle array: k minima of affine
+    * permutations h_i(x) = a_i*x + b_i over the 64-bit token hashes
+    * (Broder '97 resemblance sketch). Empty input → Long.MaxValue fills.
+    */
+  def minhash(tokens: ArrayData, k: Int, seed: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val as = new Array[Long](k); val bs = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      as(j) = splitmix64(seed.toLong * 0x9e37L + j * 2L) | 1L // odd multiplier
+      bs(j) = splitmix64(seed.toLong * 0x85ebL + j * 2L + 1L)
+      j += 1
+    }
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hash64(tokens.getUTF8String(i), seed)
+        var t = 0
+        while (t < k) {
+          val v = h * as(t) + bs(t)
+          if (v < sig(t)) sig(t) = v
+          t += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash (Charikar '02) over a token array: per-bit majority
+    * vote of token hashes; ties (vote == 0) resolve to bit 0.
+    */
+  def simhash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hash64(tokens.getUTF8String(i), 0x51f0)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Document fingerprint: minimum 64-bit polynomial rolling hash over all
+    * character windows of length `window` (the "winnowing" fingerprint of
+    * Schleimer/Wilkerson/Aiken SIGMOD'03, with global min instead of
+    * per-window selection). Strings shorter than `window` hash whole.
+    */
+  def rollingFingerprint(s: UTF8String, window: Int): Long = {
+    val str = s.toString
+    val n = str.length
+    val B = 1000003L
+    if (n <= window) {
+      var h = 0L; var i = 0
+      while (i < n) { h = h * B + str.charAt(i); i += 1 }
+      return splitmix64(h)
+    }
+    // precompute B^(window-1) for the rolling subtract
+    var pow = 1L; var p = 0
+    while (p < window - 1) { pow *= B; p += 1 }
+    var h = 0L; var i = 0
+    while (i < window) { h = h * B + str.charAt(i); i += 1 }
+    var min = splitmix64(h)
+    while (i < n) {
+      h = (h - str.charAt(i - window) * pow) * B + str.charAt(i)
+      val f = splitmix64(h)
+      if (f < min) min = f
+      i += 1
+    }
+    min
+  }
+
+  /** Hamming distance between two 64-bit fingerprints (SimHash compare). */
+  @inline def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

@@ -1,0 +1,167 @@
+package graft.pipeline
+
+import graft.functions.{text => gtext, vector => gvec}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline.
+  *
+  * Scale design: every variant avoids the O(n²) all-pairs join. Candidate
+  * generation is a key-equality shuffle (band bucket / hash prefix /
+  * blocking key), so the expensive verification only runs on candidate
+  * pairs that share a bucket. At 100 TB each stage is a hash shuffle on a
+  * synthetic key with bounded skew (bucket ids are uniform hashes).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per identical (normalized) text.
+    * One hash-aggregate shuffle on the md5 fingerprint — never shuffles
+    * full document text.
+    */
+  def exact(documents: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    documents
+      .select(col(idCol), md5(TextAnalysis.normalized(col(textCol))).as("_fp"))
+      .groupBy(col("_fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+
+  /** Word w-shingles of the token array (w consecutive tokens joined by a
+    * space) — the unit set for Jaccard resemblance.
+    */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val ts = TextAnalysis.tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(ts) - w, lit(0))),
+        i => concat_ws(" ", slice(ts, i + 1, w))))
+  }
+
+  /** Exact Jaccard similarity of two string arrays (distinct-element sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val da = size(array_distinct(a)).cast("double")
+    val db = size(array_distinct(b)).cast("double")
+    inter / (da + db - inter)
+  }
+
+  /** MinHash + LSH near-duplicate pairs (Broder '97 / MMDS ch.3):
+    * shingle → k-minhash signature → split into `bands` bands → hash each
+    * band → shuffle on (band_index, band_hash) → pairs within a bucket →
+    * verify with exact Jaccard ≥ threshold.
+    *
+    * Output: (a, b, jaccard) with a < b, distinct.
+    *
+    * Scale: the only shuffles are (1) the band-bucket exchange on uniform
+    * hash keys and (2) the pair dedup; signatures (k longs) travel instead
+    * of documents, and verification re-joins text by id only for candidate
+    * pairs. Band count tunes the recall/cost curve: P(candidate) =
+    * 1-(1-s^(k/bands))^bands.
+    */
+  def minhashPairs(documents: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 64, bands: Int = 16,
+      shingleW: Int = 3, threshold: Double = 0.8, seed: Int = 42): DataFrame = {
+    val rows = k / bands
+    require(bands * rows == k, s"bands=$bands must divide k=$k")
+    val sigs = documents.select(
+      col(idCol).as("_id"),
+      gtext.minhash(shingles(col(textCol), shingleW), k, seed).as("_sig"))
+    val banded = sigs.select(
+      col("_id"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("_sig"), b * rows + 1, rows)))))
+      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bucket"))
+    val l = banded.select(col("_band"), col("_bucket"), col("_id").as("a"))
+    val r = banded.select(col("_band"), col("_bucket"), col("_id").as("b"))
+    val candidates = l.join(r, Seq("_band", "_bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sh = documents.select(col(idCol), shingles(col(textCol), shingleW).as("_sh"))
+    candidates
+      .join(sh.select(col(idCol).as("a"), col("_sh").as("_sha")), "a")
+      .join(sh.select(col(idCol).as("b"), col("_sh").as("_shb")), "b")
+      .select(col("a"), col("b"),
+        round(jaccard(col("_sha"), col("_shb")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Blocked exact n-gram Jaccard pairs: all pairs within a blocking key
+    * (default lang+source) with distinct-token Jaccard ≥ threshold. The
+    * blocking key bounds the quadratic term to per-block sizes; SQL-
+    * expressible, so it doubles as the oracle-checked twin of
+    * [[minhashPairs]].
+    */
+  def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.8,
+      blockCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+    val toks = documents.select(
+      (col("doc_id") +: blockCols.map(col)) :+
+        array_distinct(TextAnalysis.tokens(col("text"))).as("_t"): _*)
+    val a = toks.select(col("doc_id").as("a") +: blockCols.map(col) :+ col("_t").as("_ta"): _*)
+    val b = toks.select(col("doc_id").as("b") +: blockCols.map(col) :+ col("_t").as("_tb"): _*)
+    a.join(b, blockCols)
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(jaccard(col("_ta"), col("_tb")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs (Charikar '02; Manku et al. WWW'07 table
+    * construction): 64-bit fingerprint, split into 4 16-bit bands; pairs
+    * sharing any band verify hamming distance ≤ maxHamming.
+    *
+    * Output: (a, b, hamming) with a < b, distinct.
+    */
+  def simhashPairs(documents: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    val fps = documents.select(
+      col(idCol).as("_id"),
+      gtext.simhash(TextAnalysis.tokens(col(textCol))).as("_fp"))
+    val banded = fps.select(col("_id"), col("_fp"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("_fp"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bucket"))
+    val l = banded.select(col("_band"), col("_bucket"),
+      col("_id").as("a"), col("_fp").as("_fpa"))
+    val r = banded.select(col("_band"), col("_bucket"),
+      col("_id").as("b"), col("_fp").as("_fpb"))
+    l.join(r, Seq("_band", "_bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("_fpa").bitwiseXOR(col("_fpb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-duplicate pairs: random-hyperplane LSH (Charikar '02
+    * §3) buckets vectors by the sign pattern of `nPlanes` fixed random
+    * projections; pairs within a bucket verify exact cosine ≥ threshold.
+    *
+    * Scale: one shuffle on the sign-pattern bucket; vectors only cross the
+    * wire once. More tables (`nTables`) raise recall; candidates dedup
+    * before verification.
+    */
+  def embeddingNearDupPairs(embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64, threshold: Double = 0.99,
+      nPlanes: Int = 12, nTables: Int = 4, seed: Int = 7): DataFrame = {
+    val planes = Similarity.randomPlanes(nTables * nPlanes, dim, seed)
+    val buckets = (0 until nTables).map { t =>
+      val bits = (0 until nPlanes).map { p =>
+        when(gvec.dot(col(vecCol), Similarity.planeLit(planes(t * nPlanes + p)))
+          >= 0, 1L << p).otherwise(0L)
+      }.reduce(_.bitwiseOR(_))
+      struct(lit(t).as("t"), bits.as("h"))
+    }
+    val banded = embeddings
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        explode(array(buckets: _*)).as("_b"))
+    val l = banded.select(col("_b"), col("_id").as("a"), col("_v").as("_va"))
+    val r = banded.select(col("_b"), col("_id").as("b"), col("_v").as("_vb"))
+    l.join(r, Seq("_b"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(gvec.cosine(col("_va"), col("_vb")), 6).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+}

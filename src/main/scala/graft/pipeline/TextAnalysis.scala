@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, run
+  * over the `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All operators are single-pass narrow transformations — no shuffle, no
+  * UDFs (built-in codegen'd functions + native graft expressions only), so
+  * they scale linearly with input splits at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (lower-cased). The BPE-ish variant splits
+    * letters/digits/other into separate tokens first.
+    */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** BPE-style pre-tokenization: split on whitespace AND letter/digit/punct
+    * boundaries (a regex approximation of a GPT-2-style pre-tokenizer).
+    */
+  def bpeishTokens(text: Column): Column =
+    filter(
+      split(lower(text), "(?=[^a-z0-9])|(?<=[^a-z0-9])"),
+      t => trim(t) =!= lit(""))
+
+  /** doc_id + token counts (whitespace + BPE-ish). */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      size(array_distinct(tokens(col("text")))).as("n_distinct_tokens"),
+      size(bpeishTokens(col("text"))).as("n_bpeish_tokens"))
+
+  private val StopWords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+  /** Quality-scoring signals: length, mean token length, stopword ratio,
+    * alphabetic ratio — the standard cheap heuristics (C4/Gopher-style
+    * rules) — plus a composite score. Ratios are rounded to 6dp so results
+    * are reproducible across engines and partitionings.
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val ts = tokens(col("text"))
+    val nTok = size(ts)
+    val stopHits = size(filter(ts, t => t.isin(StopWords.map(lit): _*)))
+    val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+    documents.select(
+      col("doc_id"),
+      length(col("text")).as("len_chars"),
+      nTok.as("n_tokens"),
+      round(length(col("text")).cast("double") / nTok.cast("double"), 6)
+        .as("mean_token_len"),
+      round(stopHits.cast("double") / nTok.cast("double"), 6)
+        .as("stopword_ratio"),
+      round(alpha.cast("double") / length(col("text")).cast("double"), 6)
+        .as("alpha_ratio"),
+      // composite: favor stopword presence and sane token length
+      round(
+        stopHits.cast("double") / nTok.cast("double") * lit(0.5)
+          + alpha.cast("double") / length(col("text")).cast("double") * lit(0.5),
+        6).as("quality_score"))
+  }
+
+  private val LangStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Stopword-hit language-ID heuristic: count hits of each language's
+    * top stopwords in the token stream; argmax with fixed precedence order
+    * (en, es, de, fr, zh); no hits → 'unk'. A deterministic n-gram
+    * heuristic, intentionally SQL-expressible so the oracle can replicate
+    * it exactly.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val ts = tokens(col("text"))
+    val hitCols = LangStops.map { case (lang, stops) =>
+      lang -> size(filter(ts, t => t.isin(stops.map(lit): _*)))
+    }
+    val maxHits = greatest(hitCols.map(_._2): _*)
+    val guess = hitCols.foldRight(lit("unk")) { case ((lang, c), els) =>
+      when(maxHits > 0 && c === maxHits, lit(lang)).otherwise(els)
+    }
+    documents.select(
+      col("doc_id"),
+      (hitCols.map { case (l, c) => c.as(s"hits_$l") } :+ guess.as("lang_guess")): _*)
+  }
+
+  /** Normalization used for fingerprinting: lower-case, collapse whitespace,
+    * trim.
+    */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** MD5 content fingerprint over normalized text — the exact-dedup key. */
+  def md5Fingerprint(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), md5(normalized(col("text"))).as("fingerprint"))
+
+  /** 64-bit min-rolling-hash fingerprint (winnowing-style, native
+    * expression) — robust to small edits, constant width at any document
+    * size.
+    */
+  def rollingFingerprint(documents: DataFrame, window: Int = 16): DataFrame =
+    documents.select(
+      col("doc_id"),
+      graft.functions.text.rollingFingerprint(normalized(col("text")), window)
+        .as("fingerprint64"))
+}

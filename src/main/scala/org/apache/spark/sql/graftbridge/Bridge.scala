@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `new Column(Expression)` constructor; the
+  * supported conversion lives in `org.apache.spark.sql.classic`, which is
+  * `private[sql]`. This shim (compiled inside the `org.apache.spark.sql`
+  * package hierarchy) re-exports just the two conversions the engine needs
+  * to expose native Catalyst expressions as user-facing Columns.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
