@@ -1,13 +1,396 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.engine.{Catalog, Ops, Sinks, TableOps}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.Tutorial
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract (SURVEY.md §5.2.3): one entry per implemented operator
+  * from SURVEY.md §2 plus the LLM-data-pipeline operators, each as a
+  * `(SparkSession, sfDir) => DataFrame` over the driver's parquet testdata,
+  * with matching DuckDB oracle SQL where the semantics are SQL-expressible
+  * (others get the driver's rows-only check).
+  *
+  * Column names and types are aligned between the Spark result and the
+  * oracle SQL — the driver sorts columns by name before hashing values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  import TestdataAdapter.{events, matchEvents, players, table, oracleCtes}
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The tutorial's heaviest construct: stream-table join + grouped agg
+    * with LATEST_BY_OFFSET dims (all.sql:129-160) over the testdata twins.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS); ensure this session can scan it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    Tutorial.playerStats(
+      Tutorial.matchEventPlayer(matchEvents(spark, dir)), players(spark, dir))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S: sources / DDL / serde -------------------------------------
+    // S2/Q3: KTable upsert view = latest row per key by arrival order.
+    "s2_table_upsert" -> ((s, d) =>
+      TableOps.latestByKey(
+        table(s, d, "events").select("user_id", "event_id", "event_type", "value"),
+        Seq("user_id"), "event_id")),
+    // S3/Q4: stream over a declared schema — append semantics, projection
+    // at the deserialization boundary (README.md:90).
+    "s3_stream_decl" -> ((s, d) =>
+      table(s, d, "events").select("event_id", "event_type", "user_id")),
+    // S4: CSAS re-key (PARTITION BY player_id, all.sql:45-51).
+    "s4_rekey" -> ((s, d) =>
+      Ops.rekey(matchEvents(s, d), "player_id", Seq("id", "event_type", "player_id"))),
+    // S7: INSERT INTO … VALUES — append one literal record.
+    "s7_insert_values" -> ((s, d) => {
+      import s.implicits._
+      val one = Seq(("1900-01-01", "GOAL", "999")).toDF("id", "event_type", "player_id")
+      matchEvents(s, d).select("id", "event_type", "player_id").unionAll(one)
+    }),
+    // S9: SHOW catalog over the registered tutorial collections.
+    "s9_show_catalog" -> ((s, _) => {
+      val cat = new Catalog
+      cat.registerTable("players", Tutorial.playersSeed(s), Seq("id"), Some("players"))
+      cat.registerStream("match_event", Tutorial.canonicalEventsDF(s), Seq("id"),
+        Some("match_event"))
+      cat.createStreamAs("match_event_player", Tutorial.matchEventPlayer,
+        "match_event", Seq("player_id"), Some("match_event_player"))
+      cat.createTableAs("match_results", Tutorial.matchResults,
+        "match_event", Seq("id"), Some("match_results"))
+      cat.createTableAs("player_stats",
+        df => Tutorial.playerStats(Tutorial.matchEventPlayer(df), cat("players").df),
+        "match_event", Seq("player_id"), Some("player_stats"))
+      cat.show(s)
+    }),
+    // S10: JSON value serde round-trip (write wire format, parse it back).
+    "s10_json_serde" -> ((s, d) => {
+      val kv = Sinks.kafkaKeyValue(
+        matchEvents(s, d).select("id", "event_type", "player_id"), Seq("id"))
+      kv.select(col("key"), col("value"),
+        get_json_object(col("value"), "$.EVENT_TYPE").as("event_type"))
+    }),
+    // K1: composite JSON key encoding (README.md:462-465).
+    "k1_composite_key" -> ((s, d) =>
+      Sinks.kafkaKeyValue(
+        matchEvents(s, d).groupBy("id", "player_id")
+          .agg(count(lit(1)).as("n")),
+        Seq("id", "player_id"))),
+    // ---- P: projection / filter / scalar ------------------------------
+    "p1_select_star" -> ((s, d) => table(s, d, "nation")),
+    "p2_projection" -> ((s, d) => table(s, d, "customer").select("c_name", "c_mktsegment")),
+    "p3_alias" -> ((s, d) =>
+      table(s, d, "customer").select(
+        col("c_name").as("customer_name"), col("c_acctbal").as("balance"))),
+    "p4_ucase" -> ((s, d) =>
+      table(s, d, "customer").select(upper(col("c_name")).as("name_uc"))),
+    "p5_case_when" -> ((s, d) =>
+      table(s, d, "events").select(
+        col("event_id"),
+        Ops.caseLabel(col("value"),
+          Seq((col("value") > 150) -> "high", (col("value") > 75) -> "mid"), "low")
+          .as("band"))),
+    "p6_cast_divide" -> ((s, d) =>
+      table(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        Ops.ratio(col("l_extendedprice"), col("l_quantity")).as("unit_price"))),
+    "p8_filter_eq" -> ((s, d) =>
+      matchEvents(s, d).filter(col("event_type") === "GOAL")
+        .select("id", "player_id", "home")),
+    "p9_filter_and" -> ((s, d) =>
+      matchEvents(s, d)
+        .filter(col("event_type") === "ASSIST" && col("player_id") === "7")
+        .select("id", "player_id")),
+    "p10_filter_bool" -> ((s, d) =>
+      matchEvents(s, d).filter(col("home") && col("event_type") === "GOAL")
+        .select("id", "player_id")),
+    "p10_filter_not" -> ((s, d) =>
+      matchEvents(s, d).filter(!col("home") && col("event_type") === "GOAL")
+        .select("id", "player_id")),
+    "p11_filter_not_null" -> ((s, d) =>
+      table(s, d, "events").filter(col("props").isNotNull)
+        .select("event_id", "props")),
+    // ---- J: joins ------------------------------------------------------
+    // J1: stream-table inner equi-join (broadcast dim).
+    "j1_inner_join" -> ((s, d) => {
+      val me = matchEvents(s, d)
+        .select(col("id").as("match_id"), col("event_type"), col("player_id"))
+      Ops.enrichJoin(me, players(s, d), "player_id", "id")
+        .select("match_id", "event_type", "name", "team")
+    }),
+    // J2: stream-table LEFT join + grouped count (all.sql:60-63).
+    "j2_left_join_count" -> ((s, d) =>
+      Tutorial.goalsPerPlayerLeft(
+        Tutorial.matchEventPlayer(matchEvents(s, d)), players(s, d))),
+    // J3a: table-table join (documented matrix row, README.md:352-360).
+    "j3_table_table" -> ((s, d) => players(s, d)),
+    // J3b: stream-stream join with a time-range condition (windowed join):
+    // signup followed by a purchase by the same user within 1 hour.
+    "j3_stream_stream" -> ((s, d) => {
+      val ev = events(s, d)
+      val e1 = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("t1"))
+      val e2 = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("t2"))
+      e1.join(e2, Seq("user_id"))
+        .filter(col("t2") >= col("t1") &&
+          col("t2") <= col("t1") + expr("INTERVAL 1 HOUR"))
+        .select("signup_id", "purchase_id")
+    }),
+    // ---- A: aggregations ----------------------------------------------
+    // A1: filter + GROUP BY + COUNT (home goals per match, README.md:232-238).
+    "a1_count_group" -> ((s, d) =>
+      matchEvents(s, d)
+        .filter(col("home") && col("event_type") === "GOAL")
+        .groupBy("id").agg(count(col("id")).as("n_goals"))),
+    // A2/S5: SUM(CASE WHEN) pivot — match_results (README.md:278-304).
+    "a2_match_results" -> ((s, d) => Tutorial.matchResults(matchEvents(s, d))),
+    // A3: COUNT_DISTINCT (all.sql:115).
+    "a3_count_distinct" -> ((s, d) =>
+      matchEvents(s, d).groupBy("player_id")
+        .agg(countDistinct(col("id")).as("n_matches"))),
+    // A4: LATEST_BY_OFFSET (all.sql:136-137) — max_by over arrival order.
+    "a4_latest_by_offset" -> ((s, d) =>
+      matchEvents(s, d).groupBy("player_id")
+        .agg(TableOps.latestByOffset(col("event_type"), col("_offset"))
+          .as("last_event"))),
+    // A5: multi-column GROUP BY (composite key).
+    "a5_multi_group" -> ((s, d) =>
+      matchEvents(s, d).groupBy("event_type", "home")
+        .agg(count(lit(1)).as("n"))),
+    // A6: derived metric over aggregates (avg goals per match).
+    "a6_derived_ratio" -> ((s, d) => {
+      val goals = Ops.sumIf(col("event_type") === "GOAL")
+      matchEvents(s, d).groupBy("player_id")
+        .agg(Ops.ratio(goals, countDistinct(col("id"))).as("avg_goals"))
+    }),
+    // S6: the full player_stats CTAS (join + agg + LATEST_BY_OFFSET).
+    "s6_player_stats" -> ((s, d) =>
+      Tutorial.playerStats(
+        Tutorial.matchEventPlayer(matchEvents(s, d)), players(s, d))),
+    // ---- D: deduplication ----------------------------------------------
+    "d1_dedup_exact" -> ((s, d) => Dedup.exact(table(s, d, "documents"))),
+    "d2_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(table(s, d, "documents"))),
+    "d3_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(table(s, d, "documents"))),
+    "d4_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(table(s, d, "documents"))),
+    "d5_embedding_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(table(s, d, "embeddings"))),
+    // ---- T: text analysis ----------------------------------------------
+    "t1_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(table(s, d, "documents"))),
+    "t2_quality_score" -> ((s, d) => TextAnalysis.qualityScore(table(s, d, "documents"))),
+    "t3_lang_id" -> ((s, d) => TextAnalysis.langId(table(s, d, "documents"))),
+    "t4_md5_fingerprint" -> ((s, d) =>
+      TextAnalysis.md5Fingerprint(table(s, d, "documents"))),
+    "t5_rolling_fingerprint" -> ((s, d) =>
+      TextAnalysis.rollingFingerprint(table(s, d, "documents"))),
+    // ---- V: similarity search ------------------------------------------
+    "v1_brute_cosine_topk" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.bruteCosineTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
+    }),
+    "v2_ivf_cosine_topk" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfCosineTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
+    }),
+    // ---- M: multimodal plumbing ----------------------------------------
+    "m1_media_decode" -> ((s, d) =>
+      Multimodal.decode(Multimodal.asMediaTable(table(s, d, "documents"))).toDF()),
+    "m2_media_resize" -> ((s, d) =>
+      Multimodal.resize(
+        Multimodal.decode(Multimodal.asMediaTable(table(s, d, "documents"))))),
+    "m3_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.decode(Multimodal.asMediaTable(table(s, d, "documents")))))
+  )
+
+  /** DuckDB oracle SQL per query (same column names and types as the Spark
+    * result). Queries absent here are non-SQL-expressible (hash sketches,
+    * LSH candidate generation, approximate search, stub decode) and get the
+    * driver's rows-only check; each has an exact twin that IS oracle-checked
+    * (d3/d4→d2, v2→v1, t5→t4, m*→t1-shape).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "s2_table_upsert" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "s3_stream_decl" -> "SELECT event_id, event_type, user_id FROM events",
+    "s4_rekey" ->
+      (oracleCtes + "SELECT id, event_type, player_id FROM match_event"),
+    "s7_insert_values" ->
+      (oracleCtes + """SELECT id, event_type, player_id FROM match_event
+        |UNION ALL SELECT '1900-01-01', 'GOAL', '999'""".stripMargin),
+    "s9_show_catalog" ->
+      """SELECT * FROM (VALUES
+        |  ('match_event', 'STREAM', 'id', 'match_event'),
+        |  ('match_event_player', 'STREAM', 'player_id', 'match_event_player'),
+        |  ('match_results', 'TABLE', 'id', 'match_results'),
+        |  ('player_stats', 'TABLE', 'player_id', 'player_stats'),
+        |  ('players', 'TABLE', 'id', 'players')
+        |) AS t(name, kind, key_columns, topic)""".stripMargin,
+    "s10_json_serde" ->
+      (oracleCtes + """SELECT id AS key,
+        |  '{"EVENT_TYPE":"' || event_type || '","PLAYER_ID":"' || player_id || '"}' AS value,
+        |  event_type
+        |FROM match_event""".stripMargin),
+    "k1_composite_key" ->
+      (oracleCtes + """SELECT
+        |  '{"ID":"' || id || '","PLAYER_ID":"' || player_id || '"}' AS key,
+        |  '{"N":' || CAST(n AS VARCHAR) || '}' AS value
+        |FROM (SELECT id, player_id, CAST(count(*) AS BIGINT) AS n
+        |      FROM match_event GROUP BY id, player_id)""".stripMargin),
+    "p1_select_star" -> "SELECT * FROM nation",
+    "p2_projection" -> "SELECT c_name, c_mktsegment FROM customer",
+    "p3_alias" -> "SELECT c_name AS customer_name, c_acctbal AS balance FROM customer",
+    "p4_ucase" -> "SELECT upper(c_name) AS name_uc FROM customer",
+    "p5_case_when" ->
+      """SELECT event_id,
+        |  CASE WHEN value > 150 THEN 'high' WHEN value > 75 THEN 'mid'
+        |       ELSE 'low' END AS band
+        |FROM events""".stripMargin,
+    "p6_cast_divide" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE) AS unit_price
+        |FROM lineitem""".stripMargin,
+    "p8_filter_eq" ->
+      (oracleCtes + "SELECT id, player_id, home FROM match_event WHERE event_type = 'GOAL'"),
+    "p9_filter_and" ->
+      (oracleCtes +
+        "SELECT id, player_id FROM match_event WHERE event_type = 'ASSIST' AND player_id = '7'"),
+    "p10_filter_bool" ->
+      (oracleCtes + "SELECT id, player_id FROM match_event WHERE home AND event_type = 'GOAL'"),
+    "p10_filter_not" ->
+      (oracleCtes + "SELECT id, player_id FROM match_event WHERE NOT home AND event_type = 'GOAL'"),
+    "p11_filter_not_null" ->
+      "SELECT event_id, props FROM events WHERE props IS NOT NULL",
+    "j1_inner_join" ->
+      (oracleCtes + """SELECT me.id AS match_id, me.event_type, p.name, p.team
+        |FROM match_event me JOIN players p ON me.player_id = p.id""".stripMargin),
+    "j2_left_join_count" ->
+      (oracleCtes + """SELECT p.id AS p_id, p.name, p.nationality,
+        |  CAST(count(me.id) AS BIGINT) AS goals
+        |FROM match_event me LEFT JOIN players p ON me.player_id = p.id
+        |GROUP BY p.id, p.name, p.nationality""".stripMargin),
+    "j3_table_table" ->
+      (oracleCtes + "SELECT id, name, team, nationality FROM players"),
+    "j3_stream_stream" ->
+      """SELECT e1.event_id AS signup_id, e2.event_id AS purchase_id
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+        |WHERE e1.event_type = 'signup' AND e2.event_type = 'purchase'""".stripMargin,
+    "a1_count_group" ->
+      (oracleCtes + """SELECT id, CAST(count(id) AS BIGINT) AS n_goals
+        |FROM match_event WHERE home AND event_type = 'GOAL' GROUP BY id""".stripMargin),
+    "a2_match_results" ->
+      (oracleCtes + """SELECT id,
+        |  CAST(sum(CASE WHEN home AND event_type = 'GOAL' THEN 1 ELSE 0 END) AS BIGINT) AS home_goals,
+        |  CAST(sum(CASE WHEN NOT home AND event_type = 'GOAL' THEN 1 ELSE 0 END) AS BIGINT) AS away_goals
+        |FROM match_event WHERE home IS NOT NULL GROUP BY id""".stripMargin),
+    "a3_count_distinct" ->
+      (oracleCtes + """SELECT player_id, CAST(count(DISTINCT id) AS BIGINT) AS n_matches
+        |FROM match_event GROUP BY player_id""".stripMargin),
+    "a4_latest_by_offset" ->
+      (oracleCtes + """SELECT player_id, arg_max(event_type, _offset) AS last_event
+        |FROM match_event GROUP BY player_id""".stripMargin),
+    "a5_multi_group" ->
+      (oracleCtes + """SELECT event_type, home, CAST(count(*) AS BIGINT) AS n
+        |FROM match_event GROUP BY event_type, home""".stripMargin),
+    "a6_derived_ratio" ->
+      (oracleCtes + """SELECT player_id,
+        |  CAST(sum(CASE WHEN event_type = 'GOAL' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(DISTINCT id) AS DOUBLE) AS avg_goals
+        |FROM match_event GROUP BY player_id""".stripMargin),
+    "s6_player_stats" ->
+      (oracleCtes + """SELECT p.id AS player_id,
+        |  arg_max(p.name, me._offset) AS player_name,
+        |  arg_max(p.nationality, me._offset) AS nationality,
+        |  CAST(sum(CASE WHEN me.event_type = 'GOAL' THEN 1 ELSE 0 END) AS BIGINT) AS goals,
+        |  CAST(sum(CASE WHEN me.event_type = 'GOAL' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(DISTINCT me.id) AS DOUBLE) AS avg_goals,
+        |  CAST(sum(CASE WHEN me.event_type = 'ASSIST' THEN 1 ELSE 0 END) AS BIGINT) AS assists
+        |FROM match_event me JOIN players p ON me.player_id = p.id
+        |GROUP BY p.id""".stripMargin),
+    "d1_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id FROM documents
+        |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""".stripMargin,
+    "d2_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) AS i,
+        |         CAST(len(a.t) AS DOUBLE) AS da, CAST(len(b.t) AS DOUBLE) AS db
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT a, b, round(i / (da + db - i), 6) AS jaccard
+        |FROM pairs WHERE round(i / (da + db - i), 6) >= 0.8""".stripMargin,
+    "t1_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS INTEGER) AS n_distinct_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |     + len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS INTEGER) AS n_bpeish_tokens
+        |FROM documents""".stripMargin,
+    "t2_quality_score" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |    CAST(len(text) AS INTEGER) AS len_chars,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      tk -> tk IN ('the','a','an','and','of','to','in','is','it','for'))) AS INTEGER) AS sh,
+        |    CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS INTEGER) AS alpha
+        |  FROM documents)
+        |SELECT doc_id, len_chars, n_tokens,
+        |  round(CAST(len_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS mean_token_len,
+        |  round(CAST(sh AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+        |  round(CAST(alpha AS DOUBLE) / CAST(len_chars AS DOUBLE), 6) AS alpha_ratio,
+        |  round(CAST(sh AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.5
+        |      + CAST(alpha AS DOUBLE) / CAST(len_chars AS DOUBLE) * 0.5, 6) AS quality_score
+        |FROM x""".stripMargin,
+    "t3_lang_id" ->
+      """WITH x AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(t, tk -> tk IN ('the','a','and','of','is'))) AS INTEGER) AS hits_en,
+        |    CAST(len(list_filter(t, tk -> tk IN ('el','la','de','que','y'))) AS INTEGER) AS hits_es,
+        |    CAST(len(list_filter(t, tk -> tk IN ('der','die','das','und','ist'))) AS INTEGER) AS hits_de,
+        |    CAST(len(list_filter(t, tk -> tk IN ('le','la','les','et','est'))) AS INTEGER) AS hits_fr,
+        |    CAST(len(list_filter(t, tk -> tk IN ('的','是','了','在','我'))) AS INTEGER) AS hits_zh
+        |  FROM x)
+        |SELECT doc_id, hits_en, hits_es, hits_de, hits_fr, hits_zh,
+        |  CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr, hits_zh) = 0 THEN 'unk'
+        |       WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'en'
+        |       WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'es'
+        |       WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'de'
+        |       WHEN hits_fr = greatest(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_guess
+        |FROM h""".stripMargin,
+    "t4_md5_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+    "v1_brute_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_cosine_similarity(qv, cv), 6) AS cosine
+        |  FROM c, q WHERE neighbor_id <> query_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM s)
+        |WHERE rank <= 5""".stripMargin
+  )
 }

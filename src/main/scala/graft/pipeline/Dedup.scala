@@ -34,7 +34,7 @@ object Dedup {
     array_distinct(
       transform(
         sequence(lit(0), greatest(size(ts) - w, lit(0))),
-        i => concat_ws(" ", slice(ts, i + 1, w))))
+        i => concat_ws(" ", slice(ts, i + 1, lit(w)))))
   }
 
   /** Exact Jaccard similarity of two string arrays (distinct-element sets). */
@@ -70,7 +70,7 @@ object Dedup {
       col("_id"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("_sig"), b * rows + 1, rows)))))
+          b => hash(slice(col("_sig"), b * rows + 1, lit(rows))))))
       .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bucket"))
     val l = banded.select(col("_band"), col("_bucket"), col("_id").as("a"))
     val r = banded.select(col("_band"), col("_bucket"), col("_id").as("b"))

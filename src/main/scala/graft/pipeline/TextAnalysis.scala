@@ -87,8 +87,8 @@ object TextAnalysis {
       when(maxHits > 0 && c === maxHits, lit(lang)).otherwise(els)
     }
     documents.select(
-      col("doc_id"),
-      (hitCols.map { case (l, c) => c.as(s"hits_$l") } :+ guess.as("lang_guess")): _*)
+      (col("doc_id") +:
+        hitCols.map { case (l, c) => c.as(s"hits_$l") }) :+ guess.as("lang_guess"): _*)
   }
 
   /** Normalization used for fingerprinting: lower-case, collapse whitespace,

@@ -37,6 +37,17 @@ object Tutorial {
     MatchEvent("2", "ASSIST", "2", home = false),
     MatchEvent("2", "GOAL", "2", home = false))
 
+  /** Batch DataFrame of [[canonicalEvents]] with `_offset` = arrival
+    * ordinal — the batch analogue of the Kafka offset that
+    * `LATEST_BY_OFFSET` orders by (all.sql:136-137).
+    */
+  def canonicalEventsDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    canonicalEvents.zipWithIndex
+      .map { case (e, i) => (e.id, e.event_type, e.player_id, e.home, i.toLong) }
+      .toDF("id", "event_type", "player_id", "home", "_offset")
+  }
+
   /** The 10-row players seed (init.sql:11-22), id = stringified PK. */
   def playersSeed(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -58,8 +69,11 @@ object Tutorial {
     * player_id. In-engine the repartition is unnecessary (Catalyst
     * shuffles joins itself); kept at sink-materialization only.
     */
-  def matchEventPlayer(matchEvent: DataFrame): DataFrame =
-    matchEvent.select("id", "event_type", "player_id")
+  def matchEventPlayer(matchEvent: DataFrame): DataFrame = {
+    val keep = Seq("id", "event_type", "player_id") ++
+      matchEvent.columns.filter(_ == "_offset")
+    matchEvent.select(keep.map(col): _*)
+  }
 
   /** `match_results` (S5, README.md:308-327): per-match home/away goal
     * pivot — the README's golden output is 1→(2,1), 2→(1,1)
@@ -77,22 +91,29 @@ object Tutorial {
     * LATEST_BY_OFFSET dims, goals / avg_goals / assists. Golden rows:
     * Messi (3, 1.5, 1), Ronaldo (2, 1.0, 1) (README.md:413-420).
     *
-    * `countDistinctExpr` parameterizes A3's streaming story: batch uses
+    * `LATEST_BY_OFFSET` orders by the Kafka offset (all.sql:136-137), so
+    * `max_by` here orders by `orderCol` — the `_offset` column produced by
+    * `Sources.fromKafkaJson` / `canonicalEventsDF`, NOT the match-id string
+    * (which is non-unique per player and sorts lexicographically).
+    *
+    * `countDistinctMatches` parameterizes A3's streaming story: batch uses
     * exact `countDistinct`; streaming passes the custom exact Aggregator
     * or `approx_count_distinct` (SURVEY.md §7.5 pt.2).
     */
   def playerStats(matchEventPlayer: DataFrame, players: DataFrame,
+      orderCol: String = "_offset",
       countDistinctMatches: org.apache.spark.sql.Column = countDistinct(col("mep_id")))
       : DataFrame = {
     val mep = matchEventPlayer
-      .select(col("id").as("mep_id"), col("event_type"), col("player_id"))
+      .select(col("id").as("mep_id"), col("event_type"), col("player_id"),
+        col(orderCol).as("_ord"))
     val joined = Ops.enrichJoin(mep, players, "player_id", "id")
     val goals = Ops.sumIf(col("event_type") === "GOAL")
     joined
       .groupBy(players("id").as("player_id"))
       .agg(
-        max_by(col("name"), col("mep_id")).as("player_name"),
-        max_by(col("nationality"), col("mep_id")).as("nationality"),
+        max_by(col("name"), col("_ord")).as("player_name"),
+        max_by(col("nationality"), col("_ord")).as("nationality"),
         goals.as("goals"),
         Ops.ratio(goals, countDistinctMatches).as("avg_goals"),
         Ops.sumIf(col("event_type") === "ASSIST").as("assists"))
