@@ -1,0 +1,131 @@
+package graft
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Unit specs for the training-data pipeline operators over crafted
+  * fixtures (dedup recall/precision, similarity ranking, text metrics).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+  }
+
+  test("exact dedup keeps lowest id per normalized text") {
+    val d = docs(
+      1L -> "Hello   World", 2L -> "hello world", 3L -> "different doc",
+      4L -> " HELLO WORLD")
+    // 1,2,4 normalize identically ("hello world") -> keep 1; 3 kept
+    val kept = Dedup.exact(d).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+  }
+
+  test("minhash LSH finds a true near-dup pair and skips dissimilar docs") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"token$i").mkString(" ") + " tokenX tokenY"
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.minhashPairs(d, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)))
+  }
+
+  test("simhash pairs flag small-hamming fingerprints only") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val tweaked = (1 to 59).map(i => s"token$i").mkString(" ") + " tokenZZ"
+    val other = (100 to 160).map(i => s"word$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> tweaked, 3L -> other)
+    val pairs = Dedup.simhashPairs(d, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard matches hand-computed similarity") {
+    val d = docs(1L -> "a b c d", 2L -> "a b c e", 3L -> "x y z w")
+    val rows = Dedup.ngramJaccardPairs(d, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // |{a,b,c}| / |{a,b,c,d,e}| = 3/5
+    assert(rows === Map((1L, 2L) -> 0.6))
+  }
+
+  test("brute-force cosine top-k ranks by true cosine with deterministic ties") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(1f, 0.05f, 0f)),
+      (4L, Array(-1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteCosineTopK(vecs, vecs.filter($"vec_id" === 0L), k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(top.toSeq === Seq((3L, 1), (1L, 2), (2L, 3)))
+  }
+
+  test("IVF top-k achieves high recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteCosineTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfCosineTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("embedding near-dup LSH finds an exact-duplicate vector") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1)
+    val base = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val vecs = ((0 until 20).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1))) :+
+      (100L, base) :+ (101L, base.map(v => v * 1.001f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((100L, 101L)))
+  }
+
+  test("token counts and quality score on a crafted doc") {
+    val d = docs(1L -> "The quick brown fox and the lazy dog!")
+    val t = TextAnalysis.tokenCounts(d).collect().head
+    assert(t.getInt(1) === 8)       // whitespace tokens
+    assert(t.getInt(2) === 7)       // 'the' appears twice lowercased
+    val q = TextAnalysis.qualityScore(d).collect().head
+    assert(q.getInt(1) === 37)      // len chars
+    assert(q.getInt(2) === 8)       // n tokens
+  }
+
+  test("language ID picks the language with most stopword hits") {
+    val d = docs(1L -> "el perro y la casa de que", 2L -> "the cat is of and")
+    val got = TextAnalysis.langId(d).select("doc_id", "lang_guess")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "es", 2L -> "en"))
+  }
+
+  test("rolling fingerprint is edit-robust where md5 is not") {
+    val a = "some long document text " * 10
+    val b = a + "tail edit"
+    val d = docs(1L -> a, 2L -> b)
+    val md5s = TextAnalysis.md5Fingerprint(d).collect().map(_.getString(1))
+    assert(md5s(0) !== md5s(1))
+    val rolls = TextAnalysis.rollingFingerprint(d).collect().map(_.getLong(1))
+    // min-rolling-hash over shared windows: identical despite the tail edit
+    assert(rolls(0) === rolls(1))
+  }
+
+  test("multimodal decode plumbing produces stable per-row features") {
+    val d = docs(1L -> "image payload bytes", 2L -> "another payload")
+      .withColumn("n_chars", length(col("text")))
+    val media = Multimodal.asMediaTable(d)
+    assert(media.schema.fieldNames.toSeq ===
+      Seq("doc_id", "media_type", "content", "meta"))
+    val dec1 = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    val dec2 = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    assert(dec1.toSeq === dec2.toSeq)  // deterministic
+    assert(dec1.forall(m => m.width > 0 && m.height > 0 && m.n_frames > 0))
+  }
+}

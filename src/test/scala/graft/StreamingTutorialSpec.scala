@@ -1,0 +1,93 @@
+package graft
+
+import graft.engine.{Sinks, TableOps}
+import graft.streaming.Tutorial
+import graft.streaming.Tutorial.MatchEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming replay of the tutorial's continuous-query semantics: the
+  * count-evolution golden (reference README.md:247-253), update-mode
+  * changelog emission (Q1/Q2), and KTable upsert over a streaming
+  * changelog (Q3). MemoryStream plays the Kafka topic; the memory sink
+  * plays the console/`EMIT CHANGES` client.
+  */
+class StreamingTutorialSpec extends SparkSpec {
+
+  test("push query: home-goals count evolves 2 then 1 per match (README.md:247-253)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[MatchEvent]
+    val counts = input.toDF()
+      .filter(col("home") && col("event_type") === "GOAL")
+      .groupBy("id").agg(count(col("id")).as("goals"))
+    val q = Sinks.pushQuery(counts, "home_goals_evolution", OutputMode.Update())
+    try {
+      // first four inserts (match 1): README golden shows home_goals = 2
+      input.addData(Tutorial.canonicalEvents.take(4): _*)
+      q.processAllAvailable()
+      val afterM1 = spark.table("home_goals_evolution")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(afterM1.toSet === Set(("1", 2L)))
+      // remaining inserts (match 2): update-mode re-emits only changed keys
+      input.addData(Tutorial.canonicalEvents.drop(4): _*)
+      q.processAllAvailable()
+      val all = spark.table("home_goals_evolution")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(all.toSet === Set(("1", 2L), ("2", 1L)))
+      // match 1's count was NOT re-emitted in batch 2 (changelog semantics)
+      assert(all.length === 2)
+    } finally q.stop()
+  }
+
+  test("persistent query shape: match_results changelog rows are Kafka-ready (Q2/S5)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[MatchEvent]
+    val kv = Sinks.kafkaKeyValue(Tutorial.matchResults(input.toDF()), Seq("id"))
+    val q = Sinks.pushQuery(kv, "match_results_wire", OutputMode.Update())
+    try {
+      input.addData(Tutorial.canonicalEvents: _*)
+      q.processAllAvailable()
+      val rows = spark.table("match_results_wire")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(rows === Map(
+        "1" -> """{"HOME_GOALS":2,"AWAY_GOALS":1}""",
+        "2" -> """{"HOME_GOALS":1,"AWAY_GOALS":1}"""))
+    } finally q.stop()
+  }
+
+  test("KTable upsert: streaming latestByKey re-emits the updated row (Q3)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, String, Long)]
+    val table = TableOps.latestByKey(
+      input.toDF().toDF("id", "team", "_offset"), Seq("id"), "_offset")
+    val q = Sinks.pushQuery(table, "players_table", OutputMode.Update())
+    try {
+      input.addData(("1", "Barcelona", 0L))
+      q.processAllAvailable()
+      input.addData(("1", "Paris Saint-Germain", 1L))
+      q.processAllAvailable()
+      val emissions = spark.table("players_table")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      // two emissions for the same key — the changelog — ending in the update
+      assert(emissions.toSeq === Seq(("1", "Barcelona"), ("1", "Paris Saint-Germain")))
+    } finally q.stop()
+  }
+
+  test("append-mode push query over a stateless stream (Q1/Q4)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[MatchEvent]
+    val proj = input.toDF().filter(col("event_type") === "ASSIST")
+      .select("id", "player_id")
+    val q = Sinks.pushQuery(proj, "assists_stream", OutputMode.Append())
+    try {
+      input.addData(Tutorial.canonicalEvents: _*)
+      q.processAllAvailable()
+      assert(spark.table("assists_stream").count() === 2)
+    } finally q.stop()
+  }
+}
