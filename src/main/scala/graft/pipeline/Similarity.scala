@@ -1,17 +1,20 @@
 package graft.pipeline
 
-import graft.functions.{vector => gvec}
+import graft.functions.{agg => gagg, vector => gvec}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Baseline: brute-force cosine top-k — one broadcast of the query set and
-  * a single codegen'd scan of the corpus (the native CosineSimilarity
-  * expression keeps the whole stage fused). Scale path: IVF — partition
-  * the corpus by nearest centroid once, then probe only `nProbe` cells per
-  * query, cutting the scan by ~nCells/nProbe at the cost of recall.
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * one fused scan of the corpus, and a bounded top-k aggregate whose
+  * partial phase reduces each map task's slice to ≤ k entries per query
+  * BEFORE the exchange. The corpus itself never shuffles; the exchange
+  * carries at most k·|queries|·partitions heap entries.
+  *
+  * Scale path: IVF — assign each corpus vector to its nearest centroid
+  * with a narrow per-row fold over broadcast centroid literals (no
+  * shuffle, no window), then probe only `nProbe` cells per query.
   */
 object Similarity {
 
@@ -24,76 +27,105 @@ object Similarity {
   private[pipeline] def planeLit(p: Array[Float]): Column =
     array(p.map(v => lit(v)).toIndexedSeq: _*)
 
+  /** Expand a grouped top-k array (`struct<id, score>` best-first) into
+    * (query_id, neighbor_id, rank, cosine) rows.
+    */
+  private def explodeTopK(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("query_id"), posexplode(col("_top")))
+      .select(
+        col("query_id"),
+        col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").as("cosine"))
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
-    * vectors by cosine. Queries are broadcast (they are few); the corpus
-    * streams through one fused scan; ranking is a per-query window with a
-    * deterministic tiebreak on corpus id.
+    * vectors by cosine (rounded to 6dp for cross-engine reproducibility),
+    * deterministic tiebreak on neighbor id.
     *
-    * Scale note: at 1000 executors this is one pass over the corpus with
-    * no corpus shuffle — the window's shuffle moves only
-    * (query_id, corpus_id, score) tuples, k·|queries| of which survive.
+    * Plan shape: corpus scan → broadcast nested-loop with the tiny query
+    * set → partial TopKByScore per map task → exchange of ≤ k·|queries|
+    * heap entries per partition → final merge. No corpus-sized shuffle
+    * anywhere (`explain` shows the exchange carrying only the aggregate
+    * buffers). Requires numeric (castable-to-long) vector ids.
     */
   def bruteCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("_qv"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(gvec.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+    explodeTopK(
+      scored.groupBy("query_id")
+        .agg(gagg.topKByScore(col("cosine"), col("neighbor_id"), k).as("_top")))
   }
 
   /** IVF (inverted-file) cosine top-k:
-    *  1. centroids = a deterministic sample of the corpus (every
-    *     `centroidEvery`-th id) — a cheap stand-in for k-means that keeps
-    *     the whole operator reproducible;
-    *  2. assign each corpus vector to its nearest centroid (broadcast
-    *     centroids, one fused scan);
-    *  3. per query, probe the `nProbe` nearest cells and rank only vectors
-    *     in those cells.
+    *  1. centroids = a deterministic hash-sample of the corpus (~1 per
+    *     `centroidEvery` rows), collected to the driver (tiny) and
+    *     broadcast as literals — a reproducible stand-in for k-means;
+    *  2. assign each corpus vector to its nearest centroid with a single
+    *     narrow `aggregate()` fold over the centroid array (argmax cosine,
+    *     first-wins tiebreak) — no join, no window, no shuffle;
+    *  3. per query, probe the `nProbe` nearest cells
+    *     (transform → sort_array → slice, again narrow) and rank only the
+    *     corpus vectors in those cells with the bounded top-k aggregate.
     *
-    * Scale: the corpus is scanned once for assignment (then would be
-    * written bucketed-by-cell); each query touches nProbe cells ≈
-    * nProbe/nCells of the data. Recall < 1 by construction — the
-    * brute-force twin is the correctness baseline.
+    * Scale: the corpus is scanned once for assignment (at 100 TB the
+    * assignment would be materialized bucketed-by-cell so probes prune
+    * files); each query touches ~nProbe/nCells of the data. Recall < 1 by
+    * construction — [[bruteCosineTopK]] is the correctness baseline.
     */
   def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       nProbe: Int = 4, centroidEvery: Int = 50,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = corpus
-      .filter(pmod(col(idCol), lit(centroidEvery)) === 0)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("_cent"))
+    // 1. deterministic, id-type-agnostic centroid sample (hash, not pmod-on-id)
+    val centroids: Array[(Long, Array[Float])] = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(centroidEvery)) === 0)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(centroids.nonEmpty,
+      s"no centroids sampled (corpus too small for centroidEvery=$centroidEvery)")
+    val cellArr = array(centroids.map { case (cid, v) =>
+      struct(lit(cid).as("cell_id"), planeLit(v).as("cent"))
+    }.toIndexedSeq: _*)
 
-    def nearestCells(df: DataFrame, id: String, v: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(id).orderBy(col("_sim").desc, col("cell_id").asc)
-      df.crossJoin(broadcast(centroids))
-        .select(col(id), col(v),
-          col("cell_id"), gvec.cosine(col(v), col("_cent")).as("_sim"))
-        .withColumn("_r", row_number().over(w))
-        .filter(col("_r") <= n)
-        .drop("_sim", "_r")
-    }
+    // 2. narrow argmax fold: nearest centroid per corpus vector
+    def nearestCell(vec: Column): Column =
+      aggregate(
+        cellArr,
+        struct(lit(-2.0).as("best"), lit(-1L).as("cell_id")),
+        (acc, c) => {
+          val sim = gvec.cosine(vec, c.getField("cent"))
+          when(sim > acc.getField("best"),
+            struct(sim.as("best"), c.getField("cell_id").as("cell_id")))
+            .otherwise(acc)
+        }).getField("cell_id")
 
-    val assigned = nearestCells(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")),
-      "neighbor_id", "_cv", 1)
-    val probed = nearestCells(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")),
-      "query_id", "_qv", nProbe)
+    val assigned = corpus.select(
+      col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_cv"),
+      nearestCell(col(vecCol)).as("cell_id"))
 
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    probed.join(assigned, Seq("cell_id"))
+    // 3. nProbe nearest cells per query (narrow: transform+sort+slice)
+    val probed = queries.select(
+      col(idCol).cast("long").as("query_id"), col(vecCol).as("_qv"),
+      explode(slice(
+        sort_array(transform(cellArr, c => struct(
+          (-gvec.cosine(col(vecCol), c.getField("cent"))).as("_negsim"),
+          c.getField("cell_id").as("cell_id")))),
+        1, nProbe)).as("_probe"))
+      .select(col("query_id"), col("_qv"), col("_probe.cell_id").as("cell_id"))
+
+    val scored = assigned.join(broadcast(probed), Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(gvec.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+    explodeTopK(
+      scored.groupBy("query_id")
+        .agg(gagg.topKByScore(col("cosine"), col("neighbor_id"), k).as("_top")))
   }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.pipeline.Similarity
+import org.apache.spark.sql.functions._
+
+/** Asserts the scale-critical physical-plan shapes: the top-k aggregate
+  * must run a PARTIAL phase before the exchange (so the shuffle carries
+  * bounded heaps, not the full scored relation — round-1 verdict #4/#5),
+  * and small dimension joins must broadcast.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  test("bruteCosineTopK: partial top-k before the exchange, no corpus shuffle") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = Similarity.bruteCosineTopK(emb, emb.filter(col("vec_id") < 5), 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_top_k_by_score"),
+      s"no partial top-k phase in plan:\n$plan")
+    // the only Exchange must sit ABOVE the partial aggregate (reading its
+    // output), i.e. the first Exchange appears after the first partial agg
+    // in bottom-up order: textually, partial agg is below (later in string)
+    val exIdx = plan.indexOf("Exchange hashpartitioning(query_id")
+    val partialIdx = plan.indexOf("partial_graft_top_k_by_score")
+    assert(exIdx >= 0 && partialIdx > exIdx,
+      s"partial agg not under the exchange:\n$plan")
+    // no rank/window operator anywhere
+    assert(!plan.contains("Window"), s"window shuffle crept back in:\n$plan")
+  }
+
+  test("ivfCosineTopK: no window, broadcast probe join, partial top-k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = Similarity.ivfCosineTopK(emb, emb.filter(col("vec_id") < 5), 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in IVF plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"probe join not broadcast:\n$plan")
+    assert(plan.contains("partial_graft_top_k_by_score"))
+  }
+
+  test("dimension enrich join broadcasts the dim side") {
+    val me = TestdataAdapter.matchEvents(spark, "/root/testdata/sf0.001")
+      .select(col("id").as("match_id"), col("event_type"), col("player_id"))
+    val joined = graft.engine.Ops.enrichJoin(
+      me, TestdataAdapter.players(spark, "/root/testdata/sf0.001"), "player_id", "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$plan")
+  }
+
+  test("parquet scan prunes columns and pushes filters") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val q = ev.filter(col("event_type") === "purchase").select("event_id", "user_id")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<event_id:bigint,user_id:bigint") ||
+      scan.contains("ReadSchema: struct<event_id:bigint,event_type:string,user_id:bigint"),
+      s"columns not pruned:\n$scan")
+  }
+}
