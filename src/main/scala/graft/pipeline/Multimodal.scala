@@ -1,5 +1,9 @@
 package graft.pipeline
 
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -7,22 +11,30 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns plus a typed metadata struct.
   *
-  * The decode step is a clearly-marked deterministic STUB (the container
-  * has no image/audio codecs): `fakeDecode` derives "features" from a
-  * 64-bit hash of the bytes, so outputs are stable across runs/executors.
-  * Everything around it — schema, batch shape, partition-level iteration,
-  * frame sampling — is the real Spark plumbing a codec would slot into.
+  * Decode is REAL where a pure-JVM codec exists:
+  *  - image → `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF): true pixel
+  *    dimensions;
+  *  - audio → RIFF/WAVE header parse: channels, sample rate, frame count;
+  *  - video → no pure-JVM codec in this container: deterministic
+  *    byte-hash pseudo-features, clearly flagged via `decode_ok = false`.
+  * Undecodable payloads (wrong codec, corrupt bytes) take the same
+  * deterministic fallback with `decode_ok = false` instead of failing the
+  * job — at 100 TB some fraction of a binary-asset table is always
+  * corrupt, and a pipeline that dies on the first bad blob never finishes.
   *
-  * Scale design: decode runs per-partition (mapPartitions) so a real codec
-  * amortizes init per task, not per row; media bytes never shuffle — all
+  * Scale design: decode runs per-partition (mapPartitions) so codec init
+  * amortizes per task, not per row; media bytes never shuffle — all
   * derived columns are narrow projections.
   */
 object Multimodal {
 
-  /** Decoded record produced by the per-partition decode stub. */
+  /** Decoded record produced by the per-partition decode. For audio,
+    * `width` carries the channel count and `height` the sample rate.
+    */
   final case class DecodedMedia(
       doc_id: Long, media_type: String, n_bytes: Long,
-      width: Int, height: Int, n_frames: Int, checksum: Long)
+      width: Int, height: Int, n_frames: Int, checksum: Long,
+      decode_ok: Boolean)
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -47,22 +59,80 @@ object Multimodal {
         length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
         .as("meta"))
 
-  /** STUB decode kernel — stands in for an image/audio codec. Deterministic
-    * pseudo-features from xxhash64 of the content bytes.
+  /** Deterministic 64-bit content checksum (two seeded murmur passes). */
+  private def checksum64(bytes: Array[Byte]): Long = {
+    import scala.util.hashing.MurmurHash3
+    val h1 = MurmurHash3.bytesHash(bytes, 0x6d6d)
+    val h2 = MurmurHash3.bytesHash(bytes, 0x6d6d ^ 0x5bd1e995)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  /** Real image decode: ImageIO sniffs the codec from the bytes.
+    * Returns (width, height) or None if the payload is not a supported
+    * image format.
     */
-  private def stubDecode(docId: Long, mediaType: String, bytes: Array[Byte],
-      nBytes: Long): DecodedMedia = {
-    // ??? <- real codec call goes here (e.g. ImageIO.read / libsndfile);
-    // deterministic fake keeps the plumbing testable without codecs:
-    val h = graft.functions.Kernels.splitmix64(
-      java.util.Arrays.hashCode(bytes).toLong)
-    DecodedMedia(
-      doc_id = docId, media_type = mediaType, n_bytes = nBytes,
-      width = (Math.floorMod(h, 1024L) + 1L).toInt,
-      height = (Math.floorMod(h >>> 10, 1024L) + 1L).toInt,
-      n_frames = if (mediaType == "image") 1
-                 else (Math.floorMod(h >>> 20, 64L) + 1L).toInt,
-      checksum = h)
+  private[pipeline] def decodeImage(bytes: Array[Byte]): Option[(Int, Int)] =
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+        .map(img => (img.getWidth, img.getHeight))
+    } catch { case _: Exception => None }
+
+  /** Real RIFF/WAVE header parse: (channels, sampleRate, nSampleFrames).
+    * Layout per the canonical WAV spec: "RIFF"<size>"WAVE" then chunks;
+    * the "fmt " chunk carries channels (offset +10 LE16), sample rate
+    * (+12 LE32), block align (+20 LE16); the "data" chunk size / block
+    * align = frame count.
+    */
+  private[pipeline] def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    def le16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    try {
+      if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int)] = None // channels, rate, blockAlign
+      var dataSize = -1
+      while (off + 8 <= bytes.length && (fmt.isEmpty || dataSize < 0)) {
+        val id = tag(off); val sz = le32(off + 4)
+        if (id == "fmt " && off + 24 <= bytes.length)
+          fmt = Some((le16(off + 10), le32(off + 12), le16(off + 20)))
+        else if (id == "data") dataSize = sz
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      fmt.collect { case (ch, rate, ba) if ba > 0 && dataSize >= 0 =>
+        (ch, rate, dataSize / ba)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Per-row decode with the per-media-type codecs; deterministic hash
+    * fallback (flagged `decode_ok = false`) for undecodable payloads.
+    */
+  private[pipeline] def decodeOne(docId: Long, mediaType: String,
+      bytes: Array[Byte], nBytes: Long): DecodedMedia = {
+    val cs = checksum64(bytes)
+    def fallback: DecodedMedia = {
+      val h = graft.functions.Kernels.splitmix64(cs)
+      DecodedMedia(docId, mediaType, nBytes,
+        width = (Math.floorMod(h, 1024L) + 1L).toInt,
+        height = (Math.floorMod(h >>> 10, 1024L) + 1L).toInt,
+        n_frames = if (mediaType == "image") 1
+                   else (Math.floorMod(h >>> 20, 64L) + 1L).toInt,
+        checksum = cs, decode_ok = false)
+    }
+    mediaType match {
+      case "image" => decodeImage(bytes)
+        .map { case (w, h) =>
+          DecodedMedia(docId, mediaType, nBytes, w, h, 1, cs, decode_ok = true) }
+        .getOrElse(fallback)
+      case "audio" => decodeWav(bytes)
+        .map { case (ch, rate, frames) =>
+          DecodedMedia(docId, mediaType, nBytes, ch, rate, frames, cs,
+            decode_ok = true) }
+        .getOrElse(fallback)
+      case _ => fallback // video: no pure-JVM codec available
+    }
   }
 
   /** Per-partition decode: the Scala analogue of a batched pandas UDF —
@@ -74,8 +144,9 @@ object Multimodal {
     media.select("doc_id", "media_type", "content", "meta.n_bytes")
       .as[(Long, String, Array[Byte], Long)]
       .mapPartitions { rows =>
-        // per-task codec init would happen here
-        rows.map { case (id, mt, bytes, n) => stubDecode(id, mt, bytes, n) }
+        // ImageIO plugin scanning etc. happens once per task, not per row
+        ImageIO.setUseCache(false)
+        rows.map { case (id, mt, bytes, n) => decodeOne(id, mt, bytes, n) }
       }
   }
 
@@ -90,8 +161,8 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))
 
-  /** Resize stub: pure-metadata transform (real resize = mapPartitions over
-    * content), keeping aspect ratio math in the plan for testability.
+  /** Resize plan: target dimensions preserving aspect ratio (the metadata
+    * half of a resize; the pixel half runs in [[resizePixels]]).
     */
   def resize(decoded: Dataset[DecodedMedia], maxDim: Int = 256): DataFrame =
     decoded.toDF().select(
@@ -101,4 +172,40 @@ object Multimodal {
       greatest(lit(1),
         (col("height") * least(lit(maxDim), col("width")) / col("width"))
           .cast("int")).as("out_height"))
+
+  /** Real pixel resize for decodable images: scale to fit `maxDim`
+    * (aspect-preserving) with AWT, re-encode as PNG. Non-image or
+    * undecodable rows pass through with null output bytes. Runs
+    * per-partition; bytes never shuffle.
+    */
+  def resizePixels(media: DataFrame, maxDim: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media_type", "content")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.map { case (id, mt, bytes) =>
+          val out =
+            if (mt != "image") None
+            else try {
+              Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+                val scale = math.min(1.0, maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+                val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+                  math.max(1, (img.getHeight * scale).toInt))
+                val dst = new java.awt.image.BufferedImage(w, h,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = dst.createGraphics()
+                g.drawImage(img.getScaledInstance(w, h, java.awt.Image.SCALE_SMOOTH),
+                  0, 0, null)
+                g.dispose()
+                val bos = new java.io.ByteArrayOutputStream()
+                ImageIO.write(dst, "png", bos)
+                bos.toByteArray
+              }
+            } catch { case _: Exception => None }
+          (id, mt, out.orNull)
+        }
+      }.toDF("doc_id", "media_type", "resized_png")
+  }
 }

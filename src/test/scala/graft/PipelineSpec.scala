@@ -117,6 +117,66 @@ class PipelineSpec extends SparkSpec {
     assert(rolls(0) === rolls(1))
   }
 
+  test("real image decode: PNG fixture round-trips exact dimensions") {
+    import spark.implicits._
+    // build a real 17x9 PNG in-memory
+    val img = new java.awt.image.BufferedImage(17, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 17).foreach(x => img.setRGB(x, x % 9, 0xff00ff))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val media = Seq((1L, "image", png)).toDF("doc_id", "media_type", "content")
+      .withColumn("meta", struct(lit("s").as("source"),
+        lit(png.length.toLong).as("n_bytes")))
+    val dec = Multimodal.decode(media).collect().head
+    assert(dec.decode_ok)
+    assert((dec.width, dec.height, dec.n_frames) === ((17, 9, 1)))
+    // real pixel resize: a 300x100 image scales to 256x85
+    val big = new java.awt.image.BufferedImage(300, 100,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(big, "png", bos2)
+    val media2 = Seq((2L, "image", bos2.toByteArray))
+      .toDF("doc_id", "media_type", "content")
+    val resized = Multimodal.resizePixels(media2, maxDim = 256).collect().head
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.getAs[Array[Byte]]("resized_png")))
+    assert((back.getWidth, back.getHeight) === ((256, 85)))
+  }
+
+  test("real WAV header parse: channels, sample rate, frame count") {
+    import spark.implicits._
+    // minimal valid WAV: PCM, 2ch, 44100Hz, 16-bit, 100 frames
+    val nFrames = 100; val ch = 2; val rate = 44100; val blockAlign = ch * 2
+    val dataSize = nFrames * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(ch.toShort).putInt(rate)
+      .putInt(rate * blockAlign).putShort(blockAlign.toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    val wav = bb.array()
+    val media = Seq((1L, "audio", wav)).toDF("doc_id", "media_type", "content")
+      .withColumn("meta", struct(lit("s").as("source"),
+        lit(wav.length.toLong).as("n_bytes")))
+    val dec = Multimodal.decode(media).collect().head
+    assert(dec.decode_ok)
+    assert((dec.width, dec.height, dec.n_frames) === ((ch, rate, nFrames)))
+  }
+
+  test("undecodable payloads take the deterministic fallback, flagged") {
+    import spark.implicits._
+    val media = Seq((1L, "image", "not an image".getBytes))
+      .toDF("doc_id", "media_type", "content")
+      .withColumn("meta", struct(lit("s").as("source"), lit(12L).as("n_bytes")))
+    val dec = Multimodal.decode(media).collect().head
+    assert(!dec.decode_ok)
+    assert(dec.width > 0 && dec.height > 0)
+  }
+
   test("multimodal decode plumbing produces stable per-row features") {
     val d = docs(1L -> "image payload bytes", 2L -> "another payload")
       .withColumn("n_chars", length(col("text")))
