@@ -78,6 +78,32 @@ object SparkEntry {
         matchEvents(s, d).groupBy("id", "player_id")
           .agg(count(lit(1)).as("n")),
         Seq("id", "player_id"))),
+    // KSQL dialect end-to-end: the README tutorial (connector, DDL,
+    // INSERTs, join+agg query) executed from KSQL text by KsqlEngine;
+    // result is the README.md:413-420 golden table.
+    "ksql_tutorial_e2e" -> ((s, _) => {
+      val e = new graft.ksql.KsqlEngine(s,
+        connectorProvider = (sp, _) => Tutorial.playersSeed(sp))
+      e.execute("CREATE SOURCE CONNECTOR c WITH ('table.whitelist' = 'players');")
+      e.execute("""CREATE TABLE players (
+        ID VARCHAR PRIMARY KEY, name VARCHAR(50), team VARCHAR(50),
+        nationality VARCHAR(50)) WITH (KAFKA_TOPIC = 'players');""")
+      e.execute("""CREATE STREAM match_event (
+        id VARCHAR KEY, event_type VARCHAR, player_id VARCHAR, home boolean)
+        WITH (KAFKA_TOPIC='match_event');""")
+      Tutorial.canonicalEvents.foreach { ev =>
+        e.execute(s"INSERT INTO match_event VALUES " +
+          s"('${ev.id}', '${ev.event_type}', '${ev.player_id}', ${ev.home});")
+      }
+      e.execute("""SELECT p.id AS player_id, p.name AS name,
+           p.nationality AS nationality,
+           SUM(CASE WHEN me.event_type = 'GOAL' THEN 1 ELSE 0 END) goals,
+           CAST(SUM(CASE WHEN me.event_type = 'GOAL' THEN 1 ELSE 0 END)
+               AS DOUBLE) / cast(COUNT_DISTINCT((me.id)) AS DOUBLE) avg_goals,
+           SUM(CASE WHEN me.event_type = 'ASSIST' THEN 1 ELSE 0 END) assists
+        FROM match_event me JOIN players p ON p.id = me.player_id
+        GROUP BY p.id, p.name, p.nationality EMIT CHANGES;""").get
+    }),
     // ---- P: projection / filter / scalar ------------------------------
     "p1_select_star" -> ((s, d) => table(s, d, "nation")),
     "p2_projection" -> ((s, d) => table(s, d, "customer").select("c_name", "c_mktsegment")),
@@ -242,6 +268,13 @@ object SparkEntry {
         |  '{"N":' || CAST(n AS VARCHAR) || '}' AS value
         |FROM (SELECT id, player_id, CAST(count(*) AS BIGINT) AS n
         |      FROM match_event GROUP BY id, player_id)""".stripMargin),
+    "ksql_tutorial_e2e" ->
+      """SELECT * FROM (VALUES
+        |  ('1', 'Lionel Messi', 'Argentinian', CAST(3 AS BIGINT),
+        |   CAST(1.5 AS DOUBLE), CAST(1 AS BIGINT)),
+        |  ('2', 'Cristiano Ronaldo', 'Portuguese', CAST(2 AS BIGINT),
+        |   CAST(1.0 AS DOUBLE), CAST(1 AS BIGINT))
+        |) AS t(PLAYER_ID, NAME, NATIONALITY, GOALS, AVG_GOALS, ASSISTS)""".stripMargin,
     "p1_select_star" -> "SELECT * FROM nation",
     "p2_projection" -> "SELECT c_name, c_mktsegment FROM customer",
     "p3_alias" -> "SELECT c_name AS customer_name, c_acctbal AS balance FROM customer",

@@ -99,13 +99,22 @@ object Sources {
     * (all.sql:10-12). Caller loops this inside a scheduled refresh /
     * foreachBatch and feeds [[graft.engine.Sinks.toKafkaJson]].
     */
+  private val SqlIdentifier = "^[A-Za-z_][A-Za-z0-9_.]*$".r
+
   def fromJdbcIncrement(
       spark: SparkSession,
       url: String,
       dbtable: String,
       incrementingCol: String,
-      lastSeen: Long): DataFrame =
+      lastSeen: Long): DataFrame = {
+    // identifiers are interpolated into SQL — reject anything that could
+    // smuggle clauses in from untrusted connector config
+    require(SqlIdentifier.matches(dbtable),
+      s"illegal table identifier: $dbtable")
+    require(SqlIdentifier.matches(incrementingCol),
+      s"illegal column identifier: $incrementingCol")
     fromJdbcSnapshot(
       spark, url,
       s"(SELECT * FROM $dbtable WHERE $incrementingCol > $lastSeen) AS _inc")
+  }
 }

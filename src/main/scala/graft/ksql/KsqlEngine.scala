@@ -1,0 +1,278 @@
+package graft.ksql
+
+import graft.engine.{Sources, TableOps}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Executes the reference's KSQL dialect on Spark — the API-compatibility
+  * layer that lets a user of the reference submit the same statements they
+  * run today (reference: files/ksqldb-cli/all.sql, README.md).
+  *
+  * Execution model: batch re-evaluation. Topics are in-memory row buffers
+  * with per-record offsets (the Kafka log analogue); declared collections
+  * are views over them (tables apply latest-by-key upsert on the PRIMARY
+  * KEY, Q3); CSAS/CTAS collections store their SELECT and re-evaluate it
+  * against current topic state on every query — a push query therefore
+  * always observes the converged state a ksqlDB push query would have
+  * emitted last (the README's golden tables are exactly these states).
+  * Continuous *emission* semantics (the changelog between states) are
+  * exercised by the Structured Streaming path
+  * (graft.streaming.Tutorial + StreamingTutorialSpec).
+  *
+  * SELECT translation to Spark SQL is textual and total for the dialect:
+  * `EMIT CHANGES` stripped, `UCASE`→`upper`, `COUNT_DISTINCT(x)`→
+  * `count(DISTINCT x)`, `LATEST_BY_OFFSET(x)`→`max_by(x, s._offset)` with
+  * `s` the stream source in FROM, `SELECT *` expanded against the
+  * catalog (ksqlDB prefixes join stars with the source alias). Everything
+  * else — CASE WHEN, CAST AS DOUBLE, joins, grouping, trailing aliases —
+  * is shared SQL that Catalyst parses directly.
+  */
+class KsqlEngine(
+    val spark: SparkSession,
+    connectorProvider: (SparkSession, Map[String, String]) => DataFrame =
+      KsqlEngine.jdbcConnectorProvider) {
+
+  private case class Topic(schema: StructType, rows: mutable.ArrayBuffer[Row])
+  private case class Decl(kind: String, name: String, cols: Seq[ColumnDef],
+      topic: String)
+  private case class Derived(kind: String, name: String, select: String,
+      partitionBy: Option[String], topic: String)
+
+  private val topics = mutable.LinkedHashMap.empty[String, Topic]
+  private val decls = mutable.LinkedHashMap.empty[String, Decl]
+  private val derived = mutable.LinkedHashMap.empty[String, Derived]
+  private val connectors = mutable.ArrayBuffer.empty[String]
+  private val properties = mutable.Map.empty[String, String]
+
+  private def kindOf(name: String): Option[String] =
+    decls.get(name.toLowerCase).map(_.kind)
+      .orElse(derived.get(name.toLowerCase).map(_.kind))
+
+  // ---- statement execution -------------------------------------------
+
+  /** One executed statement: the result DataFrame (queries/SHOW) or the
+    * error ksqlDB's CLI would have printed (the reference script itself
+    * contains one intentionally-invalid query — a non-aggregated,
+    * non-grouped column, all.sql:100-125 — that the tutorial then fixes
+    * with LATEST_BY_OFFSET; a script run must survive it the way the CLI
+    * does).
+    */
+  final case class StatementResult(statement: KsqlStatement,
+      df: Option[DataFrame], error: Option[String])
+
+  def executeScript(script: String): Seq[StatementResult] =
+    KsqlParser.splitStatements(script).map { s =>
+      val stmt = KsqlParser.parse(s)
+      try StatementResult(stmt, execute(stmt), None)
+      catch { case e: Exception =>
+        StatementResult(stmt, None, Some(e.getMessage)) }
+    }
+
+  def execute(statement: String): Option[DataFrame] = {
+    val stmts = KsqlParser.splitStatements(statement)
+    require(stmts.size == 1, s"expected one statement, got ${stmts.size}")
+    execute(KsqlParser.parse(stmts.head))
+  }
+
+  def execute(stmt: KsqlStatement): Option[DataFrame] = stmt match {
+    case SetProperty(k, v) =>
+      properties(k) = v; None
+
+    case CreateConnector(name, props) =>
+      val df = connectorProvider(spark, props)
+      val topic = props.getOrElse("topic.prefix", "") +
+        props.getOrElse("table.whitelist",
+          throw new IllegalArgumentException("connector needs table.whitelist"))
+      val schema = StructType(df.schema.fields.toSeq :+
+        StructField("_offset", LongType, nullable = false))
+      val rows = mutable.ArrayBuffer.empty[Row]
+      df.collect().zipWithIndex.foreach { case (r, i) =>
+        rows += Row.fromSeq(r.toSeq :+ i.toLong)
+      }
+      topics(topic) = Topic(schema, rows)
+      connectors += name
+      None
+
+    case CreateCollection(kind, name, cols, props) =>
+      val topic = props.getOrElse("KAFKA_TOPIC", props.getOrElse("kafka_topic", name))
+      if (!topics.contains(topic)) {
+        val schema = StructType(cols.map(c =>
+          StructField(c.name, c.dataType)).toSeq :+
+          StructField("_offset", LongType, nullable = false))
+        topics(topic) = Topic(schema, mutable.ArrayBuffer.empty)
+      }
+      decls(name.toLowerCase) = Decl(kind, name, cols, topic)
+      None
+
+    case CreateAsSelect(kind, name, props, select, pby) =>
+      val topic = props.getOrElse("KAFKA_TOPIC", props.getOrElse("kafka_topic", name))
+      refreshViews()
+      // validate eagerly so a bad CSAS fails at CREATE time, like ksqlDB
+      spark.sql(translateSelect(select, injectOffset = kind == "STREAM"))
+      derived(name.toLowerCase) = Derived(kind, name, select, pby, topic)
+      None
+
+    case InsertValues(target, columns, values) =>
+      val d = decls.getOrElse(target.toLowerCase,
+        throw new NoSuchElementException(s"unknown collection $target"))
+      val topic = topics(d.topic)
+      val order = columns.getOrElse(d.cols.map(_.name))
+      require(order.length == values.length,
+        s"INSERT arity ${values.length} != ${order.length}")
+      val byName = order.zip(values).map { case (c, v) => c.toLowerCase -> v }.toMap
+      val converted = d.cols.map { c =>
+        byName.get(c.name.toLowerCase).map(v => convert(v, c.dataType)).orNull
+      }
+      topic.rows += Row.fromSeq(converted :+ topic.rows.length.toLong)
+      None
+
+    case PushQuery(select) =>
+      refreshViews()
+      Some(upperCased(spark.sql(translateSelect(select))))
+
+    case ShowCommand(what) =>
+      import spark.implicits._
+      Some(what match {
+        case "TOPICS" => topics.keys.toSeq.sorted.toDF("name")
+        case "CONNECTORS" => connectors.toSeq.sorted.toDF("name")
+        case "STREAMS" | "TABLES" =>
+          val kind = what.dropRight(1) // STREAM / TABLE
+          (decls.values.filter(_.kind == kind).map(d => (d.name, d.kind, d.topic)) ++
+            derived.values.filter(_.kind == kind).map(d => (d.name, d.kind, d.topic)))
+            .toSeq.sortBy(_._1).toDF("name", "kind", "topic")
+        case other => throw new IllegalArgumentException(s"SHOW $other unsupported")
+      })
+  }
+
+  // ---- views ----------------------------------------------------------
+
+  private def topicDF(topic: String): DataFrame = {
+    val t = topics(topic)
+    spark.createDataFrame(t.rows.toSeq.asJava, t.schema)
+  }
+
+  /** Re-materialize every collection view against current topic state, in
+    * registration order (derived collections may read earlier ones).
+    */
+  private def refreshViews(): Unit = {
+    decls.values.foreach { d =>
+      val base = topicDF(d.topic)
+      val projected = base.select(
+        d.cols.map(c => col(c.name)) :+ col("_offset"): _*)
+      val view = d.kind match {
+        case "TABLE" =>
+          TableOps.latestByKey(projected, d.cols.filter(_.isKey).map(_.name), "_offset")
+        case _ => projected
+      }
+      view.createOrReplaceTempView(d.name)
+    }
+    derived.values.foreach { d =>
+      var df = spark.sql(translateSelect(d.select, injectOffset = d.kind == "STREAM"))
+      d.partitionBy.foreach(p => df = df.repartition(col(p)))
+      df.createOrReplaceTempView(d.name)
+    }
+  }
+
+  // ---- SELECT translation --------------------------------------------
+
+  private val FromRe =
+    ("(?is)\\bFROM\\s+(\\w+)" +
+      "(?:\\s+(?!JOIN\\b|LEFT\\b|RIGHT\\b|FULL\\b|INNER\\b|OUTER\\b|ON\\b|WHERE\\b|GROUP\\b|PARTITION\\b|EMIT\\b|HAVING\\b|ORDER\\b|LIMIT\\b)(\\w+))?").r
+  private val JoinRe =
+    "(?is)\\bJOIN\\s+(\\w+)(?:\\s+(?!ON\\b)(\\w+))?\\s+ON\\b".r
+
+  /** (collection name, reference-in-query) pairs from the FROM clause. */
+  private[ksql] def fromSources(select: String): Seq[(String, String)] = {
+    val from = FromRe.findFirstMatchIn(select).map(m =>
+      (m.group(1), Option(m.group(2)).getOrElse(m.group(1))))
+    val joins = JoinRe.findAllMatchIn(select).map(m =>
+      (m.group(1), Option(m.group(2)).getOrElse(m.group(1)))).toSeq
+    from.toSeq ++ joins
+  }
+
+  private[ksql] def translateSelect(select0: String,
+      injectOffset: Boolean = false): String = {
+    var s = select0.replaceAll("(?is)\\s+EMIT\\s+CHANGES\\s*$", "").trim
+    s = s.replaceAll("(?i)COUNT_DISTINCT\\s*\\(", "count(DISTINCT ")
+    s = s.replaceAll("(?i)UCASE\\s*\\(", "upper(")
+    val sources = fromSources(s)
+    // LATEST_BY_OFFSET orders by the STREAM side's record offset
+    if (s.toUpperCase.contains("LATEST_BY_OFFSET")) {
+      val streamRef = sources
+        .collectFirst { case (n, ref) if kindOf(n).contains("STREAM") => ref }
+        .orElse(sources.headOption.map(_._2))
+        .getOrElse(throw new IllegalArgumentException(
+          s"LATEST_BY_OFFSET without a FROM source: $select0"))
+      s = s.replaceAll("(?i)LATEST_BY_OFFSET\\s*\\(([^()]*)\\)",
+        s"max_by($$1, $streamRef._offset)")
+    }
+    // SELECT * expansion: single source -> declared columns; join -> each
+    // side's columns prefixed with its reference (ksqlDB output naming)
+    if (s.matches("(?is)^SELECT\\s+\\*\\s+FROM\\b.*")) {
+      val cols = sources match {
+        case Seq((name, ref)) =>
+          viewColumns(name).map(c => s"$ref.$c AS $c")
+        case multi => multi.flatMap { case (name, ref) =>
+          viewColumns(name).map(c => s"$ref.$c AS ${ref}_$c") }
+      }
+      s = s.replaceFirst("(?is)^SELECT\\s+\\*", "SELECT " + cols.mkString(", "))
+    }
+    if (injectOffset && !s.toUpperCase.contains("GROUP BY")) {
+      // derived streams carry the source offset through (Kafka offset
+      // analogue) so downstream LATEST_BY_OFFSET keeps arrival order
+      val ref = sources.headOption.map(_._2).getOrElse("")
+      s = FromRe.replaceFirstIn(s,
+        java.util.regex.Matcher.quoteReplacement(s", $ref._offset AS _offset ") + "FROM $1 $2")
+    }
+    s
+  }
+
+  /** Declared/derived output columns of a collection (no `_offset`). */
+  private def viewColumns(name: String): Seq[String] =
+    decls.get(name.toLowerCase).map(_.cols.map(_.name))
+      .getOrElse(spark.table(name).columns.toSeq.filterNot(_ == "_offset"))
+
+  private def upperCased(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toUpperCase).toIndexedSeq: _*)
+
+  private def convert(literal: String, dt: DataType): Any = {
+    val v = literal.trim
+    if (v.equalsIgnoreCase("null")) null
+    else if (v.length >= 2 && v.head == '\'' && v.last == '\'') {
+      val s = v.substring(1, v.length - 1)
+      dt match {
+        case StringType => s
+        case IntegerType => s.toInt
+        case LongType => s.toLong
+        case DoubleType => s.toDouble
+        case BooleanType => s.toBoolean
+        case other => throw new IllegalArgumentException(s"cast to $other")
+      }
+    } else dt match {
+      case StringType => v
+      case IntegerType => v.toInt
+      case LongType => v.toLong
+      case DoubleType => v.toDouble
+      case BooleanType => v.toBoolean
+      case other => throw new IllegalArgumentException(s"cast to $other")
+    }
+  }
+}
+
+object KsqlEngine {
+  /** Default CREATE SOURCE CONNECTOR provider: a JDBC snapshot via
+    * Spark's JDBC source (S1; the reference's Connect worker equivalent,
+    * all.sql:3-18). Tests inject an in-memory provider instead.
+    */
+  def jdbcConnectorProvider(spark: SparkSession,
+      props: Map[String, String]): DataFrame =
+    Sources.fromJdbcSnapshot(spark,
+      props("connection.url"),
+      props("table.whitelist"),
+      Map("user" -> props.getOrElse("connection.user", ""),
+        "password" -> props.getOrElse("connection.password", "")))
+}

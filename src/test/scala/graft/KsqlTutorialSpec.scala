@@ -1,0 +1,127 @@
+package graft
+
+import graft.ksql.{KsqlEngine, PushQuery}
+import graft.streaming.Tutorial
+import org.apache.spark.sql.Row
+
+/** Acceptance: the engine executes the reference's OWN KSQL script
+  * (/root/reference/files/ksqldb-cli/all.sql — read at test time, never
+  * vendored) end-to-end, plus the README's player_stats query over the
+  * canonical insert sequence, and reproduces the golden outputs.
+  */
+class KsqlTutorialSpec extends SparkSpec {
+
+  private def engine = new KsqlEngine(spark,
+    connectorProvider = (s, _) => Tutorial.playersSeed(s))
+
+  test("the reference's all.sql runs end-to-end with correct states") {
+    val script = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/files/ksqldb-cli/all.sql")), "UTF-8")
+    val e = engine
+    val results = e.executeScript(script)
+    val queries = results.collect {
+      case e.StatementResult(PushQuery(_), Some(df), None) => df
+    }
+    // all.sql contains 5 push queries; the 5th (all.sql:100-125) selects
+    // p.name while grouping only by p.id — invalid in ksqlDB too (the
+    // tutorial then fixes it with LATEST_BY_OFFSET in the CTAS). The
+    // engine must reject it the same way and keep executing.
+    assert(queries.length === 4)
+    val errors = results.filter(_.error.isDefined)
+    assert(errors.size === 1)
+    assert(errors.head.error.get.contains("MISSING_AGGREGATION"))
+
+    // Q1 (after 1 insert): SELECT * over mep LEFT JOIN players -> 1 row,
+    // ksqlDB-style alias-prefixed star columns
+    val q1 = queries(0)
+    assert(q1.columns.toSeq === Seq("MEP_ID", "MEP_EVENT_TYPE", "MEP_PLAYER_ID",
+      "P_ID", "P_NAME", "P_TEAM", "P_NATIONALITY"))
+    assert(q1.collect().toSeq === Seq(Row("1", "GOAL", "1",
+      "1", "Lionel Messi", "Paris Saint-Germain", "Argentinian")))
+
+    // Q2 (after 1 insert): left-join grouped count
+    assert(queries(1).collect().toSeq ===
+      Seq(Row("1", "Lionel Messi", "Argentinian", 1L)))
+
+    // Q3 (after all 4 inserts): home/away pivot
+    val q3 = queries(2).orderBy("ID").collect().toSeq
+    assert(q3 === Seq(Row("1", 1L, 1L), Row("2", 0L, 0L)))
+
+    // Q4: inner join + count, GOAL only
+    val q4 = queries(3).orderBy("ID").collect().toSeq
+    assert(q4 === Seq(
+      Row("1", "Lionel Messi", "Argentinian", 1L),
+      Row("2", "Cristiano Ronaldo", "Portuguese", 1L)))
+
+    // the CTAS (with the LATEST_BY_OFFSET fix, all.sql:129-160) registered
+    // player_stats as a queryable table: goals / avg_goals / assists
+    val stats = e.execute("SELECT * FROM player_stats EMIT CHANGES;").get
+      .orderBy("PLAYER_ID").collect().toSeq
+    assert(stats === Seq(
+      Row("1", "Lionel Messi", "Argentinian", 1L, 0.5, 2L),
+      Row("2", "Cristiano Ronaldo", "Portuguese", 1L, 1.0, 0L)))
+  }
+
+  test("README canonical sequence reproduces the Messi/Ronaldo golden") {
+    val e = engine
+    e.execute("SET 'auto.offset.reset' = 'earliest';")
+    e.execute("""CREATE SOURCE CONNECTOR c WITH (
+      'table.whitelist' = 'players', 'key' = 'id');""")
+    e.execute("""CREATE TABLE players (
+      ID VARCHAR PRIMARY KEY, name VARCHAR(50), team VARCHAR(50),
+      nationality VARCHAR(50))
+      WITH (KAFKA_TOPIC = 'players', VALUE_FORMAT = 'JSON', PARTITIONS = 1);""")
+    e.execute("""CREATE STREAM match_event (
+      id VARCHAR KEY, event_type VARCHAR, player_id VARCHAR, home boolean)
+      WITH (KAFKA_TOPIC='match_event', VALUE_FORMAT='JSON', PARTITIONS=1);""")
+    Tutorial.canonicalEvents.foreach { ev =>
+      e.execute(s"INSERT INTO match_event VALUES " +
+        s"('${ev.id}', '${ev.event_type}', '${ev.player_id}', ${ev.home});")
+    }
+    // the README's big query (README.md:379-405) verbatim constructs
+    val golden = e.execute("""SELECT p.id AS player_id,
+         p.name AS name,
+         p.nationality AS nationality,
+         SUM(CASE WHEN me.event_type = 'GOAL' THEN 1 ELSE 0 END) goals,
+         CAST(SUM(CASE WHEN me.event_type = 'GOAL' THEN 1 ELSE 0 END)
+             AS DOUBLE) / cast(COUNT_DISTINCT((me.id)) AS DOUBLE) avg_goals,
+         SUM(CASE WHEN me.event_type = 'ASSIST' THEN 1 ELSE 0 END) assists
+      FROM match_event me
+               JOIN players p
+                    ON p.id = me.player_id
+      GROUP BY p.id, p.name, p.nationality
+      EMIT CHANGES;""").get
+    assert(golden.columns.toSeq === Seq("PLAYER_ID", "NAME", "NATIONALITY",
+      "GOALS", "AVG_GOALS", "ASSISTS"))
+    assert(golden.orderBy("PLAYER_ID").collect().toSeq === Seq(
+      Row("1", "Lionel Messi", "Argentinian", 3L, 1.5, 1L),
+      Row("2", "Cristiano Ronaldo", "Portuguese", 2L, 1.0, 1L)))
+  }
+
+  test("UCASE / projections / filters / upsert semantics via KSQL text") {
+    val e = engine
+    e.execute("CREATE SOURCE CONNECTOR c WITH ('table.whitelist' = 'players');")
+    e.execute("""CREATE TABLE players (
+      ID VARCHAR PRIMARY KEY, name VARCHAR(50), team VARCHAR(50),
+      nationality VARCHAR(50)) WITH (KAFKA_TOPIC = 'players');""")
+    // SELECT * over the table: 10 rows (README.md:100-114)
+    assert(e.execute("SELECT * FROM players EMIT CHANGES;").get.count() === 10)
+    // UCASE + alias (README.md:128-133)
+    val uc = e.execute(
+      "SELECT name, UCASE(team) team FROM players EMIT CHANGES;").get
+    assert(uc.filter(uc("NAME") === "Kevin De Bruyne").collect().head ===
+      Row("Kevin De Bruyne", "MANCHESTER CITY"))
+    // WHERE equality + AND (README.md:150-163)
+    assert(e.execute(
+      "SELECT * FROM players WHERE team = 'Manchester City' EMIT CHANGES;")
+      .get.count() === 2)
+    assert(e.execute(
+      """SELECT name FROM players
+         WHERE team = 'Paris Saint-Germain' AND nationality = 'French'
+         EMIT CHANGES;""").get.collect().toSeq === Seq(Row("Kylian Mbappe")))
+    // SHOW surfaces (README.md:64-72)
+    assert(e.execute("SHOW TOPICS;").get.collect().map(_.getString(0)).toSeq
+      === Seq("players"))
+    assert(e.execute("SHOW TABLES;").get.count() === 1)
+  }
+}
