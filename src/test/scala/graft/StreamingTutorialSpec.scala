@@ -77,6 +77,31 @@ class StreamingTutorialSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming player_stats with exact COUNT_DISTINCT aggregator (A3/S6)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, String, String, Boolean, Long)]
+    val events = input.toDF().toDF("id", "event_type", "player_id", "home", "_offset")
+    // stream-static join + grouped agg; countDistinct is unsupported in
+    // streaming, so the exact Aggregator (per-key value-set state) plays
+    // LATEST ksqlDB's incremental COUNT_DISTINCT (SURVEY §7.5 pt.2)
+    val stats = Tutorial.playerStats(
+      Tutorial.matchEventPlayer(events), Tutorial.playersSeed(spark),
+      countDistinctMatches =
+        graft.functions.ExactCountDistinct.column(col("mep_id")))
+    val q = Sinks.pushQuery(stats, "player_stats_stream", OutputMode.Update())
+    try {
+      input.addData(Tutorial.canonicalEvents.zipWithIndex.map { case (ev, i) =>
+        (ev.id, ev.event_type, ev.player_id, ev.home, i.toLong) }: _*)
+      q.processAllAvailable()
+      val rows = spark.table("player_stats_stream")
+        .orderBy("player_id").collect().toSeq
+      assert(rows === Seq(
+        org.apache.spark.sql.Row("1", "Lionel Messi", "Argentinian", 3L, 1.5, 1L),
+        org.apache.spark.sql.Row("2", "Cristiano Ronaldo", "Portuguese", 2L, 1.0, 1L)))
+    } finally q.stop()
+  }
+
   test("append-mode push query over a stateless stream (Q1/Q4)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
