@@ -23,12 +23,18 @@ object TableOps {
   /** Latest row per key, ordered by `orderCol` (Kafka offset, event id, or
     * event time). Implements S2/Q3 and A4 (`LATEST_BY_OFFSET`,
     * all.sql:136-137) for whole rows.
+    *
+    * Uses the native [[graft.functions.LatestByOffsetAgg]] rather than
+    * built-in `max_by`: max_by's non-primitive buffer forces SortAggregate
+    * (per-partition sorts on the key); the native aggregate runs in
+    * ObjectHashAggregate — hash-based, map-side partial, no sorts.
     */
   def latestByKey(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
     val valueCols = df.columns.filterNot(keyCols.contains)
     val packed = struct(valueCols.map(col).toIndexedSeq: _*)
     df.groupBy(keyCols.map(col).toIndexedSeq: _*)
-      .agg(max_by(packed, col(orderCol)).as("_latest"))
+      .agg(graft.functions.LatestByOffsetAgg.column(packed, col(orderCol))
+        .as("_latest"))
       .select(keyCols.map(col) ++ valueCols.map(c => col(s"_latest.$c").as(c)): _*)
   }
 
@@ -36,5 +42,6 @@ object TableOps {
     * (A4, all.sql:136-137): carries a non-grouped dimension column through
     * a grouped aggregation as the latest value by arrival order.
     */
-  def latestByOffset(value: Column, order: Column): Column = max_by(value, order)
+  def latestByOffset(value: Column, order: Column): Column =
+    graft.functions.LatestByOffsetAgg.column(value, order)
 }

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** SQL registration of every graft native function, so `spark.sql` text
+  * (and the KSQL front-end) can call them by name:
+  *
+  *   graft_cosine(a, b), graft_dot(a, b),
+  *   graft_minhash(tokens[, k, seed]), graft_simhash64(tokens),
+  *   graft_rolling_fingerprint(s[, window]),
+  *   graft_latest_by_offset(value, order)   (aggregate),
+  *   graft_top_k_by_score(score, id, k)     (aggregate).
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    Bridge.registerFunction(spark, "graft_cosine",
+      args => CosineSimilarity(args(0), args(1)))
+    Bridge.registerFunction(spark, "graft_dot",
+      args => DotProduct(args(0), args(1)))
+    Bridge.registerFunction(spark, "graft_simhash64",
+      args => SimHash64(args(0)))
+    Bridge.registerFunction(spark, "graft_minhash", {
+      case Seq(t) => MinHashSignature(t, 64, 42)
+      case Seq(t, k, s) =>
+        MinHashSignature(t, intLit(k, "k"), intLit(s, "seed"))
+      case args => throw new IllegalArgumentException(
+        s"graft_minhash takes 1 or 3 args, got ${args.size}")
+    })
+    Bridge.registerFunction(spark, "graft_rolling_fingerprint", {
+      case Seq(t) => RollingFingerprint(t, 16)
+      case Seq(t, w) => RollingFingerprint(t, intLit(w, "window"))
+      case args => throw new IllegalArgumentException(
+        s"graft_rolling_fingerprint takes 1 or 2 args, got ${args.size}")
+    })
+    Bridge.registerFunction(spark, "graft_latest_by_offset",
+      args => LatestByOffsetAgg(args(0), args(1)))
+    Bridge.registerFunction(spark, "graft_top_k_by_score",
+      args => TopKByScore(args(0), args(1), intLit(args(2), "k")))
+  }
+}

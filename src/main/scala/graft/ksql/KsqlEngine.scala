@@ -42,6 +42,8 @@ class KsqlEngine(
   private case class Derived(kind: String, name: String, select: String,
       partitionBy: Option[String], topic: String)
 
+  graft.functions.GraftFunctions.registerAll(spark)
+
   private val topics = mutable.LinkedHashMap.empty[String, Topic]
   private val decls = mutable.LinkedHashMap.empty[String, Decl]
   private val derived = mutable.LinkedHashMap.empty[String, Derived]
@@ -208,7 +210,7 @@ class KsqlEngine(
         .getOrElse(throw new IllegalArgumentException(
           s"LATEST_BY_OFFSET without a FROM source: $select0"))
       s = s.replaceAll("(?i)LATEST_BY_OFFSET\\s*\\(([^()]*)\\)",
-        s"max_by($$1, $streamRef._offset)")
+        s"graft_latest_by_offset($$1, $streamRef._offset)")
     }
     // SELECT * expansion: single source -> declared columns; join -> each
     // side's columns prefixed with its reference (ksqlDB output naming)

@@ -112,8 +112,10 @@ object Tutorial {
     joined
       .groupBy(players("id").as("player_id"))
       .agg(
-        max_by(col("name"), col("_ord")).as("player_name"),
-        max_by(col("nationality"), col("_ord")).as("nationality"),
+        graft.engine.TableOps.latestByOffset(col("name"), col("_ord"))
+          .as("player_name"),
+        graft.engine.TableOps.latestByOffset(col("nationality"), col("_ord"))
+          .as("nationality"),
         goals.as("goals"),
         Ops.ratio(goals, countDistinctMatches).as("avg_goals"),
         Ops.sumIf(col("event_type") === "ASSIST").as("assists"))

@@ -46,6 +46,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$plan")
   }
 
+  test("latestByKey plans as hash aggregation, not SortAggregate") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("user_id", "event_id", "event_type", "value")
+    val latest = graft.engine.TableOps.latestByKey(ev, Seq("user_id"), "event_id")
+    val plan = latest.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"not hash-aggregated:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"SortAggregate crept in:\n$plan")
+    assert(plan.contains("partial_graft_latest_by_offset"),
+      s"no map-side partial:\n$plan")
+  }
+
+  test("graft functions are callable from SQL text") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb_sql")
+    val cos = spark.sql(
+      """SELECT a.vec_id, graft_cosine(a.embedding, b.embedding) c,
+         graft_dot(a.embedding, b.embedding) d
+         FROM emb_sql a JOIN emb_sql b ON b.vec_id = a.vec_id + 1
+         WHERE a.vec_id < 3""").collect()
+    assert(cos.length === 3)
+    assert(cos.forall(r => math.abs(r.getDouble(1)) <= 1.0))
+    val latest = spark.sql(
+      """SELECT label, graft_latest_by_offset(vec_id, vec_id) last_id
+         FROM emb_sql GROUP BY label""").collect()
+    assert(latest.nonEmpty)
+    val fp = spark.sql(
+      "SELECT graft_simhash64(array('a','b')) s, graft_rolling_fingerprint('hello world') f")
+      .collect().head
+    assert(fp.getLong(0) !== 0L)
+  }
+
   test("parquet scan prunes columns and pushes filters") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val q = ev.filter(col("event_type") === "purchase").select("event_id", "user_id")
