@@ -93,6 +93,69 @@ object Kernels {
     new GenericArrayData(sig)
   }
 
+  /** Distinct 64-bit hashes of all word w-shingles of a token array —
+    * the unit set for Jaccard resemblance, WITHOUT materializing shingle
+    * strings: token hashes combine with an FNV-style fold per window.
+    * Sorted ascending (canonical set form). Strings shorter than w
+    * shingle whole; empty input yields the empty-shingle hash.
+    */
+  def shingleHashes(tokens: ArrayData, w: Int, seed: Int): ArrayData = {
+    val n = tokens.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (tokens.isNullAt(i)) 0L else hash64(tokens.getUTF8String(i), seed)
+      i += 1
+    }
+    val m = math.max(n - w + 1, 1)
+    val hs = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      var h = 0xcbf29ce484222325L
+      var j = s
+      val end = math.min(s + w, n)
+      while (j < end) { h = (h ^ th(j)) * 0x100000001b3L; j += 1 }
+      hs(s) = splitmix64(h)
+      s += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedup in place
+    var out = 0
+    var k = 0
+    while (k < m) {
+      if (out == 0 || hs(k) != hs(out - 1)) { hs(out) = hs(k); out += 1 }
+      k += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, out))
+  }
+
+  /** MinHash signature over precomputed 64-bit element hashes (the
+    * [[shingleHashes]] output): k minima of affine permutations.
+    */
+  def minhashFromHashes(hashes: ArrayData, k: Int, seed: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val as = new Array[Long](k); val bs = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      as(j) = splitmix64(seed.toLong * 0x9e37L + j * 2L) | 1L
+      bs(j) = splitmix64(seed.toLong * 0x85ebL + j * 2L + 1L)
+      j += 1
+    }
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var t = 0
+      while (t < k) {
+        val v = h * as(t) + bs(t)
+        if (v < sig(t)) sig(t) = v
+        t += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** 64-bit SimHash (Charikar '02) over a token array: per-bit majority
     * vote of token hashes; ties (vote == 0) resolve to bit 0.
     */

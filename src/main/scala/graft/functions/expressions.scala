@@ -57,6 +57,36 @@ case class MinHashSignature(child: Expression, k: Int, seed: Int)
   override def prettyName: String = "graft_minhash"
 }
 
+/** shingle_hashes(tokens, w, seed): array<bigint> — distinct sorted 64-bit
+  * w-shingle hashes, no shingle-string materialization.
+  */
+case class ShingleHashes(child: Expression, w: Int, seed: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(tokens: Any): Any =
+    Kernels.shingleHashes(tokens.asInstanceOf[ArrayData], w, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.Kernels.shingleHashes($t, $w, $seed)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+/** minhash_hashes(hashes, k, seed): MinHash signature over precomputed
+  * element hashes (pairs with [[ShingleHashes]]).
+  */
+case class MinHashFromHashes(child: Expression, k: Int, seed: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(hashes: Any): Any =
+    Kernels.minhashFromHashes(hashes.asInstanceOf[ArrayData], k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.Kernels.minhashFromHashes($t, $k, $seed)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_hashes"
+}
+
 /** simhash64(tokens): Long SimHash fingerprint (Charikar '02). */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
@@ -95,6 +125,10 @@ object vector {
 object text {
   def minhash(tokens: Column, k: Int = 64, seed: Int = 42): Column =
     Bridge.column(MinHashSignature(Bridge.expression(tokens), k, seed))
+  def shingleHashes(tokens: Column, w: Int = 3, seed: Int = 42): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(tokens), w, seed))
+  def minhashFromHashes(hashes: Column, k: Int = 64, seed: Int = 42): Column =
+    Bridge.column(MinHashFromHashes(Bridge.expression(hashes), k, seed))
   def simhash(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
   def rollingFingerprint(s: Column, window: Int = 16): Column =

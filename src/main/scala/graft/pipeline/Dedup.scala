@@ -46,26 +46,36 @@ object Dedup {
   }
 
   /** MinHash + LSH near-duplicate pairs (Broder '97 / MMDS ch.3):
-    * shingle → k-minhash signature → split into `bands` bands → hash each
-    * band → shuffle on (band_index, band_hash) → pairs within a bucket →
-    * verify with exact Jaccard ≥ threshold.
+    * hashed w-shingles → k-minhash signature → split into `bands` bands →
+    * hash each band → shuffle on (band_index, band_hash) → pairs within a
+    * bucket → verify with exact Jaccard ≥ threshold over the hashed
+    * shingle sets (64-bit hashes; collision error is negligible).
     *
     * Output: (a, b, jaccard) with a < b, distinct.
     *
-    * Scale: the only shuffles are (1) the band-bucket exchange on uniform
-    * hash keys and (2) the pair dedup; signatures (k longs) travel instead
-    * of documents, and verification re-joins text by id only for candidate
-    * pairs. Band count tunes the recall/cost curve: P(candidate) =
-    * 1-(1-s^(k/bands))^bands.
+    * Scale: the document text is scanned ONCE — the codegen'd
+    * ShingleHashes expression emits distinct sorted shingle hashes with no
+    * shingle-string materialization, the signature derives from those
+    * hashes, and the (small) hashed-shingle relation is persisted for the
+    * candidate verification joins. The only shuffles are (1) the
+    * band-bucket exchange on uniform hash keys and (2) the pair dedup;
+    * signatures (k longs) and shingle-hash arrays travel instead of
+    * documents. Band count tunes the recall/cost curve: P(candidate) =
+    * 1-(1-s^(k/bands))^bands. Skew note: exact-duplicate clusters all
+    * land in the same buckets — run [[exact]] dedup first at scale.
     */
   def minhashPairs(documents: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 64, bands: Int = 16,
       shingleW: Int = 3, threshold: Double = 0.8, seed: Int = 42): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, s"bands=$bands must divide k=$k")
-    val sigs = documents.select(
+    val sh = documents.select(
       col(idCol).as("_id"),
-      gtext.minhash(shingles(col(textCol), shingleW), k, seed).as("_sig"))
+      gtext.shingleHashes(TextAnalysis.tokens(col(textCol)), shingleW, seed)
+        .as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sh.select(col("_id"),
+      gtext.minhashFromHashes(col("_sh"), k, seed).as("_sig"))
     val banded = sigs.select(
       col("_id"),
       posexplode(
@@ -77,10 +87,9 @@ object Dedup {
     val candidates = l.join(r, Seq("_band", "_bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    val sh = documents.select(col(idCol), shingles(col(textCol), shingleW).as("_sh"))
     candidates
-      .join(sh.select(col(idCol).as("a"), col("_sh").as("_sha")), "a")
-      .join(sh.select(col(idCol).as("b"), col("_sh").as("_shb")), "b")
+      .join(sh.select(col("_id").as("a"), col("_sh").as("_sha")), "a")
+      .join(sh.select(col("_id").as("b"), col("_sh").as("_shb")), "b")
       .select(col("a"), col("b"),
         round(jaccard(col("_sha"), col("_shb")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
