@@ -56,4 +56,31 @@ object Ops {
     */
   def ratio(num: Column, den: Column): Column =
     num.cast("double") / den.cast("double")
+
+  /** Skew-salted shuffle join for a hot-keyed fact side that cannot be
+    * broadcast-joined (dim too large): the fact side gets a deterministic
+    * salt in [0, salts) derived from non-key columns, the dim side is
+    * replicated `salts` times, and the join key becomes (key, salt) — a
+    * skewed key's rows spread over `salts` reducers instead of one.
+    *
+    * AQE's skew-join split handles *detected* sort-merge skew at runtime;
+    * explicit salting is for known pathological keys (null-heavy foreign
+    * keys, celebrity entities) where predictable layout beats reactive
+    * splitting. Result columns = fact ++ dim (salt dropped).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(fact.columns.filterNot(_ == factKey).map(col).toIndexedSeq: _*),
+        lit(salts)).cast("int"))
+    val saltedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact
+      .join(saltedDim,
+        saltedFact(factKey) === saltedDim(dimKey) &&
+          saltedFact("_salt") === saltedDim("_salt"),
+        joinType)
+      .drop("_salt")
+  }
 }
