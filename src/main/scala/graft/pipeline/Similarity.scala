@@ -62,27 +62,38 @@ object Similarity {
         .agg(gagg.topKByScore(col("cosine"), col("neighbor_id"), k).as("_top")))
   }
 
-  /** IVF (inverted-file) cosine top-k:
-    *  1. centroids = a deterministic hash-sample of the corpus (~1 per
-    *     `centroidEvery` rows), collected to the driver (tiny) and
-    *     broadcast as literals — a reproducible stand-in for k-means;
-    *  2. assign each corpus vector to its nearest centroid with a single
-    *     narrow `aggregate()` fold over the centroid array (argmax cosine,
-    *     first-wins tiebreak) — no join, no window, no shuffle;
-    *  3. per query, probe the `nProbe` nearest cells
-    *     (transform → sort_array → slice, again narrow) and rank only the
-    *     corpus vectors in those cells with the bounded top-k aggregate.
-    *
-    * Scale: the corpus is scanned once for assignment (at 100 TB the
-    * assignment would be materialized bucketed-by-cell so probes prune
-    * files); each query touches ~nProbe/nCells of the data. Recall < 1 by
-    * construction — [[bruteCosineTopK]] is the correctness baseline.
+  /** Narrow argmax fold over a broadcast centroid-literal array: nearest
+    * cell id per vector — no join, no window, no shuffle.
     */
-  def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      nProbe: Int = 4, centroidEvery: Int = 50,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // 1. deterministic, id-type-agnostic centroid sample (hash, not pmod-on-id)
-    val centroids: Array[(Long, Array[Float])] = corpus
+  private def nearestCellExpr(cellArr: Column, vec: Column): Column =
+    aggregate(
+      cellArr,
+      struct(lit(-2.0).as("best"), lit(-1L).as("cell_id")),
+      (acc, c) => {
+        val sim = gvec.cosine(vec, c.getField("cent"))
+        when(sim > acc.getField("best"),
+          struct(sim.as("best"), c.getField("cell_id").as("cell_id")))
+          .otherwise(acc)
+      }).getField("cell_id")
+
+  private def cellLiterals(centroids: Array[(Long, Array[Float])]): Column =
+    array(centroids.map { case (cid, v) =>
+      struct(lit(cid).as("cell_id"), planeLit(v).as("cent"))
+    }.toIndexedSeq: _*)
+
+  /** Distributed k-means centroids for the IVF index: deterministic
+    * hash-sample init (~1 per `centroidEvery` corpus rows), then `iters`
+    * Lloyd steps. Each step is one narrow assignment pass (argmax fold
+    * over broadcast centroid literals) plus one ObjectHashAggregate whose
+    * map-side partial reduces every task to |cells| dim-length sum
+    * buffers — the vectors themselves never shuffle. Centroid rows
+    * (tiny: cells × dim) collect to the driver between steps, exactly
+    * like any iterative-refinement index build.
+    */
+  def kmeansCentroids(corpus: DataFrame, centroidEvery: Int = 50,
+      iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[(Long, Array[Float])] = {
+    var centroids: Array[(Long, Array[Float])] = corpus
       .filter(pmod(xxhash64(col(idCol)), lit(centroidEvery)) === 0)
       .select(col(idCol).cast("long"), col(vecCol))
       .collect()
@@ -90,21 +101,45 @@ object Similarity {
       .sortBy(_._1)
     require(centroids.nonEmpty,
       s"no centroids sampled (corpus too small for centroidEvery=$centroidEvery)")
-    val cellArr = array(centroids.map { case (cid, v) =>
-      struct(lit(cid).as("cell_id"), planeLit(v).as("cent"))
-    }.toIndexedSeq: _*)
+    (1 to iters).foreach { _ =>
+      val cellArr = cellLiterals(centroids)
+      val means = corpus
+        .select(nearestCellExpr(cellArr, col(vecCol)).as("cell_id"),
+          col(vecCol).as("_v"))
+        .groupBy("cell_id")
+        .agg(graft.functions.VectorSumAgg.column(col("_v")).as("_sum"),
+          count(lit(1)).as("_n"))
+        .collect()
+      centroids = means.map { r =>
+        val n = r.getLong(2).toDouble
+        (r.getLong(0), r.getSeq[Double](1).map(s => (s / n).toFloat).toArray)
+      }.sortBy(_._1)
+    }
+    centroids
+  }
 
-    // 2. narrow argmax fold: nearest centroid per corpus vector
-    def nearestCell(vec: Column): Column =
-      aggregate(
-        cellArr,
-        struct(lit(-2.0).as("best"), lit(-1L).as("cell_id")),
-        (acc, c) => {
-          val sim = gvec.cosine(vec, c.getField("cent"))
-          when(sim > acc.getField("best"),
-            struct(sim.as("best"), c.getField("cell_id").as("cell_id")))
-            .otherwise(acc)
-        }).getField("cell_id")
+  /** IVF (inverted-file) cosine top-k:
+    *  1. centroids = [[kmeansCentroids]] (hash-sample init + Lloyd steps),
+    *     collected to the driver (tiny) and broadcast as literals;
+    *  2. assign each corpus vector to its nearest centroid with a single
+    *     narrow `aggregate()` fold over the centroid array (argmax cosine,
+    *     first-wins tiebreak) — no join, no window, no shuffle;
+    *  3. per query, probe the `nProbe` nearest cells
+    *     (transform → sort_array → slice, again narrow) and rank only the
+    *     corpus vectors in those cells with the bounded top-k aggregate.
+    *
+    * Scale: the corpus is scanned once per k-means step and once for
+    * assignment (at 100 TB the assignment would be materialized
+    * bucketed-by-cell so probes prune files); each query touches
+    * ~nProbe/nCells of the data. Recall < 1 by construction —
+    * [[bruteCosineTopK]] is the correctness baseline.
+    */
+  def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nProbe: Int = 4, centroidEvery: Int = 50, kmeansIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = kmeansCentroids(corpus, centroidEvery, kmeansIters, idCol, vecCol)
+    val cellArr = cellLiterals(centroids)
+    def nearestCell(vec: Column): Column = nearestCellExpr(cellArr, vec)
 
     val assigned = corpus.select(
       col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_cv"),

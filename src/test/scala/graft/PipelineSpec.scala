@@ -76,6 +76,23 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("k-means refinement does not degrade assignment quality") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def inertia(cents: Array[(Long, Array[Float])]): Double = {
+      val lits = cents.map { case (_, v) =>
+        org.apache.spark.sql.functions.array(v.map(x =>
+          org.apache.spark.sql.functions.lit(x)).toIndexedSeq: _*) }
+      val best = lits.map(c =>
+        graft.functions.vector.cosine(col("embedding"), c))
+        .reduce((a, b) => greatest(a, b))
+      emb.select(avg(best)).collect().head.getDouble(0)
+    }
+    val init = Similarity.kmeansCentroids(emb, iters = 0)
+    val refined = Similarity.kmeansCentroids(emb, iters = 3)
+    // mean best-cell cosine (higher = tighter cells) must not get worse
+    assert(inertia(refined) >= inertia(init) - 1e-6)
+  }
+
   test("embedding near-dup LSH finds an exact-duplicate vector") {
     import spark.implicits._
     val rnd = new scala.util.Random(1)
