@@ -34,7 +34,7 @@ import scala.jdk.CollectionConverters._
 class KsqlEngine(
     val spark: SparkSession,
     connectorProvider: (SparkSession, Map[String, String]) => DataFrame =
-      KsqlEngine.jdbcConnectorProvider) {
+      KsqlEngine.jdbcConnectorProvider) extends KsqlTranslator {
 
   private case class Topic(schema: StructType, rows: mutable.ArrayBuffer[Row])
   private case class Decl(kind: String, name: String, cols: Seq[ColumnDef],
@@ -50,7 +50,7 @@ class KsqlEngine(
   private val connectors = mutable.ArrayBuffer.empty[String]
   private val properties = mutable.Map.empty[String, String]
 
-  private def kindOf(name: String): Option[String] =
+  protected def kindOf(name: String): Option[String] =
     decls.get(name.toLowerCase).map(_.kind)
       .orElse(derived.get(name.toLowerCase).map(_.kind))
 
@@ -179,62 +179,10 @@ class KsqlEngine(
     }
   }
 
-  // ---- SELECT translation --------------------------------------------
-
-  private val FromRe =
-    ("(?is)\\bFROM\\s+(\\w+)" +
-      "(?:\\s+(?!JOIN\\b|LEFT\\b|RIGHT\\b|FULL\\b|INNER\\b|OUTER\\b|ON\\b|WHERE\\b|GROUP\\b|PARTITION\\b|EMIT\\b|HAVING\\b|ORDER\\b|LIMIT\\b)(\\w+))?").r
-  private val JoinRe =
-    "(?is)\\bJOIN\\s+(\\w+)(?:\\s+(?!ON\\b)(\\w+))?\\s+ON\\b".r
-
-  /** (collection name, reference-in-query) pairs from the FROM clause. */
-  private[ksql] def fromSources(select: String): Seq[(String, String)] = {
-    val from = FromRe.findFirstMatchIn(select).map(m =>
-      (m.group(1), Option(m.group(2)).getOrElse(m.group(1))))
-    val joins = JoinRe.findAllMatchIn(select).map(m =>
-      (m.group(1), Option(m.group(2)).getOrElse(m.group(1)))).toSeq
-    from.toSeq ++ joins
-  }
-
-  private[ksql] def translateSelect(select0: String,
-      injectOffset: Boolean = false): String = {
-    var s = select0.replaceAll("(?is)\\s+EMIT\\s+CHANGES\\s*$", "").trim
-    s = s.replaceAll("(?i)COUNT_DISTINCT\\s*\\(", "count(DISTINCT ")
-    s = s.replaceAll("(?i)UCASE\\s*\\(", "upper(")
-    val sources = fromSources(s)
-    // LATEST_BY_OFFSET orders by the STREAM side's record offset
-    if (s.toUpperCase.contains("LATEST_BY_OFFSET")) {
-      val streamRef = sources
-        .collectFirst { case (n, ref) if kindOf(n).contains("STREAM") => ref }
-        .orElse(sources.headOption.map(_._2))
-        .getOrElse(throw new IllegalArgumentException(
-          s"LATEST_BY_OFFSET without a FROM source: $select0"))
-      s = s.replaceAll("(?i)LATEST_BY_OFFSET\\s*\\(([^()]*)\\)",
-        s"graft_latest_by_offset($$1, $streamRef._offset)")
-    }
-    // SELECT * expansion: single source -> declared columns; join -> each
-    // side's columns prefixed with its reference (ksqlDB output naming)
-    if (s.matches("(?is)^SELECT\\s+\\*\\s+FROM\\b.*")) {
-      val cols = sources match {
-        case Seq((name, ref)) =>
-          viewColumns(name).map(c => s"$ref.$c AS $c")
-        case multi => multi.flatMap { case (name, ref) =>
-          viewColumns(name).map(c => s"$ref.$c AS ${ref}_$c") }
-      }
-      s = s.replaceFirst("(?is)^SELECT\\s+\\*", "SELECT " + cols.mkString(", "))
-    }
-    if (injectOffset && !s.toUpperCase.contains("GROUP BY")) {
-      // derived streams carry the source offset through (Kafka offset
-      // analogue) so downstream LATEST_BY_OFFSET keeps arrival order
-      val ref = sources.headOption.map(_._2).getOrElse("")
-      s = FromRe.replaceFirstIn(s,
-        java.util.regex.Matcher.quoteReplacement(s", $ref._offset AS _offset ") + "FROM $1 $2")
-    }
-    s
-  }
+  // SELECT translation lives in KsqlTranslator
 
   /** Declared/derived output columns of a collection (no `_offset`). */
-  private def viewColumns(name: String): Seq[String] =
+  protected def viewColumns(name: String): Seq[String] =
     decls.get(name.toLowerCase).map(_.cols.map(_.name))
       .getOrElse(spark.table(name).columns.toSeq.filterNot(_ == "_offset"))
 

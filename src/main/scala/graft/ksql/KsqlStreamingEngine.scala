@@ -1,0 +1,181 @@
+package graft.ksql
+
+import graft.engine.TableOps
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Continuous-execution KSQL: push queries run as real Structured
+  * Streaming jobs — `EMIT CHANGES` actually emits changes.
+  *
+  * Topics are `MemoryStream`s of (json value, offset) records — the
+  * in-process Kafka-log analogue, carrying the same JSON wire format the
+  * reference uses (`VALUE_FORMAT='JSON'`, all.sql:29,41); declared stream
+  * views deserialize with `from_json` exactly like the Kafka source path
+  * (`Sources.fromKafkaJson`). Dimension TABLEs over connector-fed topics
+  * are static snapshots (the tutorial's MySQL data is static after
+  * init.sql — SURVEY §7.5 pt.1), so stream-table joins are stream-static.
+  *
+  * A push query returns a [[PushHandle]]: an update-mode (aggregations)
+  * or append-mode (stateless) memory-sink StreamingQuery plus accessors
+  * for the emitted changelog and current state. `COUNT_DISTINCT`
+  * translates to the exact streaming Aggregator
+  * ([[graft.functions.ExactCountDistinct]]) because Spark's
+  * count-distinct rewrite is unsupported under streaming aggregation.
+  */
+class KsqlStreamingEngine(
+    val spark: SparkSession,
+    connectorProvider: (SparkSession, Map[String, String]) => DataFrame =
+      KsqlEngine.jdbcConnectorProvider) extends KsqlTranslator {
+
+  graft.functions.GraftFunctions.registerAll(spark)
+  spark.udf.register("graft_exact_count_distinct",
+    org.apache.spark.sql.functions.udaf(new graft.functions.ExactCountDistinct))
+
+  // COUNT_DISTINCT is rewritten in [[translate]] (needs a closing CAST
+  // paren, beyond the trait's simple prefix replacement)
+
+  /** One live push query. */
+  final case class PushHandle(name: String, query: StreamingQuery,
+      aggregated: Boolean) {
+    /** Block until everything inserted so far is processed. */
+    def processAllAvailable(): Unit = query.processAllAvailable()
+    /** Every emitted row (append rows, or the update-mode changelog). */
+    def emissions: DataFrame = spark.table(name)
+    /** Converged current state: latest emission per key set — for the
+      * changelog case the caller reads [[emissions]] directly.
+      */
+    def stop(): Unit = query.stop()
+  }
+
+  private case class StreamDecl(name: String, cols: Seq[ColumnDef],
+      input: MemoryStream[(String, Long)])
+  private case class TableDecl(name: String, cols: Seq[ColumnDef],
+      keyCols: Seq[String], topic: String)
+
+  private val topics = mutable.LinkedHashMap.empty[String, (StructType, mutable.ArrayBuffer[Row])]
+  private val streamDecls = mutable.LinkedHashMap.empty[String, StreamDecl]
+  private val tableDecls = mutable.LinkedHashMap.empty[String, TableDecl]
+  private val derivedKinds = mutable.LinkedHashMap.empty[String, String]
+  private val offsets = mutable.Map.empty[String, Long].withDefaultValue(0L)
+  private val handles = mutable.ArrayBuffer.empty[PushHandle]
+  private var queryId = 0
+
+  protected def kindOf(name: String): Option[String] =
+    streamDecls.get(name.toLowerCase).map(_ => "STREAM")
+      .orElse(tableDecls.get(name.toLowerCase).map(_ => "TABLE"))
+      .orElse(derivedKinds.get(name.toLowerCase))
+
+  protected def viewColumns(name: String): Seq[String] =
+    streamDecls.get(name.toLowerCase).map(_.cols.map(_.name))
+      .orElse(tableDecls.get(name.toLowerCase).map(_.cols.map(_.name)))
+      .getOrElse(spark.table(name).columns.toSeq.filterNot(_ == "_offset"))
+
+  def execute(statement: String): Option[PushHandle] = {
+    val stmts = KsqlParser.splitStatements(statement)
+    require(stmts.size == 1, s"expected one statement, got ${stmts.size}")
+    execute(KsqlParser.parse(stmts.head))
+  }
+
+  def execute(stmt: KsqlStatement): Option[PushHandle] = stmt match {
+    case SetProperty(_, _) => None
+
+    case CreateConnector(_, props) =>
+      val df = connectorProvider(spark, props)
+      val topic = props.getOrElse("topic.prefix", "") +
+        props.getOrElse("table.whitelist",
+          throw new IllegalArgumentException("connector needs table.whitelist"))
+      val schema = StructType(df.schema.fields.toSeq :+
+        StructField("_offset", LongType, nullable = false))
+      val rows = mutable.ArrayBuffer.empty[Row]
+      df.collect().zipWithIndex.foreach { case (r, i) =>
+        rows += Row.fromSeq(r.toSeq :+ i.toLong)
+      }
+      topics(topic) = (schema, rows)
+      None
+
+    case CreateCollection("STREAM", name, cols, _) =>
+      import spark.implicits._
+      implicit val sq = spark.sqlContext
+      val input = MemoryStream[(String, Long)]
+      val valueSchema = StructType(cols.map(c => StructField(c.name, c.dataType)))
+      input.toDF().toDF("value", "_offset")
+        .select(from_json(col("value"), valueSchema).as("_v"), col("_offset"))
+        .select(cols.map(c => col(s"_v.${c.name}").as(c.name)) :+ col("_offset"): _*)
+        .createOrReplaceTempView(name)
+      streamDecls(name.toLowerCase) = StreamDecl(name, cols, input)
+      None
+
+    case CreateCollection("TABLE", name, cols, props) =>
+      val topic = props.getOrElse("KAFKA_TOPIC", props.getOrElse("kafka_topic", name))
+      val (schema, rows) = topics.getOrElse(topic,
+        throw new NoSuchElementException(s"topic $topic has no data; " +
+          "streaming tables must be connector-fed (static dimension)"))
+      val base = spark.createDataFrame(rows.toSeq.asJava, schema)
+      val projected = base.select(cols.map(c => col(c.name)) :+ col("_offset"): _*)
+      val keyCols = cols.filter(_.isKey).map(_.name)
+      TableOps.latestByKey(projected, keyCols, "_offset")
+        .createOrReplaceTempView(name)
+      tableDecls(name.toLowerCase) = TableDecl(name, cols, keyCols, topic)
+      None
+
+    case CreateAsSelect(kind, name, _, select, pby) =>
+      var df = spark.sql(translate(select, injectOffset = kind == "STREAM"))
+      pby.foreach(p => df = df.repartition(col(p)))
+      df.createOrReplaceTempView(name)
+      derivedKinds(name.toLowerCase) = kind
+      None
+
+    case InsertValues(target, columns, values) =>
+      val d = streamDecls.getOrElse(target.toLowerCase,
+        throw new NoSuchElementException(s"unknown stream $target"))
+      val order = columns.getOrElse(d.cols.map(_.name))
+      require(order.length == values.length,
+        s"INSERT arity ${values.length} != ${order.length}")
+      val json = order.zip(values).map { case (c, v) =>
+        val lit = v.trim
+        val jsonV =
+          if (lit.equalsIgnoreCase("null")) "null"
+          else if (lit.startsWith("'") && lit.endsWith("'"))
+            "\"" + lit.substring(1, lit.length - 1).replace("\"", "\\\"") + "\""
+          else lit
+        "\"" + c + "\":" + jsonV
+      }.mkString("{", ",", "}")
+      val off = offsets(target); offsets(target) = off + 1
+      d.input.addData((json, off))
+      None
+
+    case PushQuery(select) =>
+      val df = spark.sql(translate(select))
+      val aggregated = select.toUpperCase.contains("GROUP BY")
+      queryId += 1
+      val name = s"ksql_push_$queryId"
+      val upper = df.toDF(df.columns.map(_.toUpperCase).toIndexedSeq: _*)
+      val q = upper.writeStream.format("memory").queryName(name)
+        .outputMode(if (aggregated) OutputMode.Update() else OutputMode.Append())
+        .start()
+      val h = PushHandle(name, q, aggregated)
+      handles += h
+      Some(h)
+
+    case other =>
+      throw new IllegalArgumentException(
+        s"streaming engine does not support: $other")
+  }
+
+  /** COUNT_DISTINCT needs a closing paren for the CAST wrapper. */
+  private def translate(select: String, injectOffset: Boolean = false): String = {
+    val pre = select.replaceAll("(?i)(?<![\\w])COUNT_DISTINCT\\s*\\(\\(([^()]*)\\)\\)",
+      "graft_exact_count_distinct(CAST(($1) AS STRING))")
+      .replaceAll("(?i)(?<![\\w])COUNT_DISTINCT\\s*\\(([^()]*)\\)",
+        "graft_exact_count_distinct(CAST(($1) AS STRING))")
+    translateSelect(pre, injectOffset)
+  }
+
+  def stopAll(): Unit = handles.foreach(h => if (h.query.isActive) h.stop())
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.ksql.KsqlStreamingEngine
+import graft.streaming.Tutorial
+import org.apache.spark.sql.Row
+
+/** `EMIT CHANGES` as real continuous execution: KSQL text → Structured
+  * Streaming push queries over MemoryStream topics, asserting the
+  * README's count-evolution changelog (README.md:247-253) and the
+  * player_stats golden with exact streaming COUNT_DISTINCT.
+  */
+class KsqlStreamingSpec extends SparkSpec {
+
+  private def freshEngine = new KsqlStreamingEngine(spark,
+    connectorProvider = (s, _) => Tutorial.playersSeed(s))
+
+  private def ddl(e: KsqlStreamingEngine): Unit = {
+    e.execute("CREATE SOURCE CONNECTOR c WITH ('table.whitelist' = 'players');")
+    e.execute("""CREATE TABLE players (
+      ID VARCHAR PRIMARY KEY, name VARCHAR(50), team VARCHAR(50),
+      nationality VARCHAR(50)) WITH (KAFKA_TOPIC = 'players');""")
+    e.execute("""CREATE STREAM match_event (
+      id VARCHAR KEY, event_type VARCHAR, player_id VARCHAR, home boolean)
+      WITH (KAFKA_TOPIC='match_event');""")
+  }
+
+  private def insert(e: KsqlStreamingEngine, evs: Seq[Tutorial.MatchEvent]): Unit =
+    evs.foreach { ev =>
+      e.execute(s"INSERT INTO match_event VALUES " +
+        s"('${ev.id}', '${ev.event_type}', '${ev.player_id}', ${ev.home});")
+    }
+
+  test("push query emits the count-evolution changelog (README.md:247-253)") {
+    val e = freshEngine
+    ddl(e)
+    val h = e.execute(
+      """SELECT id, count(id) AS goals FROM match_event
+         WHERE home AND event_type = 'GOAL' GROUP BY id EMIT CHANGES;""").get
+    try {
+      insert(e, Tutorial.canonicalEvents.take(4))
+      h.processAllAvailable()
+      val after1 = h.emissions.collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(after1.toSet === Set(("1", 2L)))
+      insert(e, Tutorial.canonicalEvents.drop(4))
+      h.processAllAvailable()
+      val all = h.emissions.collect().map(r => (r.getString(0), r.getLong(1)))
+      // update mode re-emitted only the changed key
+      assert(all.toSeq.sorted === Seq(("1", 2L), ("2", 1L)))
+    } finally h.stop()
+  }
+
+  test("streaming CSAS + player_stats with exact COUNT_DISTINCT (all.sql:129-160)") {
+    val e = freshEngine
+    ddl(e)
+    e.execute("""CREATE STREAM match_event_player WITH (
+        KAFKA_TOPIC='match_event_player') AS
+      SELECT id, event_type, player_id FROM match_event PARTITION BY player_id;""")
+    val h = e.execute(
+      """SELECT p.id AS player_id,
+           LATEST_BY_OFFSET(p.name) AS player_name,
+           sum(CASE WHEN mep.event_type = 'GOAL' THEN 1 ELSE 0 END) goals,
+           CAST(sum(CASE WHEN mep.event_type = 'GOAL' THEN 1 ELSE 0 END)
+               AS DOUBLE) / cast(COUNT_DISTINCT((mep.id)) AS DOUBLE) avg_goals,
+           sum(CASE WHEN mep.event_type = 'ASSIST' THEN 1 ELSE 0 END) assists
+         FROM match_event_player mep JOIN players p ON p.id = mep.player_id
+         GROUP BY p.id EMIT CHANGES;""").get
+    try {
+      insert(e, Tutorial.canonicalEvents)
+      h.processAllAvailable()
+      // last emission per key = converged state (the changelog's tail)
+      val last = h.emissions.collect().groupBy(_.getString(0))
+        .map { case (k, rs) => k -> rs.last }
+      assert(last("1") === Row("1", "Lionel Messi", 3L, 1.5, 1L))
+      assert(last("2") === Row("2", "Cristiano Ronaldo", 2L, 1.0, 1L))
+    } finally h.stop()
+  }
+
+  test("stateless push query appends (Q4) and SELECT * expands") {
+    val e = freshEngine
+    ddl(e)
+    val h = e.execute("SELECT * FROM match_event EMIT CHANGES;").get
+    try {
+      insert(e, Tutorial.canonicalEvents)
+      h.processAllAvailable()
+      assert(h.emissions.columns.toSeq ===
+        Seq("ID", "EVENT_TYPE", "PLAYER_ID", "HOME"))
+      assert(h.emissions.count() === 7)
+    } finally h.stop()
+  }
+}
