@@ -1,0 +1,35 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical-layout helpers for repeated-join workloads: pre-bucketing big
+  * fact tables on their join key so every subsequent join/aggregation on
+  * that key runs WITHOUT an exchange on either side.
+  *
+  * At 100 TB this is the difference between re-shuffling the fact table
+  * per query and paying the shuffle exactly once at ingest: Spark's
+  * bucketing metadata (`bucketBy` + `saveAsTable`) makes the scan itself
+  * report hash-partitioned output, so `EnsureRequirements` inserts no
+  * ShuffleExchange (asserted in PlanShapeSpec). `sortBy` additionally
+  * pre-sorts each bucket file, letting SortMergeJoin skip its sorts.
+  *
+  * This is the engine analogue of the reference's manual
+  * `PARTITION BY player_id` CSAS (all.sql:45-51) — the same
+  * co-partitioning idea, but persisted in table metadata instead of a
+  * repartition topic, and consumed automatically by the planner.
+  */
+object Layout {
+
+  /** Persist `df` as a bucketed (and per-bucket sorted) parquet table in
+    * the session catalog. Buckets should be sized so one bucket ≈ one
+    * task's worth of data at the target scale.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, sorted: Boolean = true): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key)
+    (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+  }
+
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}

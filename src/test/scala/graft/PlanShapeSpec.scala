@@ -78,6 +78,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(fp.getLong(0) !== 0L)
   }
 
+  test("bucketed tables join and aggregate with no exchange") {
+    val dir = "/root/testdata/sf0.001"
+    // the in-memory catalog dies with the JVM but the warehouse dir
+    // survives — clear orphaned locations from previous test runs
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"/tmp/graft-test-warehouse/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    graft.engine.Layout.writeBucketed(
+      spark.read.parquet(s"$dir/lineitem.parquet"), "li_bucketed", "l_orderkey", 4)
+    graft.engine.Layout.writeBucketed(
+      spark.read.parquet(s"$dir/orders.parquet"), "ord_bucketed", "o_orderkey", 4)
+    val joined = withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join/agg still shuffles:\n$plan")
+      df
+    }
+    assert(joined.count() > 0)
+  }
+
+  private def withSqlConf[T](pairs: (String, String)*)(f: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("parquet scan prunes columns and pushes filters") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val q = ev.filter(col("event_type") === "purchase").select("event_id", "user_id")
