@@ -124,6 +124,19 @@ class TutorialGoldenSpec extends SparkSpec {
     assert(viaAgg === viaBuiltin)
   }
 
+  test("Kafka wire round-trip: kafkaKeyValue encodes what decodeKafkaJson reads") {
+    import org.apache.spark.sql.types._
+    val kv = Sinks.kafkaKeyValue(Tutorial.matchResults(events), Seq("id"))
+      .select(col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"),
+        monotonically_increasing_id().as("offset"))
+    val schema = StructType(Seq(
+      StructField("HOME_GOALS", LongType), StructField("AWAY_GOALS", LongType)))
+    val decoded = graft.engine.Sources.decodeKafkaJson(kv, schema, keyName = "id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(decoded === Map("1" -> ((2L, 1L)), "2" -> ((1L, 1L))))
+  }
+
   test("SparkEntry.entry returns rows on sf0.001 (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
