@@ -196,6 +196,36 @@ object SparkEntry {
     "s6_player_stats" -> ((s, d) =>
       Tutorial.playerStats(
         Tutorial.matchEventPlayer(matchEvents(s, d)), players(s, d))),
+    // X1: TPC-H-shaped 5-way star join (lineitem⋈orders⋈customer⋈nation⋈
+    // region) with date-range + region filters. Revenue is computed in
+    // exact integer 1e-4 units (round(price*100)*round((1-disc)*100)) so
+    // the sum is order-independent — a double sum would differ across
+    // engines/partitionings in the last bits. Catalyst broadcasts every
+    // dim side; only lineitem⋈orders shuffles.
+    "x1_star_join" -> ((s, d) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")
+      table(s, d, "lineitem")
+        .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(table(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(table(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents).as("revenue_c4"), count(lit(1)).as("n_items"))
+    }),
+    // X2: fact ⋈ part ⋈ supplier ⋈ nation with a pushed-down part filter;
+    // quantity sums are integer-valued doubles (exact at any order).
+    "x2_parts_by_brand" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .join(table(s, d, "part").filter(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(table(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(table(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))),
     // ---- D: deduplication ----------------------------------------------
     "d1_dedup_exact" -> ((s, d) => Dedup.exact(table(s, d, "documents"))),
     "d2_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(table(s, d, "documents"))),
@@ -347,6 +377,29 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN me.event_type = 'ASSIST' THEN 1 ELSE 0 END) AS BIGINT) AS assists
         |FROM match_event me JOIN players p ON me.player_id = p.id
         |GROUP BY p.id""".stripMargin),
+    "x1_star_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c4,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "x2_parts_by_brand" ->
+      """SELECT n_name, p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_type = 'PROMO'
+        |GROUP BY n_name, p_brand""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""".stripMargin,
