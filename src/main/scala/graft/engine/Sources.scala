@@ -58,8 +58,8 @@ object Sources {
         from_json(col("value").cast("string"), valueSchema).as("_v"),
         col("offset").as("_offset"),
         col("timestamp").as("_ts"))
-      .select((col(keyName) +: valueSchema.fieldNames.map(f => col(s"_v.$f")))
-        :+ col("_offset") :+ col("_ts"): _*)
+      .select((col(keyName) +: valueSchema.fieldNames.toIndexedSeq
+        .map(f => col(s"_v.$f"))) :+ col("_offset") :+ col("_ts"): _*)
 
   /** Batch twin of [[fromKafkaJson]] for replaying a topic dump (or any
     * batch DataFrame with `key`/`value` binary columns) through the same
@@ -73,8 +73,8 @@ object Sources {
         col("key").cast("string").as(keyName),
         from_json(col("value").cast("string"), valueSchema).as("_v"),
         col("offset").as("_offset"))
-      .select((col(keyName) +: valueSchema.fieldNames.map(f => col(s"_v.$f")))
-        :+ col("_offset"): _*)
+      .select((col(keyName) +: valueSchema.fieldNames.toIndexedSeq
+        .map(f => col(s"_v.$f"))) :+ col("_offset"): _*)
 
   /** JDBC snapshot source — the engine's model of the reference's JDBC
     * source connector (S1, all.sql:3-18). The tutorial's MySQL data is

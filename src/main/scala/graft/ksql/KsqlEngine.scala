@@ -31,6 +31,16 @@ import scala.jdk.CollectionConverters._
   * else — CASE WHEN, CAST AS DOUBLE, joins, grouping, trailing aliases —
   * is shared SQL that Catalyst parses directly.
   */
+/** One executed statement: the result DataFrame (queries/SHOW) or the
+  * error ksqlDB's CLI would have printed (the reference script itself
+  * contains one intentionally-invalid query — a non-aggregated,
+  * non-grouped column, all.sql:100-125 — that the tutorial then fixes
+  * with LATEST_BY_OFFSET; a script run must survive it the way the CLI
+  * does).
+  */
+final case class StatementResult(statement: KsqlStatement,
+    df: Option[DataFrame], error: Option[String])
+
 class KsqlEngine(
     val spark: SparkSession,
     connectorProvider: (SparkSession, Map[String, String]) => DataFrame =
@@ -55,16 +65,6 @@ class KsqlEngine(
       .orElse(derived.get(name.toLowerCase).map(_.kind))
 
   // ---- statement execution -------------------------------------------
-
-  /** One executed statement: the result DataFrame (queries/SHOW) or the
-    * error ksqlDB's CLI would have printed (the reference script itself
-    * contains one intentionally-invalid query — a non-aggregated,
-    * non-grouped column, all.sql:100-125 — that the tutorial then fixes
-    * with LATEST_BY_OFFSET; a script run must survive it the way the CLI
-    * does).
-    */
-  final case class StatementResult(statement: KsqlStatement,
-      df: Option[DataFrame], error: Option[String])
 
   def executeScript(script: String): Seq[StatementResult] =
     KsqlParser.splitStatements(script).map { s =>

@@ -10,6 +10,16 @@ import org.apache.spark.sql.types._
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
+/** One live push query. */
+final case class PushHandle(spark: SparkSession, name: String,
+    query: StreamingQuery, aggregated: Boolean) {
+  /** Block until everything inserted so far is processed. */
+  def processAllAvailable(): Unit = query.processAllAvailable()
+  /** Every emitted row (append rows, or the update-mode changelog). */
+  def emissions: DataFrame = spark.table(name)
+  def stop(): Unit = query.stop()
+}
+
 /** Continuous-execution KSQL: push queries run as real Structured
   * Streaming jobs — `EMIT CHANGES` actually emits changes.
   *
@@ -39,19 +49,6 @@ class KsqlStreamingEngine(
 
   // COUNT_DISTINCT is rewritten in [[translate]] (needs a closing CAST
   // paren, beyond the trait's simple prefix replacement)
-
-  /** One live push query. */
-  final case class PushHandle(name: String, query: StreamingQuery,
-      aggregated: Boolean) {
-    /** Block until everything inserted so far is processed. */
-    def processAllAvailable(): Unit = query.processAllAvailable()
-    /** Every emitted row (append rows, or the update-mode changelog). */
-    def emissions: DataFrame = spark.table(name)
-    /** Converged current state: latest emission per key set — for the
-      * changelog case the caller reads [[emissions]] directly.
-      */
-    def stop(): Unit = query.stop()
-  }
 
   private case class StreamDecl(name: String, cols: Seq[ColumnDef],
       input: MemoryStream[(String, Long)])
@@ -159,7 +156,7 @@ class KsqlStreamingEngine(
       val q = upper.writeStream.format("memory").queryName(name)
         .outputMode(if (aggregated) OutputMode.Update() else OutputMode.Append())
         .start()
-      val h = PushHandle(name, q, aggregated)
+      val h = PushHandle(spark, name, q, aggregated)
       handles += h
       Some(h)
 
