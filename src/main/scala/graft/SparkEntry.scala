@@ -196,6 +196,10 @@ object SparkEntry {
     "s6_player_stats" -> ((s, d) =>
       Tutorial.playerStats(
         Tutorial.matchEventPlayer(matchEvents(s, d)), players(s, d))),
+    // E1: gap-based sessionization (batch twin of the
+    // flatMapGroupsWithState streaming operator, Sessionize.stream).
+    "e1_sessionize" -> ((s, d) =>
+      graft.streaming.Sessionize.batch(events(s, d), gapMinutes = 30)),
     // X1: TPC-H-shaped 5-way star join (lineitem⋈orders⋈customer⋈nation⋈
     // region) with date-range + region filters. Revenue is computed in
     // exact integer 1e-4 units (round(price*100)*round((1-disc)*100)) so
@@ -377,6 +381,24 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN me.event_type = 'ASSIST' THEN 1 ELSE 0 END) AS BIGINT) AS assists
         |FROM match_event me JOIN players p ON me.player_id = p.id
         |GROUP BY p.id""".stripMargin),
+    "e1_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |y AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |z AS (
+        |  SELECT user_id, ts_us,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                  RANGE UNBOUNDED PRECEDING) AS session_idx
+        |  FROM y)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM z GROUP BY user_id, session_idx""".stripMargin,
     "x1_star_join" ->
       """SELECT n_name,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -102,6 +102,58 @@ class StreamingTutorialSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization: in-batch gap close and watermark timeout") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    // a realistic epoch base: Spark's initial watermark is 0, and events
+    // at exactly epoch 0 would be discarded as late
+    val baseSec = 1700000000L
+    def ts(minute: Int) = new java.sql.Timestamp((baseSec + minute * 60L) * 1000)
+    def us(minute: Int) = (baseSec + minute * 60L) * 1000000L
+    val sessions = graft.streaming.Sessionize.stream(
+      input.toDF().toDF("user_id", "ts"), gapMinutes = 30,
+      watermarkDelay = "0 seconds")
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: events at 0 and 10min (one session), then 120min — the
+      // in-batch gap closes session 1 immediately
+      input.addData((1L, ts(0)), (1L, ts(10)), (1L, ts(120)))
+      q.processAllAvailable()
+      val closed1 = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(closed1.toSet === Set((1L, us(0), us(10), 2L)))
+      // advance the watermark far past 120min + gap: the open session
+      // (single event at 120) must close via event-time timeout
+      input.addData((2L, ts(600)))
+      q.processAllAvailable()
+      input.addData((2L, ts(601)))
+      q.processAllAvailable()
+      val all = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(all.toSet.contains((1L, us(120), us(120), 1L)))
+    } finally q.stop()
+  }
+
+  test("batch sessionization matches a hand-built fixture") {
+    import spark.implicits._
+    def us(minute: Int) = minute * 60L * 1000000L
+    val ev = Seq(
+      (1L, 10L, us(0)), (1L, 11L, us(5)), (1L, 12L, us(50)),
+      (2L, 20L, us(0)))
+      .toDF("user_id", "event_id", "ts_us")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("ts_us")).as("ts"))
+    val got = graft.streaming.Sessionize.batch(ev, gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set(
+      (1L, 1L, 2L, us(0), us(5)),   // events at 0,5 -> one session
+      (1L, 2L, 1L, us(50), us(50)), // 45min gap -> new session
+      (2L, 1L, 1L, us(0), us(0))))
+  }
+
   test("append-mode push query over a stateless stream (Q1/Q4)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
