@@ -200,6 +200,18 @@ object SparkEntry {
     // flatMapGroupsWithState streaming operator, Sessionize.stream).
     "e1_sessionize" -> ((s, d) =>
       graft.streaming.Sessionize.batch(events(s, d), gapMinutes = 30)),
+    // E2: tumbling event-time window aggregation (the streaming form is
+    // the same expression under a watermark; window start keys the state).
+    "e2_tumbling_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          // exact integer cents: a double sum would be accumulation-order
+          // dependent and break the cross-engine hash compare
+          sum(round(col("value") * 100).cast("long")).as("value_c2"))
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n"), col("value_c2"))),
     // X1: TPC-H-shaped 5-way star join (lineitem⋈orders⋈customer⋈nation⋈
     // region) with date-range + region filters. Revenue is computed in
     // exact integer 1e-4 units (round(price*100)*round((1-disc)*100)) so
@@ -381,6 +393,11 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN me.event_type = 'ASSIST' THEN 1 ELSE 0 END) AS BIGINT) AS assists
         |FROM match_event me JOIN players p ON me.player_id = p.id
         |GROUP BY p.id""".stripMargin),
+    "e2_tumbling_window" ->
+      """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_us,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c2
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "e1_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
