@@ -212,6 +212,16 @@ object SparkEntry {
           sum(round(col("value") * 100).cast("long")).as("value_c2"))
         .select(unix_micros(col("window_start")).as("window_start_us"),
           col("event_type"), col("n"), col("value_c2"))),
+    // E3: hopping (sliding) window — 1h windows every 30min; each event
+    // lands in exactly two windows (narrow explode, then one agg shuffle).
+    "e3_hopping_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").getField("start")
+          .as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_c2"))
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n"), col("value_c2"))),
     // X1: TPC-H-shaped 5-way star join (lineitem⋈orders⋈customer⋈nation⋈
     // region) with date-range + region filters. Revenue is computed in
     // exact integer 1e-4 units (round(price*100)*round((1-disc)*100)) so
@@ -398,6 +408,18 @@ object SparkEntry {
         |  event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c2
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "e3_hopping_window" ->
+      """WITH w AS (
+        |  SELECT epoch_us(time_bucket(INTERVAL 30 MINUTE, ts)) AS b_us,
+        |         event_type, value FROM events),
+        |e AS (
+        |  SELECT b_us AS ws, event_type, value FROM w
+        |  UNION ALL
+        |  SELECT b_us - 1800000000 AS ws, event_type, value FROM w)
+        |SELECT ws AS window_start_us, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c2
+        |FROM e GROUP BY ws, event_type""".stripMargin,
     "e1_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
