@@ -252,6 +252,18 @@ object SparkEntry {
         .join(table(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), col("p_brand"))
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))),
+    // X3: backward as-of join — each purchase picks the user's latest
+    // signup at-or-before purchase time (point-in-time enrichment).
+    "x3_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+      Ops.asofJoin(purchases, signups, "user_id", "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"), col("signup_value"))
+    }),
     // ---- D: deduplication ----------------------------------------------
     "d1_dedup_exact" -> ((s, d) => Dedup.exact(table(s, d, "documents"))),
     "d2_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(table(s, d, "documents"))),
@@ -461,6 +473,17 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE p_type = 'PROMO'
         |GROUP BY n_name, p_brand""".stripMargin,
+    "x3_asof_join" ->
+      """WITH signups AS (
+        |  SELECT user_id, ts, value AS signup_value FROM events
+        |  WHERE event_type = 'signup'),
+        |purchases AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, epoch_us(f.ts) AS ts_us, f.value,
+        |       d.signup_value
+        |FROM purchases f ASOF JOIN signups d
+        |  ON f.user_id = d.user_id AND f.ts >= d.ts""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""".stripMargin,

@@ -57,6 +57,38 @@ object Ops {
   def ratio(num: Column, den: Column): Column =
     num.cast("double") / den.cast("double")
 
+  /** Backward as-of join: each fact row picks the single dim row with the
+    * LARGEST `dimTs <= factTs` for its key — "the dimension version in
+    * effect at event time" (slowly-changing dimensions, point-in-time
+    * joins). Spark has no asof primitive; this composes equi-join +
+    * time filter + latest-by-offset aggregation, all hash-based.
+    *
+    * Output: every fact column plus the dim's non-key columns (inner:
+    * facts with no prior dim version drop out).
+    *
+    * Scale: the pair blow-up is bounded per key by
+    * versions(key) × facts(key) inside one hash partition; the aggregate's
+    * partial phase collapses each fact back to one row before the final
+    * exchange. For extreme version counts the refinement is a per-key
+    * sort-merge in `mapPartitions` after a range repartition — same
+    * result, one pass; not needed at dimension-update rates.
+    */
+  def asofJoin(fact: DataFrame, dim: DataFrame, key: String,
+      factTs: String, dimTs: String): DataFrame = {
+    val factCols = fact.columns.toSeq
+    val dimValueCols = dim.columns.toSeq.filterNot(c => c == key || c == dimTs)
+    val d = dim.select(
+      col(key).as("_dk") +: col(dimTs).as("_dts") +:
+        dimValueCols.map(c => col(c).as(s"_d_$c")): _*)
+    fact.join(d, fact(key) === col("_dk") && col("_dts") <= fact(factTs))
+      .groupBy(factCols.map(fact(_)): _*)
+      .agg(
+        graft.functions.LatestByOffsetAgg.column(
+          struct(dimValueCols.map(c => col(s"_d_$c").as(c)): _*),
+          unix_micros(col("_dts"))).as("_dim"))
+      .select(factCols.map(col) ++ dimValueCols.map(c => col(s"_dim.$c").as(c)): _*)
+  }
+
   /** Skew-salted shuffle join for a hot-keyed fact side that cannot be
     * broadcast-joined (dim too large): the fact side gets a deterministic
     * salt in [0, salts) derived from non-key columns, the dim side is
