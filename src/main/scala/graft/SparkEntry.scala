@@ -279,6 +279,9 @@ object SparkEntry {
       TextAnalysis.md5Fingerprint(table(s, d, "documents"))),
     "t5_rolling_fingerprint" -> ((s, d) =>
       TextAnalysis.rollingFingerprint(table(s, d, "documents"))),
+    "t6_dataset_split" -> ((s, d) =>
+      TextAnalysis.datasetSplit(table(s, d, "documents"))),
+    "t7_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(table(s, d, "documents"))),
     // ---- V: similarity search ------------------------------------------
     "v1_brute_cosine_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
@@ -547,6 +550,28 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+    "t6_dataset_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CASE WHEN ('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 4))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS group_split
+        |FROM documents""".stripMargin,
+    "t7_top_bigrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2),
+        |bi AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 1),
+        |           i -> list_extract(t, i) || ' ' || list_extract(t, i + 1))) AS bigram
+        |  FROM tok)
+        |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        |FROM bi GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 100""".stripMargin,
     "v1_brute_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

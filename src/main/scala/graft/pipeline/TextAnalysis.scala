@@ -101,6 +101,44 @@ object TextAnalysis {
   def md5Fingerprint(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), md5(normalized(col("text"))).as("fingerprint"))
 
+  /** Deterministic train/val/test split for training data. Buckets come
+    * from an md5 prefix (cross-engine reproducible, unlike xxhash), so
+    * the assignment is a pure function of the key — stable across runs,
+    * partitionings, and engines. `split` hashes the document id;
+    * `group_split` hashes the grouping column (e.g. source) so every
+    * document of a group lands in the same split — the standard guard
+    * against train/test leakage via near-duplicate groups.
+    */
+  def datasetSplit(documents: DataFrame, groupCol: String = "source",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    def bucket(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 100
+    def label(b: Column): Column =
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test")
+    documents.select(
+      col("doc_id"),
+      label(bucket(col("doc_id"))).as("split"),
+      label(bucket(col(groupCol))).as("group_split"))
+  }
+
+  /** Corpus-wide top-k bigram counts (data-quality / boilerplate
+    * detection). `orderBy + limit` plans as TakeOrderedAndProject —
+    * per-partition bounded top-k before the single-partition merge, so
+    * only k rows per partition move. Docs with fewer than 2 tokens are
+    * excluded (no bigram exists).
+    */
+  def topBigrams(documents: DataFrame, k: Int = 100): DataFrame = {
+    val ts = tokens(col("text"))
+    documents
+      .filter(size(ts) >= 2)
+      .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** 64-bit min-rolling-hash fingerprint (winnowing-style, native
     * expression) — robust to small edits, constant width at any document
     * size.
