@@ -129,6 +129,33 @@ object Kernels {
     new GenericArrayData(java.util.Arrays.copyOf(hs, out))
   }
 
+  /** Distinct word w-shingle STRINGS (space-joined) — the string form of
+    * [[shingleHashes]] for operators whose output is the shingle text
+    * itself (n-gram counting). First-occurrence order.
+    */
+  def shingleStrings(tokens: ArrayData, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    val m = math.max(n - w + 1, 1)
+    val seen = new java.util.HashSet[UTF8String](m * 2)
+    val out = new java.util.ArrayList[UTF8String](m)
+    val sep = UTF8String.fromString(" ")
+    var s = 0
+    while (s < m) {
+      val end = math.min(s + w, n)
+      val parts = new Array[UTF8String](end - s)
+      var j = s
+      while (j < end) {
+        parts(j - s) = if (tokens.isNullAt(j)) UTF8String.EMPTY_UTF8
+                       else tokens.getUTF8String(j)
+        j += 1
+      }
+      val sh = UTF8String.concatWs(sep, parts: _*)
+      if (seen.add(sh)) out.add(sh)
+      s += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** MinHash signature over precomputed 64-bit element hashes (the
     * [[shingleHashes]] output): k minima of affine permutations.
     */

@@ -72,6 +72,21 @@ case class ShingleHashes(child: Expression, w: Int, seed: Int)
   override def prettyName: String = "graft_shingle_hashes"
 }
 
+/** shingle_strings(tokens, w): array<string> — distinct space-joined
+  * w-shingles (string twin of [[ShingleHashes]], for n-gram counting).
+  */
+case class ShingleStrings(child: Expression, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(tokens: Any): Any =
+    Kernels.shingleStrings(tokens.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.Kernels.shingleStrings($t, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_strings"
+}
+
 /** minhash_hashes(hashes, k, seed): MinHash signature over precomputed
   * element hashes (pairs with [[ShingleHashes]]).
   */
@@ -127,6 +142,8 @@ object text {
     Bridge.column(MinHashSignature(Bridge.expression(tokens), k, seed))
   def shingleHashes(tokens: Column, w: Int = 3, seed: Int = 42): Column =
     Bridge.column(ShingleHashes(Bridge.expression(tokens), w, seed))
+  def shingleStrings(tokens: Column, w: Int = 3): Column =
+    Bridge.column(ShingleStrings(Bridge.expression(tokens), w))
   def minhashFromHashes(hashes: Column, k: Int = 64, seed: Int = 42): Column =
     Bridge.column(MinHashFromHashes(Bridge.expression(hashes), k, seed))
   def simhash(tokens: Column): Column =

@@ -27,15 +27,11 @@ object Dedup {
       .select(idCol)
 
   /** Word w-shingles of the token array (w consecutive tokens joined by a
-    * space) — the unit set for Jaccard resemblance.
+    * space) — the unit set for Jaccard resemblance. Native codegen'd
+    * expression; no per-position slice/concat lambda allocation.
     */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val ts = TextAnalysis.tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(ts) - w, lit(0))),
-        i => concat_ws(" ", slice(ts, i + 1, lit(w)))))
-  }
+  def shingles(text: Column, w: Int = 3): Column =
+    gtext.shingleStrings(TextAnalysis.tokens(text), w)
 
   /** Exact Jaccard similarity of two string arrays (distinct-element sets). */
   def jaccard(a: Column, b: Column): Column = {
