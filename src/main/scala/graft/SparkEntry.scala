@@ -177,6 +177,13 @@ object SparkEntry {
     "a3_count_distinct" -> ((s, d) =>
       matchEvents(s, d).groupBy("player_id")
         .agg(countDistinct(col("id")).as("n_matches"))),
+    // A3b: the 100TB-default distinct — HLL sketch (fixed-width state,
+    // streaming-safe). Deterministic given the data but not DuckDB-
+    // replicable → rows-only; the exact twin a3_count_distinct IS
+    // oracle-checked.
+    "a3_approx_count_distinct" -> ((s, d) =>
+      matchEvents(s, d).groupBy("player_id")
+        .agg(approx_count_distinct(col("id")).as("n_matches_approx"))),
     // A4: LATEST_BY_OFFSET (all.sql:136-137) — max_by over arrival order.
     "a4_latest_by_offset" -> ((s, d) =>
       matchEvents(s, d).groupBy("player_id")

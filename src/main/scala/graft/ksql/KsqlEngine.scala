@@ -136,6 +136,21 @@ class KsqlEngine(
       refreshViews()
       Some(upperCased(spark.sql(translateSelect(select))))
 
+    case DescribeCommand(name) => {
+      import spark.implicits._
+      val rows = decls.get(name.toLowerCase) match {
+        case Some(d) =>
+          d.cols.map(c => (c.name.toUpperCase, c.dataType.sql,
+            if (c.isKey) (if (d.kind == "TABLE") "PRIMARY KEY" else "KEY") else ""))
+        case None =>
+          refreshViews()
+          spark.table(name).schema.fields.toSeq
+            .filterNot(_.name == "_offset")
+            .map(f => (f.name.toUpperCase, f.dataType.sql, ""))
+      }
+      Some(rows.toDF("column_name", "type", "key"))
+    }
+
     case ShowCommand(what) =>
       import spark.implicits._
       Some(what match {

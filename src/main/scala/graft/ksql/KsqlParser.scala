@@ -22,6 +22,7 @@ final case class InsertValues(target: String, columns: Option[Seq[String]],
     values: Seq[String]) extends KsqlStatement
 final case class PushQuery(select: String) extends KsqlStatement
 final case class ShowCommand(what: String) extends KsqlStatement
+final case class DescribeCommand(name: String) extends KsqlStatement
 
 object KsqlParser {
 
@@ -63,6 +64,7 @@ object KsqlParser {
   private val InsertRe =
     "(?is)^INSERT\\s+INTO\\s+(\\w+)\\s*(?:\\(([^)]*)\\)\\s*)?VALUES\\s*\\((.*)\\)$".r
   private val ShowRe = "(?is)^SHOW\\s+(\\w+)$".r
+  private val DescribeRe = "(?is)^DESCRIBE\\s+(\\w+)$".r
   private val PartitionByRe = "(?is)\\s+PARTITION\\s+BY\\s+(\\w+)\\s*$"
 
   def parse(statement: String): KsqlStatement = {
@@ -84,6 +86,7 @@ object KsqlParser {
           Option(cols).map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)),
           splitTopLevel(values))
       case ShowRe(what) => ShowCommand(what.toUpperCase)
+      case DescribeRe(name) => DescribeCommand(name)
       case sel if sel.toUpperCase.startsWith("SELECT") =>
         PushQuery(sel.replaceAll("(?is)\\s+EMIT\\s+CHANGES\\s*$", ""))
       case other =>

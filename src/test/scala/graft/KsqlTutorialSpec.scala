@@ -123,5 +123,11 @@ class KsqlTutorialSpec extends SparkSpec {
     assert(e.execute("SHOW TOPICS;").get.collect().map(_.getString(0)).toSeq
       === Seq("players"))
     assert(e.execute("SHOW TABLES;").get.count() === 1)
+    // DESCRIBE lists declared columns, types, and the key marker
+    val desc = e.execute("DESCRIBE players;").get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(desc.toSeq === Seq(
+      ("ID", "STRING", "PRIMARY KEY"), ("NAME", "STRING", ""),
+      ("TEAM", "STRING", ""), ("NATIONALITY", "STRING", "")))
   }
 }
