@@ -299,8 +299,15 @@ object SparkEntry {
       Similarity.ivfCosineTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
     }),
     // ---- M: multimodal plumbing ----------------------------------------
+    // Real codec round trip: asMediaTable synthesizes actual PNG/WAV bytes
+    // whose parameters are analytic functions of doc_id, decode re-parses
+    // them, and the oracle recomputes the parameters in SQL — so a
+    // hash-match proves the encode→decode loop is lossless. The projection
+    // drops content-derived columns (checksum, n_bytes) the oracle cannot
+    // reproduce without the codec.
     "m1_media_decode" -> ((s, d) =>
-      Multimodal.decode(Multimodal.asMediaTable(table(s, d, "documents"))).toDF()),
+      Multimodal.decode(Multimodal.asMediaTable(table(s, d, "documents"))).toDF()
+        .select("doc_id", "media_type", "width", "height", "n_frames", "decode_ok")),
     "m2_media_resize" -> ((s, d) =>
       Multimodal.resize(
         Multimodal.decode(Multimodal.asMediaTable(table(s, d, "documents"))))),
@@ -310,10 +317,10 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL per query (same column names and types as the Spark
-    * result). Queries absent here are non-SQL-expressible (hash sketches,
-    * LSH candidate generation, approximate search, stub decode) and get the
-    * driver's rows-only check; each has an exact twin that IS oracle-checked
-    * (d3/d4→d2, v2→v1, t5→t4, m*→t1-shape).
+    * result). Queries absent here are non-SQL-expressible (seeded-hash
+    * sketches, approximate search) and get the driver's rows-only check;
+    * each has an exact twin that IS oracle-checked (d4→d2/d3, v2→v1,
+    * t5→t4, a3_approx→a3).
     */
   def oracleSql: Map[String, String] = Map(
     "s2_table_upsert" ->
@@ -497,6 +504,41 @@ object SparkEntry {
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""".stripMargin,
+    // d3's LSH is candidate generation + EXACT jaccard verification, so its
+    // output equals the exhaustive all-pairs answer whenever every
+    // qualifying pair shares a band bucket (P(miss) = (1-s^4)^16 ≤ 2e-4 at
+    // s = 0.8, and real pairs sit far above threshold). The oracle is that
+    // exhaustive twin: all-pairs distinct-3-shingle Jaccard ≥ 0.8. Hashed-
+    // shingle Jaccard equals string-shingle Jaccard absent 64-bit
+    // collisions (negligible).
+    "d3_minhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tok)
+        |SELECT a, b, jaccard FROM (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE),
+        |      6) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.8""".stripMargin,
+    // d5 likewise verifies candidates with EXACT cosine, so its output is
+    // the exhaustive all-pairs answer when recall is 1 — and the testdata's
+    // max inter-vector cosine (0.513) sits far below the 0.99 threshold, so
+    // the oracle also proves the LSH emits no false positives.
+    "d5_embedding_neardup" ->
+      """SELECT a, b, cosine FROM (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.99""".stripMargin,
     "d2_ngram_jaccard" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, source,
@@ -579,6 +621,49 @@ object SparkEntry {
         |SELECT bigram, CAST(count(*) AS BIGINT) AS n
         |FROM bi GROUP BY bigram
         |ORDER BY n DESC, bigram ASC LIMIT 100""".stripMargin,
+    // The m* oracles recompute the analytic media parameters (image dims,
+    // WAV channels/rate/frames, size-derived video fallback) directly from
+    // doc_id/text — Spark must parse its own synthesized PNG/WAV bytes to
+    // match them.
+    "m1_media_decode" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 8 + doc_id % 57
+        |    WHEN 1 THEN 1 + doc_id % 2
+        |    ELSE strlen(text) % 1024 + 1 END AS INTEGER) AS width,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 8 + (doc_id // 3) % 57
+        |    WHEN 1 THEN 8000 + 1000 * (doc_id % 5)
+        |    ELSE strlen(text) * 31 % 1024 + 1 END AS INTEGER) AS height,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 1
+        |    WHEN 1 THEN 100 + doc_id % 400
+        |    ELSE strlen(text) % 64 + 1 END AS INTEGER) AS n_frames,
+        |  doc_id % 3 <> 2 AS decode_ok
+        |FROM documents""".stripMargin,
+    "m2_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(CASE doc_id % 3
+        |      WHEN 0 THEN 8 + doc_id % 57
+        |      WHEN 1 THEN 1 + doc_id % 2
+        |      ELSE strlen(text) % 1024 + 1 END AS INTEGER) AS width,
+        |    CAST(CASE doc_id % 3
+        |      WHEN 0 THEN 8 + (doc_id // 3) % 57
+        |      WHEN 1 THEN 8000 + 1000 * (doc_id % 5)
+        |      ELSE strlen(text) * 31 % 1024 + 1 END AS INTEGER) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CAST(least(256, width) AS INTEGER) AS out_width,
+        |  CAST(greatest(1, CAST(floor(
+        |    height * least(256, width) / width) AS BIGINT)) AS INTEGER) AS out_height
+        |FROM m""".stripMargin,
+    "m3_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST(unnest(generate_series(0, strlen(text) % 64, 8)) AS INTEGER) AS frame_idx
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
     "v1_brute_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

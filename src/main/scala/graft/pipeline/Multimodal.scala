@@ -44,20 +44,72 @@ object Multimodal {
       StructField("source", StringType, nullable = true),
       StructField("n_bytes", LongType, nullable = false))), nullable = false)))
 
-  /** Wrap `documents` rows as opaque media blobs: the UTF-8 bytes of the
-    * text play the role of image/audio content, with typed metadata. This
-    * is the ingest shape a binary-asset table would have at 100 TB
-    * (content column + skinny metadata, parquet-friendly).
+  /** Deterministic media-parameter functions of the document id. Analytic
+    * (SQL-expressible), so the DuckDB oracle can verify the full
+    * synthesize→encode→decode round trip: the decoder must actually parse
+    * the PNG/WAV bytes to reproduce these numbers.
     */
-  def asMediaTable(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      element_at(split(lit("image,audio,video"), ","),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-      encode(col("text"), "UTF-8").as("content"),
-      struct(col("source").as("source"),
-        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
-        .as("meta"))
+  private[pipeline] def imageDims(id: Long): (Int, Int) =
+    ((8 + id % 57).toInt, (8 + (id / 3) % 57).toInt)
+  private[pipeline] def wavParams(id: Long): (Int, Int, Int) =
+    ((1 + id % 2).toInt, (8000 + 1000 * (id % 5)).toInt, (100 + id % 400).toInt)
+
+  /** Tiny real PNG of the given dimensions (zeroed RGB raster). */
+  private[pipeline] def makePng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal real RIFF/WAVE file: PCM 16-bit, zeroed sample data. */
+  private[pipeline] def makeWav(channels: Int, rate: Int, frames: Int): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataSize = frames * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * blockAlign).putShort(blockAlign.toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    bb.array()
+  }
+
+  /** Wrap `documents` rows as media blobs with REAL payloads where a
+    * pure-JVM codec exists: image rows carry an actual PNG, audio rows an
+    * actual RIFF/WAVE file (parameters are deterministic functions of the
+    * id), and video rows carry the raw UTF-8 text bytes (no pure-JVM video
+    * codec in this container — these exercise the undecodable-payload
+    * fallback). This is the ingest shape a binary-asset table would have
+    * at 100 TB (content column + skinny metadata, parquet-friendly);
+    * synthesis runs per-partition so codec init amortizes per task.
+    */
+  def asMediaTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.map { case (id, text, source) =>
+          val content = (id % 3) match {
+            case 0 => val (w, h) = imageDims(id); makePng(w, h)
+            case 1 => val (ch, rate, fr) = wavParams(id); makeWav(ch, rate, fr)
+            case _ => text.getBytes("UTF-8")
+          }
+          val mt = (id % 3) match {
+            case 0 => "image"; case 1 => "audio"; case _ => "video"
+          }
+          (id, mt, content, source, content.length.toLong)
+        }
+      }
+      .toDF("doc_id", "media_type", "content", "_source", "_n")
+      .select(col("doc_id"), col("media_type"), col("content"),
+        struct(col("_source").as("source"), col("_n").as("n_bytes")).as("meta"))
+  }
 
   /** Deterministic 64-bit content checksum (two seeded murmur passes). */
   private def checksum64(bytes: Array[Byte]): Long = {
@@ -112,15 +164,15 @@ object Multimodal {
   private[pipeline] def decodeOne(docId: Long, mediaType: String,
       bytes: Array[Byte], nBytes: Long): DecodedMedia = {
     val cs = checksum64(bytes)
-    def fallback: DecodedMedia = {
-      val h = graft.functions.Kernels.splitmix64(cs)
+    // Fallback features are pure functions of the payload size — simple,
+    // deterministic across engines, and verifiable by the SQL oracle
+    // (unlike a seeded-hash derivation).
+    def fallback: DecodedMedia =
       DecodedMedia(docId, mediaType, nBytes,
-        width = (Math.floorMod(h, 1024L) + 1L).toInt,
-        height = (Math.floorMod(h >>> 10, 1024L) + 1L).toInt,
-        n_frames = if (mediaType == "image") 1
-                   else (Math.floorMod(h >>> 20, 64L) + 1L).toInt,
+        width = (nBytes % 1024 + 1).toInt,
+        height = (nBytes * 31 % 1024 + 1).toInt,
+        n_frames = if (mediaType == "image") 1 else (nBytes % 64 + 1).toInt,
         checksum = cs, decode_ok = false)
-    }
     mediaType match {
       case "image" => decodeImage(bytes)
         .map { case (w, h) =>
