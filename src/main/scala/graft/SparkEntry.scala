@@ -528,6 +528,37 @@ object SparkEntry {
         |      6) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
+    // d4's fingerprint is an md5-low64-token-hash SimHash, replicable in
+    // SQL; and with 4 bands of 16 bits, any pair at hamming ≤ 3 shares at
+    // least one untouched band (pigeonhole), so the banded LSH has recall
+    // EXACTLY 1 — its output equals the all-pairs hamming ≤ 3 answer.
+    "d4_simhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tk), 1, 8))::BIGINT AS HUGEINT) * 4294967296
+        |      + ('0x' || substr(md5(tk), 9, 8))::BIGINT AS h
+        |  FROM tok),
+        |v AS (
+        |  SELECT doc_id, g.b AS b,
+        |    sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM th, generate_series(0, 63) AS g(b)
+        |  GROUP BY doc_id, g.b),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN fpu >= 9223372036854775808
+        |         THEN fpu - 18446744073709551616 ELSE fpu END AS BIGINT) AS fp
+        |  FROM (SELECT doc_id,
+        |          sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << b
+        |              ELSE 0 END) AS fpu
+        |        FROM v GROUP BY doc_id))
+        |SELECT a, b, hamming FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(bit_count(xor(x.fp, y.fp)) AS INTEGER) AS hamming
+        |  FROM fp x JOIN fp y ON x.doc_id < y.doc_id)
+        |WHERE hamming <= 3""".stripMargin,
     // d5 likewise verifies candidates with EXACT cosine, so its output is
     // the exhaustive all-pairs answer when recall is 1 — and the testdata's
     // max inter-vector cosine (0.513) sits far below the 0.99 threshold, so
@@ -599,6 +630,68 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+    // t5 replicates the native rolling-fingerprint expression in pure SQL:
+    // each length-16 window's polynomial hash (base 1000003, mod 2^64 —
+    // the rolling identity makes window hashes direct polynomial sums, so
+    // no rolling state is needed) is finalized with splitmix64 decomposed
+    // into 32-bit mulmods in HUGEINT arithmetic, then the signed min is
+    // taken. `p` holds B^k mod 2^64 for k = 0..15.
+    "t5_rolling_fingerprint" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |pw AS (SELECT [CAST(1 AS HUGEINT),
+        |  CAST(1000003 AS HUGEINT),
+        |  CAST(1000006000009 AS HUGEINT),
+        |  CAST(1000009000027000027 AS HUGEINT),
+        |  CAST(14003818205314896721 AS HUGEINT),
+        |  CAST(14453212906556403763 AS HUGEINT),
+        |  CAST(10923514805226455897 AS HUGEINT),
+        |  CAST(12924618581234127435 AS HUGEINT),
+        |  CAST(1460077494926286753 AS HUGEINT),
+        |  CAST(3634980586811902243 AS HUGEINT),
+        |  CAST(5231796974404119081 AS HUGEINT),
+        |  CAST(2455841760392682171 AS HUGEINT),
+        |  CAST(15642640937032856817 AS HUGEINT),
+        |  CAST(14911146631531166995 AS HUGEINT),
+        |  CAST(5600660903763878393 AS HUGEINT),
+        |  CAST(6397295411589846571 AS HUGEINT)] AS p),
+        |cp AS (
+        |  SELECT doc_id, length(s) AS n,
+        |    list_transform(generate_series(1, length(s)),
+        |      i -> unicode(substr(s, i, 1))) AS c
+        |  FROM d),
+        |wh AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN n <= 16 THEN
+        |      [coalesce(list_sum(list_transform(generate_series(1, n),
+        |         j -> CAST(c[j] AS HUGEINT) * p[n - j + 1])), 0)
+        |       % 18446744073709551616]
+        |    ELSE
+        |      list_transform(generate_series(1, n - 15),
+        |        w -> coalesce(list_sum(list_transform(generate_series(0, 15),
+        |          j -> CAST(c[w + j] AS HUGEINT) * p[16 - j])), 0)
+        |          % 18446744073709551616)
+        |    END) AS h
+        |  FROM cp, pw),
+        |s1 AS (SELECT doc_id,
+        |  (h + 11400714819323198485) % 18446744073709551616 AS x FROM wh),
+        |s2 AS (SELECT doc_id, xor(x, x >> 30) AS x FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  (((x // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
+        |   + (x % 4294967296) * 13787848793156543929)
+        |   % 18446744073709551616 AS x FROM s2),
+        |s4 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  (((x // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
+        |   + (x % 4294967296) * 10723151780598845931)
+        |   % 18446744073709551616 AS x FROM s4),
+        |s6 AS (SELECT doc_id, xor(x, x >> 31) AS x FROM s5)
+        |SELECT doc_id,
+        |  min(CAST(CASE WHEN x >= 9223372036854775808
+        |       THEN x - 18446744073709551616 ELSE x END AS BIGINT))
+        |    AS fingerprint64
+        |FROM s6 GROUP BY doc_id""".stripMargin,
     "t6_dataset_split" ->
       """SELECT doc_id,
         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80 THEN 'train'

@@ -183,8 +183,28 @@ object Kernels {
     new GenericArrayData(sig)
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Low 64 bits of MD5 (first 8 digest bytes, big-endian) — the one hash
+    * both Spark and DuckDB compute identically, which makes md5-keyed
+    * sketches cross-engine verifiable (same trick as the md5-bucketed
+    * dataset split).
+    */
+  def md5Low64(s: UTF8String): Long = {
+    val md = md5Digest.get(); md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
   /** 64-bit SimHash (Charikar '02) over a token array: per-bit majority
-    * vote of token hashes; ties (vote == 0) resolve to bit 0.
+    * vote of token hashes; ties (vote == 0) resolve to bit 0. Token hash
+    * is [[md5Low64]] so the fingerprint is replicable in SQL by the
+    * DuckDB oracle (murmur is not).
     */
   def simhash64(tokens: ArrayData): Long = {
     val votes = new Array[Int](64)
@@ -192,7 +212,7 @@ object Kernels {
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = hash64(tokens.getUTF8String(i), 0x51f0)
+        val h = md5Low64(tokens.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
