@@ -258,4 +258,66 @@ object Kernels {
 
   /** Hamming distance between two 64-bit fingerprints (SimHash compare). */
   @inline def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Count of common elements of two SORTED DISTINCT string arrays
+    * (binary UTF-8 order — Spark's array_sort order for strings): one
+    * merge scan, zero allocation. The fast inner loop of pairwise Jaccard
+    * verification — `size(array_intersect(a, b))` builds a hash set and an
+    * output array per pair. Contract: no null elements.
+    */
+  def sortedIntersectCountString(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Nearest-centroid id by cosine over a small centroid matrix (IVF
+    * assignment): centroids scan in array order, strict-greater keeps the
+    * first on ties — the same semantics as an argmax fold with `sim >
+    * best`. One flat pass, no per-cell allocation.
+    */
+  def nearestCell(vec: ArrayData, cents: Array[Array[Float]],
+      ids: Array[Long]): Long = {
+    var best = -2.0
+    var bestId = -1L
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(vec.numElements(), cent.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = vec.getFloat(i).toDouble
+        val y = cent(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val sim = if (na == 0.0 || nb == 0.0) 0.0
+                else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (sim > best) { best = sim; bestId = ids(c) }
+      c += 1
+    }
+    bestId
+  }
+
+  /** [[sortedIntersectCountString]] for sorted distinct long arrays (the
+    * [[shingleHashes]] output form).
+    */
+  def sortedIntersectCountLong(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
 }

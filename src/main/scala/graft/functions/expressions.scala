@@ -115,6 +115,57 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "graft_simhash64"
 }
 
+/** nearest_centroid(vec): Long — id of the nearest centroid by cosine
+  * (IVF cell assignment). The centroid matrix rides along as a reference
+  * object (`ctx.addReferenceObj`), so the expression stays inside
+  * whole-stage codegen — unlike an `aggregate()` HOF fold, whose lambda is
+  * interpreted and allocates an accumulator struct per centroid per row.
+  */
+case class NearestCentroid(child: Expression, cellIds: Array[Long],
+    centroids: Array[Array[Float]]) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(vec: Any): Any =
+    Kernels.nearestCell(vec.asInstanceOf[ArrayData], centroids, cellIds)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val ids = ctx.addReferenceObj("cellIds", cellIds, "long[]")
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.Kernels.nearestCell($v, $cents, $ids)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nearest_centroid"
+}
+
+/** sorted_intersect_count(a, b): Int — common-element count of two sorted
+  * distinct arrays (string or bigint elements), via a single merge scan.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  private def kernel: String =
+    left.dataType.asInstanceOf[ArrayType].elementType match {
+      case StringType => "sortedIntersectCountString"
+      case LongType => "sortedIntersectCountLong"
+      case t => throw new IllegalArgumentException(
+        s"sorted_intersect_count: unsupported element type $t")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any = kernel match {
+    case "sortedIntersectCountString" =>
+      Kernels.sortedIntersectCountString(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    case _ =>
+      Kernels.sortedIntersectCountLong(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.$kernel($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_sorted_intersect_count"
+}
+
 /** rolling_fingerprint(text, window): Long min-rolling-hash fingerprint. */
 case class RollingFingerprint(child: Expression, window: Int)
     extends UnaryExpression {
@@ -135,6 +186,9 @@ object vector {
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def nearestCentroid(vec: Column, cellIds: Array[Long],
+      centroids: Array[Array[Float]]): Column =
+    Bridge.column(NearestCentroid(Bridge.expression(vec), cellIds, centroids))
 }
 
 object text {
@@ -150,4 +204,6 @@ object text {
     Bridge.column(SimHash64(Bridge.expression(tokens)))
   def rollingFingerprint(s: Column, window: Int = 16): Column =
     Bridge.column(RollingFingerprint(Bridge.expression(s), window))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 }

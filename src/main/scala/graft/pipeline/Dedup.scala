@@ -72,22 +72,32 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = sh.select(col("_id"),
       gtext.minhashFromHashes(col("_sh"), k, seed).as("_sig"))
+    // persisted: both sides of the bucket self-join read the banded
+    // relation — without the cache the k-affine signature pass runs twice
     val banded = sigs.select(
       col("_id"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("_sig"), b * rows + 1, lit(rows))))))
       .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("_band"), col("_bucket"), col("_id").as("a"))
     val r = banded.select(col("_band"), col("_bucket"), col("_id").as("b"))
     val candidates = l.join(r, Seq("_band", "_bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
+    // shingleHashes output is already sorted+distinct → merge-scan count;
+    // size-ratio prefilter as in [[ngramJaccardPairs]] (exact-safe).
+    val inter = gtext.sortedIntersectCount(col("_sha"), col("_shb")).cast("double")
     candidates
       .join(sh.select(col("_id").as("a"), col("_sh").as("_sha")), "a")
       .join(sh.select(col("_id").as("b"), col("_sh").as("_shb")), "b")
+      .filter(least(size(col("_sha")), size(col("_shb"))).cast("double") >=
+        greatest(size(col("_sha")), size(col("_shb"))).cast("double")
+          * threshold - 1e-9)
       .select(col("a"), col("b"),
-        round(jaccard(col("_sha"), col("_shb")), 6).as("jaccard"))
+        round(inter / (size(col("_sha")) + size(col("_shb")) - inter), 6)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -96,18 +106,32 @@ object Dedup {
     * blocking key bounds the quadratic term to per-block sizes; SQL-
     * expressible, so it doubles as the oracle-checked twin of
     * [[minhashPairs]].
+    *
+    * The pair loop is pruned and allocation-free: token sets are sorted
+    * once per document, a size-ratio prefilter drops pairs that cannot
+    * reach the threshold (J ≥ t ⟹ min(|A|,|B|)/max(|A|,|B|) ≥ t — the
+    * intersection is at most the smaller set, the union at least the
+    * larger; the 1e-9 slack keeps the float compare a superset of the
+    * exact predicate), and the surviving pairs count their intersection
+    * with a single merge scan instead of a per-pair hash set.
     */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.8,
       blockCols: Seq[String] = Seq("lang", "source")): DataFrame = {
     val toks = documents.select(
       (col("doc_id") +: blockCols.map(col)) :+
-        array_distinct(TextAnalysis.tokens(col("text"))).as("_t"): _*)
-    val a = toks.select(col("doc_id").as("a") +: blockCols.map(col) :+ col("_t").as("_ta"): _*)
-    val b = toks.select(col("doc_id").as("b") +: blockCols.map(col) :+ col("_t").as("_tb"): _*)
+        array_sort(array_distinct(TextAnalysis.tokens(col("text")))).as("_t"): _*)
+      .withColumn("_n", size(col("_t")))
+    val a = toks.select(col("doc_id").as("a") +: blockCols.map(col) :+
+      col("_t").as("_ta") :+ col("_n").as("_na"): _*)
+    val b = toks.select(col("doc_id").as("b") +: blockCols.map(col) :+
+      col("_t").as("_tb") :+ col("_n").as("_nb"): _*)
+    val inter = gtext.sortedIntersectCount(col("_ta"), col("_tb")).cast("double")
     a.join(b, blockCols)
-      .filter(col("a") < col("b"))
+      .filter(col("a") < col("b") &&
+        least(col("_na"), col("_nb")).cast("double") >=
+          greatest(col("_na"), col("_nb")).cast("double") * threshold - 1e-9)
       .select(col("a"), col("b"),
-        round(jaccard(col("_ta"), col("_tb")), 6).as("jaccard"))
+        round(inter / (col("_na") + col("_nb") - inter), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -119,9 +143,12 @@ object Dedup {
     */
   def simhashPairs(documents: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    // persisted: the banded self-join reads this twice; the cache keeps
+    // the tokenize+md5 fingerprint scan single-pass
     val fps = documents.select(
       col(idCol).as("_id"),
       gtext.simhash(TextAnalysis.tokens(col(textCol))).as("_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = fps.select(col("_id"), col("_fp"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("_fp"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
@@ -157,9 +184,11 @@ object Dedup {
       }.reduce(_.bitwiseOR(_))
       struct(lit(t).as("t"), bits.as("h"))
     }
+    // persisted: 48 plane dot-products per vector feed both join sides
     val banded = embeddings
       .select(col(idCol).as("_id"), col(vecCol).as("_v"),
         explode(array(buckets: _*)).as("_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("_b"), col("_id").as("a"), col("_v").as("_va"))
     val r = banded.select(col("_b"), col("_id").as("b"), col("_v").as("_vb"))
     l.join(r, Seq("_b"))

@@ -62,19 +62,14 @@ object Similarity {
         .agg(gagg.topKByScore(col("cosine"), col("neighbor_id"), k).as("_top")))
   }
 
-  /** Narrow argmax fold over a broadcast centroid-literal array: nearest
-    * cell id per vector — no join, no window, no shuffle.
+  /** Nearest cell id per vector — a native codegen'd argmax over the
+    * (tiny) centroid matrix carried as a reference object: narrow, no
+    * join, no window, no shuffle, and no interpreted HOF lambda in the
+    * corpus-scan hot path.
     */
-  private def nearestCellExpr(cellArr: Column, vec: Column): Column =
-    aggregate(
-      cellArr,
-      struct(lit(-2.0).as("best"), lit(-1L).as("cell_id")),
-      (acc, c) => {
-        val sim = gvec.cosine(vec, c.getField("cent"))
-        when(sim > acc.getField("best"),
-          struct(sim.as("best"), c.getField("cell_id").as("cell_id")))
-          .otherwise(acc)
-      }).getField("cell_id")
+  private def nearestCellExpr(centroids: Array[(Long, Array[Float])],
+      vec: Column): Column =
+    gvec.nearestCentroid(vec, centroids.map(_._1), centroids.map(_._2))
 
   private def cellLiterals(centroids: Array[(Long, Array[Float])]): Column =
     array(centroids.map { case (cid, v) =>
@@ -102,9 +97,8 @@ object Similarity {
     require(centroids.nonEmpty,
       s"no centroids sampled (corpus too small for centroidEvery=$centroidEvery)")
     (1 to iters).foreach { _ =>
-      val cellArr = cellLiterals(centroids)
       val means = corpus
-        .select(nearestCellExpr(cellArr, col(vecCol)).as("cell_id"),
+        .select(nearestCellExpr(centroids, col(vecCol)).as("cell_id"),
           col(vecCol).as("_v"))
         .groupBy("cell_id")
         .agg(graft.functions.VectorSumAgg.column(col("_v")).as("_sum"),
@@ -139,11 +133,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = kmeansCentroids(corpus, centroidEvery, kmeansIters, idCol, vecCol)
     val cellArr = cellLiterals(centroids)
-    def nearestCell(vec: Column): Column = nearestCellExpr(cellArr, vec)
 
     val assigned = corpus.select(
       col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_cv"),
-      nearestCell(col(vecCol)).as("cell_id"))
+      nearestCellExpr(centroids, col(vecCol)).as("cell_id"))
 
     // 3. nProbe nearest cells per query (narrow: transform+sort+slice)
     val probed = queries.select(
