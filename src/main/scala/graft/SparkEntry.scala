@@ -271,8 +271,71 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"), col("value"), col("signup_value"))
     }),
+    // A7: exact per-group percentiles (median + p95). Exact `percentile`
+    // (sort-based interpolation), not approx_percentile — the approximate
+    // sketch is engine-specific; the exact form is the oracle-checkable
+    // one and the default below ~10^9 rows per group.
+    "a7_percentiles" -> ((s, d) =>
+      events(s, d).groupBy("event_type").agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"))),
+    // A8: bounded top-k per group via the native TopKByScore aggregate —
+    // each map task's partial reduces to <= k entries per group BEFORE the
+    // exchange (a rank-window plan would shuffle the full relation).
+    "a8_topk_per_group" -> ((s, d) =>
+      events(s, d).groupBy("event_type")
+        .agg(graft.functions.agg.topKByScore(col("value"), col("event_id"), 3)
+          .as("_top"))
+        .select(col("event_type"), posexplode(col("_top")))
+        .select(col("event_type"), col("col.id").as("event_id"),
+          (col("pos") + 1).cast("int").as("rank"), col("col.score").as("value"))),
+    // A9: ROLLUP hierarchy totals — (lang, source), (lang), () in one pass.
+    "a9_rollup" -> ((s, d) =>
+      table(s, d, "documents").rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))),
+    // X4: non-equi band join — value ranges as a broadcast-nested-loop
+    // join against a tiny literal dimension (the join form of P5's CASE).
+    "x4_band_join" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(("low", 0.0, 100.0), ("mid", 100.0, 250.0),
+        ("high", 250.0, 1000.0)).toDF("band", "lo", "hi")
+      events(s, d)
+        .join(broadcast(bands),
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_c2"))
+    }),
+    // P12: set difference — whole-unit value levels seen in views but
+    // never in purchases (distinct semantics, two hash-partial passes).
+    "p12_except" -> ((s, d) => {
+      val ev = events(s, d)
+      def lv(t: String) = ev.filter(col("event_type") === t)
+        .select(round(col("value")).cast("long").as("value_level"))
+      lv("view").except(lv("purchase"))
+    }),
+    // V3: per-label centroid components in exact integer 1e-6 units (a
+    // double mean would be accumulation-order dependent; the scaled-sum
+    // form is the hash-checkable fingerprint of VectorSumAgg's centroid).
+    // floor, not round: Spark rounds the DECIMAL rendering half-up while
+    // DuckDB rounds the DOUBLE, which disagree within an ulp of .5 —
+    // floor is pure IEEE on both.
+    "v3_label_centroid" -> ((s, d) =>
+      table(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(floor(col("col") * 1e6).cast("long")).as("sum_c6"),
+          count(lit(1)).as("n_vecs"))),
     // ---- D: deduplication ----------------------------------------------
     "d1_dedup_exact" -> ((s, d) => Dedup.exact(table(s, d, "documents"))),
+    // D6: benchmark decontamination (train/test leakage guard) — src0
+    // plays the held-out benchmark.
+    "d6_decontaminate" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+    }),
     "d2_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(table(s, d, "documents"))),
     "d3_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(table(s, d, "documents"))),
     "d4_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(table(s, d, "documents"))),
@@ -289,6 +352,7 @@ object SparkEntry {
     "t6_dataset_split" -> ((s, d) =>
       TextAnalysis.datasetSplit(table(s, d, "documents"))),
     "t7_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(table(s, d, "documents"))),
+    "t8_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(table(s, d, "documents"))),
     // ---- V: similarity search ------------------------------------------
     "v1_brute_cosine_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
@@ -504,6 +568,70 @@ object SparkEntry {
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""".stripMargin,
+    "a7_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY event_type""".stripMargin,
+    "a8_topk_per_group" ->
+      """SELECT event_type, event_id, CAST(rank AS INTEGER) AS rank, value
+        |FROM (SELECT event_type, event_id, value,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY value DESC, event_id) AS rank
+        |      FROM events)
+        |WHERE rank <= 3""".stripMargin,
+    "a9_rollup" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+    "x4_band_join" ->
+      """WITH bands AS (
+        |  SELECT * FROM (VALUES ('low', 0.0, 100.0), ('mid', 100.0, 250.0),
+        |    ('high', 250.0, 1000.0)) AS t(band, lo, hi))
+        |SELECT band, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c2
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band""".stripMargin,
+    "p12_except" ->
+      """SELECT CAST(round(value) AS BIGINT) AS value_level FROM events
+        |WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT CAST(round(value) AS BIGINT) FROM events
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "v3_label_centroid" ->
+      """SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+        |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+        |    AS BIGINT)) AS BIGINT) AS sum_c6,
+        |  CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM embeddings, generate_series(1, 64) AS g(i)
+        |GROUP BY label, i""".stripMargin,
+    "d6_decontaminate" ->
+      """WITH fp AS (
+        |  SELECT doc_id, source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents)
+        |SELECT c.doc_id FROM fp c
+        |WHERE c.source <> 'src0'
+        |  AND NOT EXISTS (SELECT 1 FROM fp b
+        |                  WHERE b.source = 'src0' AND b.f = c.f)""".stripMargin,
+    "t8_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tk AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+        |        FROM documents)
+        |  GROUP BY doc_id, tk),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |          FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, round(tf * (nd + 1.0) / (df + 1.0), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term), n)
+        |SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3""".stripMargin,
     // d3's LSH is candidate generation + EXACT jaccard verification, so its
     // output equals the exhaustive all-pairs answer whenever every
     // qualifying pair shares a band bucket (P(miss) = (1-s^4)^16 ≤ 2e-4 at

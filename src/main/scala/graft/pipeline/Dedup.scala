@@ -26,6 +26,21 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
 
+  /** Benchmark decontamination: drop corpus documents whose normalized-text
+    * fingerprint appears in the benchmark/eval set (the standard guard
+    * against test-set leakage into training data). One LEFT ANTI hash join
+    * on md5 fingerprints — text never shuffles, and the benchmark side is
+    * typically small enough to broadcast.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def fp(d: DataFrame): Column = md5(TextAnalysis.normalized(col(textCol)))
+    corpus.select(col(idCol), fp(corpus).as("_fp"))
+      .join(benchmark.select(fp(benchmark).as("_fp")).distinct(),
+        Seq("_fp"), "left_anti")
+      .select(idCol)
+  }
+
   /** Word w-shingles of the token array (w consecutive tokens joined by a
     * space) — the unit set for Jaccard resemblance. Native codegen'd
     * expression; no per-position slice/concat lambda allocation.

@@ -139,6 +139,32 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-document top-k terms by TF-IDF. The IDF factor is the LOG-FREE
+    * rational (N+1)/(df+1): transcendental functions round differently
+    * across libm implementations, so the log-free variant keeps scores
+    * bit-reproducible cross-engine (the ranking is order-isomorphic to the
+    * log form for fixed tf). Two shuffles (tf by (doc,term), df by term) +
+    * a per-doc rank window whose partitions are bounded by document
+    * length — no corpus-sized window state at any scale.
+    */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = documents.count()
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * lit(nDocs + 1.0) / (col("df") + lit(1.0)), 6)
+          .as("tfidf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tfidf", "rank")
+  }
+
   /** 64-bit min-rolling-hash fingerprint (winnowing-style, native
     * expression) — robust to small edits, constant width at any document
     * size.

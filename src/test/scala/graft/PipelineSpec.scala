@@ -134,6 +134,53 @@ class PipelineSpec extends SparkSpec {
     assert(rolls(0) === rolls(1))
   }
 
+  test("tfidf ranks rare terms above common ones, tiebreak on term") {
+    val d = docs(
+      1L -> "apple banana shared shared",
+      2L -> "cherry shared",
+      3L -> "durian shared")
+    val top1 = TextAnalysis.tfidfTopTerms(d, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'shared' appears in every doc (df=3); each doc's unique term (df=1)
+    // must outrank it even where 'shared' has tf=2
+    assert(top1 === Map(1L -> "apple", 2L -> "cherry", 3L -> "durian"))
+  }
+
+  test("decontaminate drops normalized-text collisions with the benchmark") {
+    val corpus = docs(1L -> "Keep me", 2L -> "LEAKED   doc", 3L -> "also kept")
+    val bench = docs(10L -> "leaked doc", 11L -> "benchmark only")
+    val kept = Dedup.decontaminate(corpus, bench)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))  // 2 collides after normalization
+  }
+
+  test("sorted intersect count matches array_intersect semantics") {
+    import spark.implicits._
+    val d = Seq(
+      (Array("a", "b", "c"), Array("b", "c", "d")),
+      (Array("a"), Array("b")),
+      (Array[String](), Array("a")),
+      (Array("x", "y", "z"), Array("x", "y", "z"))).toDF("l", "r")
+    val got = d.select(
+      graft.functions.text.sortedIntersectCount(col("l"), col("r")),
+      size(array_intersect(col("l"), col("r")))).collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
+  test("nearest centroid is argmax cosine with first-wins ties") {
+    import spark.implicits._
+    val cents = Array(
+      10L -> Array(1f, 0f), 20L -> Array(0f, 1f), 30L -> Array(1f, 0f))
+    val d = Seq(
+      (1L, Array(0.9f, 0.1f)),   // nearest: (1,0) -> first of 10/30 wins
+      (2L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val got = d.select(col("vec_id"),
+      graft.functions.vector.nearestCentroid(
+        col("embedding"), cents.map(_._1), cents.map(_._2)).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 10L, 2L -> 20L))
+  }
+
   test("real image decode: PNG fixture round-trips exact dimensions") {
     import spark.implicits._
     // build a real 17x9 PNG in-memory
