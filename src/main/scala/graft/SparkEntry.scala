@@ -353,6 +353,15 @@ object SparkEntry {
       TextAnalysis.datasetSplit(table(s, d, "documents"))),
     "t7_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(table(s, d, "documents"))),
     "t8_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(table(s, d, "documents"))),
+    "t9_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionScore(table(s, d, "documents"))),
+    // D7: 13-gram overlap with the src0 benchmark (contamination audit).
+    "d7_ngram_contamination" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Dedup.ngramContamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+    }),
     // ---- V: similarity search ------------------------------------------
     "v1_brute_cosine_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
@@ -605,6 +614,40 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_vecs
         |FROM embeddings, generate_series(1, 64) AS g(i)
         |GROUP BY label, i""".stripMargin,
+    "t9_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2),
+        |bi AS (
+        |  SELECT doc_id, CAST(len(t) - 1 AS INTEGER) AS n_bigrams,
+        |    CAST(len(list_distinct(list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1]))) AS INTEGER) AS n_distinct_bigrams
+        |  FROM tok)
+        |SELECT doc_id, n_bigrams, n_distinct_bigrams,
+        |  round(1.0 - CAST(n_distinct_bigrams AS DOUBLE)
+        |    / CAST(n_bigrams AS DOUBLE), 6) AS dup_2gram_ratio
+        |FROM bi""".stripMargin,
+    // d7 compares gram sets by 64-bit hash on the Spark side and by string
+    // on the oracle side — identical counts absent collisions.
+    "d7_ngram_contamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(CASE WHEN len(t) <= 13
+        |      THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(generate_series(1, len(t) - 12),
+        |        i -> array_to_string(t[i:i+12], ' ')) END)) AS g
+        |  FROM tok)
+        |SELECT a.doc_id, CAST(count(DISTINCT a.g) AS BIGINT)
+        |    AS n_contaminated_ngrams
+        |FROM sh a
+        |WHERE a.source <> 'src0'
+        |  AND EXISTS (SELECT 1 FROM sh b
+        |              WHERE b.source = 'src0' AND b.g = a.g)
+        |GROUP BY a.doc_id""".stripMargin,
     "d6_decontaminate" ->
       """WITH fp AS (
         |  SELECT doc_id, source,

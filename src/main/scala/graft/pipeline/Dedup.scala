@@ -41,6 +41,25 @@ object Dedup {
       .select(idCol)
   }
 
+  /** N-gram contamination check (GPT-3-appendix-style decontamination):
+    * for each corpus document, the number of distinct w-grams it shares
+    * with the benchmark set. Both sides reduce to 64-bit w-gram hashes
+    * (one codegen'd pass, no gram strings on the wire); the join key is a
+    * uniform hash, and the benchmark side is small → broadcast. Downstream
+    * callers drop documents with any hit (or above a gram-count budget).
+    */
+  def ngramContamination(corpus: DataFrame, benchmark: DataFrame, w: Int = 13,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def grams(d: DataFrame): DataFrame = d.select(
+      col(idCol),
+      explode(gtext.shingleHashes(TextAnalysis.tokens(col(textCol)), w, 42))
+        .as("_g"))
+    grams(corpus)
+      .join(grams(benchmark).select("_g").distinct(), "_g")
+      .groupBy(idCol)
+      .agg(countDistinct(col("_g")).as("n_contaminated_ngrams"))
+  }
+
   /** Word w-shingles of the token array (w consecutive tokens joined by a
     * space) — the unit set for Jaccard resemblance. Native codegen'd
     * expression; no per-position slice/concat lambda allocation.

@@ -139,6 +139,24 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Duplicate-bigram repetition score (Gopher/RefinedWeb-style quality
+    * rule): the fraction of bigram positions occupied by repeated bigrams.
+    * Single-pass narrow projection; docs with fewer than 2 tokens have no
+    * bigram and are excluded.
+    */
+  def repetitionScore(documents: DataFrame): DataFrame = {
+    val ts = tokens(col("text"))
+    documents
+      .filter(size(ts) >= 2)
+      .select(
+        col("doc_id"),
+        (size(ts) - 1).as("n_bigrams"),
+        size(Dedup.shingles(col("text"), 2)).as("n_distinct_bigrams"))
+      .withColumn("dup_2gram_ratio",
+        round(lit(1.0) - col("n_distinct_bigrams").cast("double")
+          / col("n_bigrams").cast("double"), 6))
+  }
+
   /** Per-document top-k terms by TF-IDF. The IDF factor is the LOG-FREE
     * rational (N+1)/(df+1): transcendental functions round differently
     * across libm implementations, so the log-free variant keeps scores

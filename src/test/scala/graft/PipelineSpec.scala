@@ -181,6 +181,26 @@ class PipelineSpec extends SparkSpec {
     assert(got === Map(1L -> 10L, 2L -> 20L))
   }
 
+  test("repetition score: looped text scores high, unique text zero") {
+    val d = docs(1L -> "spam ham spam ham spam ham", 2L -> "all tokens unique here")
+    val got = TextAnalysis.repetitionScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // doc 1: 5 bigram positions, 2 distinct ("spam ham", "ham spam")
+    assert(got === Map(1L -> ((5, 2)), 2L -> ((3, 3))))
+  }
+
+  test("ngram contamination counts shared w-grams with the benchmark") {
+    val shared = (1 to 13).map(i => s"t$i").mkString(" ")
+    val corpus = docs(
+      1L -> (shared + " extra tail tokens here"),
+      2L -> (100 to 120).map(i => s"u$i").mkString(" "))
+    val bench = docs(10L -> (shared + " different continuation"))
+    val got = Dedup.ngramContamination(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.contains(1L) && got(1L) >= 1L)  // shares the 13-gram
+    assert(!got.contains(2L))
+  }
+
   test("real image decode: PNG fixture round-trips exact dimensions") {
     import spark.implicits._
     // build a real 17x9 PNG in-memory
