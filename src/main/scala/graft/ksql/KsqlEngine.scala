@@ -47,6 +47,15 @@ class KsqlEngine(
       KsqlEngine.jdbcConnectorProvider) extends KsqlTranslator {
 
   private case class Topic(schema: StructType, rows: mutable.ArrayBuffer[Row])
+
+  /** Record timestamps (ksqlDB's ROWTIME) for the in-memory log: a fixed
+    * epoch base + 1 s per offset — deterministic ingestion-time semantics
+    * for the tutorial's hand-INSERTed records, enabling WINDOW clauses.
+    */
+  private val RowtimeBaseSec = 1577836800L // 2020-01-01T00:00:00Z
+  private def rowtime(offset: Long): java.sql.Timestamp =
+    new java.sql.Timestamp((RowtimeBaseSec + offset) * 1000L)
+  override protected def rowtimeSupported: Boolean = true
   private case class Decl(kind: String, name: String, cols: Seq[ColumnDef],
       topic: String)
   private case class Derived(kind: String, name: String, select: String,
@@ -90,10 +99,11 @@ class KsqlEngine(
         props.getOrElse("table.whitelist",
           throw new IllegalArgumentException("connector needs table.whitelist"))
       val schema = StructType(df.schema.fields.toSeq :+
-        StructField("_offset", LongType, nullable = false))
+        StructField("_offset", LongType, nullable = false) :+
+        StructField("_rowtime", TimestampType, nullable = false))
       val rows = mutable.ArrayBuffer.empty[Row]
       df.collect().zipWithIndex.foreach { case (r, i) =>
-        rows += Row.fromSeq(r.toSeq :+ i.toLong)
+        rows += Row.fromSeq(r.toSeq :+ i.toLong :+ rowtime(i.toLong))
       }
       topics(topic) = Topic(schema, rows)
       connectors += name
@@ -104,7 +114,8 @@ class KsqlEngine(
       if (!topics.contains(topic)) {
         val schema = StructType(cols.map(c =>
           StructField(c.name, c.dataType)).toSeq :+
-          StructField("_offset", LongType, nullable = false))
+          StructField("_offset", LongType, nullable = false) :+
+          StructField("_rowtime", TimestampType, nullable = false))
         topics(topic) = Topic(schema, mutable.ArrayBuffer.empty)
       }
       decls(name.toLowerCase) = Decl(kind, name, cols, topic)
@@ -129,7 +140,8 @@ class KsqlEngine(
       val converted = d.cols.map { c =>
         byName.get(c.name.toLowerCase).map(v => convert(v, c.dataType)).orNull
       }
-      topic.rows += Row.fromSeq(converted :+ topic.rows.length.toLong)
+      topic.rows += Row.fromSeq(converted :+ topic.rows.length.toLong :+
+        rowtime(topic.rows.length.toLong))
       None
 
     case PushQuery(select) =>
@@ -145,7 +157,7 @@ class KsqlEngine(
         case None =>
           refreshViews()
           spark.table(name).schema.fields.toSeq
-            .filterNot(_.name == "_offset")
+            .filterNot(f => f.name == "_offset" || f.name == "_rowtime")
             .map(f => (f.name.toUpperCase, f.dataType.sql, ""))
       }
       Some(rows.toDF("column_name", "type", "key"))
@@ -179,7 +191,7 @@ class KsqlEngine(
     decls.values.foreach { d =>
       val base = topicDF(d.topic)
       val projected = base.select(
-        d.cols.map(c => col(c.name)) :+ col("_offset"): _*)
+        d.cols.map(c => col(c.name)) :+ col("_offset") :+ col("_rowtime"): _*)
       val view = d.kind match {
         case "TABLE" =>
           TableOps.latestByKey(projected, d.cols.filter(_.isKey).map(_.name), "_offset")
@@ -199,7 +211,8 @@ class KsqlEngine(
   /** Declared/derived output columns of a collection (no `_offset`). */
   protected def viewColumns(name: String): Seq[String] =
     decls.get(name.toLowerCase).map(_.cols.map(_.name))
-      .getOrElse(spark.table(name).columns.toSeq.filterNot(_ == "_offset"))
+      .getOrElse(spark.table(name).columns.toSeq
+        .filterNot(c => c == "_offset" || c == "_rowtime"))
 
   private def upperCased(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(_.toUpperCase).toIndexedSeq: _*)

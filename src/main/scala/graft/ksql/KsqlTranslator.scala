@@ -8,6 +8,14 @@ package graft.ksql
   * streaming, where Spark rejects count-distinct), `LATEST_BY_OFFSET(x)`
   * → `graft_latest_by_offset(x, stream._offset)`, ksqlDB-style
   * alias-prefixed `SELECT *` expansion.
+  *
+  * Beyond the tutorial's surface, ksqlDB 0.15's windowed aggregations
+  * translate too (engines that carry a `_rowtime` record timestamp):
+  * `WINDOW TUMBLING (SIZE n U)` / `HOPPING (SIZE n U, ADVANCE BY m U)` /
+  * `SESSION (n U)` become `window()` / `session_window()` grouping
+  * expressions, and the `WINDOWSTART`/`WINDOWEND`/`ROWTIME`
+  * pseudo-columns resolve to epoch-millis of the window bounds / record
+  * time (ksqlDB's BIGINT-millis semantics).
   */
 trait KsqlTranslator {
 
@@ -20,9 +28,14 @@ trait KsqlTranslator {
   /** SQL replacement for `COUNT_DISTINCT(` — engine-specific. */
   protected def countDistinctSql: String = "count(DISTINCT "
 
+  /** Whether collection views expose the `_rowtime` record timestamp
+    * (required for WINDOW clauses and ROWTIME).
+    */
+  protected def rowtimeSupported: Boolean = false
+
   private val FromRe =
     ("(?is)\\bFROM\\s+(\\w+)" +
-      "(?:\\s+(?!JOIN\\b|LEFT\\b|RIGHT\\b|FULL\\b|INNER\\b|OUTER\\b|ON\\b|WHERE\\b|GROUP\\b|PARTITION\\b|EMIT\\b|HAVING\\b|ORDER\\b|LIMIT\\b)(\\w+))?").r
+      "(?:\\s+(?!JOIN\\b|LEFT\\b|RIGHT\\b|FULL\\b|INNER\\b|OUTER\\b|ON\\b|WHERE\\b|GROUP\\b|PARTITION\\b|EMIT\\b|HAVING\\b|ORDER\\b|LIMIT\\b|WINDOW\\b)(\\w+))?").r
   private val JoinRe =
     "(?is)\\bJOIN\\s+(\\w+)(?:\\s+(?!ON\\b)(\\w+))?\\s+ON\\b".r
 
@@ -35,12 +48,56 @@ trait KsqlTranslator {
     from.toSeq ++ joins
   }
 
+  private val WindowRe =
+    "(?is)\\bWINDOW\\s+(TUMBLING|HOPPING|SESSION)\\s*\\(([^)]*)\\)".r
+  private val SizeRe = "(?i)SIZE\\s+(\\d+)\\s+(\\w+)".r
+  private val AdvanceRe = "(?i)ADVANCE\\s+BY\\s+(\\d+)\\s+(\\w+)".r
+  private val BareDurRe = "(?i)(\\d+)\\s+(\\w+)".r
+
   private[ksql] def translateSelect(select0: String,
       injectOffset: Boolean = false): String = {
     var s = select0.replaceAll("(?is)\\s+EMIT\\s+CHANGES\\s*$", "").trim
     s = s.replaceAll("(?i)(?<![\\w])COUNT_DISTINCT\\s*\\(",
       java.util.regex.Matcher.quoteReplacement(countDistinctSql))
     s = s.replaceAll("(?i)(?<![\\w])UCASE\\s*\\(", "upper(")
+    // ---- windowed aggregation (WINDOW TUMBLING/HOPPING/SESSION) --------
+    WindowRe.findFirstMatchIn(s).foreach { m =>
+      require(rowtimeSupported,
+        "WINDOW clauses need an engine with record timestamps (_rowtime)")
+      val ref = fromSources(s).headOption.map(_._2).getOrElse(
+        throw new IllegalArgumentException(s"WINDOW without FROM: $select0"))
+      def dur(n: String, u: String) = s"$n ${u.toLowerCase}"
+      val (winExpr, winCol) = m.group(1).toUpperCase match {
+        case "TUMBLING" =>
+          val sm = SizeRe.findFirstMatchIn(m.group(2)).getOrElse(
+            throw new IllegalArgumentException(s"TUMBLING needs SIZE: $select0"))
+          (s"window($ref._rowtime, '${dur(sm.group(1), sm.group(2))}')", "window")
+        case "HOPPING" =>
+          val sm = SizeRe.findFirstMatchIn(m.group(2)).getOrElse(
+            throw new IllegalArgumentException(s"HOPPING needs SIZE: $select0"))
+          val am = AdvanceRe.findFirstMatchIn(m.group(2)).getOrElse(
+            throw new IllegalArgumentException(s"HOPPING needs ADVANCE BY: $select0"))
+          (s"window($ref._rowtime, '${dur(sm.group(1), sm.group(2))}', " +
+            s"'${dur(am.group(1), am.group(2))}')", "window")
+        case _ => // SESSION
+          val gm = BareDurRe.findFirstMatchIn(m.group(2)).getOrElse(
+            throw new IllegalArgumentException(s"SESSION needs a gap: $select0"))
+          (s"session_window($ref._rowtime, '${dur(gm.group(1), gm.group(2))}')",
+            "session_window")
+      }
+      s = WindowRe.replaceFirstIn(s, " ")
+      s = s.replaceFirst("(?i)\\bGROUP\\s+BY\\b",
+        java.util.regex.Matcher.quoteReplacement(s"GROUP BY $winExpr,"))
+      s = s.replaceAll("(?i)(?<![\\w])WINDOWSTART(?![\\w])",
+        s"unix_millis($winCol.start)")
+      s = s.replaceAll("(?i)(?<![\\w])WINDOWEND(?![\\w])",
+        s"unix_millis($winCol.end)")
+    }
+    if (rowtimeSupported && s.toUpperCase.matches("(?s).*(?<![\\w])ROWTIME(?![\\w]).*")) {
+      val ref = fromSources(s).headOption.map(_._2).getOrElse("")
+      s = s.replaceAll("(?i)(?<![\\w])ROWTIME(?![\\w])",
+        s"unix_millis($ref._rowtime)")
+    }
     val sources = fromSources(s)
     // LATEST_BY_OFFSET orders by the STREAM side's record offset
     if (s.toUpperCase.contains("LATEST_BY_OFFSET")) {
@@ -65,10 +122,13 @@ trait KsqlTranslator {
     }
     if (injectOffset && !s.toUpperCase.contains("GROUP BY")) {
       // derived streams carry the source offset through (Kafka offset
-      // analogue) so downstream LATEST_BY_OFFSET keeps arrival order
+      // analogue) so downstream LATEST_BY_OFFSET keeps arrival order —
+      // and the record timestamp, so downstream WINDOW clauses still work
       val ref = sources.headOption.map(_._2).getOrElse("")
+      val extra = s", $ref._offset AS _offset " +
+        (if (rowtimeSupported) s", $ref._rowtime AS _rowtime " else "")
       s = FromRe.replaceFirstIn(s,
-        java.util.regex.Matcher.quoteReplacement(s", $ref._offset AS _offset ") + "FROM $1 $2")
+        java.util.regex.Matcher.quoteReplacement(extra) + "FROM $1 $2")
     }
     s
   }

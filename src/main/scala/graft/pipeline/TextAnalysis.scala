@@ -172,7 +172,9 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(dfreq, "term")
+    // vocab ≪ corpus: broadcast keeps tf un-shuffled for the join (at
+    // vocab sizes beyond broadcast reach, drop the hint and let AQE pick)
+    tf.join(broadcast(dfreq), "term")
       .select(col("doc_id"), col("term"),
         round(col("tf") * lit(nDocs + 1.0) / (col("df") + lit(1.0)), 6)
           .as("tfidf"))

@@ -98,6 +98,47 @@ class KsqlTutorialSpec extends SparkSpec {
       Row("2", "Cristiano Ronaldo", "Portuguese", 2L, 1.0, 1L)))
   }
 
+  test("KSQL windowed aggregations: TUMBLING, HOPPING, SESSION, ROWTIME") {
+    val e = engine
+    e.execute("""CREATE STREAM match_event (
+      id VARCHAR KEY, event_type VARCHAR, player_id VARCHAR, home boolean)
+      WITH (KAFKA_TOPIC='match_event');""")
+    Tutorial.canonicalEvents.foreach { ev =>
+      e.execute(s"INSERT INTO match_event VALUES " +
+        s"('${ev.id}', '${ev.event_type}', '${ev.player_id}', ${ev.home});")
+    }
+    // record timestamps: base + 1s per offset; match 1 = offsets 0-3,
+    // match 2 = offsets 4-6
+    val base = 1577836800000L
+    val tumb = e.execute(
+      """SELECT id, WINDOWSTART ws, COUNT(id) n FROM match_event
+        WINDOW TUMBLING (SIZE 2 SECONDS) GROUP BY id EMIT CHANGES;""").get
+      .orderBy("ID", "WS").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(tumb.toSeq === Seq(
+      ("1", base, 2L), ("1", base + 2000, 2L),
+      ("2", base + 4000, 2L), ("2", base + 6000, 1L)))
+    val hop = e.execute(
+      """SELECT id, WINDOWSTART ws, COUNT(id) n FROM match_event
+        WINDOW HOPPING (SIZE 4 SECONDS, ADVANCE BY 2 SECONDS)
+        GROUP BY id EMIT CHANGES;""").get
+      .orderBy("ID", "WS").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(hop.toSeq === Seq(
+      ("1", base - 2000, 2L), ("1", base, 4L), ("1", base + 2000, 2L),
+      ("2", base + 2000, 2L), ("2", base + 4000, 3L), ("2", base + 6000, 1L)))
+    val sess = e.execute(
+      """SELECT id, COUNT(id) n FROM match_event
+        WINDOW SESSION (2 SECONDS) GROUP BY id EMIT CHANGES;""").get
+      .orderBy("ID").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(sess.toSeq === Seq(("1", 4L), ("2", 3L)))
+    val rt = e.execute(
+      "SELECT id, ROWTIME rt FROM match_event EMIT CHANGES;").get
+      .orderBy("RT").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rt.head === (("1", base)))
+    assert(rt.last === (("2", base + 6000)))
+  }
+
   test("UCASE / projections / filters / upsert semantics via KSQL text") {
     val e = engine
     e.execute("CREATE SOURCE CONNECTOR c WITH ('table.whitelist' = 'players');")

@@ -136,6 +136,31 @@ class StreamingTutorialSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: first fingerprint arrival passes, later dups drop") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val baseSec = 1700000000L
+    def ts(minute: Int) = new java.sql.Timestamp((baseSec + minute * 60L) * 1000)
+    val deduped = graft.streaming.StreamDedup.exact(
+      input.toDF().toDF("doc_id", "text", "ts"), watermarkDelay = "1 hour")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_stream").outputMode("append").start()
+    try {
+      // same batch: 2 is a whitespace-variant duplicate of 1 → dropped
+      input.addData((1L, "Hello   World", ts(0)), (2L, "hello world", ts(1)),
+        (3L, "unique doc", ts(2)))
+      q.processAllAvailable()
+      val b1 = spark.table("dedup_stream").collect().map(_.getLong(0)).toSet
+      assert(b1 === Set(1L, 3L))
+      // later batch, still inside the watermark horizon → also dropped
+      input.addData((4L, "HELLO WORLD", ts(5)), (5L, "fresh content", ts(6)))
+      q.processAllAvailable()
+      val b2 = spark.table("dedup_stream").collect().map(_.getLong(0)).toSet
+      assert(b2 === Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("batch sessionization matches a hand-built fixture") {
     import spark.implicits._
     def us(minute: Int) = minute * 60L * 1000000L
