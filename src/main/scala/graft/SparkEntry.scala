@@ -355,6 +355,8 @@ object SparkEntry {
     "t8_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(table(s, d, "documents"))),
     "t9_repetition" -> ((s, d) =>
       TextAnalysis.repetitionScore(table(s, d, "documents"))),
+    "t10_quality_filter" -> ((s, d) =>
+      TextAnalysis.qualityFilter(table(s, d, "documents"))),
     // D7: 13-gram overlap with the src0 benchmark (contamination audit).
     "d7_ngram_contamination" -> ((s, d) => {
       val docs = table(s, d, "documents")
@@ -628,6 +630,27 @@ object SparkEntry {
         |  round(1.0 - CAST(n_distinct_bigrams AS DOUBLE)
         |    / CAST(n_bigrams AS DOUBLE), 6) AS dup_2gram_ratio
         |FROM bi""".stripMargin,
+    "t10_quality_filter" ->
+      """WITH x AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(t) AS n,
+        |    CAST(len(list_filter(t, tk -> tk IN
+        |      ('the','a','an','and','of','to','in','is','it','for')))
+        |      AS DOUBLE) / len(t) AS sr,
+        |    1.0 - CAST(len(list_distinct(list_transform(
+        |      generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1]))) AS DOUBLE) / (len(t) - 1) AS dr
+        |  FROM x),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n < 20 THEN 'too_short'
+        |         WHEN sr < 0.02 THEN 'no_stopwords'
+        |         WHEN dr > 0.08 THEN 'repetitive'
+        |         ELSE 'ok' END AS reason
+        |  FROM s)
+        |SELECT doc_id, reason, reason = 'ok' AS keep FROM r""".stripMargin,
     // d7 compares gram sets by 64-bit hash on the Spark side and by string
     // on the oracle side — identical counts absent collisions.
     "d7_ngram_contamination" ->

@@ -157,6 +157,29 @@ object TextAnalysis {
           / col("n_bigrams").cast("double"), 6))
   }
 
+  /** C4/Gopher-style composite quality gate: keep/drop decision with the
+    * first failing rule as the reason (too_short → no_stopwords →
+    * repetitive). One narrow projection — the rule thresholds compose the
+    * same signals as [[qualityScore]]/[[repetitionScore]] without a join.
+    */
+  def qualityFilter(documents: DataFrame, minTokens: Int = 20,
+      minStopwordRatio: Double = 0.02,
+      maxDupBigramRatio: Double = 0.08): DataFrame = {
+    val ts = tokens(col("text"))
+    val nTok = size(ts)
+    val stopRatio = size(filter(ts, t => t.isin(StopWords.map(lit): _*)))
+      .cast("double") / nTok.cast("double")
+    val dupRatio = lit(1.0) -
+      size(Dedup.shingles(col("text"), 2)).cast("double") /
+        (nTok - 1).cast("double")
+    val reason = when(nTok < minTokens, "too_short")
+      .when(stopRatio < minStopwordRatio, "no_stopwords")
+      .when(dupRatio > maxDupBigramRatio, "repetitive")
+      .otherwise("ok")
+    documents.select(col("doc_id"), reason.as("reason"),
+      (reason === "ok").as("keep"))
+  }
+
   /** Per-document top-k terms by TF-IDF. The IDF factor is the LOG-FREE
     * rational (N+1)/(df+1): transcendental functions round differently
     * across libm implementations, so the log-free variant keeps scores

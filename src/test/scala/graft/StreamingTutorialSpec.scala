@@ -136,6 +136,41 @@ class StreamingTutorialSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tumbling window: watermark closes windows, late data drops") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val baseSec = 1700000000L / 3600 * 3600  // hour-aligned
+    def ts(minute: Int) = new java.sql.Timestamp((baseSec + minute * 60L) * 1000)
+    val agged = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("ws"), col("user_id"), col("n"))
+    val q = agged.writeStream.format("memory")
+      .queryName("tumbling").outputMode("append").start()
+    try {
+      input.addData((1L, ts(0)), (1L, ts(30)))       // hour-0 window
+      q.processAllAvailable()
+      input.addData((1L, ts(150)))                   // advances event time
+      q.processAllAvailable()
+      input.addData((1L, ts(160)))                   // watermark now 140min
+      q.processAllAvailable()
+      val closed = spark.table("tumbling").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // hour-0 closed with exactly its 2 on-time events
+      assert(closed.toSet === Set((baseSec * 1000, 1L, 2L)))
+      // an event 100min behind the watermark must be discarded as late
+      input.addData((1L, ts(40)))
+      q.processAllAvailable()
+      input.addData((1L, ts(170)))
+      q.processAllAvailable()
+      val after = spark.table("tumbling").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(after.toSet === Set((baseSec * 1000, 1L, 2L)))  // unchanged
+    } finally q.stop()
+  }
+
   test("streaming dedup: first fingerprint arrival passes, later dups drop") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
