@@ -373,6 +373,28 @@ object SparkEntry {
       val emb = table(s, d, "embeddings")
       Similarity.ivfCosineTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
     }),
+    // X5: OVER-clause window function — per-user running total in exact
+    // cents, ordered by (ts, event_id). Partitions are per-user (bounded);
+    // the explicit ROWS frame keeps Spark and the oracle frame-identical.
+    "x5_running_sum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d).select(col("event_id"), col("user_id"),
+        sum(round(col("value") * 100).cast("long")).over(w).as("running_c2"))
+    }),
+    // V4: kNN label agreement — the eval-loop composition of similarity
+    // search: fraction of each query's top-5 neighbors sharing its label.
+    "v4_knn_label_agreement" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val top = Similarity.bruteCosineTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
+      val nLab = emb.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
+      val qLab = emb.select(col("vec_id").as("query_id"), col("label").as("q_label"))
+      top.join(broadcast(nLab), "neighbor_id").join(broadcast(qLab), "query_id")
+        .groupBy("query_id", "q_label")
+        .agg(sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_agree"))
+    }),
     // ---- M: multimodal plumbing ----------------------------------------
     // Real codec round trip: asMediaTable synthesizes actual PNG/WAV bytes
     // whose parameters are analytic functions of doc_id, decode re-parses
@@ -951,6 +973,33 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(unnest(generate_series(0, strlen(text) % 64, 8)) AS INTEGER) AS frame_idx
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    "x5_running_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c2
+        |FROM events""".stripMargin,
+    "v4_knn_label_agreement" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS q_label
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+        |        label AS n_label
+        |      FROM embeddings),
+        |s AS (
+        |  SELECT query_id, q_label, neighbor_id, n_label,
+        |         round(list_cosine_similarity(qv, cv), 6) AS cosine
+        |  FROM c, q WHERE neighbor_id <> query_id),
+        |top AS (
+        |  SELECT query_id, q_label, n_label FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |    FROM s)
+        |  WHERE rank <= 5)
+        |SELECT query_id, q_label,
+        |  CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_agree
+        |FROM top GROUP BY query_id, q_label""".stripMargin,
     "v1_brute_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
