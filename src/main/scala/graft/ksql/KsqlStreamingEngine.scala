@@ -71,7 +71,19 @@ class KsqlStreamingEngine(
   protected def viewColumns(name: String): Seq[String] =
     streamDecls.get(name.toLowerCase).map(_.cols.map(_.name))
       .orElse(tableDecls.get(name.toLowerCase).map(_.cols.map(_.name)))
-      .getOrElse(spark.table(name).columns.toSeq.filterNot(_ == "_offset"))
+      .getOrElse(spark.table(name).columns.toSeq
+        .filterNot(c => c == "_offset" || c == "_rowtime"))
+
+  /** Record timestamps for WINDOW clauses: same deterministic base + 1 s
+    * per offset as the batch engine ([[KsqlEngine]]), derived in-plan so
+    * it works on the live stream. Windowed `EMIT CHANGES` aggregations
+    * run update-mode (state retained; add a watermark for append).
+    */
+  override protected def rowtimeSupported: Boolean = true
+  private val RowtimeBaseSec = 1577836800L // 2020-01-01T00:00:00Z
+  private def withRowtime(df: DataFrame): DataFrame =
+    df.withColumn("_rowtime",
+      timestamp_seconds(lit(RowtimeBaseSec) + col("_offset")))
 
   def execute(statement: String): Option[PushHandle] = {
     val stmts = KsqlParser.splitStatements(statement)
@@ -101,9 +113,9 @@ class KsqlStreamingEngine(
       implicit val sq = spark.sqlContext
       val input = MemoryStream[(String, Long)]
       val valueSchema = StructType(cols.map(c => StructField(c.name, c.dataType)))
-      input.toDF().toDF("value", "_offset")
+      withRowtime(input.toDF().toDF("value", "_offset")
         .select(from_json(col("value"), valueSchema).as("_v"), col("_offset"))
-        .select(cols.map(c => col(s"_v.${c.name}").as(c.name)) :+ col("_offset"): _*)
+        .select(cols.map(c => col(s"_v.${c.name}").as(c.name)) :+ col("_offset"): _*))
         .createOrReplaceTempView(name)
       streamDecls(name.toLowerCase) = StreamDecl(name, cols, input)
       None
@@ -114,7 +126,8 @@ class KsqlStreamingEngine(
         throw new NoSuchElementException(s"topic $topic has no data; " +
           "streaming tables must be connector-fed (static dimension)"))
       val base = spark.createDataFrame(rows.toSeq.asJava, schema)
-      val projected = base.select(cols.map(c => col(c.name)) :+ col("_offset"): _*)
+      val projected = withRowtime(
+        base.select(cols.map(c => col(c.name)) :+ col("_offset"): _*))
       val keyCols = cols.filter(_.isKey).map(_.name)
       TableOps.latestByKey(projected, keyCols, "_offset")
         .createOrReplaceTempView(name)

@@ -75,6 +75,26 @@ class KsqlStreamingSpec extends SparkSpec {
     } finally h.stop()
   }
 
+  test("windowed push query: TUMBLING aggregation emits live window counts") {
+    val e = freshEngine
+    ddl(e)
+    val base = 1577836800000L
+    val h = e.execute(
+      """SELECT id, WINDOWSTART ws, COUNT(id) n FROM match_event
+        WINDOW TUMBLING (SIZE 2 SECONDS) GROUP BY id EMIT CHANGES;""").get
+    try {
+      insert(e, Tutorial.canonicalEvents)
+      h.processAllAvailable()
+      // update-mode changelog: latest state per (id, window)
+      val state = h.emissions.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(t => (t._1, t._2)).map(_._2.last).toSet
+      assert(state === Set(
+        ("1", base, 2L), ("1", base + 2000, 2L),
+        ("2", base + 4000, 2L), ("2", base + 6000, 1L)))
+    } finally h.stop()
+  }
+
   test("stateless push query appends (Q4) and SELECT * expands") {
     val e = freshEngine
     ddl(e)
