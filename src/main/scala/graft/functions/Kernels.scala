@@ -277,6 +277,32 @@ object Kernels {
     c
   }
 
+  /** Per-document term counts: (term, count) pairs in first-occurrence
+    * order via one linear hashmap pass — the narrow pre-aggregation that
+    * lets TF computation skip the corpus-wide (doc, term) shuffle.
+    */
+  def termCounts(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Int](n * 2)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        counts.put(t, counts.getOrDefault(t, 0) + 1)
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Nearest-centroid id by cosine over a small centroid matrix (IVF
     * assignment): centroids scan in array order, strict-greater keeps the
     * first on ties — the same semantics as an argmax fold with `sim >

@@ -137,6 +137,24 @@ case class NearestCentroid(child: Expression, cellIds: Array[Long],
   override def prettyName: String = "graft_nearest_centroid"
 }
 
+/** term_counts(tokens): array<struct<term, cnt>> — per-row term counts in
+  * one linear pass (the narrow TF pre-aggregation).
+  */
+case class TermCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("cnt", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(tokens: Any): Any =
+    Kernels.termCounts(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.Kernels.termCounts($t)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_term_counts"
+}
+
 /** sorted_intersect_count(a, b): Int — common-element count of two sorted
   * distinct arrays (string or bigint elements), via a single merge scan.
   */
@@ -206,4 +224,6 @@ object text {
     Bridge.column(RollingFingerprint(Bridge.expression(s), window))
   def sortedIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+  def termCounts(tokens: Column): Column =
+    Bridge.column(TermCounts(Bridge.expression(tokens)))
 }

@@ -190,10 +190,15 @@ object TextAnalysis {
     */
   def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import graft.functions.{text => gtext}
     val nDocs = documents.count()
+    // TF is a NARROW per-doc hashmap pass (native term_counts expression)
+    // — no corpus-wide (doc, term) shuffle, unlike explode + groupBy
     val tf = documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"),
+        explode(gtext.termCounts(tokens(col("text")))).as("_tc"))
+      .select(col("doc_id"), col("_tc.term").as("term"),
+        col("_tc.cnt").cast("long").as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // vocab ≪ corpus: broadcast keeps tf un-shuffled for the join (at
     // vocab sizes beyond broadcast reach, drop the hint and let AQE pick)
