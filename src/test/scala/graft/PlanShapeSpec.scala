@@ -57,6 +57,35 @@ class PlanShapeSpec extends SparkSpec {
       s"no map-side partial:\n$plan")
   }
 
+  test("tfidf: TF stage is narrow (no doc-term exchange below the df agg)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.pipeline.TextAnalysis.tfidfTopTerms(docs)
+      .queryExecution.executedPlan.toString
+    // exactly the two sanctioned exchanges (term df agg + per-doc rank
+    // window) — a third would mean TF regressed to explode+groupBy
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"TF stage reintroduced a shuffle:\n$plan")
+    assert(plan.contains("graft_term_counts"), s"native TF missing:\n$plan")
+  }
+
+  test("grouped top-k (a8) bounds the shuffle with a partial phase") {
+    val plan = SparkEntry.queries("a8_topk_per_group")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_top_k_by_score"),
+      s"no partial top-k under the exchange:\n$plan")
+    assert(!plan.contains("Window"), s"rank window crept in:\n$plan")
+  }
+
+  test("pairwise dedup joins stay equi-hash (no cartesian product)") {
+    for (q <- Seq("d2_ngram_jaccard", "d3_minhash_pairs", "d4_simhash_pairs")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q went cartesian:\n$plan")
+      assert(plan.contains("graft_sorted_intersect_count") || q == "d4_simhash_pairs",
+        s"$q lost the merge-scan verify:\n$plan")
+    }
+  }
+
   test("graft functions are callable from SQL text") {
     graft.functions.GraftFunctions.registerAll(spark)
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
