@@ -139,6 +139,29 @@ class KsqlTutorialSpec extends SparkSpec {
     assert(rt.last === (("2", base + 6000)))
   }
 
+  test("KSQL HAVING / ORDER BY / LIMIT pass through to Catalyst") {
+    val e = engine
+    e.execute("""CREATE STREAM match_event (
+      id VARCHAR KEY, event_type VARCHAR, player_id VARCHAR, home boolean)
+      WITH (KAFKA_TOPIC='match_event');""")
+    Tutorial.canonicalEvents.foreach { ev =>
+      e.execute(s"INSERT INTO match_event VALUES " +
+        s"('${ev.id}', '${ev.event_type}', '${ev.player_id}', ${ev.home});")
+    }
+    val having = e.execute(
+      """SELECT player_id, COUNT(id) n FROM match_event
+        WHERE event_type = 'GOAL' GROUP BY player_id
+        HAVING COUNT(id) >= 2 EMIT CHANGES;""").get
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(having.toSet === Set(("1", 3L), ("2", 2L)))
+    val limited = e.execute(
+      """SELECT player_id, COUNT(id) n FROM match_event
+        GROUP BY player_id ORDER BY n DESC, player_id LIMIT 1
+        EMIT CHANGES;""").get
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(limited.toSeq === Seq(("1", 4L)))
+  }
+
   test("UCASE / projections / filters / upsert semantics via KSQL text") {
     val e = engine
     e.execute("CREATE SOURCE CONNECTOR c WITH ('table.whitelist' = 'players');")

@@ -7,6 +7,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
+import scala.jdk.CollectionConverters._
+
 /** Streaming replay of the tutorial's continuous-query semantics: the
   * count-evolution golden (reference README.md:247-253), update-mode
   * changelog emission (Q1/Q2), and KTable upsert over a streaming
@@ -134,6 +136,37 @@ class StreamingTutorialSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       assert(all.toSet.contains((1L, us(120), us(120), 1L)))
     } finally q.stop()
+  }
+
+  test("aggregation state survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val input = MemoryStream[MatchEvent]
+    def counts = input.toDF()
+      .filter(col("home") && col("event_type") === "GOAL")
+      .groupBy("id").agg(count(col("id")).as("goals"))
+    // foreachBatch sink: supports checkpoint recovery (memory sink does not)
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]
+    def start() = counts.writeStream
+      .outputMode("update").option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => emitted.add((r.getString(0), r.getLong(1))))
+      }.start()
+    val q1 = start()
+    input.addData(Tutorial.canonicalEvents.take(4): _*)  // match 1 → 2 goals
+    q1.processAllAvailable()
+    assert(emitted.asScala.toSet === Set(("1", 2L)))
+    q1.stop()
+    // restart from the same checkpoint: the state store must restore the
+    // (id=1 → 2) count, so one more home goal emits 3 — not 1
+    val q2 = start()
+    try {
+      input.addData(Tutorial.MatchEvent("1", "GOAL", "1", home = true))
+      q2.processAllAvailable()
+      assert(emitted.asScala.toSeq.contains(("1", 3L)),
+        s"state not restored across restart: ${emitted.asScala.toSeq}")
+    } finally q2.stop()
   }
 
   test("streaming tumbling window: watermark closes windows, late data drops") {
