@@ -107,17 +107,43 @@ object KsqlParser {
       s.substring(1, s.length - 1)
     else s
 
-  /** Declared column list: `name TYPE [PRIMARY KEY|KEY]`. */
+  /** Declared column list: `name TYPE [PRIMARY KEY|KEY]`. Types may nest
+    * (`ARRAY<...>`, `MAP<K, V>`, `STRUCT<f T, ...>`), so the splitter
+    * tracks angle-bracket depth alongside parens.
+    */
   private[ksql] def parseColumns(body: String): Seq[ColumnDef] =
-    splitTopLevel(body).map { colDef =>
-      val toks = colDef.trim.split("\\s+")
-      val name = toks(0)
+    splitAngleAware(body).map { colDef0 =>
+      var colDef = colDef0.trim
       val isKey = colDef.toUpperCase.endsWith(" KEY")
-      ColumnDef(name, sqlType(toks(1)), isKey)
+      if (isKey) {
+        colDef = colDef.replaceAll("(?i)\\s+PRIMARY\\s+KEY$", "")
+          .replaceAll("(?i)\\s+KEY$", "").trim
+      }
+      val sp = colDef.indexOf(' ')
+      require(sp > 0, s"column definition needs `name TYPE`: $colDef0")
+      ColumnDef(colDef.take(sp), sqlType(colDef.drop(sp + 1).trim), isKey)
     }
 
-  private def sqlType(t: String): DataType =
-    t.toUpperCase.takeWhile(_ != '(') match {
+  /** The full ksqlDB 0.15 DDL type surface, recursively. */
+  private[ksql] def sqlType(t: String): DataType = {
+    val up = t.toUpperCase
+    if (up.startsWith("ARRAY<") && up.endsWith(">"))
+      ArrayType(sqlType(t.substring(6, t.length - 1).trim))
+    else if (up.startsWith("MAP<") && up.endsWith(">")) {
+      val parts = splitAngleAware(t.substring(4, t.length - 1))
+      require(parts.length == 2, s"MAP needs two type params: $t")
+      MapType(sqlType(parts(0).trim), sqlType(parts(1).trim))
+    } else if (up.startsWith("STRUCT<") && up.endsWith(">")) {
+      StructType(splitAngleAware(t.substring(7, t.length - 1)).map { f =>
+        val sp = f.trim.indexOf(' ')
+        require(sp > 0, s"STRUCT field needs `name TYPE`: $f")
+        StructField(f.trim.take(sp), sqlType(f.trim.drop(sp + 1).trim))
+      })
+    } else if (up.startsWith("DECIMAL"))
+      "\\((\\d+)\\s*,\\s*(\\d+)\\)".r.findFirstMatchIn(t)
+        .map(m => DecimalType(m.group(1).toInt, m.group(2).toInt))
+        .getOrElse(DecimalType(38, 18))
+    else up.takeWhile(_ != '(') match {
       case "VARCHAR" | "STRING" => StringType
       case "BOOLEAN" => BooleanType
       case "INT" | "INTEGER" => IntegerType
@@ -125,6 +151,26 @@ object KsqlParser {
       case "DOUBLE" => DoubleType
       case other => throw new IllegalArgumentException(s"unsupported type $other")
     }
+  }
+
+  /** Split on commas at paren AND angle-bracket depth 0 (column/type
+    * lists; `<` never appears as an operator in DDL bodies).
+    */
+  private[ksql] def splitAngleAware(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case c @ ('(' | '<') => depth += 1; cur.append(c)
+      case c @ (')' | '>') => depth -= 1; cur.append(c)
+      case ',' if depth == 0 =>
+        val t = cur.result().trim; if (t.nonEmpty) out += t; cur.clear()
+      case c => cur.append(c)
+    }
+    val t = cur.result().trim
+    if (t.nonEmpty) out += t
+    out.result()
+  }
 
   /** Split on commas at paren depth 0, respecting single quotes. */
   private[ksql] def splitTopLevel(s: String): Seq[String] = {

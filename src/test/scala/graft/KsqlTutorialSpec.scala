@@ -139,6 +139,24 @@ class KsqlTutorialSpec extends SparkSpec {
     assert(rt.last === (("2", base + 6000)))
   }
 
+  test("full ksqlDB DDL type surface: ARRAY / MAP / STRUCT / DECIMAL") {
+    val e = engine
+    e.execute("""CREATE STREAM rich (
+      id VARCHAR KEY, tags ARRAY<VARCHAR>, attrs MAP<VARCHAR, INT>,
+      loc STRUCT<lat DOUBLE, lon DOUBLE>, price DECIMAL(10, 2))
+      WITH (KAFKA_TOPIC='rich');""")
+    val desc = e.execute("DESCRIBE rich;").get.collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc("TAGS") === "ARRAY<STRING>")
+    assert(desc("ATTRS") === "MAP<STRING, INT>")
+    assert(desc("LOC").replaceAll("\\s+", " ") === "STRUCT<lat: DOUBLE, lon: DOUBLE>")
+    assert(desc("PRICE") === "DECIMAL(10,2)")
+    // the declared collection is queryable (empty but schema-correct)
+    val rows = e.execute("SELECT id, tags, loc FROM rich EMIT CHANGES;").get
+    assert(rows.collect().isEmpty)
+    assert(rows.schema("TAGS").dataType.sql === "ARRAY<STRING>")
+  }
+
   test("KSQL HAVING / ORDER BY / LIMIT pass through to Catalyst") {
     val e = engine
     e.execute("""CREATE STREAM match_event (
