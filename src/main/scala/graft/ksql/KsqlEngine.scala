@@ -217,26 +217,44 @@ class KsqlEngine(
   private def upperCased(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(_.toUpperCase).toIndexedSeq: _*)
 
+  /** ksqlDB literal → Spark row value, including the complex constructors
+    * `ARRAY[...]`, `MAP('k' := v, ...)`, `STRUCT(f := v, ...)`.
+    */
   private def convert(literal: String, dt: DataType): Any = {
     val v = literal.trim
+    val up = v.toUpperCase
     if (v.equalsIgnoreCase("null")) null
-    else if (v.length >= 2 && v.head == '\'' && v.last == '\'') {
-      val s = v.substring(1, v.length - 1)
-      dt match {
-        case StringType => s
-        case IntegerType => s.toInt
-        case LongType => s.toLong
-        case DoubleType => s.toDouble
-        case BooleanType => s.toBoolean
-        case other => throw new IllegalArgumentException(s"cast to $other")
-      }
-    } else dt match {
-      case StringType => v
-      case IntegerType => v.toInt
-      case LongType => v.toLong
-      case DoubleType => v.toDouble
-      case BooleanType => v.toBoolean
-      case other => throw new IllegalArgumentException(s"cast to $other")
+    else (dt, up) match {
+      case (at: ArrayType, u) if u.startsWith("ARRAY[") && u.endsWith("]") =>
+        KsqlParser.splitTopLevel(v.substring(6, v.length - 1))
+          .map(convert(_, at.elementType))
+      case (mt: MapType, u) if u.startsWith("MAP(") && u.endsWith(")") =>
+        KsqlParser.splitTopLevel(v.substring(4, v.length - 1)).map { kv =>
+          val Array(k, value) = kv.split(":=", 2)
+          convert(k.trim, mt.keyType) -> convert(value.trim, mt.valueType)
+        }.toMap
+      case (st: StructType, u) if u.startsWith("STRUCT(") && u.endsWith(")") =>
+        val byName = KsqlParser.splitTopLevel(v.substring(7, v.length - 1))
+          .map { kv =>
+            val Array(f, value) = kv.split(":=", 2)
+            f.trim.toLowerCase -> value.trim
+          }.toMap
+        Row.fromSeq(st.fields.toSeq.map(f =>
+          byName.get(f.name.toLowerCase).map(convert(_, f.dataType)).orNull))
+      case _ =>
+        val s =
+          if (v.length >= 2 && v.head == '\'' && v.last == '\'')
+            v.substring(1, v.length - 1)
+          else v
+        dt match {
+          case StringType => s
+          case IntegerType => s.toInt
+          case LongType => s.toLong
+          case DoubleType => s.toDouble
+          case BooleanType => s.toBoolean
+          case _: DecimalType => new java.math.BigDecimal(s)
+          case other => throw new IllegalArgumentException(s"cast to $other")
+        }
     }
   }
 }

@@ -172,7 +172,9 @@ object KsqlParser {
     out.result()
   }
 
-  /** Split on commas at paren depth 0, respecting single quotes. */
+  /** Split on commas at paren/bracket depth 0, respecting single quotes
+    * (brackets nest inside `ARRAY[...]` literals).
+    */
   private[ksql] def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
@@ -180,8 +182,8 @@ object KsqlParser {
     s.foreach {
       case c if inQuote => cur.append(c); if (c == '\'') inQuote = false
       case '\'' => cur.append('\''); inQuote = true
-      case '(' => depth += 1; cur.append('(')
-      case ')' => depth -= 1; cur.append(')')
+      case c @ ('(' | '[') => depth += 1; cur.append(c)
+      case c @ (')' | ']') => depth -= 1; cur.append(c)
       case ',' if depth == 0 =>
         val t = cur.result().trim; if (t.nonEmpty) out += t; cur.clear()
       case c => cur.append(c)

@@ -151,10 +151,16 @@ class KsqlTutorialSpec extends SparkSpec {
     assert(desc("ATTRS") === "MAP<STRING, INT>")
     assert(desc("LOC").replaceAll("\\s+", " ") === "STRUCT<lat: DOUBLE, lon: DOUBLE>")
     assert(desc("PRICE") === "DECIMAL(10,2)")
-    // the declared collection is queryable (empty but schema-correct)
-    val rows = e.execute("SELECT id, tags, loc FROM rich EMIT CHANGES;").get
-    assert(rows.collect().isEmpty)
-    assert(rows.schema("TAGS").dataType.sql === "ARRAY<STRING>")
+    // complex literals INSERT and round-trip through a query
+    e.execute("""INSERT INTO rich VALUES ('a', ARRAY['x', 'y'],
+      MAP('k' := 1, 'k2' := 2), STRUCT(lat := 1.5, lon := 2.5), 12.34);""")
+    val row = e.execute(
+      "SELECT id, tags, attrs, loc, price FROM rich EMIT CHANGES;").get
+      .collect().head
+    assert(row.getSeq[String](1) === Seq("x", "y"))
+    assert(row.getMap[String, Int](2) === Map("k" -> 1, "k2" -> 2))
+    assert(row.getStruct(3) === Row(1.5, 2.5))
+    assert(row.getDecimal(4) === new java.math.BigDecimal("12.34"))
   }
 
   test("KSQL HAVING / ORDER BY / LIMIT pass through to Catalyst") {
