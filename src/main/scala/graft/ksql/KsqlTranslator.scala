@@ -59,7 +59,9 @@ trait KsqlTranslator {
     var s = select0.replaceAll("(?is)\\s+EMIT\\s+CHANGES\\s*$", "").trim
     s = s.replaceAll("(?i)(?<![\\w])COUNT_DISTINCT\\s*\\(",
       java.util.regex.Matcher.quoteReplacement(countDistinctSql))
-    s = s.replaceAll("(?i)(?<![\\w])UCASE\\s*\\(", "upper(")
+    KsqlTranslator.FunctionRenames.foreach { case (ksql, sparkFn) =>
+      s = s.replaceAll(s"(?i)(?<![\\w])$ksql\\s*\\(", sparkFn + "(")
+    }
     // ---- windowed aggregation (WINDOW TUMBLING/HOPPING/SESSION) --------
     WindowRe.findFirstMatchIn(s).foreach { m =>
       require(rowtimeSupported,
@@ -132,4 +134,24 @@ trait KsqlTranslator {
     }
     s
   }
+}
+
+object KsqlTranslator {
+  /** ksqlDB scalar-function names whose Spark spelling differs; everything
+    * else (ABS, ROUND, CONCAT, TRIM, SUBSTRING, REPLACE, INSTR, SPLIT,
+    * CASE, CAST, …) is shared SQL that Catalyst parses directly.
+    */
+  private[ksql] val FunctionRenames: Seq[(String, String)] = Seq(
+    "UCASE" -> "upper",
+    "LCASE" -> "lower",
+    "LEN" -> "length",
+    "ARRAY_LENGTH" -> "size",
+    "ARRAY_CONTAINS" -> "array_contains",
+    "ARRAY_DISTINCT" -> "array_distinct",
+    "ARRAY_MAX" -> "array_max",
+    "ARRAY_MIN" -> "array_min",
+    "ARRAY_JOIN" -> "array_join",
+    "JSON_EXTRACT_STRING" -> "get_json_object",
+    "STRINGTOTIMESTAMP" -> "to_timestamp",
+    "IFNULL" -> "coalesce")
 }

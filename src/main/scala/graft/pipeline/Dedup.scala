@@ -151,10 +151,13 @@ object Dedup {
     */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.8,
       blockCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+    // persisted: both sides of the block self-join read the token sets —
+    // the cache keeps the tokenize+sort pass single-scan
     val toks = documents.select(
       (col("doc_id") +: blockCols.map(col)) :+
         array_sort(array_distinct(TextAnalysis.tokens(col("text")))).as("_t"): _*)
       .withColumn("_n", size(col("_t")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = toks.select(col("doc_id").as("a") +: blockCols.map(col) :+
       col("_t").as("_ta") :+ col("_n").as("_na"): _*)
     val b = toks.select(col("doc_id").as("b") +: blockCols.map(col) :+

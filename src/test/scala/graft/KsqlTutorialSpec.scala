@@ -163,6 +163,19 @@ class KsqlTutorialSpec extends SparkSpec {
     assert(row.getDecimal(4) === new java.math.BigDecimal("12.34"))
   }
 
+  test("ksqlDB scalar-function spellings translate (LCASE, LEN, IFNULL, ...)") {
+    val e = engine
+    e.execute("""CREATE STREAM match_event (
+      id VARCHAR KEY, event_type VARCHAR, player_id VARCHAR, home boolean)
+      WITH (KAFKA_TOPIC='match_event');""")
+    e.execute("INSERT INTO match_event VALUES ('1', 'GOAL', '9', true);")
+    val row = e.execute(
+      """SELECT LCASE(event_type) lc, UCASE(event_type) uc,
+        LEN(event_type) n, IFNULL(player_id, 'none') pid
+        FROM match_event EMIT CHANGES;""").get.collect().head
+    assert(row === Row("goal", "GOAL", 4, "9"))
+  }
+
   test("KSQL HAVING / ORDER BY / LIMIT pass through to Catalyst") {
     val e = engine
     e.execute("""CREATE STREAM match_event (
