@@ -32,4 +32,13 @@ object Layout {
   }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Directory-partitioned parquet layout on low-cardinality columns
+    * (date, source, cell id): reads with partition predicates prune whole
+    * directories before any I/O — at 100 TB the first and cheapest lever,
+    * ahead of row-group statistics and bucketing. Keep partition
+    * cardinality in the 10²-10⁴ range; higher explodes file counts.
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 }

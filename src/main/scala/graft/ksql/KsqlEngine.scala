@@ -148,6 +148,13 @@ class KsqlEngine(
       refreshViews()
       Some(upperCased(spark.sql(translateSelect(select))))
 
+    case ExplainCommand(select) =>
+      import spark.implicits._
+      refreshViews()
+      val qe = spark.sql(translateSelect(select)).queryExecution
+      Some(qe.explainString(org.apache.spark.sql.execution.SimpleMode)
+        .linesIterator.toSeq.toDF("plan"))
+
     case DescribeCommand(name) => {
       import spark.implicits._
       val rows = decls.get(name.toLowerCase) match {

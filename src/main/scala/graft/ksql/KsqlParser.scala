@@ -23,6 +23,7 @@ final case class InsertValues(target: String, columns: Option[Seq[String]],
 final case class PushQuery(select: String) extends KsqlStatement
 final case class ShowCommand(what: String) extends KsqlStatement
 final case class DescribeCommand(name: String) extends KsqlStatement
+final case class ExplainCommand(select: String) extends KsqlStatement
 
 object KsqlParser {
 
@@ -87,6 +88,8 @@ object KsqlParser {
           splitTopLevel(values))
       case ShowRe(what) => ShowCommand(what.toUpperCase)
       case DescribeRe(name) => DescribeCommand(name)
+      case e if e.toUpperCase.startsWith("EXPLAIN ") =>
+        ExplainCommand(e.substring(8).trim)
       case sel if sel.toUpperCase.startsWith("SELECT") =>
         PushQuery(sel.replaceAll("(?is)\\s+EMIT\\s+CHANGES\\s*$", ""))
       case other =>

@@ -163,6 +163,19 @@ class KsqlTutorialSpec extends SparkSpec {
     assert(row.getDecimal(4) === new java.math.BigDecimal("12.34"))
   }
 
+  test("EXPLAIN returns the Spark physical plan for a KSQL query") {
+    val e = engine
+    e.execute("""CREATE STREAM match_event (
+      id VARCHAR KEY, event_type VARCHAR, player_id VARCHAR, home boolean)
+      WITH (KAFKA_TOPIC='match_event');""")
+    e.execute("INSERT INTO match_event VALUES ('1', 'GOAL', '9', true);")
+    val plan = e.execute(
+      "EXPLAIN SELECT id, COUNT(id) FROM match_event GROUP BY id EMIT CHANGES;")
+      .get.collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("Physical Plan"))
+    assert(plan.contains("HashAggregate"))
+  }
+
   test("ksqlDB scalar-function spellings translate (LCASE, LEN, IFNULL, ...)") {
     val e = engine
     e.execute("""CREATE STREAM match_event (

@@ -143,6 +143,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout: partition predicate prunes directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    graft.engine.Layout.writePartitioned(docs, dir, "source")
+    val filtered = spark.read.parquet(dir).filter(col("source") === "src0")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*src0[^\\]]*\\].*"),
+      s"partition predicate not pruning:\n$plan")
+    // the predicate must NOT degrade to a post-scan data filter
+    assert(!plan.matches("(?s).*PushedFilters: \\[[^\\]]*src0[^\\]]*\\].*"),
+      s"source filter pushed as data filter instead of partition prune:\n$plan")
+    assert(filtered.count() > 0)
+  }
+
   test("parquet scan prunes columns and pushes filters") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val q = ev.filter(col("event_type") === "purchase").select("event_id", "user_id")
