@@ -88,8 +88,8 @@ object KsqlParser {
           splitTopLevel(values))
       case ShowRe(what) => ShowCommand(what.toUpperCase)
       case DescribeRe(name) => DescribeCommand(name)
-      case e if e.toUpperCase.startsWith("EXPLAIN ") =>
-        ExplainCommand(e.substring(8).trim)
+      case e if e.toUpperCase.matches("(?s)EXPLAIN\\s.*") =>
+        ExplainCommand(e.substring(7).trim)
       case sel if sel.toUpperCase.startsWith("SELECT") =>
         PushQuery(sel.replaceAll("(?is)\\s+EMIT\\s+CHANGES\\s*$", ""))
       case other =>
@@ -142,10 +142,15 @@ object KsqlParser {
         require(sp > 0, s"STRUCT field needs `name TYPE`: $f")
         StructField(f.trim.take(sp), sqlType(f.trim.drop(sp + 1).trim))
       })
-    } else if (up.startsWith("DECIMAL"))
-      "\\((\\d+)\\s*,\\s*(\\d+)\\)".r.findFirstMatchIn(t)
-        .map(m => DecimalType(m.group(1).toInt, m.group(2).toInt))
-        .getOrElse(DecimalType(38, 18))
+    } else if (up.startsWith("DECIMAL")) {
+      val body = t.drop("DECIMAL".length).trim
+      if (body.isEmpty) DecimalType(38, 18)
+      else "\\(\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r.findFirstMatchIn(body)
+        .map(m => DecimalType(m.group(1).toInt,
+          Option(m.group(2)).map(_.toInt).getOrElse(0)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"malformed DECIMAL precision/scale: $t"))
+    }
     else up.takeWhile(_ != '(') match {
       case "VARCHAR" | "STRING" => StringType
       case "BOOLEAN" => BooleanType

@@ -56,12 +56,18 @@ trait KsqlTranslator {
 
   private[ksql] def translateSelect(select0: String,
       injectOffset: Boolean = false): String = {
+    import KsqlTranslator.replaceOutsideQuotes
     var s = select0.replaceAll("(?is)\\s+EMIT\\s+CHANGES\\s*$", "").trim
-    s = s.replaceAll("(?i)(?<![\\w])COUNT_DISTINCT\\s*\\(",
+    s = replaceOutsideQuotes(s, "(?i)(?<![\\w])COUNT_DISTINCT\\s*\\(",
       java.util.regex.Matcher.quoteReplacement(countDistinctSql))
     KsqlTranslator.FunctionRenames.foreach { case (ksql, sparkFn) =>
-      s = s.replaceAll(s"(?i)(?<![\\w])$ksql\\s*\\(", sparkFn + "(")
+      s = replaceOutsideQuotes(s, s"(?i)(?<![\\w])$ksql\\s*\\(", sparkFn + "(")
     }
+    // ksqlDB's STRINGTOTIMESTAMP returns BIGINT epoch-millis, not a
+    // TIMESTAMP — wrap rather than rename (single-level args only)
+    s = replaceOutsideQuotes(s,
+      "(?i)(?<![\\w])STRINGTOTIMESTAMP\\s*\\(([^()]*)\\)",
+      "unix_millis(to_timestamp($1))")
     // ---- windowed aggregation (WINDOW TUMBLING/HOPPING/SESSION) --------
     WindowRe.findFirstMatchIn(s).foreach { m =>
       require(rowtimeSupported,
@@ -87,17 +93,19 @@ trait KsqlTranslator {
           (s"session_window($ref._rowtime, '${dur(gm.group(1), gm.group(2))}')",
             "session_window")
       }
+      require(s.toUpperCase.contains("GROUP BY"),
+        s"WINDOW clauses require GROUP BY (windowed aggregation): $select0")
       s = WindowRe.replaceFirstIn(s, " ")
       s = s.replaceFirst("(?i)\\bGROUP\\s+BY\\b",
         java.util.regex.Matcher.quoteReplacement(s"GROUP BY $winExpr,"))
-      s = s.replaceAll("(?i)(?<![\\w])WINDOWSTART(?![\\w])",
+      s = replaceOutsideQuotes(s, "(?i)(?<![\\w])WINDOWSTART(?![\\w])",
         s"unix_millis($winCol.start)")
-      s = s.replaceAll("(?i)(?<![\\w])WINDOWEND(?![\\w])",
+      s = replaceOutsideQuotes(s, "(?i)(?<![\\w])WINDOWEND(?![\\w])",
         s"unix_millis($winCol.end)")
     }
     if (rowtimeSupported && s.toUpperCase.matches("(?s).*(?<![\\w])ROWTIME(?![\\w]).*")) {
       val ref = fromSources(s).headOption.map(_._2).getOrElse("")
-      s = s.replaceAll("(?i)(?<![\\w])ROWTIME(?![\\w])",
+      s = replaceOutsideQuotes(s, "(?i)(?<![\\w])ROWTIME(?![\\w])",
         s"unix_millis($ref._rowtime)")
     }
     val sources = fromSources(s)
@@ -108,7 +116,8 @@ trait KsqlTranslator {
         .orElse(sources.headOption.map(_._2))
         .getOrElse(throw new IllegalArgumentException(
           s"LATEST_BY_OFFSET without a FROM source: $select0"))
-      s = s.replaceAll("(?i)LATEST_BY_OFFSET\\s*\\(([^()]*)\\)",
+      s = KsqlTranslator.replaceOutsideQuotes(s,
+        "(?i)LATEST_BY_OFFSET\\s*\\(([^()]*)\\)",
         s"graft_latest_by_offset($$1, $streamRef._offset)")
     }
     // SELECT * expansion: single source -> declared columns; join -> each
@@ -152,6 +161,32 @@ object KsqlTranslator {
     "ARRAY_MIN" -> "array_min",
     "ARRAY_JOIN" -> "array_join",
     "JSON_EXTRACT_STRING" -> "get_json_object",
-    "STRINGTOTIMESTAMP" -> "to_timestamp",
     "IFNULL" -> "coalesce")
+
+  /** Apply a regex replacement only OUTSIDE single-quoted string
+    * literals — token rewrites must never touch literal text
+    * (`WHERE note = 'LEN(x)'` keeps its literal).
+    */
+  private[ksql] def replaceOutsideQuotes(s: String, regex: String,
+      replacement: String): String = {
+    val out = new StringBuilder
+    val cur = new StringBuilder
+    var inQuote = false
+    def flush(): Unit = {
+      if (cur.nonEmpty) {
+        out.append(
+          if (inQuote) cur.result()
+          else cur.result().replaceAll(regex, replacement))
+        cur.clear()
+      }
+    }
+    s.foreach { c =>
+      if (c == '\'') {
+        if (inQuote) { cur.append(c); flush(); inQuote = false }
+        else { flush(); inQuote = true; cur.append(c) }
+      } else cur.append(c)
+    }
+    flush()
+    out.result()
+  }
 }

@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   * blocking key), so the expensive verification only runs on candidate
   * pairs that share a bucket. At 100 TB each stage is a hash shuffle on a
   * synthetic key with bounded skew (bucket ids are uniform hashes).
+  *
+  * Cache lifecycle: the LSH operators persist their small signature
+  * relations (both sides of a bucket self-join read them) and rely on
+  * Spark's LRU storage eviction rather than explicit unpersist — the
+  * returned DataFrame stays lazy, so there is no safe point inside the
+  * operator to release the cache. Long-lived sessions running many
+  * distinct dedup plans should size executor storage accordingly.
   */
 object Dedup {
 
@@ -54,10 +61,14 @@ object Dedup {
       col(idCol),
       explode(gtext.shingleHashes(TextAnalysis.tokens(col(textCol)), w, 42))
         .as("_g"))
+    // both join inputs are distinct on _g (shingleHashes dedups per doc;
+    // the benchmark side dedups globally), so each (doc, gram) survives at
+    // most once — plain count equals countDistinct without the extra
+    // expand+distinct aggregation
     grams(corpus)
       .join(grams(benchmark).select("_g").distinct(), "_g")
       .groupBy(idCol)
-      .agg(countDistinct(col("_g")).as("n_contaminated_ngrams"))
+      .agg(count(lit(1)).as("n_contaminated_ngrams"))
   }
 
   /** Word w-shingles of the token array (w consecutive tokens joined by a

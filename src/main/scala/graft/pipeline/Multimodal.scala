@@ -50,9 +50,12 @@ object Multimodal {
     * the PNG/WAV bytes to reproduce these numbers.
     */
   private[pipeline] def imageDims(id: Long): (Int, Int) =
-    ((8 + id % 57).toInt, (8 + (id / 3) % 57).toInt)
+    ((8 + Math.floorMod(id, 57L)).toInt,
+      (8 + Math.floorMod(id / 3, 57L)).toInt)
   private[pipeline] def wavParams(id: Long): (Int, Int, Int) =
-    ((1 + id % 2).toInt, (8000 + 1000 * (id % 5)).toInt, (100 + id % 400).toInt)
+    ((1 + Math.floorMod(id, 2L)).toInt,
+      (8000 + 1000 * Math.floorMod(id, 5L)).toInt,
+      (100 + Math.floorMod(id, 400L)).toInt)
 
   /** Tiny real PNG of the given dimensions (zeroed RGB raster). */
   private[pipeline] def makePng(w: Int, h: Int): Array[Byte] = {
@@ -95,12 +98,14 @@ object Multimodal {
       .mapPartitions { rows =>
         ImageIO.setUseCache(false)
         rows.map { case (id, text, source) =>
-          val content = (id % 3) match {
+          // floorMod + null-safe text: a binary-asset ingest must not die
+          // on odd ids or missing payloads
+          val content = Math.floorMod(id, 3L) match {
             case 0 => val (w, h) = imageDims(id); makePng(w, h)
             case 1 => val (ch, rate, fr) = wavParams(id); makeWav(ch, rate, fr)
-            case _ => text.getBytes("UTF-8")
+            case _ => Option(text).getOrElse("").getBytes("UTF-8")
           }
-          val mt = (id % 3) match {
+          val mt = Math.floorMod(id, 3L) match {
             case 0 => "image"; case 1 => "audio"; case _ => "video"
           }
           (id, mt, content, source, content.length.toLong)

@@ -169,9 +169,11 @@ object TextAnalysis {
     val nTok = size(ts)
     val stopRatio = size(filter(ts, t => t.isin(StopWords.map(lit): _*)))
       .cast("double") / nTok.cast("double")
-    val dupRatio = lit(1.0) -
+    // a single-token doc has no bigram: rate it non-repetitive rather than
+    // letting the 1/0 division go NULL and silently skip the rule
+    val dupRatio = when(nTok >= 2, lit(1.0) -
       size(Dedup.shingles(col("text"), 2)).cast("double") /
-        (nTok - 1).cast("double")
+        (nTok - 1).cast("double")).otherwise(lit(0.0))
     val reason = when(nTok < minTokens, "too_short")
       .when(stopRatio < minStopwordRatio, "no_stopwords")
       .when(dupRatio > maxDupBigramRatio, "repetitive")
@@ -191,7 +193,6 @@ object TextAnalysis {
   def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.{text => gtext}
-    val nDocs = documents.count()
     // TF is a NARROW per-doc hashmap pass (native term_counts expression)
     // — no corpus-wide (doc, term) shuffle, unlike explode + groupBy
     val tf = documents
@@ -200,11 +201,16 @@ object TextAnalysis {
       .select(col("doc_id"), col("_tc.term").as("term"),
         col("_tc.cnt").cast("long").as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus size rides along as a broadcast 1-row aggregate — keeps the
+    // operator fully lazy (an eager .count() here would scan the corpus at
+    // plan-construction time)
+    val nDocs = documents.select(count(lit(1)).cast("double").as("_nd"))
     // vocab ≪ corpus: broadcast keeps tf un-shuffled for the join (at
     // vocab sizes beyond broadcast reach, drop the hint and let AQE pick)
     tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
-        round(col("tf") * lit(nDocs + 1.0) / (col("df") + lit(1.0)), 6)
+        round(col("tf") * (col("_nd") + lit(1.0)) / (col("df") + lit(1.0)), 6)
           .as("tfidf"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("doc_id")
