@@ -163,6 +163,20 @@ class KsqlTutorialSpec extends SparkSpec {
     assert(row.getDecimal(4) === new java.math.BigDecimal("12.34"))
   }
 
+  test("token rewrites never touch string literals") {
+    val e = engine
+    e.execute("""CREATE STREAM match_event (
+      id VARCHAR KEY, event_type VARCHAR, player_id VARCHAR, home boolean)
+      WITH (KAFKA_TOPIC='match_event');""")
+    e.execute("INSERT INTO match_event VALUES ('LEN(x)', 'ROWTIME', '9', true);")
+    val row = e.execute(
+      """SELECT id, event_type FROM match_event
+        WHERE id = 'LEN(x)' AND event_type = 'ROWTIME' EMIT CHANGES;""").get
+      .collect()
+    assert(row.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("LEN(x)", "ROWTIME")))
+  }
+
   test("EXPLAIN returns the Spark physical plan for a KSQL query") {
     val e = engine
     e.execute("""CREATE STREAM match_event (

@@ -138,6 +138,33 @@ class StreamingTutorialSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming stream-stream interval join (J3) with watermarks") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val baseSec = 1700000000L
+    def ts(minute: Int) = new java.sql.Timestamp((baseSec + minute * 60L) * 1000)
+    val l = MemoryStream[(Long, java.sql.Timestamp)]
+    val r = MemoryStream[(Long, java.sql.Timestamp)]
+    val signups = l.toDF().toDF("user_id", "ts1").withWatermark("ts1", "1 hour")
+    val purchases = r.toDF().toDF("p_user", "ts2").withWatermark("ts2", "1 hour")
+    val joined = signups.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("ts2") >= col("ts1") &&
+        col("ts2") <= col("ts1") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("ts1"), col("ts2"))
+    val q = joined.writeStream.format("memory")
+      .queryName("ss_join").outputMode("append").start()
+    try {
+      l.addData((1L, ts(0)), (2L, ts(0)))
+      // user 1 purchases within the hour; user 2 purchases 3h later (out
+      // of the join window) — only user 1 may emit
+      r.addData((1L, ts(30)), (2L, ts(180)))
+      q.processAllAvailable()
+      val got = spark.table("ss_join").collect().map(_.getLong(0)).toSet
+      assert(got === Set(1L))
+    } finally q.stop()
+  }
+
   test("aggregation state survives a checkpointed restart") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
