@@ -132,14 +132,53 @@ object Similarity {
       nProbe: Int = 4, centroidEvery: Int = 50, kmeansIters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = kmeansCentroids(corpus, centroidEvery, kmeansIters, idCol, vecCol)
-    val cellArr = cellLiterals(centroids)
-
     val assigned = corpus.select(
       col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_cv"),
       nearestCellExpr(centroids, col(vecCol)).as("cell_id"))
+    probeCells(assigned, centroids, queries, k, nProbe, idCol, vecCol)
+  }
 
-    // 3. nProbe nearest cells per query (narrow: transform+sort+slice)
-    val probed = queries.select(
+  /** Materialize the IVF index: assign every corpus vector to its cell and
+    * write the assignment `partitionBy(cell_id)` — the 100 TB form, where
+    * a probe's cell filter prunes whole directories before any I/O.
+    * Returns the centroids for [[ivfCosineTopKIndexed]].
+    */
+  def buildIvfIndex(corpus: DataFrame, path: String, centroidEvery: Int = 50,
+      kmeansIters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[(Long, Array[Float])] = {
+    val centroids = kmeansCentroids(corpus, centroidEvery, kmeansIters, idCol, vecCol)
+    val assigned = corpus.select(
+      col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_cv"),
+      nearestCellExpr(centroids, col(vecCol)).as("cell_id"))
+    graft.engine.Layout.writePartitioned(assigned, path, "cell_id")
+    centroids
+  }
+
+  /** Query a materialized IVF index: the probed cell ids become a static
+    * `isin` partition filter on the index scan (directory pruning — only
+    * ~nProbe/nCells of the files are read; asserted in PlanShapeSpec),
+    * then the bounded top-k aggregate ranks the probed cells.
+    */
+  def ivfCosineTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, centroids: Array[(Long, Array[Float])],
+      queries: DataFrame, k: Int = 5, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = spark.read.parquet(indexPath)
+    val probed0 = probedCellsOf(centroids, queries, nProbe, idCol, vecCol)
+    // queries are index-build-small: their probed cell set collects to a
+    // literal filter so Catalyst prunes index partitions statically
+    val cells = probed0.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    probeCells(assigned.filter(col("cell_id").isin(cells: _*)),
+      centroids, queries, k, nProbe, idCol, vecCol)
+  }
+
+  /** (query_id, _qv, cell_id) for each query's nProbe nearest cells. */
+  private def probedCellsOf(centroids: Array[(Long, Array[Float])],
+      queries: DataFrame, nProbe: Int, idCol: String,
+      vecCol: String): DataFrame = {
+    val cellArr = cellLiterals(centroids)
+    queries.select(
       col(idCol).cast("long").as("query_id"), col(vecCol).as("_qv"),
       explode(slice(
         sort_array(transform(cellArr, c => struct(
@@ -147,7 +186,12 @@ object Similarity {
           c.getField("cell_id").as("cell_id")))),
         1, nProbe)).as("_probe"))
       .select(col("query_id"), col("_qv"), col("_probe.cell_id").as("cell_id"))
+  }
 
+  private def probeCells(assigned: DataFrame,
+      centroids: Array[(Long, Array[Float])], queries: DataFrame, k: Int,
+      nProbe: Int, idCol: String, vecCol: String): DataFrame = {
+    val probed = probedCellsOf(centroids, queries, nProbe, idCol, vecCol)
     val scored = assigned.join(broadcast(probed), Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -143,6 +143,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("materialized IVF index: probe prunes cell partitions statically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val centroids = Similarity.buildIvfIndex(emb, dir)
+    val topk = Similarity.ivfCosineTopKIndexed(spark, dir, centroids, queries)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell_id[^\\]]*\\].*"),
+      s"probe not pruning index partitions:\n$plan")
+    // the indexed path returns the same answer as the in-memory IVF built
+    // from the same centroids would — recall vs brute force stays high
+    val brute = Similarity.bruteCosineTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val indexed = topk.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & indexed).size.toDouble / brute.size
+    assert(recall >= 0.5, s"indexed IVF recall $recall too low")
+  }
+
   test("partitioned layout: partition predicate prunes directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
