@@ -41,4 +41,24 @@ object Layout {
     */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Small-file compaction: rewrite a parquet dataset into `targetFiles`
+    * evenly-sized files, then swap it into place. Streaming ingest
+    * (micro-batch appends) accretes file counts that degrade scan
+    * planning and shuffle fan-in at 100 TB; periodic compaction is the
+    * standard fix. The rewrite lands in a sibling directory and replaces
+    * the original with two renames — not transactional (that is a table
+    * format's job), but never partially-overwritten.
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "__precompact")
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(hadoopPath, old), s"compact: cannot move $path aside")
+    require(fs.rename(tmp, hadoopPath), s"compact: cannot install $tmp")
+    fs.delete(old, true)
+  }
 }

@@ -178,6 +178,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(filtered.count() > 0)
   }
 
+  test("compaction collapses small files, preserving content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(16).write.parquet(dir)
+    def files = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
+    assert(files === 16)
+    graft.engine.Layout.compact(spark, dir, targetFiles = 2)
+    assert(files === 2)
+    val after = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
+    assert(after.toSeq === before.toSeq)
+  }
+
   test("parquet scan prunes columns and pushes filters") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val q = ev.filter(col("event_type") === "purchase").select("event_id", "user_id")
