@@ -357,6 +357,14 @@ object SparkEntry {
       TextAnalysis.repetitionScore(table(s, d, "documents"))),
     "t10_quality_filter" -> ((s, d) =>
       TextAnalysis.qualityFilter(table(s, d, "documents"))),
+    // T11: the capstone composition — quality gate → exact dedup →
+    // decontamination (src0 = benchmark) → deterministic split, one plan.
+    "t11_curation_pipeline" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      TextAnalysis.curate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+    }),
     // D7: 13-gram overlap with the src0 benchmark (contamination audit).
     "d7_ngram_contamination" -> ((s, d) => {
       val docs = table(s, d, "documents")
@@ -673,6 +681,45 @@ object SparkEntry {
         |         ELSE 'ok' END AS reason
         |  FROM s)
         |SELECT doc_id, reason, reason = 'ok' AS keep FROM r""".stripMargin,
+    "t11_curation_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT * FROM documents WHERE source <> 'src0'),
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM corpus),
+        |q AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN len(t) < 20 THEN 'too_short'
+        |           WHEN CAST(len(list_filter(t, tk -> tk IN
+        |             ('the','a','an','and','of','to','in','is','it','for')))
+        |             AS DOUBLE) / len(t) < 0.02 THEN 'no_stopwords'
+        |           WHEN 1.0 - CAST(len(list_distinct(list_transform(
+        |             generate_series(1, len(t) - 1),
+        |             i -> t[i] || ' ' || t[i + 1]))) AS DOUBLE)
+        |             / (len(t) - 1) > 0.08 THEN 'repetitive'
+        |           ELSE 'ok' END AS reason
+        |    FROM tok) WHERE reason = 'ok'),
+        |fp AS (
+        |  SELECT c.doc_id, c.source,
+        |    md5(regexp_replace(lower(trim(c.text)), '\s+', ' ', 'g')) AS f
+        |  FROM corpus c JOIN q USING (doc_id)),
+        |win AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+        |ded AS (SELECT fp.* FROM fp JOIN win USING (doc_id)),
+        |bfp AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents WHERE source = 'src0'),
+        |clean AS (
+        |  SELECT * FROM ded
+        |  WHERE NOT EXISTS (SELECT 1 FROM bfp WHERE bfp.f = ded.f))
+        |SELECT doc_id,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CASE WHEN ('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 4))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS group_split
+        |FROM clean""".stripMargin,
     // d7 compares gram sets by 64-bit hash on the Spark side and by string
     // on the oracle side — identical counts absent collisions.
     "d7_ngram_contamination" ->

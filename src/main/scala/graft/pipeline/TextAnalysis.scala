@@ -219,6 +219,25 @@ object TextAnalysis {
       .select("doc_id", "term", "tfidf", "rank")
   }
 
+  /** End-to-end curation: the composition a training-data pipeline
+    * actually runs — quality gate → exact dedup (min-id winner) →
+    * benchmark decontamination → deterministic split. Every stage is one
+    * of this package's operators, so the whole flow stays declarative
+    * (Catalyst sees one plan: narrow quality/split stages, one dedup
+    * hash-agg exchange, one anti-join) and fully oracle-checkable.
+    * Near-dup removal (MinHash) slots between dedup and decontamination
+    * at the caller's option — it is kept out of the default composition
+    * so the composed result stays SQL-verifiable end-to-end.
+    */
+  def curate(documents: DataFrame, benchmark: DataFrame): DataFrame = {
+    val kept = documents
+      .join(qualityFilter(documents).filter(col("keep")).select("doc_id"),
+        "doc_id")
+    val deduped = kept.join(Dedup.exact(kept), "doc_id")
+    val clean = Dedup.decontaminate(deduped, benchmark)
+    datasetSplit(documents.join(clean, "doc_id"))
+  }
+
   /** 64-bit min-rolling-hash fingerprint (winnowing-style, native
     * expression) — robust to small edits, constant width at any document
     * size.

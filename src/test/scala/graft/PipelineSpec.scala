@@ -201,6 +201,19 @@ class PipelineSpec extends SparkSpec {
     assert(!got.contains(2L))
   }
 
+  test("curation pipeline: each stage drops its target class") {
+    val longDoc = "the " + (1 to 30).map(i => s"tok$i").mkString(" ")
+    val corpus = docs(
+      1L -> longDoc,                        // survives everything
+      2L -> longDoc,                        // exact dup of 1 → dropped
+      3L -> "too short",                    // quality: too_short
+      4L -> ("the " + (100 to 130).map(i => s"leak$i").mkString(" ")))
+    val bench = docs(10L -> ("the " + (100 to 130).map(i => s"leak$i").mkString(" ")))
+    val out = graft.pipeline.TextAnalysis.curate(corpus, bench)
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L))  // 2 deduped, 3 low-quality, 4 decontaminated
+  }
+
   test("real image decode: PNG fixture round-trips exact dimensions") {
     import spark.implicits._
     // build a real 17x9 PNG in-memory
