@@ -163,6 +163,27 @@ class KsqlTutorialSpec extends SparkSpec {
     assert(row.getDecimal(4) === new java.math.BigDecimal("12.34"))
   }
 
+  test("malformed statements fail with clear errors, not silent defaults") {
+    val e = engine
+    intercept[IllegalArgumentException] {
+      e.execute("FROB THE TOPIC;")
+    }
+    intercept[IllegalArgumentException] {
+      e.execute("CREATE STREAM s1 (p DECIMAL(abc)) WITH (KAFKA_TOPIC='s1');")
+    }
+    intercept[IllegalArgumentException] {
+      e.execute("CREATE STREAM s2 (g GEOMETRY) WITH (KAFKA_TOPIC='s2');")
+    }
+    e.execute("""CREATE STREAM match_event (
+      id VARCHAR KEY, event_type VARCHAR, player_id VARCHAR, home boolean)
+      WITH (KAFKA_TOPIC='match_event');""")
+    val err = intercept[IllegalArgumentException] {
+      e.execute("""SELECT COUNT(id) FROM match_event
+        WINDOW TUMBLING (SIZE 2 SECONDS) EMIT CHANGES;""")
+    }
+    assert(err.getMessage.contains("GROUP BY"))
+  }
+
   test("token rewrites never touch string literals") {
     val e = engine
     e.execute("""CREATE STREAM match_event (
