@@ -334,7 +334,7 @@ object SparkEntry {
       val docs = table(s, d, "documents")
       Dedup.decontaminate(
         docs.filter(col("source") =!= "src0"),
-        docs.filter(col("source") === "src0"))
+        docs.filter(col("source") === "src0")).select("doc_id")
     }),
     "d2_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(table(s, d, "documents"))),
     "d3_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(table(s, d, "documents"))),

@@ -40,12 +40,11 @@ object Dedup {
     * typically small enough to broadcast.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def fp(d: DataFrame): Column = md5(TextAnalysis.normalized(col(textCol)))
-    corpus.select(col(idCol), fp(corpus).as("_fp"))
-      .join(benchmark.select(fp(benchmark).as("_fp")).distinct(),
-        Seq("_fp"), "left_anti")
-      .select(idCol)
+      textCol: String = "text"): DataFrame = {
+    val fp = md5(TextAnalysis.normalized(col(textCol)))
+    corpus.withColumn("_fp", fp)
+      .join(benchmark.select(fp.as("_fp")).distinct(), Seq("_fp"), "left_anti")
+      .drop("_fp")
   }
 
   /** N-gram contamination check (GPT-3-appendix-style decontamination):

@@ -162,22 +162,33 @@ object TextAnalysis {
     * repetitive). One narrow projection — the rule thresholds compose the
     * same signals as [[qualityScore]]/[[repetitionScore]] without a join.
     */
-  def qualityFilter(documents: DataFrame, minTokens: Int = 20,
+  /** The first-failing-rule reason expression over a text column —
+    * exposed so compositions ([[curate]]) can filter inline instead of
+    * self-joining against [[qualityFilter]]'s output.
+    */
+  def qualityReason(text: Column, minTokens: Int = 20,
       minStopwordRatio: Double = 0.02,
-      maxDupBigramRatio: Double = 0.08): DataFrame = {
-    val ts = tokens(col("text"))
+      maxDupBigramRatio: Double = 0.08): Column = {
+    val ts = tokens(text)
     val nTok = size(ts)
     val stopRatio = size(filter(ts, t => t.isin(StopWords.map(lit): _*)))
       .cast("double") / nTok.cast("double")
     // a single-token doc has no bigram: rate it non-repetitive rather than
     // letting the 1/0 division go NULL and silently skip the rule
     val dupRatio = when(nTok >= 2, lit(1.0) -
-      size(Dedup.shingles(col("text"), 2)).cast("double") /
+      size(Dedup.shingles(text, 2)).cast("double") /
         (nTok - 1).cast("double")).otherwise(lit(0.0))
-    val reason = when(nTok < minTokens, "too_short")
+    when(nTok < minTokens, "too_short")
       .when(stopRatio < minStopwordRatio, "no_stopwords")
       .when(dupRatio > maxDupBigramRatio, "repetitive")
       .otherwise("ok")
+  }
+
+  def qualityFilter(documents: DataFrame, minTokens: Int = 20,
+      minStopwordRatio: Double = 0.02,
+      maxDupBigramRatio: Double = 0.08): DataFrame = {
+    val reason =
+      qualityReason(col("text"), minTokens, minStopwordRatio, maxDupBigramRatio)
     documents.select(col("doc_id"), reason.as("reason"),
       (reason === "ok").as("keep"))
   }
@@ -230,12 +241,9 @@ object TextAnalysis {
     * so the composed result stays SQL-verifiable end-to-end.
     */
   def curate(documents: DataFrame, benchmark: DataFrame): DataFrame = {
-    val kept = documents
-      .join(qualityFilter(documents).filter(col("keep")).select("doc_id"),
-        "doc_id")
+    val kept = documents.filter(qualityReason(col("text")) === "ok")
     val deduped = kept.join(Dedup.exact(kept), "doc_id")
-    val clean = Dedup.decontaminate(deduped, benchmark)
-    datasetSplit(documents.join(clean, "doc_id"))
+    datasetSplit(Dedup.decontaminate(deduped, benchmark))
   }
 
   /** 64-bit min-rolling-hash fingerprint (winnowing-style, native
