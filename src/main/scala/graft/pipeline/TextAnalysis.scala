@@ -241,7 +241,14 @@ object TextAnalysis {
     * so the composed result stays SQL-verifiable end-to-end.
     */
   def curate(documents: DataFrame, benchmark: DataFrame): DataFrame = {
+    // persisted: the dedup winner join and the decontamination fingerprint
+    // each rescan the kept slice — without the cache every rescan would
+    // re-tokenize and re-shingle the corpus for the quality gate. (At
+    // 100 TB, persist a (doc_id, source, fingerprint) projection instead
+    // of text and key the later stages off fingerprints.)
     val kept = documents.filter(qualityReason(col("text")) === "ok")
+      .select("doc_id", "source", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deduped = kept.join(Dedup.exact(kept), "doc_id")
     datasetSplit(Dedup.decontaminate(deduped, benchmark))
   }
