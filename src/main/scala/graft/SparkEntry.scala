@@ -381,6 +381,15 @@ object SparkEntry {
       val emb = table(s, d, "embeddings")
       Similarity.ivfCosineTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
     }),
+    // V2b: IVF with every cell probed is exhaustive — it must equal the
+    // brute-force answer EXACTLY, which oracle-checks the whole IVF
+    // machinery (k-means build, cell assignment, probe ranking, bounded
+    // top-k) that the approximate v2 path exercises unverified.
+    "v2b_ivf_full_probe" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfCosineTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
+        nProbe = Int.MaxValue)
+    }),
     // X5: OVER-clause window function — per-user running total in exact
     // cents, ordered by (ts, event_id). Partitions are per-user (bounded);
     // the explicit ROWS frame keeps Spark and the oracle frame-identical.
@@ -1047,20 +1056,26 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_agree
         |FROM top GROUP BY query_id, q_label""".stripMargin,
-    "v1_brute_cosine_topk" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id < 20),
-        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-        |      FROM embeddings),
-        |s AS (
-        |  SELECT query_id, neighbor_id,
-        |         round(list_cosine_similarity(qv, cv), 6) AS cosine
-        |  FROM c, q WHERE neighbor_id <> query_id)
-        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
-        |FROM (SELECT *, row_number() OVER (
-        |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-        |      FROM s)
-        |WHERE rank <= 5""".stripMargin
-  )
+    "v1_brute_cosine_topk" -> baseV1Oracle
+  // exhaustive IVF must reproduce the brute-force answer bit-for-bit
+  ) + ("v2b_ivf_full_probe" -> baseV1Oracle)
+
+  /** Exact top-5 cosine neighbors — the shared oracle of the brute-force
+    * baseline and the full-probe IVF equivalence check.
+    */
+  private def baseV1Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      |      FROM embeddings),
+      |s AS (
+      |  SELECT query_id, neighbor_id,
+      |         round(list_cosine_similarity(qv, cv), 6) AS cosine
+      |  FROM c, q WHERE neighbor_id <> query_id)
+      |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |      FROM s)
+      |WHERE rank <= 5""".stripMargin
 }
