@@ -29,6 +29,29 @@ object Sources {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** JSON-lines ingest with a DECLARED schema — raw training corpora
+    * usually arrive as .jsonl before the first parquet conversion. The
+    * explicit schema skips Spark's whole-dataset inference pass (an extra
+    * full read at 100 TB) and pins types against drifting producers;
+    * unparseable lines land in `_corrupt_record` instead of failing the
+    * job (PERMISSIVE — the only sane mode on web-scale dumps).
+    */
+  def fromJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** Header-less CSV ingest with a declared schema, same
+    * no-inference/PERMISSIVE reasoning as [[fromJsonl]].
+    */
+  def fromCsv(spark: SparkSession, path: String, schema: StructType,
+      delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("delimiter", delimiter)
+      .csv(path)
+
   /** Streaming source over a Kafka topic carrying string keys and schemaless
     * JSON values — the reference's only wire format (all.sql:15-17,29,41).
     *

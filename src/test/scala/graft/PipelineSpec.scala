@@ -201,6 +201,38 @@ class PipelineSpec extends SparkSpec {
     assert(!got.contains(2L))
   }
 
+  test("jsonl ingest: declared schema, corrupt lines flagged not fatal") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    val f = dir.resolve("part.jsonl")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      """{"doc_id": 1, "text": "hello world"}""",
+      """this line is not json""",
+      """{"doc_id": 2, "text": "second doc"}"""))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // Spark disallows querying only the corrupt-record column on a raw
+    // scan — cache the parsed result first (the documented pattern)
+    val df = graft.engine.Sources.fromJsonl(spark, f.toString, schema).cache()
+    val good = df.filter(col("_corrupt_record").isNull)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(good.toSet === Set((1L, "hello world"), (2L, "second doc")))
+    assert(df.filter(col("_corrupt_record").isNotNull).count() === 1)
+  }
+
+  test("approx distinct (HLL) stays within documented error of exact") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val pairs = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    pairs.foreach { case (exact, approx) =>
+      // default rsd = 5%; allow 3 sigma
+      assert(math.abs(approx - exact).toDouble / exact <= 0.15,
+        s"HLL drifted: exact=$exact approx=$approx")
+    }
+  }
+
   test("curation pipeline: each stage drops its target class") {
     val longDoc = "the " + (1 to 30).map(i => s"tok$i").mkString(" ")
     val corpus = docs(
