@@ -104,6 +104,25 @@ class KsqlStreamingSpec extends SparkSpec {
     } finally h.stop()
   }
 
+  test("two concurrent push queries over one topic progress independently") {
+    val e = freshEngine
+    ddl(e)
+    val agg = e.execute(
+      """SELECT id, COUNT(id) n FROM match_event GROUP BY id EMIT CHANGES;""").get
+    val filt = e.execute(
+      """SELECT id, player_id FROM match_event
+        WHERE event_type = 'GOAL' EMIT CHANGES;""").get
+    try {
+      insert(e, Tutorial.canonicalEvents)
+      agg.processAllAvailable(); filt.processAllAvailable()
+      val counts = agg.emissions.collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map(_._2.last).toMap
+      assert(counts === Map("1" -> 4L, "2" -> 3L))
+      assert(filt.emissions.count() === 5) // the 5 GOAL events
+    } finally { agg.stop(); filt.stop() }
+  }
+
   test("stateless push query appends (Q4) and SELECT * expands") {
     val e = freshEngine
     ddl(e)
