@@ -387,8 +387,11 @@ object SparkEntry {
     // top-k) that the approximate v2 path exercises unverified.
     "v2b_ivf_full_probe" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
+      // kmeansIters = 0: with every cell probed the answer is exhaustive
+      // regardless of centroid quality, so the equivalence check skips the
+      // Lloyd refinement the approximate v2 path pays for
       Similarity.ivfCosineTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
-        nProbe = Int.MaxValue)
+        nProbe = Int.MaxValue, kmeansIters = 0)
     }),
     // X5: OVER-clause window function — per-user running total in exact
     // cents, ordered by (ts, event_id). Partitions are per-user (bounded);
