@@ -50,13 +50,23 @@ object Layout {
     * the original with two renames — not transactional (that is a table
     * format's job), but never partially-overwritten.
     */
-  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+  def compact(spark: SparkSession, path: String, targetFiles: Int,
+      partitionCols: Seq[String] = Nil): Unit = {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a partitioned dataset rewritten without partitionBy silently loses
+    // its directory layout (and with it, partition pruning) — refuse
+    // unless the caller re-declares the partitioning
+    val looksPartitioned = fs.listStatus(hadoopPath)
+      .exists(st => st.isDirectory && st.getPath.getName.contains("="))
+    require(!looksPartitioned || partitionCols.nonEmpty,
+      s"compact: $path is partitioned; pass partitionCols to preserve layout")
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
     val old = new org.apache.hadoop.fs.Path(path + "__precompact")
-    spark.read.parquet(path).repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val w = spark.read.parquet(path).repartition(targetFiles)
+      .write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
     require(fs.rename(hadoopPath, old), s"compact: cannot move $path aside")
     require(fs.rename(tmp, hadoopPath), s"compact: cannot install $tmp")
     fs.delete(old, true)

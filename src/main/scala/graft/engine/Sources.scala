@@ -36,19 +36,24 @@ object Sources {
     * unparseable lines land in `_corrupt_record` instead of failing the
     * job (PERMISSIVE — the only sane mode on web-scale dumps).
     */
+  private def withCorrupt(schema: StructType): StructType =
+    if (schema.fieldNames.contains("_corrupt_record")) schema
+    else schema.add("_corrupt_record", "string")
+
   def fromJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema.add("_corrupt_record", "string"))
+    spark.read.schema(withCorrupt(schema))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
   /** Header-less CSV ingest with a declared schema, same
-    * no-inference/PERMISSIVE reasoning as [[fromJsonl]].
+    * no-inference/PERMISSIVE/corrupt-record reasoning as [[fromJsonl]].
     */
   def fromCsv(spark: SparkSession, path: String, schema: StructType,
       delimiter: String = ","): DataFrame =
-    spark.read.schema(schema)
+    spark.read.schema(withCorrupt(schema))
       .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("delimiter", delimiter)
       .csv(path)
 

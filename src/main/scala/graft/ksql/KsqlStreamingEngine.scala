@@ -50,18 +50,55 @@ class KsqlStreamingEngine(
   // COUNT_DISTINCT is rewritten in [[translate]] (needs a closing CAST
   // paren, beyond the trait's simple prefix replacement)
 
+  /** A declared stream: the durable record buffer (the topic log) plus
+    * every MemoryStream currently attached to it. Each push query gets
+    * its OWN attached stream replaying the buffer — MemoryStream trims
+    * its shared batch list on commit, so two queries reading one instance
+    * race on committed offsets (rows lost or out-of-order commit errors).
+    */
   private case class StreamDecl(name: String, cols: Seq[ColumnDef],
-      input: MemoryStream[(String, Long)])
+      buffer: mutable.ArrayBuffer[(String, Long)],
+      attached: mutable.ArrayBuffer[MemoryStream[(String, Long)]])
   private case class TableDecl(name: String, cols: Seq[ColumnDef],
       keyCols: Seq[String], topic: String)
+  private case class DerivedDef(kind: String, select: String,
+      partitionBy: Option[String])
 
   private val topics = mutable.LinkedHashMap.empty[String, (StructType, mutable.ArrayBuffer[Row])]
   private val streamDecls = mutable.LinkedHashMap.empty[String, StreamDecl]
   private val tableDecls = mutable.LinkedHashMap.empty[String, TableDecl]
   private val derivedKinds = mutable.LinkedHashMap.empty[String, String]
+  private val derivedDefs = mutable.LinkedHashMap.empty[String, DerivedDef]
   private val offsets = mutable.Map.empty[String, Long].withDefaultValue(0L)
   private val handles = mutable.ArrayBuffer.empty[PushHandle]
   private var queryId = 0
+
+  /** Attach a fresh MemoryStream to a declared stream: replay the buffer,
+    * re-register the collection view over it. Already-started queries keep
+    * their resolved plans (bound to their own attached streams).
+    */
+  private def attachStream(d: StreamDecl): Unit = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    if (d.buffer.nonEmpty) input.addData(d.buffer.toSeq: _*)
+    val valueSchema = StructType(d.cols.map(c => StructField(c.name, c.dataType)))
+    withRowtime(input.toDF().toDF("value", "_offset")
+      .select(from_json(col("value"), valueSchema).as("_v"), col("_offset"))
+      .select(d.cols.map(c => col(s"_v.${c.name}").as(c.name)) :+ col("_offset"): _*))
+      .createOrReplaceTempView(d.name)
+    d.attached += input
+  }
+
+  /** Re-register derived (CSAS/CTAS) views against the current stream
+    * views, in declaration order.
+    */
+  private def refreshDerived(): Unit =
+    derivedDefs.foreach { case (name, DerivedDef(kind, select, pby)) =>
+      var df = spark.sql(translate(select, injectOffset = kind == "STREAM"))
+      pby.foreach(p => df = df.repartition(col(p)))
+      df.createOrReplaceTempView(name)
+    }
 
   protected def kindOf(name: String): Option[String] =
     streamDecls.get(name.toLowerCase).map(_ => "STREAM")
@@ -109,15 +146,10 @@ class KsqlStreamingEngine(
       None
 
     case CreateCollection("STREAM", name, cols, _) =>
-      import spark.implicits._
-      implicit val sq = spark.sqlContext
-      val input = MemoryStream[(String, Long)]
-      val valueSchema = StructType(cols.map(c => StructField(c.name, c.dataType)))
-      withRowtime(input.toDF().toDF("value", "_offset")
-        .select(from_json(col("value"), valueSchema).as("_v"), col("_offset"))
-        .select(cols.map(c => col(s"_v.${c.name}").as(c.name)) :+ col("_offset"): _*))
-        .createOrReplaceTempView(name)
-      streamDecls(name.toLowerCase) = StreamDecl(name, cols, input)
+      val d = StreamDecl(name, cols,
+        mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty)
+      streamDecls(name.toLowerCase) = d
+      attachStream(d) // initial view: CSAS validation + metadata queries
       None
 
     case CreateCollection("TABLE", name, cols, props) =>
@@ -139,6 +171,7 @@ class KsqlStreamingEngine(
       pby.foreach(p => df = df.repartition(col(p)))
       df.createOrReplaceTempView(name)
       derivedKinds(name.toLowerCase) = kind
+      derivedDefs(name.toLowerCase) = DerivedDef(kind, select, pby)
       None
 
     case InsertValues(target, columns, values) =>
@@ -157,10 +190,15 @@ class KsqlStreamingEngine(
         "\"" + c + "\":" + jsonV
       }.mkString("{", ",", "}")
       val off = offsets(target); offsets(target) = off + 1
-      d.input.addData((json, off))
+      d.buffer += ((json, off))
+      d.attached.foreach(_.addData((json, off)))
       None
 
     case PushQuery(select) =>
+      // isolate this query: fresh source streams (buffer replayed) so
+      // concurrent queries never share a MemoryStream's commit state
+      streamDecls.values.foreach(attachStream)
+      refreshDerived()
       val df = spark.sql(translate(select))
       val aggregated = select.toUpperCase.contains("GROUP BY")
       queryId += 1
@@ -178,12 +216,17 @@ class KsqlStreamingEngine(
         s"streaming engine does not support: $other")
   }
 
-  /** COUNT_DISTINCT needs a closing paren for the CAST wrapper. */
+  /** COUNT_DISTINCT needs a closing paren for the CAST wrapper; rewrites
+    * stay outside string literals like every other token rewrite.
+    */
   private def translate(select: String, injectOffset: Boolean = false): String = {
-    val pre = select.replaceAll("(?i)(?<![\\w])COUNT_DISTINCT\\s*\\(\\(([^()]*)\\)\\)",
+    import KsqlTranslator.replaceOutsideQuotes
+    val pre = replaceOutsideQuotes(
+      replaceOutsideQuotes(select,
+        "(?i)(?<![\\w])COUNT_DISTINCT\\s*\\(\\(([^()]*)\\)\\)",
+        "graft_exact_count_distinct(CAST(($1) AS STRING))"),
+      "(?i)(?<![\\w])COUNT_DISTINCT\\s*\\(([^()]*)\\)",
       "graft_exact_count_distinct(CAST(($1) AS STRING))")
-      .replaceAll("(?i)(?<![\\w])COUNT_DISTINCT\\s*\\(([^()]*)\\)",
-        "graft_exact_count_distinct(CAST(($1) AS STRING))")
     translateSelect(pre, injectOffset)
   }
 

@@ -164,13 +164,14 @@ object Similarity {
       queries: DataFrame, k: Int = 5, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val assigned = spark.read.parquet(indexPath)
-    val probed0 = probedCellsOf(centroids, queries, nProbe, idCol, vecCol)
+    val probed = probedCellsOf(centroids, queries, nProbe, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // queries are index-build-small: their probed cell set collects to a
-    // literal filter so Catalyst prunes index partitions statically
-    val cells = probed0.select("cell_id").distinct()
+    // literal filter so Catalyst prunes index partitions statically; the
+    // persisted probe relation feeds both the filter and the join
+    val cells = probed.select("cell_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    probeCells(assigned.filter(col("cell_id").isin(cells: _*)),
-      centroids, queries, k, nProbe, idCol, vecCol)
+    probeJoin(assigned.filter(col("cell_id").isin(cells: _*)), probed, k)
   }
 
   /** (query_id, _qv, cell_id) for each query's nProbe nearest cells. */
@@ -190,8 +191,12 @@ object Similarity {
 
   private def probeCells(assigned: DataFrame,
       centroids: Array[(Long, Array[Float])], queries: DataFrame, k: Int,
-      nProbe: Int, idCol: String, vecCol: String): DataFrame = {
-    val probed = probedCellsOf(centroids, queries, nProbe, idCol, vecCol)
+      nProbe: Int, idCol: String, vecCol: String): DataFrame =
+    probeJoin(assigned,
+      probedCellsOf(centroids, queries, nProbe, idCol, vecCol), k)
+
+  private def probeJoin(assigned: DataFrame, probed: DataFrame,
+      k: Int): DataFrame = {
     val scored = assigned.join(broadcast(probed), Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
