@@ -170,6 +170,35 @@ class KsqlEngine(
       Some(rows.toDF("column_name", "type", "key"))
     }
 
+    case DropCollection(kind, name, ifExists) =>
+      val n = name.toLowerCase
+      (decls.get(n).map(_.kind) orElse derived.get(n).map(_.kind)) match {
+        case Some(k) if k != kind =>
+          throw new IllegalArgumentException(
+            s"$name is a $k — use DROP $k")
+        case Some(_) =>
+          decls.remove(n); derived.remove(n)
+          spark.catalog.dropTempView(name)
+        case None if ifExists => ()
+        case None =>
+          throw new NoSuchElementException(s"$kind $name does not exist")
+      }
+      None
+
+    case PrintTopic(topic) =>
+      val key = topics.keys.find(_.equalsIgnoreCase(topic)).getOrElse(
+        throw new NoSuchElementException(s"topic $topic does not exist"))
+      Some(topicDF(key))
+
+    // ksqlDB terminates persistent queries by id; here the derived
+    // collection IS the persistent query — terminating it stops the
+    // re-evaluation and drops its view
+    case TerminateQuery(qid) =>
+      if (derived.remove(qid.toLowerCase).isEmpty)
+        throw new NoSuchElementException(s"query $qid does not exist")
+      spark.catalog.dropTempView(qid)
+      None
+
     case ShowCommand(what) =>
       import spark.implicits._
       Some(what match {

@@ -24,6 +24,10 @@ final case class PushQuery(select: String) extends KsqlStatement
 final case class ShowCommand(what: String) extends KsqlStatement
 final case class DescribeCommand(name: String) extends KsqlStatement
 final case class ExplainCommand(select: String) extends KsqlStatement
+final case class DropCollection(kind: String, name: String, ifExists: Boolean)
+  extends KsqlStatement
+final case class PrintTopic(topic: String) extends KsqlStatement
+final case class TerminateQuery(queryId: String) extends KsqlStatement
 
 object KsqlParser {
 
@@ -66,6 +70,10 @@ object KsqlParser {
     "(?is)^INSERT\\s+INTO\\s+(\\w+)\\s*(?:\\(([^)]*)\\)\\s*)?VALUES\\s*\\((.*)\\)$".r
   private val ShowRe = "(?is)^SHOW\\s+(\\w+)$".r
   private val DescribeRe = "(?is)^DESCRIBE\\s+(\\w+)$".r
+  private val DropRe =
+    "(?is)^DROP\\s+(TABLE|STREAM)\\s+(?:(IF\\s+EXISTS)\\s+)?(\\w+)$".r
+  private val PrintRe = "(?is)^PRINT\\s+'?([\\w.-]+)'?(?:\\s+FROM\\s+BEGINNING)?$".r
+  private val TerminateRe = "(?is)^TERMINATE\\s+(\\w+)$".r
   private val PartitionByRe = "(?is)\\s+PARTITION\\s+BY\\s+(\\w+)\\s*$"
 
   def parse(statement: String): KsqlStatement = {
@@ -88,6 +96,10 @@ object KsqlParser {
           splitTopLevel(values))
       case ShowRe(what) => ShowCommand(what.toUpperCase)
       case DescribeRe(name) => DescribeCommand(name)
+      case DropRe(kind, ifExists, name) =>
+        DropCollection(kind.toUpperCase, name, ifExists != null)
+      case PrintRe(topic) => PrintTopic(topic)
+      case TerminateRe(qid) => TerminateQuery(qid)
       case e if e.toUpperCase.matches("(?s)EXPLAIN\\s.*") =>
         ExplainCommand(e.substring(7).trim)
       case sel if sel.toUpperCase.startsWith("SELECT") =>

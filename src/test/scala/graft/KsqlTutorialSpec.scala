@@ -163,6 +163,29 @@ class KsqlTutorialSpec extends SparkSpec {
     assert(row.getDecimal(4) === new java.math.BigDecimal("12.34"))
   }
 
+  test("lifecycle: PRINT, DROP, TERMINATE manage collections and queries") {
+    val e = engine
+    e.execute("""CREATE STREAM match_event (
+      id VARCHAR KEY, event_type VARCHAR, player_id VARCHAR, home boolean)
+      WITH (KAFKA_TOPIC='match_event');""")
+    e.execute("INSERT INTO match_event VALUES ('1', 'GOAL', '9', true);")
+    // PRINT shows the raw topic log (offsets + record times included)
+    val printed = e.execute("PRINT 'match_event' FROM BEGINNING;").get
+    assert(printed.count() === 1)
+    assert(printed.columns.contains("_offset"))
+    // a CTAS is a persistent query; TERMINATE removes it
+    e.execute("""CREATE TABLE goals WITH (KAFKA_TOPIC='goals') AS
+      SELECT id, COUNT(id) n FROM match_event GROUP BY id;""")
+    assert(e.execute("SELECT * FROM goals EMIT CHANGES;").get.count() === 1)
+    e.execute("TERMINATE goals;")
+    intercept[Exception] { e.execute("SELECT * FROM goals EMIT CHANGES;").get.count() }
+    // DROP enforces collection kind and existence
+    intercept[IllegalArgumentException] { e.execute("DROP TABLE match_event;") }
+    e.execute("DROP STREAM match_event;")
+    e.execute("DROP STREAM IF EXISTS match_event;") // idempotent with IF EXISTS
+    intercept[NoSuchElementException] { e.execute("DROP STREAM match_event;") }
+  }
+
   test("malformed statements fail with clear errors, not silent defaults") {
     val e = engine
     intercept[IllegalArgumentException] {
