@@ -104,6 +104,42 @@ class KsqlStreamingSpec extends SparkSpec {
     } finally h.stop()
   }
 
+  test("batch and streaming engines converge to the same query state") {
+    val sql = """SELECT p.id AS player_id,
+        SUM(CASE WHEN me.event_type = 'GOAL' THEN 1 ELSE 0 END) goals,
+        SUM(CASE WHEN me.event_type = 'ASSIST' THEN 1 ELSE 0 END) assists
+      FROM match_event me JOIN players p ON p.id = me.player_id
+      GROUP BY p.id EMIT CHANGES;"""
+    // batch engine: converged state by re-evaluation
+    val be = new graft.ksql.KsqlEngine(spark,
+      connectorProvider = (s, _) => Tutorial.playersSeed(s))
+    be.execute("CREATE SOURCE CONNECTOR c WITH ('table.whitelist' = 'players');")
+    be.execute("""CREATE TABLE players (
+      ID VARCHAR PRIMARY KEY, name VARCHAR(50), team VARCHAR(50),
+      nationality VARCHAR(50)) WITH (KAFKA_TOPIC = 'players');""")
+    be.execute("""CREATE STREAM match_event (
+      id VARCHAR KEY, event_type VARCHAR, player_id VARCHAR, home boolean)
+      WITH (KAFKA_TOPIC='match_event');""")
+    Tutorial.canonicalEvents.foreach { ev =>
+      be.execute(s"INSERT INTO match_event VALUES " +
+        s"('${ev.id}', '${ev.event_type}', '${ev.player_id}', ${ev.home});")
+    }
+    val batchState = be.execute(sql).get.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // streaming engine: same statements, state = latest changelog emission
+    val se = freshEngine
+    ddl(se)
+    val h = se.execute(sql).get
+    try {
+      insert(se, Tutorial.canonicalEvents)
+      h.processAllAvailable()
+      val streamState = h.emissions.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map(_._2.last).toSet
+      assert(streamState === batchState)
+    } finally h.stop()
+  }
+
   test("two concurrent push queries over one topic progress independently") {
     val e = freshEngine
     ddl(e)

@@ -306,6 +306,17 @@ class PipelineSpec extends SparkSpec {
     assert(dec.width > 0 && dec.height > 0)
   }
 
+  test("media synthesis survives null text and negative ids") {
+    import spark.implicits._
+    val d = Seq((-9L, null: String, "s"), (-8L, "some text", "s"),
+      (0L, "img doc", "s"))
+      .toDF("doc_id", "text", "source")
+    val dec = Multimodal.decode(Multimodal.asMediaTable(d))
+      .collect().sortBy(_.doc_id)
+    assert(dec.length === 3)
+    assert(dec.forall(m => m.width > 0 && m.height > 0 && m.n_frames > 0))
+  }
+
   test("multimodal decode plumbing produces stable per-row features") {
     val d = docs(1L -> "image payload bytes", 2L -> "another payload")
       .withColumn("n_chars", length(col("text")))
