@@ -204,6 +204,13 @@ class KsqlEngine(
       Some(what match {
         case "TOPICS" => topics.keys.toSeq.sorted.toDF("name")
         case "CONNECTORS" => connectors.toSeq.sorted.toDF("name")
+        case "QUERIES" =>
+          // ksqlDB lists persistent queries; here each derived collection
+          // is one (TERMINATE <name> stops it)
+          derived.values.map(d =>
+            (d.name, s"C${d.kind.head}AS", d.topic,
+              d.select.replaceAll("\\s+", " ").take(60)))
+            .toSeq.sortBy(_._1).toDF("query_id", "kind", "sink_topic", "query")
         case "STREAMS" | "TABLES" =>
           val kind = what.dropRight(1) // STREAM / TABLE
           (decls.values.filter(_.kind == kind).map(d => (d.name, d.kind, d.topic)) ++

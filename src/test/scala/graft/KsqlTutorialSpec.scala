@@ -173,11 +173,15 @@ class KsqlTutorialSpec extends SparkSpec {
     val printed = e.execute("PRINT 'match_event' FROM BEGINNING;").get
     assert(printed.count() === 1)
     assert(printed.columns.contains("_offset"))
-    // a CTAS is a persistent query; TERMINATE removes it
+    // a CTAS is a persistent query; SHOW QUERIES lists it, TERMINATE
+    // removes it
     e.execute("""CREATE TABLE goals WITH (KAFKA_TOPIC='goals') AS
       SELECT id, COUNT(id) n FROM match_event GROUP BY id;""")
     assert(e.execute("SELECT * FROM goals EMIT CHANGES;").get.count() === 1)
+    val queries = e.execute("SHOW QUERIES;").get.collect()
+    assert(queries.map(_.getString(0)).toSeq === Seq("goals"))
     e.execute("TERMINATE goals;")
+    assert(e.execute("SHOW QUERIES;").get.count() === 0)
     intercept[Exception] { e.execute("SELECT * FROM goals EMIT CHANGES;").get.count() }
     // DROP enforces collection kind and existence
     intercept[IllegalArgumentException] { e.execute("DROP TABLE match_event;") }
