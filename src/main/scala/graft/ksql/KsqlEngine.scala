@@ -172,11 +172,12 @@ class KsqlEngine(
 
     case DropCollection(kind, name, ifExists) =>
       val n = name.toLowerCase
-      (decls.get(n).map(_.kind) orElse derived.get(n).map(_.kind)) match {
+      kindOf(name) match {
         case Some(k) if k != kind =>
           throw new IllegalArgumentException(
             s"$name is a $k — use DROP $k")
         case Some(_) =>
+          requireNoDependents(n)
           decls.remove(n); derived.remove(n)
           spark.catalog.dropTempView(name)
         case None if ifExists => ()
@@ -194,8 +195,11 @@ class KsqlEngine(
     // collection IS the persistent query — terminating it stops the
     // re-evaluation and drops its view
     case TerminateQuery(qid) =>
-      if (derived.remove(qid.toLowerCase).isEmpty)
+      val n = qid.toLowerCase
+      if (!derived.contains(n))
         throw new NoSuchElementException(s"query $qid does not exist")
+      requireNoDependents(n)
+      derived.remove(n)
       spark.catalog.dropTempView(qid)
       None
 
@@ -219,6 +223,18 @@ class KsqlEngine(
         case other => throw new IllegalArgumentException(s"SHOW $other unsupported")
       })
   }
+
+  /** Reject removing a collection some remaining derived query reads —
+    * otherwise every later refreshViews() would throw resolving the
+    * dangling SELECT (ksqlDB rejects such drops the same way).
+    */
+  private def requireNoDependents(n: String): Unit =
+    derived.values.find(d => d.name.toLowerCase != n &&
+        fromSources(d.select).exists(_._1.toLowerCase == n))
+      .foreach { d =>
+        throw new IllegalArgumentException(
+          s"cannot remove $n: query ${d.name} reads from it")
+      }
 
   // ---- views ----------------------------------------------------------
 

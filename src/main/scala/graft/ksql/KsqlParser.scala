@@ -72,7 +72,8 @@ object KsqlParser {
   private val DescribeRe = "(?is)^DESCRIBE\\s+(\\w+)$".r
   private val DropRe =
     "(?is)^DROP\\s+(TABLE|STREAM)\\s+(?:(IF\\s+EXISTS)\\s+)?(\\w+)$".r
-  private val PrintRe = "(?is)^PRINT\\s+'?([\\w.-]+)'?(?:\\s+FROM\\s+BEGINNING)?$".r
+  private val PrintRe =
+    "(?is)^PRINT\\s+(?:'([\\w.-]+)'|([\\w.-]+))(?:\\s+FROM\\s+BEGINNING)?$".r
   private val TerminateRe = "(?is)^TERMINATE\\s+(\\w+)$".r
   private val PartitionByRe = "(?is)\\s+PARTITION\\s+BY\\s+(\\w+)\\s*$"
 
@@ -98,7 +99,7 @@ object KsqlParser {
       case DescribeRe(name) => DescribeCommand(name)
       case DropRe(kind, ifExists, name) =>
         DropCollection(kind.toUpperCase, name, ifExists != null)
-      case PrintRe(topic) => PrintTopic(topic)
+      case PrintRe(quoted, bare) => PrintTopic(Option(quoted).getOrElse(bare))
       case TerminateRe(qid) => TerminateQuery(qid)
       case e if e.toUpperCase.matches("(?s)EXPLAIN\\s.*") =>
         ExplainCommand(e.substring(7).trim)

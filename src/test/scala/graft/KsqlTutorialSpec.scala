@@ -180,6 +180,11 @@ class KsqlTutorialSpec extends SparkSpec {
     assert(e.execute("SELECT * FROM goals EMIT CHANGES;").get.count() === 1)
     val queries = e.execute("SHOW QUERIES;").get.collect()
     assert(queries.map(_.getString(0)).toSeq === Seq("goals"))
+    // a collection with a live dependent query cannot be dropped
+    val dep = intercept[IllegalArgumentException] {
+      e.execute("DROP STREAM match_event;")
+    }
+    assert(dep.getMessage.contains("goals"))
     e.execute("TERMINATE goals;")
     assert(e.execute("SHOW QUERIES;").get.count() === 0)
     intercept[Exception] { e.execute("SELECT * FROM goals EMIT CHANGES;").get.count() }

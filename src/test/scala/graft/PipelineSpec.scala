@@ -308,7 +308,9 @@ class PipelineSpec extends SparkSpec {
 
   test("media synthesis survives null text and negative ids") {
     import spark.implicits._
-    val d = Seq((-9L, null: String, "s"), (-8L, "some text", "s"),
+    // -7 routes to the video branch (floorMod(-7,3)=2), the only one
+    // that dereferences text — the null guard must cover it
+    val d = Seq((-7L, null: String, "s"), (-8L, "some text", "s"),
       (0L, "img doc", "s"))
       .toDF("doc_id", "text", "source")
     val dec = Multimodal.decode(Multimodal.asMediaTable(d))
