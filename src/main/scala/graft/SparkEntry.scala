@@ -293,6 +293,10 @@ object SparkEntry {
     "a9_rollup" -> ((s, d) =>
       table(s, d, "documents").rollup(col("lang"), col("source"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))),
+    // A10: CUBE — all grouping-set combinations in one pass.
+    "a10_cube" -> ((s, d) =>
+      table(s, d, "documents").cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))),
     // X4: non-equi band join — value ranges as a broadcast-nested-loop
     // join against a tiny literal dimension (the join form of P5's CASE).
     "x4_band_join" -> ((s, d) => {
@@ -313,6 +317,13 @@ object SparkEntry {
       def lv(t: String) = ev.filter(col("event_type") === t)
         .select(round(col("value")).cast("long").as("value_level"))
       lv("view").except(lv("purchase"))
+    }),
+    // P13: set intersection — value levels common to signups and errors.
+    "p13_intersect" -> ((s, d) => {
+      val ev = events(s, d)
+      def lv(t: String) = ev.filter(col("event_type") === t)
+        .select(round(col("value")).cast("long").as("value_level"))
+      lv("signup").intersect(lv("error"))
     }),
     // V3: per-label centroid components in exact integer 1e-6 units (a
     // double mean would be accumulation-order dependent; the scaled-sum
@@ -651,6 +662,16 @@ object SparkEntry {
         |EXCEPT
         |SELECT CAST(round(value) AS BIGINT) FROM events
         |WHERE event_type = 'purchase'""".stripMargin,
+    "p13_intersect" ->
+      """SELECT CAST(round(value) AS BIGINT) AS value_level FROM events
+        |WHERE event_type = 'signup'
+        |INTERSECT
+        |SELECT CAST(round(value) AS BIGINT) FROM events
+        |WHERE event_type = 'error'""".stripMargin,
+    "a10_cube" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY CUBE(lang, source)""".stripMargin,
     "v3_label_centroid" ->
       """SELECT label, CAST(i - 1 AS INTEGER) AS pos,
         |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
