@@ -37,6 +37,11 @@ final case class PushHandle(spark: SparkSession, name: String,
   * translates to the exact streaming Aggregator
   * ([[graft.functions.ExactCountDistinct]]) because Spark's
   * count-distinct rewrite is unsupported under streaming aggregation.
+  *
+  * Scope: this engine executes the DATA-PLANE statements (DDL, INSERT,
+  * push queries). Metadata/lifecycle statements (SHOW, DESCRIBE, PRINT,
+  * EXPLAIN, DROP, TERMINATE) live on [[KsqlEngine]]; submitting one here
+  * fails with a clear unsupported-statement error.
   */
 class KsqlStreamingEngine(
     val spark: SparkSession,
