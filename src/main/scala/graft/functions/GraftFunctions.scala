@@ -10,6 +10,9 @@ import org.apache.spark.sql.graftbridge.Bridge
   *   graft_cosine(a, b), graft_dot(a, b),
   *   graft_minhash(tokens[, k, seed]), graft_simhash64(tokens),
   *   graft_rolling_fingerprint(s[, window]),
+  *   graft_shingle_hashes(tokens[, w, seed]),
+  *   graft_shingle_strings(tokens[, w]),
+  *   graft_sorted_intersect_count(a, b), graft_term_counts(tokens),
   *   graft_latest_by_offset(value, order)   (aggregate),
   *   graft_top_k_by_score(score, id, k)     (aggregate).
   */
@@ -41,6 +44,22 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(
         s"graft_rolling_fingerprint takes 1 or 2 args, got ${args.size}")
     })
+    Bridge.registerFunction(spark, "graft_shingle_hashes", {
+      case Seq(t) => ShingleHashes(t, 3, 42)
+      case Seq(t, w, s) => ShingleHashes(t, intLit(w, "w"), intLit(s, "seed"))
+      case args => throw new IllegalArgumentException(
+        s"graft_shingle_hashes takes 1 or 3 args, got ${args.size}")
+    })
+    Bridge.registerFunction(spark, "graft_shingle_strings", {
+      case Seq(t) => ShingleStrings(t, 3)
+      case Seq(t, w) => ShingleStrings(t, intLit(w, "w"))
+      case args => throw new IllegalArgumentException(
+        s"graft_shingle_strings takes 1 or 2 args, got ${args.size}")
+    })
+    Bridge.registerFunction(spark, "graft_sorted_intersect_count",
+      args => SortedIntersectCount(args(0), args(1)))
+    Bridge.registerFunction(spark, "graft_term_counts",
+      args => TermCounts(args(0)))
     Bridge.registerFunction(spark, "graft_latest_by_offset",
       args => LatestByOffsetAgg(args(0), args(1)))
     Bridge.registerFunction(spark, "graft_top_k_by_score",

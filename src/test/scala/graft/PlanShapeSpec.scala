@@ -105,6 +105,16 @@ class PlanShapeSpec extends SparkSpec {
       "SELECT graft_simhash64(array('a','b')) s, graft_rolling_fingerprint('hello world') f")
       .collect().head
     assert(fp.getLong(0) !== 0L)
+    val tx = spark.sql(
+      """SELECT graft_sorted_intersect_count(array('a','b'), array('b','c')) i,
+         size(graft_term_counts(array('x','x','y'))) t,
+         size(graft_shingle_hashes(array('a','b','c'), 2, 42)) sh,
+         graft_shingle_strings(array('a','b','c'), 2) ss""")
+      .collect().head
+    assert(tx.getInt(0) === 1)
+    assert(tx.getInt(1) === 2)
+    assert(tx.getInt(2) === 2)
+    assert(tx.getSeq[String](3) === Seq("a b", "b c"))
   }
 
   test("bucketed tables join and aggregate with no exchange") {
