@@ -445,10 +445,10 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL per query (same column names and types as the Spark
-    * result). Queries absent here are non-SQL-expressible (seeded-hash
-    * sketches, approximate search) and get the driver's rows-only check;
-    * each has an exact twin that IS oracle-checked (d4→d2/d3, v2→v1,
-    * t5→t4, a3_approx→a3).
+    * result). Only two queries are absent (rows-only): the HLL sketch
+    * (a3_approx — algorithm-specific; its exact twin a3 is hash-checked)
+    * and the approximate IVF search (v2 — recall < 1 by construction; its
+    * exhaustive form v2b shares the brute-force v1 oracle).
     */
   def oracleSql: Map[String, String] = Map(
     "s2_table_upsert" ->
