@@ -61,4 +61,18 @@ object Sinks {
     */
   def toParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Streaming parquet sink — the lakehouse landing path for a persistent
+    * query. Append-mode with a checkpoint: the file-sink commit log gives
+    * exactly-once file visibility across restarts (readers see only files
+    * recorded in `_spark_metadata`). Use [[graft.engine.Layout.compact]]
+    * periodically — micro-batch appends accrete small files.
+    */
+  def streamToParquet(df: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
 }

@@ -138,6 +138,24 @@ class StreamingTutorialSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming parquet sink lands exactly-once files with a commit log") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_psink")
+    val (out, ckpt) = (s"$base/data", s"$base/ckpt")
+    val input = MemoryStream[MatchEvent]
+    val q = Sinks.streamToParquet(
+      input.toDF().filter(col("event_type") === "GOAL"), out, ckpt)
+    try {
+      input.addData(Tutorial.canonicalEvents: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the file-sink commit log makes the output a readable, exact dataset
+    val landed = spark.read.parquet(out)
+    assert(landed.count() === 5) // the 5 GOAL events
+    assert(new java.io.File(s"$out/_spark_metadata").exists())
+  }
+
   test("streaming stream-stream interval join (J3) with watermarks") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
