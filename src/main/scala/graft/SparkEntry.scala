@@ -352,6 +352,18 @@ object SparkEntry {
     "d4_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(table(s, d, "documents"))),
     "d5_embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(table(s, d, "embeddings"))),
+    // D8: cluster resolution — connected components over the d3 near-dup
+    // pair graph (large-star/small-star label propagation), min-id survivor
+    // election, cluster sizes. The missing stage between "pair list" and
+    // "deduplicated corpus".
+    "d8_dedup_clusters" -> ((s, d) =>
+      Dedup.resolveClusters(Dedup.minhashPairs(table(s, d, "documents")))),
+    // D9: the corpus after near-dup removal — every clustered doc drops
+    // except its component's min-id representative.
+    "d9_dedup_survivors" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Dedup.nearDupSurvivors(docs, Dedup.minhashPairs(docs)).select("doc_id")
+    }),
     // ---- T: text analysis ----------------------------------------------
     "t1_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(table(s, d, "documents"))),
     "t2_quality_score" -> ((s, d) => TextAnalysis.qualityScore(table(s, d, "documents"))),
@@ -824,6 +836,66 @@ object SparkEntry {
         |      6) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
+    // d8 resolves the d3 pair graph into components; the oracle recomputes
+    // the exhaustive pair list (d3's oracle twin) and takes its transitive
+    // closure with WITH RECURSIVE — reach(id, r) = r reachable from id —
+    // then min-reachable per node = the representative, exactly the
+    // large-star/small-star fixpoint. Components are tiny at gate SF, so
+    // the recursion is cheap.
+    "d8_dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tok),
+        |pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT a.doc_id AS a, b.doc_id AS b,
+        |      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE),
+        |        6) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.8),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS r FROM edges
+        |  UNION
+        |  SELECT e.u AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.v),
+        |rep AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id),
+        |sz AS (SELECT rep_id, count(*) AS cluster_size FROM rep GROUP BY rep_id)
+        |SELECT doc_id, rep_id, cluster_size FROM rep JOIN sz USING (rep_id)""".stripMargin,
+    // d9: anti-join of the corpus against non-representative cluster
+    // members — the deduplicated corpus itself.
+    "d9_dedup_survivors" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tok),
+        |pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT a.doc_id AS a, b.doc_id AS b,
+        |      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE),
+        |        6) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.8),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS r FROM edges
+        |  UNION
+        |  SELECT e.u AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.v),
+        |rep AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM rep WHERE doc_id <> rep_id)""".stripMargin,
     // d4's fingerprint is an md5-low64-token-hash SimHash, replicable in
     // SQL; and with 4 bands of 16 bits, any pair at hamming ≤ 3 shares at
     // least one untouched band (pigeonhole), so the banded LSH has recall

@@ -212,6 +212,113 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-duplicate pair graph, resolving the
+    * `(a, b)` pair lists emitted by [[minhashPairs]] / [[simhashPairs]] /
+    * [[embeddingNearDupPairs]] into clusters: every node maps to the
+    * minimum id reachable through the pair relation (a ~ b, b ~ c ⟹ a, b, c
+    * share one representative even when a ≁ c directly).
+    *
+    * Algorithm: alternating large-star / small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC '14) —
+    * each round is two hash-shuffle group-by-node joins, no driver-side
+    * union-find, and the edge set converges to per-component stars in
+    * O(log n) rounds. Per round the lineage is truncated with an eager
+    * `localCheckpoint` (at cluster scale point `spark.checkpoint.dir` at
+    * durable storage and swap in `checkpoint` for executor-loss safety)
+    * and convergence is detected by an edge-multiset checksum — one
+    * count+xxhash64 aggregate action per round.
+    *
+    * Output: one row per node of the pair graph — `(id, rep_id)` with
+    * `rep_id` = min id of the node's component (representatives map to
+    * themselves). Documents in no pair are absent by construction (their
+    * representative is trivially themselves).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b", maxIter: Int = 30): DataFrame = {
+    // (cardinality, xor-fold of row hashes): order-independent, overflow-
+    // free under ANSI — equal iff the edge SET is (almost surely) equal
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // large-star: every node attaches its LARGER neighbors to the minimum
+    // of its closed neighborhood; keeps high-degree stars shallow.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("_mn"))
+        .select(col("u"), least(col("u"), col("_mn")).as("_m"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("_m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star: every node rewires its SMALLER neighbors (and itself)
+    // to the minimum of that set; edges oriented to the larger endpoint.
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).distinct()
+      val m = or.groupBy("u").agg(min("v").as("_m"))
+      val j = or.join(m, "u")
+      j.select(col("v").as("u"), col("_m").as("v"))
+        .union(j.select(col("u"), col("_m").as("v")).distinct())
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var cur = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var last = checksum(cur)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val cs = checksum(next)
+      converged = cs == last
+      last = cs
+      cur = next
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // converged edge set = stars (child, center): rep(u) = min closed nbr
+    val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+    sym.groupBy("u").agg(min("v").as("_mn"))
+      .select(col("u").as(aCol), least(col("u"), col("_mn")).as("rep_id"))
+  }
+
+  /** Near-dup cluster resolution: [[connectedComponents]] over the pair
+    * graph plus the survivor-election metadata — for each clustered doc,
+    * its representative (the component's min id, matching [[exact]]'s
+    * keep-lowest contract) and the cluster size.
+    *
+    * Output: `(doc_id, rep_id, cluster_size)`, one row per doc appearing
+    * in any pair.
+    */
+  def resolveClusters(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b", idName: String = "doc_id"): DataFrame = {
+    val rep = connectedComponents(pairs, aCol, bCol)
+      .select(col(aCol).as(idName), col("rep_id"))
+    val sizes = rep.groupBy("rep_id").agg(count(lit(1)).as("cluster_size"))
+    rep.join(sizes, "rep_id").select(idName, "rep_id", "cluster_size")
+  }
+
+  /** The step that actually REMOVES near-duplicates from a corpus: drop
+    * every clustered document except its component's representative
+    * (min doc id — same survivor contract as [[exact]]). One LEFT ANTI
+    * join on doc id against the non-representative cluster members; the
+    * anti side is ids only (no text on the wire) and is typically small
+    * enough to broadcast.
+    */
+  def nearDupSurvivors(documents: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col(aCol) =!= col("rep_id"))
+      .select(col(aCol).as(idCol))
+    documents.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: random-hyperplane LSH (Charikar '02
     * §3) buckets vectors by the sign pattern of `nPlanes` fixed random
     * projections; pairs within a bucket verify exact cosine ≥ threshold.

@@ -52,6 +52,39 @@ class PipelineSpec extends SparkSpec {
     assert(rows === Map((1L, 2L) -> 0.6))
   }
 
+  test("cluster resolution: transitive chain collapses to one survivor") {
+    import spark.implicits._
+    // a~b, b~c but a!~c: transitive closure must still produce ONE cluster
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      10L -> ((10L, 2L)), 11L -> ((10L, 2L))))
+  }
+
+  test("connected components converge on a long path and a cycle") {
+    import spark.implicits._
+    // path 0-1-2-...-19 (diameter 19 forces multiple star rounds) plus a
+    // 3-cycle with reversed/duplicate edges
+    val path = (0L until 19L).map(i => (i, i + 1))
+    val cyc = Seq((102L, 101L), (101L, 100L), (100L, 102L), (102L, 101L))
+    val rep = Dedup.connectedComponents((path ++ cyc).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 19L).forall(rep(_) === 0L))
+    assert(Seq(100L, 101L, 102L).forall(rep(_) === 100L))
+    assert(rep.size === 23)
+  }
+
+  test("near-dup survivors keep min id per cluster, singletons untouched") {
+    import spark.implicits._
+    val d = docs(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e")
+    val pairs = Seq((2L, 3L), (3L, 5L)).toDF("a", "b")
+    val kept = Dedup.nearDupSurvivors(d, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 4L))  // 3,5 lose to 2; 1,4 not clustered
+  }
+
   test("brute-force cosine top-k ranks by true cosine with deterministic ties") {
     import spark.implicits._
     val vecs = Seq(
