@@ -1,6 +1,6 @@
 package graft
 
-import graft.engine.{Catalog, Ops, Sinks, TableOps}
+import graft.engine.{Catalog, Layout, Ops, Sinks, TableOps}
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.Tutorial
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -425,6 +425,34 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       events(s, d).select(col("event_id"), col("user_id"),
         sum(round(col("value") * 100).cast("long")).over(w).as("running_c2"))
+    }),
+    // X6: skew-safe salted join — each key's rows spread over 8 (key,salt)
+    // reducers. Salting must be RESULT-INVARIANT, so the oracle is the
+    // plain equi-join.
+    "x6_salted_join" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      val p = table(s, d, "part").select("p_partkey", "p_name")
+      Ops.saltedJoin(li, p, "l_partkey", "p_partkey", salts = 8)
+        .select("l_orderkey", "l_linenumber", "p_name", "l_quantity")
+    }),
+    // X7: bucketed co-located join — both sides pre-bucketed on the join
+    // key (the pay-the-shuffle-once-at-ingest layout), then join + same-key
+    // aggregation with zero exchanges; must hash-match the plain-parquet
+    // join the oracle computes.
+    "x7_bucketed_join" -> ((s, d) => {
+      Layout.writeBucketed(
+        table(s, d, "orders").select("o_orderkey", "o_custkey"),
+        "graft_orders_bkt", "o_orderkey", buckets = 8)
+      Layout.writeBucketed(
+        table(s, d, "lineitem").select("l_orderkey", "l_quantity"),
+        "graft_lineitem_bkt", "l_orderkey", buckets = 8)
+      val o = Layout.read(s, "graft_orders_bkt")
+      val l = Layout.read(s, "graft_lineitem_bkt")
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(floor(col("l_quantity")).cast("long")).as("sum_qty_fl"))
     }),
     // V4: kNN label agreement — the eval-loop composition of similarity
     // search: fraction of each query's top-5 neighbors sharing its label.
@@ -1085,7 +1113,9 @@ object SparkEntry {
     // The m* oracles recompute the analytic media parameters (image dims,
     // WAV channels/rate/frames, size-derived video fallback) directly from
     // doc_id/text — Spark must parse its own synthesized PNG/WAV bytes to
-    // match them.
+    // match them. Note DuckDB strlen() counts BYTES (length() counts
+    // characters), so the video fallback matches the engine's UTF-8
+    // n_bytes exactly, non-ASCII text included.
     "m1_media_decode" ->
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -1131,6 +1161,18 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c2
         |FROM events""".stripMargin,
+    // x6's salt is a physical-layout trick only — the oracle is the plain
+    // equi-join, proving result invariance.
+    "x6_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, p_name, l_quantity
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    // x7 reads pre-bucketed tables; bucketing must not change results, so
+    // the oracle joins the original parquet.
+    "x7_bucketed_join" ->
+      """SELECT o_orderkey, o_custkey, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_fl
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_custkey""".stripMargin,
     "v4_knn_label_agreement" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS q_label

@@ -23,9 +23,20 @@ object Layout {
   /** Persist `df` as a bucketed (and per-bucket sorted) parquet table in
     * the session catalog. Buckets should be sized so one bucket ≈ one
     * task's worth of data at the target scale.
+    *
+    * Idempotent across JVMs: a managed-table directory orphaned by a
+    * previous session (the table is on disk but not in this catalog —
+    * `mode("overwrite")` cannot see it and `saveAsTable` refuses with
+    * LOCATION_ALREADY_EXISTS) is dropped before the write.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, sorted: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.catalog.getDatabase("default").locationUri, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
@@ -43,17 +54,36 @@ object Layout {
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
   /** Small-file compaction: rewrite a parquet dataset into `targetFiles`
-    * evenly-sized files, then swap it into place. Streaming ingest
-    * (micro-batch appends) accretes file counts that degrade scan
-    * planning and shuffle fan-in at 100 TB; periodic compaction is the
-    * standard fix. The rewrite lands in a sibling directory and replaces
-    * the original with two renames — not transactional (that is a table
-    * format's job), but never partially-overwritten.
+    * evenly-sized files (per partition directory when `partitionCols` is
+    * set), then swap it into place. Streaming ingest (micro-batch appends)
+    * accretes file counts that degrade scan planning and shuffle fan-in at
+    * 100 TB; periodic compaction is the standard fix. The rewrite lands in
+    * a sibling directory and replaces the original with two renames — not
+    * transactional (that is a table format's job), but never
+    * partially-overwritten, and rerun-safe: a leftover `__precompact` from
+    * a crash mid-swap is restored (it holds the only copy when the second
+    * rename never ran) or discarded (the install completed), and a
+    * leftover `__compacting` is always discarded — otherwise `fs.rename`
+    * would move the new data INSIDE the stale directory
+    * (rename-into-existing-dir semantics) instead of failing.
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int,
       partitionCols: Seq[String] = Nil): Unit = {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "__precompact")
+    // recover from a prior crashed run before touching anything
+    if (fs.exists(old)) {
+      if (!fs.exists(hadoopPath))
+        // crashed between the two renames: old IS the dataset — restore it
+        require(fs.rename(old, hadoopPath),
+          s"compact: cannot restore $old to $path")
+      else
+        // crashed after install, before cleanup: old is the superseded copy
+        fs.delete(old, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true) // incomplete rewrite, discard
     // a partitioned dataset rewritten without partitionBy silently loses
     // its directory layout (and with it, partition pruning) — refuse
     // unless the caller re-declares the partitioning
@@ -61,14 +91,26 @@ object Layout {
       .exists(st => st.isDirectory && st.getPath.getName.contains("="))
     require(!looksPartitioned || partitionCols.nonEmpty,
       s"compact: $path is partitioned; pass partitionCols to preserve layout")
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
-    val old = new org.apache.hadoop.fs.Path(path + "__precompact")
-    val w = spark.read.parquet(path).repartition(targetFiles)
-      .write.mode("overwrite")
+    // partitioned: repartition BY the partition columns so each directory
+    // gets its rows from few tasks (bounded files per dir) — a random
+    // repartition would write up to targetFiles files into EVERY directory
+    val in = spark.read.parquet(path)
+    val rep =
+      if (partitionCols.nonEmpty)
+        in.repartition(targetFiles,
+          partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else in.repartition(targetFiles)
+    val w = rep.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
     require(fs.rename(hadoopPath, old), s"compact: cannot move $path aside")
-    require(fs.rename(tmp, hadoopPath), s"compact: cannot install $tmp")
+    if (!fs.rename(tmp, hadoopPath)) {
+      // restore the original before surfacing the failure — never leave
+      // the dataset path empty
+      fs.rename(old, hadoopPath)
+      throw new IllegalStateException(
+        s"compact: cannot install $tmp at $path; original restored")
+    }
     fs.delete(old, true)
   }
 }

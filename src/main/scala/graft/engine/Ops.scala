@@ -100,12 +100,21 @@ object Ops {
     * keys, celebrity entities) where predictable layout beats reactive
     * splitting. Result columns = fact ++ dim (salt dropped).
     */
+  /** The salt [[saltedJoin]] assigns to each fact row: a deterministic
+    * hash of the non-key columns mod `salts`. Deterministic (task retries
+    * recompute the same routing) and uniform as long as the hot key's
+    * rows differ in some non-key column — a hot key whose payload is ALSO
+    * constant is exact-duplicate data; dedup it instead of salting.
+    * Public so tests/operators can measure the spread it produces.
+    */
+  def saltExpr(fact: DataFrame, factKey: String, salts: Int): Column =
+    pmod(xxhash64(fact.columns.filterNot(_ == factKey).map(col).toIndexedSeq: _*),
+      lit(salts)).cast("int")
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
-    val saltedFact = fact.withColumn("_salt",
-      pmod(xxhash64(fact.columns.filterNot(_ == factKey).map(col).toIndexedSeq: _*),
-        lit(salts)).cast("int"))
+    val saltedFact = fact.withColumn("_salt", saltExpr(fact, factKey, salts))
     val saltedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact

@@ -134,7 +134,8 @@ object Sources {
       url: String,
       dbtable: String,
       incrementingCol: String,
-      lastSeen: Long): DataFrame = {
+      lastSeen: Long,
+      options: Map[String, String] = Map.empty): DataFrame = {
     // identifiers are interpolated into SQL — reject anything that could
     // smuggle clauses in from untrusted connector config
     require(SqlIdentifier.matches(dbtable),
@@ -143,6 +144,9 @@ object Sources {
       s"illegal column identifier: $incrementingCol")
     fromJdbcSnapshot(
       spark, url,
-      s"(SELECT * FROM $dbtable WHERE $incrementingCol > $lastSeen) AS _inc")
+      // alias must not start with '_' — standard-SQL engines (Derby)
+      // reject leading-underscore identifiers
+      s"(SELECT * FROM $dbtable WHERE $incrementingCol > $lastSeen) AS graft_inc",
+      options)
   }
 }

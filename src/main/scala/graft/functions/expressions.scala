@@ -161,6 +161,20 @@ case class TermCounts(child: Expression) extends UnaryExpression {
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
+  // fail at ANALYSIS time on non-array or mismatched inputs — without this
+  // a SQL call like graft_sorted_intersect_count('x', 1) reaches the kernel
+  // dispatch and dies with a runtime ClassCastException instead
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(le, _), ArrayType(re, _))
+          if le == re && (le == StringType || le == LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "graft_sorted_intersect_count requires two arrays of the same " +
+            s"element type (string or bigint), got ${l.sql} and ${r.sql}")
+    }
   private def kernel: String =
     left.dataType.asInstanceOf[ArrayType].elementType match {
       case StringType => "sortedIntersectCountString"

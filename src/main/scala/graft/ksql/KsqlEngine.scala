@@ -46,7 +46,20 @@ class KsqlEngine(
     connectorProvider: (SparkSession, Map[String, String]) => DataFrame =
       KsqlEngine.jdbcConnectorProvider) extends KsqlTranslator {
 
-  private case class Topic(schema: StructType, rows: mutable.ArrayBuffer[Row])
+  /** One in-memory topic: `base` is the connector-fed portion as a LAZY
+    * DataFrame (never collected to the driver — a 100 TB snapshot stays
+    * distributed), `rows` the hand-INSERTed literal records (driver-side
+    * by nature: a human typed them). `baseCount` (offset origin for
+    * INSERTs) is computed on first INSERT, not at CREATE.
+    */
+  private case class Topic(schema: StructType, base: DataFrame,
+      rows: mutable.ArrayBuffer[Row]) {
+    private var baseCountCache: Option[Long] = None
+    def baseCount: Long = {
+      if (baseCountCache.isEmpty) baseCountCache = Some(base.count())
+      baseCountCache.get
+    }
+  }
 
   /** Record timestamps (ksqlDB's ROWTIME) for the in-memory log: a fixed
     * epoch base + 1 s per offset — deterministic ingestion-time semantics
@@ -98,14 +111,8 @@ class KsqlEngine(
       val topic = props.getOrElse("topic.prefix", "") +
         props.getOrElse("table.whitelist",
           throw new IllegalArgumentException("connector needs table.whitelist"))
-      val schema = StructType(df.schema.fields.toSeq :+
-        StructField("_offset", LongType, nullable = false) :+
-        StructField("_rowtime", TimestampType, nullable = false))
-      val rows = mutable.ArrayBuffer.empty[Row]
-      df.collect().zipWithIndex.foreach { case (r, i) =>
-        rows += Row.fromSeq(r.toSeq :+ i.toLong :+ rowtime(i.toLong))
-      }
-      topics(topic) = Topic(schema, rows)
+      val withLog = KsqlEngine.withLogColumns(spark, df, RowtimeBaseSec)
+      topics(topic) = Topic(withLog.schema, withLog, mutable.ArrayBuffer.empty)
       connectors += name
       None
 
@@ -116,7 +123,9 @@ class KsqlEngine(
           StructField(c.name, c.dataType)).toSeq :+
           StructField("_offset", LongType, nullable = false) :+
           StructField("_rowtime", TimestampType, nullable = false))
-        topics(topic) = Topic(schema, mutable.ArrayBuffer.empty)
+        topics(topic) = Topic(schema,
+          spark.createDataFrame(java.util.List.of[Row](), schema),
+          mutable.ArrayBuffer.empty)
       }
       decls(name.toLowerCase) = Decl(kind, name, cols, topic)
       None
@@ -140,8 +149,8 @@ class KsqlEngine(
       val converted = d.cols.map { c =>
         byName.get(c.name.toLowerCase).map(v => convert(v, c.dataType)).orNull
       }
-      topic.rows += Row.fromSeq(converted :+ topic.rows.length.toLong :+
-        rowtime(topic.rows.length.toLong))
+      val off = topic.baseCount + topic.rows.length
+      topic.rows += Row.fromSeq(converted :+ off :+ rowtime(off))
       None
 
     case PushQuery(select) =>
@@ -240,7 +249,8 @@ class KsqlEngine(
 
   private def topicDF(topic: String): DataFrame = {
     val t = topics(topic)
-    spark.createDataFrame(t.rows.toSeq.asJava, t.schema)
+    if (t.rows.isEmpty) t.base
+    else t.base.union(spark.createDataFrame(t.rows.toSeq.asJava, t.schema))
   }
 
   /** Re-materialize every collection view against current topic state, in
@@ -319,15 +329,36 @@ class KsqlEngine(
 }
 
 object KsqlEngine {
+  /** Append the topic-log columns to a connector snapshot WITHOUT
+    * collecting it: `_offset` via a distributed `zipWithIndex` (stable
+    * partition-order indices — the arrival-order analogue; one partition-
+    * size job, no data to the driver) and `_rowtime` derived in-plan from
+    * the offset (the engines' deterministic ingestion-time clock).
+    */
+  private[ksql] def withLogColumns(spark: SparkSession, df: DataFrame,
+      rowtimeBaseSec: Long): DataFrame = {
+    val schema = StructType(df.schema.fields.toSeq :+
+      StructField("_offset", LongType, nullable = false))
+    val indexed = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(indexed, schema)
+      .withColumn("_rowtime",
+        timestamp_seconds(lit(rowtimeBaseSec) + col("_offset")))
+  }
+
   /** Default CREATE SOURCE CONNECTOR provider: a JDBC snapshot via
     * Spark's JDBC source (S1; the reference's Connect worker equivalent,
     * all.sql:3-18). Tests inject an in-memory provider instead.
     */
   def jdbcConnectorProvider(spark: SparkSession,
-      props: Map[String, String]): DataFrame =
+      props: Map[String, String]): DataFrame = {
+    val opts = Seq(
+      "user" -> props.get("connection.user"),
+      "password" -> props.get("connection.password"),
+      // drivers absent from java.sql.Driver's service registry (e.g.
+      // embedded Derby) need an explicit class name
+      "driver" -> props.get("connection.driver.class"))
+      .collect { case (k, Some(v)) => k -> v }.toMap
     Sources.fromJdbcSnapshot(spark,
-      props("connection.url"),
-      props("table.whitelist"),
-      Map("user" -> props.getOrElse("connection.user", ""),
-        "password" -> props.getOrElse("connection.password", "")))
+      props("connection.url"), props("table.whitelist"), opts)
+  }
 }

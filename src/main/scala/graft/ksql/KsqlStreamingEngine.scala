@@ -60,16 +60,27 @@ class KsqlStreamingEngine(
     * its OWN attached stream replaying the buffer — MemoryStream trims
     * its shared batch list on commit, so two queries reading one instance
     * race on committed offsets (rows lost or out-of-order commit errors).
+    *
+    * An attachment's `owner` is the push query whose resolved plan bound
+    * to it (None until claimed, or for the CREATE-time view binding).
+    * Attachments whose owner has stopped are pruned before every INSERT
+    * fan-out and push-query attach — without that, session memory grows
+    * O(queries × records) and every INSERT pays dead fan-out.
     */
+  private case class Attachment(input: MemoryStream[(String, Long)],
+      var owner: Option[StreamingQuery])
   private case class StreamDecl(name: String, cols: Seq[ColumnDef],
       buffer: mutable.ArrayBuffer[(String, Long)],
-      attached: mutable.ArrayBuffer[MemoryStream[(String, Long)]])
+      attached: mutable.ArrayBuffer[Attachment])
   private case class TableDecl(name: String, cols: Seq[ColumnDef],
       keyCols: Seq[String], topic: String)
   private case class DerivedDef(kind: String, select: String,
       partitionBy: Option[String])
 
-  private val topics = mutable.LinkedHashMap.empty[String, (StructType, mutable.ArrayBuffer[Row])]
+  /** Connector-fed topics as LAZY DataFrames (with `_offset`) — never
+    * collected to the driver; a 100 TB snapshot stays distributed.
+    */
+  private val topics = mutable.LinkedHashMap.empty[String, DataFrame]
   private val streamDecls = mutable.LinkedHashMap.empty[String, StreamDecl]
   private val tableDecls = mutable.LinkedHashMap.empty[String, TableDecl]
   private val derivedKinds = mutable.LinkedHashMap.empty[String, String]
@@ -92,8 +103,14 @@ class KsqlStreamingEngine(
       .select(from_json(col("value"), valueSchema).as("_v"), col("_offset"))
       .select(d.cols.map(c => col(s"_v.${c.name}").as(c.name)) :+ col("_offset"): _*))
       .createOrReplaceTempView(d.name)
-    d.attached += input
+    d.attached += Attachment(input, None)
   }
+
+  /** Drop attachments bound to stopped queries (their plans are gone; the
+    * streams would only accumulate every future INSERT).
+    */
+  private def pruneDead(d: StreamDecl): Unit =
+    d.attached.filterInPlace(_.owner.forall(_.isActive))
 
   /** Re-register derived (CSAS/CTAS) views against the current stream
     * views, in declaration order.
@@ -143,11 +160,10 @@ class KsqlStreamingEngine(
           throw new IllegalArgumentException("connector needs table.whitelist"))
       val schema = StructType(df.schema.fields.toSeq :+
         StructField("_offset", LongType, nullable = false))
-      val rows = mutable.ArrayBuffer.empty[Row]
-      df.collect().zipWithIndex.foreach { case (r, i) =>
-        rows += Row.fromSeq(r.toSeq :+ i.toLong)
+      val indexed = df.rdd.zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ i)
       }
-      topics(topic) = (schema, rows)
+      topics(topic) = spark.createDataFrame(indexed, schema)
       None
 
     case CreateCollection("STREAM", name, cols, _) =>
@@ -159,10 +175,9 @@ class KsqlStreamingEngine(
 
     case CreateCollection("TABLE", name, cols, props) =>
       val topic = props.getOrElse("KAFKA_TOPIC", props.getOrElse("kafka_topic", name))
-      val (schema, rows) = topics.getOrElse(topic,
+      val base = topics.getOrElse(topic,
         throw new NoSuchElementException(s"topic $topic has no data; " +
           "streaming tables must be connector-fed (static dimension)"))
-      val base = spark.createDataFrame(rows.toSeq.asJava, schema)
       val projected = withRowtime(
         base.select(cols.map(c => col(c.name)) :+ col("_offset"): _*))
       val keyCols = cols.filter(_.isKey).map(_.name)
@@ -196,13 +211,20 @@ class KsqlStreamingEngine(
       }.mkString("{", ",", "}")
       val off = offsets(target); offsets(target) = off + 1
       d.buffer += ((json, off))
-      d.attached.foreach(_.addData((json, off)))
+      pruneDead(d)
+      d.attached.foreach(_.input.addData((json, off)))
       None
 
     case PushQuery(select) =>
       // isolate this query: fresh source streams (buffer replayed) so
-      // concurrent queries never share a MemoryStream's commit state
-      streamDecls.values.foreach(attachStream)
+      // concurrent queries never share a MemoryStream's commit state.
+      // Drop dead AND stale-unowned attachments first — only streams
+      // backing still-active plans (plus the fresh ones) may remain, or
+      // attachment count grows per query issued.
+      streamDecls.values.foreach { d =>
+        d.attached.filterInPlace(a => a.owner.exists(_.isActive))
+        attachStream(d)
+      }
       refreshDerived()
       val df = spark.sql(translate(select))
       val aggregated = select.toUpperCase.contains("GROUP BY")
@@ -212,6 +234,10 @@ class KsqlStreamingEngine(
       val q = upper.writeStream.format("memory").queryName(name)
         .outputMode(if (aggregated) OutputMode.Update() else OutputMode.Append())
         .start()
+      // the fresh attachments (the only unowned ones left) belong to this
+      // query's resolved plan now
+      streamDecls.values.foreach(_.attached.foreach(a =>
+        if (a.owner.isEmpty) a.owner = Some(q)))
       val h = PushHandle(spark, name, q, aggregated)
       handles += h
       Some(h)
@@ -235,5 +261,8 @@ class KsqlStreamingEngine(
     translateSelect(pre, injectOffset)
   }
 
-  def stopAll(): Unit = handles.foreach(h => if (h.query.isActive) h.stop())
+  def stopAll(): Unit = {
+    handles.foreach(h => if (h.query.isActive) h.stop())
+    streamDecls.values.foreach(pruneDead)
+  }
 }

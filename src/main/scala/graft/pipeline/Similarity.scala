@@ -154,6 +154,43 @@ object Similarity {
     centroids
   }
 
+  /** Incremental index growth: assign NEW vectors to the EXISTING
+    * centroids and append them into the partitioned layout — no rebuild,
+    * no rewrite of existing cells; the appended files land in their
+    * cell's directory, so the next [[ivfCosineTopKIndexed]] probe sees
+    * them through the same partition pruning. Centroids drift as the
+    * corpus grows (appended vectors may sit farther from their cell
+    * center than build-time ones — recall degrades gracefully, not
+    * correctness); periodic rebuild is the standard IVF freshness policy.
+    */
+  def appendToIvfIndex(indexPath: String,
+      centroids: Array[(Long, Array[Float])], vectors: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    vectors.select(
+        col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_cv"),
+        nearestCellExpr(centroids, col(vecCol)).as("cell_id"))
+      .write.mode("append").partitionBy("cell_id").parquet(indexPath)
+
+  /** Streaming freshness path: land each micro-batch of embedding rows
+    * into the materialized index via `foreachBatch` +
+    * [[appendToIvfIndex]]. The checkpoint gives at-least-once landing
+    * (a batch replayed after a crash between append and commit appends
+    * twice — plain parquet has no transactional dedup; exactly-once
+    * needs a batchId-keyed table format underneath, same boundary as
+    * any parquet `foreachBatch` sink).
+    */
+  def streamIntoIvfIndex(vectors: DataFrame, indexPath: String,
+      centroids: Array[(Long, Array[Float])], checkpointDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendToIvfIndex(indexPath, centroids, batch, idCol, vecCol)
+      }
+      .start()
+
   /** Query a materialized IVF index: the probed cell ids become a static
     * `isin` partition filter on the index scan (directory pruning — only
     * ~nProbe/nCells of the files are read; asserted in PlanShapeSpec),

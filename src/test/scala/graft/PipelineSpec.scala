@@ -126,6 +126,36 @@ class PipelineSpec extends SparkSpec {
     assert(inertia(refined) >= inertia(init) - 1e-6)
   }
 
+  test("streaming IVF append: late vectors land in the index and are probed") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(3)
+    val base = (0L until 100L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val corpus = base.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val centroids = Similarity.buildIvfIndex(corpus, s"$dir/index",
+      centroidEvery = 10)
+    // a query vector, then stream in a near-identical late twin
+    val qv = base(7)._2
+    val twin = qv.map(v => v * 1.001f)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.streamIntoIvfIndex(
+      input.toDF().toDF("vec_id", "embedding"), s"$dir/index", centroids,
+      s"$dir/ckpt")
+    input.addData((999L, twin))
+    q.processAllAvailable()
+    q.stop()
+    val queries = Seq((7L, qv)).toDF("vec_id", "embedding")
+    val top = Similarity.ivfCosineTopKIndexed(spark, s"$dir/index",
+      centroids, queries, k = 1)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    // the appended twin must be probed (same cell as its near-copy) and
+    // outrank every build-time vector
+    assert(top.toSeq === Seq((999L, 1)))
+  }
+
   test("embedding near-dup LSH finds an exact-duplicate vector") {
     import spark.implicits._
     val rnd = new scala.util.Random(1)

@@ -202,6 +202,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(after.toSeq === before.toSeq)
   }
 
+  test("compaction recovers from a crash between the two swap renames") {
+    val root = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    val dir = root + "/t"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(4).write.parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
+    // simulate the worst crash point: dataset moved aside, install never
+    // ran — path missing, __precompact holds the only copy
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__precompact")))
+    // plus a stale partial rewrite that must be discarded, not nested into
+    docs.limit(1).write.parquet(dir + "__compacting")
+    graft.engine.Layout.compact(spark, dir, targetFiles = 2)
+    val after = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
+    assert(after.toSeq === before.toSeq)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__precompact")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__compacting")))
+  }
+
+  test("partitioned compaction bounds files per partition directory") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pcompact").toString
+    val dir = root + "/t"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .repartition(8)
+    graft.engine.Layout.writePartitioned(docs, dir, "source")
+    def filesIn(sub: java.io.File): Int =
+      sub.listFiles().count(_.getName.endsWith(".parquet"))
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+    assert(dirs.nonEmpty && dirs.exists(filesIn(_) > 1))
+    graft.engine.Layout.compact(spark, dir, targetFiles = 4,
+      partitionCols = Seq("source"))
+    // repartition BY the partition columns → each directory collapses to
+    // one task's output, not targetFiles files per directory
+    new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .foreach(d => assert(filesIn(d) === 1, s"${d.getName}: ${filesIn(d)}"))
+    assert(spark.read.parquet(dir).count() === docs.count())
+  }
+
   test("parquet scan prunes columns and pushes filters") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val q = ev.filter(col("event_type") === "purchase").select("event_id", "user_id")

@@ -130,6 +130,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin spreads a 90%-hot key nearly uniformly over the salts") {
+    import spark.implicits._
+    val rnd = new Random(17)
+    // 90% of rows share fk=1 — the celebrity-key shape saltedJoin exists for
+    val fact = (0 until 10000).map { i =>
+      (if (i % 10 != 0) 1 else 1 + rnd.nextInt(50), rnd.nextInt(1000000), i.toLong)
+    }.toDF("fk", "payload", "seq")
+    val salts = 8
+    val hotBySalt = fact
+      .withColumn("_salt", Ops.saltExpr(fact, "fk", salts))
+      .filter($"fk" === 1)
+      .groupBy("_salt").count()
+      .collect().map(_.getLong(1))
+    val hot = hotBySalt.sum.toDouble
+    // every salt takes a share, and no reducer gets more than 2/salts of
+    // the hot key (vs 100% unsalted) — the measured skew-spread claim
+    assert(hotBySalt.length === salts)
+    assert(hotBySalt.max / hot < 2.0 / salts,
+      s"max salt share ${hotBySalt.max / hot} >= ${2.0 / salts}")
+  }
+
   test("asofJoin picks the latest dim version at-or-before the fact time") {
     import spark.implicits._
     def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
