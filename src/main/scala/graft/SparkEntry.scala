@@ -380,6 +380,19 @@ object SparkEntry {
       TextAnalysis.repetitionScore(table(s, d, "documents"))),
     "t10_quality_filter" -> ((s, d) =>
       TextAnalysis.qualityFilter(table(s, d, "documents"))),
+    // T12: per-source document cap (mix balancing) — row_number <= cap
+    // plans as WindowGroupLimit: each map task ships at most cap rows per
+    // source into the exchange.
+    "t12_source_cap" -> ((s, d) =>
+      TextAnalysis.sourceCap(table(s, d, "documents"), cap = 10)),
+    // T13: PII scrubbing (email/IPv4/phone → typed placeholders) with
+    // per-doc redaction counts.
+    "t13_pii_redact" -> ((s, d) =>
+      TextAnalysis.piiRedact(table(s, d, "documents"))),
+    // T14: sequence packing — concat-and-chunk context-window assignment,
+    // per-source running token offsets (parallel across sources).
+    "t14_sequence_pack" -> ((s, d) =>
+      TextAnalysis.sequencePack(table(s, d, "documents"))),
     // T11: the capstone composition — quality gate → exact dedup →
     // decontamination (src0 = benchmark) → deterministic split, one plan.
     "t11_curation_pipeline" -> ((s, d) => {
@@ -1088,6 +1101,48 @@ object SparkEntry {
         |       THEN x - 18446744073709551616 ELSE x END AS BIGINT))
         |    AS fingerprint64
         |FROM s6 GROUP BY doc_id""".stripMargin,
+    "t12_source_cap" ->
+      """SELECT doc_id, source, source_rank FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY length(text) DESC, doc_id) AS INTEGER) AS source_rank
+        |  FROM documents)
+        |WHERE source_rank <= 10""".stripMargin,
+    // Same replace order as the engine (emails, then IPs, then phones);
+    // counts run over the original text in both engines. 'g' = replace all.
+    "t13_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -]?[0-9]{0,4}',
+        |    '<PHONE>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER)
+        |    AS n_ips
+        |FROM documents""".stripMargin,
+    "t14_sequence_pack" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER)
+        |      AS n_tokens
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS token_offset
+        |  FROM tok)
+        |SELECT doc_id, source, n_tokens, token_offset,
+        |  CAST(token_offset // 512 AS BIGINT) AS pack_id
+        |FROM off""".stripMargin,
     "t6_dataset_split" ->
       """SELECT doc_id,
         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80 THEN 'train'

@@ -262,4 +262,74 @@ object TextAnalysis {
       col("doc_id"),
       graft.functions.text.rollingFingerprint(normalized(col("text")), window)
         .as("fingerprint64"))
+
+  /** Per-source document cap: keep at most `cap` documents per source,
+    * preferring longer documents (doc_id as the deterministic tiebreak).
+    * The standard mix-balancing step — a crawl dump where one domain is
+    * 40% of the corpus gets clipped to its quota before training.
+    *
+    * Scale shape: `row_number <= cap` triggers Spark's WindowGroupLimit —
+    * each map task keeps at most `cap` rows per source BEFORE the
+    * exchange, so the shuffle carries O(sources × cap), not the corpus.
+    */
+  def sourceCap(documents: DataFrame, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(length(col("text")).desc, col("doc_id"))
+    documents
+      .withColumn("source_rank", row_number().over(w))
+      .filter(col("source_rank") <= cap)
+      .select("doc_id", "source", "source_rank")
+  }
+
+  // Conservative ASCII patterns shared by the engine and the DuckDB
+  // oracle — RE2-safe (no lookarounds, no backrefs) so both regex
+  // engines agree match-for-match.
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[graft] val PhoneRe = "\\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -]?[0-9]{0,4}"
+
+  /** PII scrubbing: replace emails / IPv4 addresses / international-format
+    * phone numbers with typed placeholder tokens, and count what was
+    * redacted (the per-doc audit trail a compliance pass needs).
+    * Order matters — emails first (their local part can contain digits),
+    * then IPs (dotted digit runs), then phones — and the oracle applies
+    * the same order. Pure narrow projection: codegen'd regexps, no
+    * shuffle, linear at 100 TB.
+    */
+  def piiRedact(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("clean_text"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ips"))
+
+  /** Sequence packing: assign each document to a fixed-token-budget
+    * training pack — the concat-and-chunk data prep for pre-training
+    * (concatenate a source's docs in id order, cut every `budget` tokens;
+    * a doc's pack is the chunk its first token lands in).
+    *
+    * Packing is PER SOURCE (window partitioned by `source`): a global
+    * document order is both meaningless under distribution and a
+    * single-partition window at 100 TB, while per-source running sums
+    * parallelize across sources and match how corpora are actually
+    * packed (no cross-source mixing inside a context window).
+    */
+  def sequencePack(documents: DataFrame, budget: Int = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val nTok = size(tokens(col("text")))
+    documents
+      .select(col("doc_id"), col("source"), nTok.as("n_tokens"))
+      .withColumn("token_offset",
+        coalesce(sum(col("n_tokens"))
+          .over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0)).cast("long"))
+      .withColumn("pack_id", (col("token_offset") / budget).cast("long"))
+  }
 }

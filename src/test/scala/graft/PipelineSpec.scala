@@ -156,6 +156,50 @@ class PipelineSpec extends SparkSpec {
     assert(top.toSeq === Seq((999L, 1)))
   }
 
+  test("piiRedact scrubs emails, IPv4s and phones, and counts them") {
+    val d = docs(
+      1L -> "mail me at jane.doe+x@example.co.uk or call +34 91 123 4567",
+      2L -> "server 10.0.255.7 and backup 192.168.1.1 are down",
+      3L -> "no pii here at all",
+      4L -> "two mails: a@b.io c.d@e-f.org one ip 8.8.8.8")
+    val r = TextAnalysis.piiRedact(d).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2), x.getInt(3))))
+      .toMap
+    assert(r(1L) === (("mail me at <EMAIL> or call <PHONE>", 1, 0)))
+    assert(r(2L) === (("server <IP> and backup <IP> are down", 0, 2)))
+    assert(r(3L) === (("no pii here at all", 0, 0)))
+    assert(r(4L) === (("two mails: <EMAIL> <EMAIL> one ip <IP>", 2, 1)))
+  }
+
+  test("sequencePack: per-source running offsets and budget-quantized packs") {
+    import spark.implicits._
+    // source A: 3 docs of 300 tokens each; budget 512 → offsets 0/300/600,
+    // packs 0/0/1 (doc 2 straddles the boundary; its START decides)
+    val text300 = (1 to 300).map(i => s"t$i").mkString(" ")
+    val d = Seq(
+      (1L, "A", text300), (2L, "A", text300), (3L, "A", text300),
+      (10L, "B", text300))
+      .toDF("doc_id", "source", "text").withColumn("lang", lit("en"))
+      .select("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.sequencePack(d, budget = 512).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((0L, 0L)))
+    assert(got(2L) === ((300L, 0L)))
+    assert(got(3L) === ((600L, 1L)))
+    // source B packs independently from offset 0
+    assert(got(10L) === ((0L, 0L)))
+  }
+
+  test("sourceCap keeps the `cap` longest docs per source") {
+    import spark.implicits._
+    val d = (1L to 6L).map(i => (i, "w " * i.toInt, "en", if (i <= 4) "A" else "B"))
+      .toDF("doc_id", "text", "lang", "source")
+    val kept = TextAnalysis.sourceCap(d, cap = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toMap
+    // A keeps its two longest (4, 3); B keeps both of its docs
+    assert(kept === Map(4L -> 1, 3L -> 2, 6L -> 1, 5L -> 2))
+  }
+
   test("embedding near-dup LSH finds an exact-duplicate vector") {
     import spark.implicits._
     val rnd = new scala.util.Random(1)

@@ -76,6 +76,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"rank window crept in:\n$plan")
   }
 
+  test("source cap bounds rows per source before the window exchange") {
+    val plan = SparkEntry.queries("t12_source_cap")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // rank <= cap must plan as WindowGroupLimit (map-side per-group limit)
+    // so the shuffle carries O(sources x cap), not the corpus
+    assert(plan.contains("WindowGroupLimit"),
+      s"no WindowGroupLimit — full corpus crosses the exchange:\n$plan")
+  }
+
+  test("pii redaction and sequence packing read only the columns they use") {
+    for (q <- Seq("t13_pii_redact", "t14_sequence_pack")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("lang"), s"$q reads pruned column lang:\n$plan")
+    }
+  }
+
   test("pairwise dedup joins stay equi-hash (no cartesian product)") {
     for (q <- Seq("d2_ngram_jaccard", "d3_minhash_pairs", "d4_simhash_pairs")) {
       val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
