@@ -337,6 +337,10 @@ object SparkEntry {
         .groupBy(col("label"), col("pos"))
         .agg(sum(floor(col("col") * 1e6).cast("long")).as("sum_c6"),
           count(lit(1)).as("n_vecs"))),
+    // V5: symmetric int8 embedding quantization — the 4x footprint lever
+    // for 100 TB vector corpora; exploded scalar output for comparability.
+    "v5_int8_quantize" -> ((s, d) =>
+      Similarity.int8Quantize(table(s, d, "embeddings"))),
     // ---- D: deduplication ----------------------------------------------
     "d1_dedup_exact" -> ((s, d) => Dedup.exact(table(s, d, "documents"))),
     // D6: benchmark decontamination (train/test leakage guard) — src0
@@ -732,6 +736,20 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_vecs
         |FROM embeddings, generate_series(1, 64) AS g(i)
         |GROUP BY label, i""".stripMargin,
+    // v5: floor(x/scale + 0.5) — IEEE divide/add/floor are bit-identical
+    // across engines (round()'s tie mode is not).
+    "v5_int8_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM v)
+        |SELECT vec_id, CAST(i AS INTEGER) AS i,
+        |  CAST(CASE WHEN scale = 0 THEN 0
+        |    ELSE floor(v[i] / scale + 0.5) END AS INTEGER) AS q,
+        |  scale
+        |FROM s, generate_series(1, 64) AS g(i)""".stripMargin,
     "t9_repetition" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

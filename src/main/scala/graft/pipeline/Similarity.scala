@@ -191,6 +191,35 @@ object Similarity {
       }
       .start()
 
+  /** Symmetric per-vector int8 quantization: `scale = max|x| / 127`,
+    * `q_i = floor(x_i / scale + 0.5)` (zero vectors stay zero). The
+    * footprint lever for embedding corpora — 4× smaller than float32
+    * before any indexing, which at 100 TB decides whether the vectors fit
+    * the cluster's NVMe at all. Dequantize as `q_i * scale`; worst-case
+    * per-element error is `scale / 2`.
+    *
+    * Emitted EXPLODED (`vec_id, i, q, scale`, 1-based i) so results are
+    * scalar-typed and engine-comparable; the packed form is a
+    * `groupBy(vec_id).agg(collect_list)` away. `floor(x + 0.5)` instead
+    * of `round` because IEEE add/divide/floor are bit-deterministic
+    * across engines while round's tie mode is not. Single-pass narrow
+    * projection — no shuffle.
+    */
+  def int8Quantize(embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col(idCol),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("_v"))
+      .withColumn("scale",
+        array_max(expr("transform(_v, x -> abs(x))")) / lit(127.0d))
+      .select(col(idCol), col("scale"), posexplode(col("_v")))
+      .select(col(idCol),
+        (col("pos") + 1).cast("int").as("i"),
+        when(col("scale") === 0d, lit(0))
+          .otherwise(floor(col("col") / col("scale") + 0.5d).cast("int"))
+          .as("q"),
+        col("scale"))
+
   /** Query a materialized IVF index: the probed cell ids become a static
     * `isin` partition filter on the index scan (directory pruning — only
     * ~nProbe/nCells of the files are read; asserted in PlanShapeSpec),

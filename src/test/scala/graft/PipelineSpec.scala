@@ -200,6 +200,29 @@ class PipelineSpec extends SparkSpec {
     assert(kept === Map(4L -> 1, 3L -> 2, 6L -> 1, 5L -> 2))
   }
 
+  test("int8 quantization: q in [-127,127], dequantize error <= scale/2") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq(
+      (1L, Array.fill(8)(rnd.nextFloat() * 4 - 2)),
+      (2L, Array.fill(8)(0f)), // zero vector must stay zero, not NaN
+      (3L, Array(-2f, -1f, 0f, 1f, 2f, 0.5f, -0.5f, 1.27f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.int8Quantize(vecs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(q.length === 24)
+    assert(q.forall { case (_, _, qi, _) => qi >= -127 && qi <= 127 })
+    assert(q.filter(_._1 == 2L).forall { case (_, _, qi, s) => qi == 0 && s == 0.0 })
+    val orig = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    q.filter(_._1 != 2L).foreach { case (id, i, qi, s) =>
+      val err = math.abs(qi * s - orig(id)(i - 1))
+      assert(err <= s / 2 + 1e-12, s"vec $id dim $i: err $err > ${s / 2}")
+    }
+    // the extreme element always hits full scale
+    assert(q.filter(_._1 == 3L).map(_._3).min === -127)
+  }
+
   test("embedding near-dup LSH finds an exact-duplicate vector") {
     import spark.implicits._
     val rnd = new scala.util.Random(1)
