@@ -341,6 +341,12 @@ object SparkEntry {
     // for 100 TB vector corpora; exploded scalar output for comparability.
     "v5_int8_quantize" -> ((s, d) =>
       Similarity.int8Quantize(table(s, d, "embeddings"))),
+    // V6: retrieval over the quantized corpus — scales cancel in cosine,
+    // so the quantized ranking is bit-deterministic and hash-checkable.
+    "v6_int8_topk" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.int8CosineTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
+    }),
     // ---- D: deduplication ----------------------------------------------
     "d1_dedup_exact" -> ((s, d) => Dedup.exact(table(s, d, "documents"))),
     // D6: benchmark decontamination (train/test leakage guard) — src0
@@ -1267,7 +1273,32 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_agree
         |FROM top GROUP BY query_id, q_label""".stripMargin,
-    "v1_brute_cosine_topk" -> baseV1Oracle
+    "v1_brute_cosine_topk" -> baseV1Oracle,
+    // v6: the v1 ranking recomputed over SQL-requantized vectors — the
+    // scales cancel in cosine, so quantized retrieval is exactly checkable.
+    "v6_int8_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM v),
+        |qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |      ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS qv
+        |  FROM sc),
+        |q AS (SELECT vec_id AS query_id, qv FROM qz WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, qv AS cv FROM qz),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_cosine_similarity(qv, cv), 6) AS cosine
+        |  FROM c, q WHERE neighbor_id <> query_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM s)
+        |WHERE rank <= 5""".stripMargin
   // exhaustive IVF must reproduce the brute-force answer bit-for-bit
   ) + ("v2b_ivf_full_probe" -> baseV1Oracle)
 

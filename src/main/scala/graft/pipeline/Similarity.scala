@@ -220,6 +220,35 @@ object Similarity {
           .as("q"),
         col("scale"))
 
+  /** The same relation with `vecCol` replaced by its [[int8Quantize]]d
+    * values (as `array<float>` — int8 magnitudes are exact in float, so
+    * downstream kernels run unchanged). Retrieval over quantized vectors
+    * needs no dequantization for cosine: the per-vector scale multiplies
+    * both the dot product and the norm, so it cancels — which is why
+    * [[int8CosineTopK]] is exactly [[bruteCosineTopK]] over this view.
+    */
+  def int8QuantizedView(embeddings: DataFrame,
+      vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .withColumn("_v", expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
+      .withColumn("_s",
+        array_max(expr("transform(_v, x -> abs(x))")) / lit(127.0d))
+      .withColumn(vecCol,
+        expr("CASE WHEN _s = 0D THEN transform(_v, x -> CAST(0 AS FLOAT)) " +
+          "ELSE transform(_v, x -> CAST(floor(x / _s + 0.5D) AS FLOAT)) END"))
+      .drop("_v", "_s")
+
+  /** Cosine top-k over int8-quantized vectors — the end-to-end check that
+    * the quantized corpus is RETRIEVABLE, not just 4× smaller. Ranking
+    * differs from float retrieval only by quantization noise; the result
+    * itself is bit-deterministic (integer dot products, IEEE sqrt/divide),
+    * so it hash-checks against an oracle that re-quantizes in SQL.
+    */
+  def int8CosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    bruteCosineTopK(int8QuantizedView(corpus, vecCol),
+      int8QuantizedView(queries, vecCol), k, idCol, vecCol)
+
   /** Query a materialized IVF index: the probed cell ids become a static
     * `isin` partition filter on the index scan (directory pruning — only
     * ~nProbe/nCells of the files are read; asserted in PlanShapeSpec),

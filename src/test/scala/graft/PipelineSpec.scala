@@ -223,6 +223,23 @@ class PipelineSpec extends SparkSpec {
     assert(q.filter(_._1 == 3L).map(_._3).min === -127)
   }
 
+  test("int8 retrieval: quantized top-k overlaps float top-k heavily") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val corpus = (0L until 200L).map(i =>
+      (i, Array.fill(32)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 10)
+    def topk(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupMap(_._1)(_._2)
+    val exact = topk(Similarity.bruteCosineTopK(corpus, queries, k = 5))
+    val quant = topk(Similarity.int8CosineTopK(corpus, queries, k = 5))
+    // int8 noise may swap near-ties, but recall@5 stays high
+    val recall = exact.map { case (q, ns) =>
+      ns.toSet.intersect(quant(q).toSet).size.toDouble / ns.length
+    }.sum / exact.size
+    assert(recall >= 0.8, s"quantized recall@5 $recall < 0.8")
+  }
+
   test("embedding near-dup LSH finds an exact-duplicate vector") {
     import spark.implicits._
     val rnd = new scala.util.Random(1)
