@@ -374,6 +374,15 @@ object SparkEntry {
       val docs = table(s, d, "documents")
       Dedup.nearDupSurvivors(docs, Dedup.minhashPairs(docs)).select("doc_id")
     }),
+    // S11: Avro container-file round trip — write the customer table as
+    // .avro (distributed, one container per partition), read it back via
+    // the avro-mapred input format; must equal the parquet original.
+    "s11_avro_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_avro")
+        .toString + "/customer"
+      graft.engine.Avro.write(table(s, d, "customer"), tmp)
+      graft.engine.Avro.read(s, tmp)
+    }),
     // ---- T: text analysis ----------------------------------------------
     "t1_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(table(s, d, "documents"))),
     "t2_quality_score" -> ((s, d) => TextAnalysis.qualityScore(table(s, d, "documents"))),
@@ -390,6 +399,10 @@ object SparkEntry {
       TextAnalysis.repetitionScore(table(s, d, "documents"))),
     "t10_quality_filter" -> ((s, d) =>
       TextAnalysis.qualityFilter(table(s, d, "documents"))),
+    // T15: overlapping token-window chunking (RAG/embedding prep) —
+    // 128-token windows advancing by 96.
+    "t15_chunk" -> ((s, d) =>
+      TextAnalysis.chunk(table(s, d, "documents"))),
     // T12: per-source document cap (mix balancing) — row_number <= cap
     // plans as WindowGroupLimit: each map task ships at most cap rows per
     // source into the exchange.
@@ -1125,6 +1138,24 @@ object SparkEntry {
         |       THEN x - 18446744073709551616 ELSE x END AS BIGINT))
         |    AS fingerprint64
         |FROM s6 GROUP BY doc_id""".stripMargin,
+    // s11: the avro write→read cycle must be lossless, so the oracle is
+    // simply the parquet original.
+    "s11_avro_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    // t15: DuckDB list slices are 1-based inclusive, so a 128-token window
+    // starting at s is t[s : s+127] (clipped at the document end).
+    "t15_chunk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t), 96)) AS s
+        |  FROM tok)
+        |SELECT doc_id,
+        |  CAST((s - 1) // 96 AS INTEGER) AS chunk_id,
+        |  CAST(len(t[s:s + 127]) AS INTEGER) AS n_chunk_tokens,
+        |  array_to_string(t[s:s + 127], ' ') AS chunk_text
+        |FROM st""".stripMargin,
     "t12_source_cap" ->
       """SELECT doc_id, source, source_rank FROM (
         |  SELECT doc_id, source,

@@ -263,6 +263,28 @@ object TextAnalysis {
       graft.functions.text.rollingFingerprint(normalized(col("text")), window)
         .as("fingerprint64"))
 
+  /** Overlapping token-window chunking — the RAG/embedding prep step that
+    * turns long documents into `chunkTokens`-token windows advancing by
+    * `chunkTokens - overlap`. Chunk starts come from a `sequence` +
+    * `posexplode` (no UDF, no shuffle); `slice` clips the final window at
+    * the document end. `chunk_id = start_index / stride`, deterministic.
+    */
+  def chunk(documents: DataFrame, chunkTokens: Int = 128,
+      overlap: Int = 32): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("_t"))
+      .withColumn("_starts", expr(s"sequence(1, size(_t), $stride)"))
+      .select(col("doc_id"), col("_t"), posexplode(col("_starts")))
+      .select(col("doc_id"),
+        col("pos").cast("int").as("chunk_id"),
+        expr(s"slice(_t, col, $chunkTokens)").as("_c"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("_c")).as("n_chunk_tokens"),
+        array_join(col("_c"), " ").as("chunk_text"))
+  }
+
   /** Per-source document cap: keep at most `cap` documents per source,
     * preferring longer documents (doc_id as the deterministic tiebreak).
     * The standard mix-balancing step — a crawl dump where one domain is

@@ -156,6 +156,18 @@ class PipelineSpec extends SparkSpec {
     assert(top.toSeq === Seq((999L, 1)))
   }
 
+  test("chunking: overlapping windows, clipped tail, stable chunk ids") {
+    // 10 tokens, window 4, overlap 2 → stride 2 → starts 1,3,5,7,9
+    val d = docs(1L -> (1 to 10).map(i => s"w$i").mkString(" "))
+    val got = TextAnalysis.chunk(d, chunkTokens = 4, overlap = 2).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3))).sortBy(_._1)
+    assert(got.length === 5)
+    assert(got(0) === ((0, 4, "w1 w2 w3 w4")))
+    assert(got(1) === ((1, 4, "w3 w4 w5 w6")))
+    // the final window is clipped at the document end, not padded
+    assert(got(4) === ((4, 2, "w9 w10")))
+  }
+
   test("piiRedact scrubs emails, IPv4s and phones, and counts them") {
     val d = docs(
       1L -> "mail me at jane.doe+x@example.co.uk or call +34 91 123 4567",
