@@ -403,6 +403,10 @@ object SparkEntry {
     // 128-token windows advancing by 96.
     "t15_chunk" -> ((s, d) =>
       TextAnalysis.chunk(table(s, d, "documents"))),
+    // T16: token-rarity (mean corpus token frequency, exact millionths) —
+    // the unigram stand-in for a perplexity quality filter.
+    "t16_token_rarity" -> ((s, d) =>
+      TextAnalysis.tokenRarity(table(s, d, "documents"))),
     // T12: per-source document cap (mix balancing) — row_number <= cap
     // plans as WindowGroupLimit: each map task ships at most cap rows per
     // source into the exchange.
@@ -1156,6 +1160,20 @@ object SparkEntry {
         |  CAST(len(t[s:s + 127]) AS INTEGER) AS n_chunk_tokens,
         |  array_to_string(t[s:s + 127], ' ') AS chunk_text
         |FROM st""".stripMargin,
+    // t16: both engines compute (1e6 * integer sum) / integer count in
+    // double then floor — exact IEEE, no libm log involved.
+    "t16_token_rarity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS token
+        |  FROM documents),
+        |freq AS (
+        |  SELECT token, count(*) AS corpus_freq FROM tok GROUP BY token)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(floor(1000000.0 * sum(corpus_freq) / count(*)) AS BIGINT)
+        |    AS mean_freq_c6
+        |FROM tok JOIN freq USING (token)
+        |GROUP BY doc_id""".stripMargin,
     "t12_source_cap" ->
       """SELECT doc_id, source, source_rank FROM (
         |  SELECT doc_id, source,

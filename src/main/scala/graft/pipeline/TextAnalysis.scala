@@ -285,6 +285,31 @@ object TextAnalysis {
         array_join(col("_c"), " ").as("chunk_text"))
   }
 
+  /** Token-rarity score: mean corpus frequency of a document's tokens
+    * (each occurrence contributes its token's corpus count), floor-scaled
+    * to exact integer millionths. The cheap unigram-LM stand-in for a
+    * perplexity filter: very HIGH means boilerplate built from the
+    * corpus's most common tokens, very LOW means rare-token/OOV-heavy
+    * noise — both standard drop candidates. Integer arithmetic throughout
+    * (counts, then one exact double division) so the score is
+    * bit-reproducible across engines — unlike log-based surprisal, whose
+    * libm rounding is not portable.
+    *
+    * Scale: one (token → count) aggregate (vocab-sized, ≪ corpus) joined
+    * back to the exploded token stream — the df side broadcasts when it
+    * fits, AQE decides; same shape as [[tfidfTopTerms]]'s df stage.
+    */
+  def tokenRarity(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("corpus_freq"))
+    tok.join(freq, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        floor(lit(1000000.0d) * sum(col("corpus_freq"))
+          / count(lit(1))).cast("long").as("mean_freq_c6"))
+  }
+
   /** Per-source document cap: keep at most `cap` documents per source,
     * preferring longer documents (doc_id as the deterministic tiebreak).
     * The standard mix-balancing step — a crawl dump where one domain is

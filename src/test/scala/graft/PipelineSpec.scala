@@ -156,6 +156,18 @@ class PipelineSpec extends SparkSpec {
     assert(top.toSeq === Seq((999L, 1)))
   }
 
+  test("tokenRarity: common-token docs score high, rare-token docs low") {
+    val d = docs(
+      1L -> "the the the the", // 'the' freq 5 → mean 5
+      2L -> "the zzz",         // freqs 5,1 → mean 3
+      3L -> "qqq www")         // freqs 1,1 → mean 1
+    val got = TextAnalysis.tokenRarity(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((4L, 5000000L)))
+    assert(got(2L) === ((2L, 3000000L)))
+    assert(got(3L) === ((2L, 1000000L)))
+  }
+
   test("chunking: overlapping windows, clipped tail, stable chunk ids") {
     // 10 tokens, window 4, overlap 2 → stride 2 → starts 1,3,5,7,9
     val d = docs(1L -> (1 to 10).map(i => s"w$i").mkString(" "))
