@@ -403,6 +403,15 @@ object SparkEntry {
     // 128-token windows advancing by 96.
     "t15_chunk" -> ((s, d) =>
       TextAnalysis.chunk(table(s, d, "documents"))),
+    // T17: weighted per-source sampling (mix weights) — deterministic md5
+    // gate, so the kept set is a pure function of (doc_id, rate).
+    "t17_weighted_sample" -> ((s, d) =>
+      TextAnalysis.weightedSample(table(s, d, "documents"),
+        Map("src1" -> 0.25, "src2" -> 0.5, "src3" -> 0.0),
+        defaultRate = 0.75)),
+    // T18: per-source corpus report ("data card" summary table).
+    "t18_corpus_stats" -> ((s, d) =>
+      TextAnalysis.corpusStats(table(s, d, "documents"))),
     // T16: token-rarity (mean corpus token frequency, exact millionths) —
     // the unigram stand-in for a perplexity quality filter.
     "t16_token_rarity" -> ((s, d) =>
@@ -1160,6 +1169,19 @@ object SparkEntry {
         |  CAST(len(t[s:s + 127]) AS INTEGER) AS n_chunk_tokens,
         |  array_to_string(t[s:s + 127], ' ') AS chunk_text
         |FROM st""".stripMargin,
+    "t17_weighted_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |  < CASE source WHEN 'src1' THEN 16384 WHEN 'src2' THEN 32768
+        |      WHEN 'src3' THEN 0 ELSE 49152 END""".stripMargin,
+    "t18_corpus_stats" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+        |    AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents GROUP BY source""".stripMargin,
     // t16: both engines compute (1e6 * integer sum) / integer count in
     // double then floor — exact IEEE, no libm log involved.
     "t16_token_rarity" ->

@@ -310,6 +310,47 @@ object TextAnalysis {
           / count(lit(1))).cast("long").as("mean_freq_c6"))
   }
 
+  /** Weighted per-source sampling — the mix-weights knob: keep each
+    * document with its source's probability, deterministically (an md5
+    * gate on doc_id, same trick as [[datasetSplit]] but at 1/65536
+    * resolution). A pure function of (doc_id, rate): reruns, engines and
+    * partitionings all agree on the kept set, and changing one source's
+    * weight does not reshuffle any other source's sample.
+    */
+  def weightedSample(documents: DataFrame, rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    def threshold(rate: Double): Int = {
+      require(rate >= 0 && rate <= 1, s"rate out of [0,1]: $rate")
+      math.floor(rate * 65536).toInt
+    }
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+    val thr = rates.foldLeft(lit(threshold(defaultRate))) {
+      case (acc, (src, rate)) =>
+        when(col("source") === src, threshold(rate)).otherwise(acc)
+    }
+    documents.filter(bucket < thr).select("doc_id", "source")
+  }
+
+  /** Per-source corpus report ("data card"): document/token totals and
+    * quality aggregates per source — the summary table every corpus
+    * release ships with. One hash-agg exchange carrying |sources| rows
+    * of longs; token counting stays in the codegen'd scan.
+    */
+  def corpusStats(documents: DataFrame): DataFrame = {
+    val nTok = size(tokens(col("text")))
+    documents
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTok.cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        count_distinct(col("lang")).as("n_langs"))
+  }
+
   /** Per-source document cap: keep at most `cap` documents per source,
     * preferring longer documents (doc_id as the deterministic tiebreak).
     * The standard mix-balancing step — a crawl dump where one domain is

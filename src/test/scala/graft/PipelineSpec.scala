@@ -156,6 +156,25 @@ class PipelineSpec extends SparkSpec {
     assert(top.toSeq === Seq((999L, 1)))
   }
 
+  test("weightedSample: rate-0 drops all, rate-1 keeps all, deterministic") {
+    import spark.implicits._
+    val d = (1L to 400L).map(i => (i, "text", "en", s"src${i % 4}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rates = Map("src0" -> 0.0, "src1" -> 1.0, "src2" -> 0.5)
+    val keep = TextAnalysis.weightedSample(d, rates, defaultRate = 0.25)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = keep.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!bySrc.contains("src0"))
+    assert(bySrc("src1") === 100)
+    // md5 gate is uniform-ish: 0.5 of 100 → wide tolerance, zero flake
+    assert(bySrc("src2") > 25 && bySrc("src2") < 75)
+    assert(bySrc("src3") > 5 && bySrc("src3") < 50)
+    // deterministic: the same call selects the same ids
+    val again = TextAnalysis.weightedSample(d, rates, defaultRate = 0.25)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(keep.toSet === again.toSet)
+  }
+
   test("tokenRarity: common-token docs score high, rare-token docs low") {
     val d = docs(
       1L -> "the the the the", // 'the' freq 5 → mean 5
