@@ -403,6 +403,24 @@ object SparkEntry {
     // 128-token windows advancing by 96.
     "t15_chunk" -> ((s, d) =>
       TextAnalysis.chunk(table(s, d, "documents"))),
+    // A11: space-saving heavy-hitters sketch over the bigram stream — the
+    // bounded-memory corpus-frequency path (each map task ships at most
+    // `capacity` counters). Capacity exceeds the gate-SF bigram vocabulary,
+    // so counts are exact with err = 0 and the result is merge-order-
+    // independent — which is exactly what the oracle checks (same trick as
+    // v2b's full-probe ≡ brute-force). The eviction regime is covered by
+    // the PropertySpec guarantee test.
+    "a11_heavy_hitters" -> ((s, d) => {
+      val bg = table(s, d, "documents")
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 2)
+        .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+      bg.agg(graft.functions.sketch.heavyHitters(col("bigram"), 4096).as("_hh"))
+        .select(posexplode(col("_hh")))
+        .filter(col("pos") < 50)
+        .select(col("col.item").as("bigram"),
+          (col("pos") + 1).cast("int").as("rank"),
+          col("col.cnt").as("cnt"), col("col.err").as("err"))
+    }),
     // T17: weighted per-source sampling (mix weights) — deterministic md5
     // gate, so the kept set is a pure function of (doc_id, rate).
     "t17_weighted_sample" -> ((s, d) =>
@@ -1169,6 +1187,25 @@ object SparkEntry {
         |  CAST(len(t[s:s + 127]) AS INTEGER) AS n_chunk_tokens,
         |  array_to_string(t[s:s + 127], ' ') AS chunk_text
         |FROM st""".stripMargin,
+    // a11: with capacity >= |bigram vocab| the sketch is exact and err = 0,
+    // so the oracle is the true document-frequency top 50.
+    "a11_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2),
+        |bi AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 1),
+        |           i -> list_extract(t, i) || ' ' || list_extract(t, i + 1))) AS bigram
+        |  FROM tok),
+        |c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM bi GROUP BY bigram)
+        |SELECT bigram, CAST(rn AS INTEGER) AS rank, cnt,
+        |  CAST(0 AS BIGINT) AS err
+        |FROM (SELECT bigram, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, bigram) AS rn FROM c)
+        |WHERE rn <= 50""".stripMargin,
     "t17_weighted_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT

@@ -14,7 +14,8 @@ import org.apache.spark.sql.graftbridge.Bridge
   *   graft_shingle_strings(tokens[, w]),
   *   graft_sorted_intersect_count(a, b), graft_term_counts(tokens),
   *   graft_latest_by_offset(value, order)   (aggregate),
-  *   graft_top_k_by_score(score, id, k)     (aggregate).
+  *   graft_top_k_by_score(score, id, k)     (aggregate),
+  *   graft_heavy_hitters(item, capacity)    (aggregate).
   */
 object GraftFunctions {
 
@@ -64,5 +65,7 @@ object GraftFunctions {
       args => LatestByOffsetAgg(args(0), args(1)))
     Bridge.registerFunction(spark, "graft_top_k_by_score",
       args => TopKByScore(args(0), args(1), intLit(args(2), "k")))
+    Bridge.registerFunction(spark, "graft_heavy_hitters",
+      args => HeavyHitters(args(0), intLit(args(1), "capacity")))
   }
 }

@@ -1,0 +1,183 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Space-saving (Misra–Gries family) heavy-hitters summary: at most
+  * `capacity` counters of `(item, count, err)`.
+  *
+  * Invariants (per summary over n observed items):
+  *  - `count` OVERestimates the true frequency by at most `err`
+  *    (`true ∈ [count - err, count]`);
+  *  - any item with true frequency > n / capacity is present;
+  *  - when the stream's distinct-item count never exceeds `capacity`,
+  *    no eviction happens and every `count` is EXACT with `err = 0` —
+  *    which also makes the result independent of partitioning/merge
+  *    order (the property the oracle gate checks; the approximate
+  *    regime is order-dependent like every mergeable MG sketch).
+  *
+  * Eviction replaces a minimum-count entry (ties: lexicographically
+  * smallest item, for determinism); the newcomer inherits `min + 1`
+  * with `err = min`. Merge adds counts/errors for shared items, keeps
+  * others verbatim, then evicts down to capacity, folding each evicted
+  * entry's count into the survivors' worst-case error via the classic
+  * min-count bound.
+  */
+final class SpaceSavingBuffer(val capacity: Int) {
+  val counts = mutable.HashMap.empty[String, Long]
+  val errs = mutable.HashMap.empty[String, Long]
+
+  private def minEntry(): (String, Long) = {
+    var mk: String = null; var mv = Long.MaxValue
+    counts.foreach { case (k, v) =>
+      if (v < mv || (v == mv && (mk == null || k < mk))) { mk = k; mv = v }
+    }
+    (mk, mv)
+  }
+
+  def add(item: String, by: Long = 1L, err: Long = 0L): Unit =
+    counts.get(item) match {
+      case Some(c) =>
+        counts(item) = c + by
+        if (err > 0) errs(item) = errs.getOrElse(item, 0L) + err
+      case None if counts.size < capacity =>
+        counts(item) = by
+        if (err > 0) errs(item) = err
+      case None =>
+        val (mk, mv) = minEntry()
+        counts.remove(mk); errs.remove(mk)
+        counts(item) = mv + by
+        errs(item) = mv + err
+    }
+
+  /** Merge = replay the other summary's entries as WEIGHTED arrivals
+    * through the same eviction rule (largest first, for a stable order
+    * within a run). An entry displacing a minimum inherits that minimum
+    * into its error, exactly like a unit arrival — which preserves the
+    * overestimate invariant (`true <= cnt`) across merges; a
+    * truncate-after-union merge would silently drop mass and turn counts
+    * into underestimates when an evicted item re-enters later.
+    */
+  def merge(other: SpaceSavingBuffer): Unit =
+    other.sorted.foreach { case (k, v, e) => add(k, v, e) }
+
+  /** Entries sorted (count desc, item asc). */
+  def sorted: Array[(String, Long, Long)] =
+    counts.iterator.map { case (k, v) => (k, v, errs.getOrElse(k, 0L)) }
+      .toArray.sortBy { case (k, v, _) => (-v, k) }
+}
+
+/** `heavy_hitters(item, capacity)`: array of `struct<item, cnt, err>`
+  * sorted (cnt desc, item asc). The partial phase bounds every map task's
+  * shuffle contribution to `capacity` counters — corpus-wide term
+  * frequency without shuffling the vocabulary.
+  */
+case class HeavyHitters(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingBuffer] with UnaryLike[Expression] {
+
+  require(capacity > 0, s"capacity must be positive, got $capacity")
+
+  // analysis-time failure beats a runtime ClassCastException in update()
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_heavy_hitters requires a string item, got ${other.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false),
+      StructField("err", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): SpaceSavingBuffer =
+    new SpaceSavingBuffer(capacity)
+
+  override def update(buffer: SpaceSavingBuffer, input: InternalRow): SpaceSavingBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[UTF8String].toString)
+    buffer
+  }
+
+  override def merge(buffer: SpaceSavingBuffer, other: SpaceSavingBuffer): SpaceSavingBuffer = {
+    buffer.merge(other); buffer
+  }
+
+  override def eval(buffer: SpaceSavingBuffer): Any =
+    new GenericArrayData(buffer.sorted.map { case (k, c, e) =>
+      InternalRow(UTF8String.fromString(k), c, e)
+    }.toArray[Any])
+
+  override def serialize(buffer: SpaceSavingBuffer): Array[Byte] = {
+    val entries = buffer.sorted
+    var bytes = 8
+    val encoded = entries.map { case (k, _, _) =>
+      k.getBytes(StandardCharsets.UTF_8)
+    }
+    encoded.foreach(b => bytes += 4 + b.length + 16)
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(buffer.capacity).putInt(entries.length)
+    var i = 0
+    while (i < entries.length) {
+      bb.putInt(encoded(i).length).put(encoded(i))
+      bb.putLong(entries(i)._2).putLong(entries(i)._3)
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val cap = bb.getInt(); val n = bb.getInt()
+    val buf = new SpaceSavingBuffer(cap)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt(); val kb = new Array[Byte](len); bb.get(kb)
+      val k = new String(kb, StandardCharsets.UTF_8)
+      val c = bb.getLong(); val e = bb.getLong()
+      buf.counts(k) = c
+      if (e > 0) buf.errs(k) = e
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HeavyHitters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HeavyHitters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_heavy_hitters"
+}
+
+object sketch {
+  /** Space-saving heavy-hitters Column: array of `struct<item, cnt, err>`
+    * sorted (cnt desc, item asc), at most `capacity` entries.
+    */
+  def heavyHitters(item: Column, capacity: Int): Column =
+    Bridge.column(
+      HeavyHitters(Bridge.expression(item), capacity).toAggregateExpression())
+}

@@ -118,6 +118,14 @@ class PlanShapeSpec extends SparkSpec {
       """SELECT label, graft_latest_by_offset(vec_id, vec_id) last_id
          FROM emb_sql GROUP BY label""").collect()
     assert(latest.nonEmpty)
+    val hh = spark.sql(
+      "SELECT graft_heavy_hitters(CAST(label AS STRING), 100) hh FROM emb_sql")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.nonEmpty && hh.forall(_.getLong(2) === 0L)) // exact regime
+    // non-string input is an analysis error, not a runtime crash
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_heavy_hitters(label, 100) FROM emb_sql").collect()
+    }
     val fp = spark.sql(
       "SELECT graft_simhash64(array('a','b')) s, graft_rolling_fingerprint('hello world') f")
       .collect().head

@@ -151,6 +151,35 @@ class PropertySpec extends SparkSpec {
       s"max salt share ${hotBySalt.max / hot} >= ${2.0 / salts}")
   }
 
+  test("space-saving sketch: MG guarantees hold under eviction pressure") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    // zipfish stream: 5 true heavy hitters + a long tail of 500 rares,
+    // forced through capacity 32 (far below 505 distinct items)
+    val heavy = (0 until 5).flatMap(h => Seq.fill(400)(s"hot$h"))
+    val tail = (0 until 2000).map(_ => s"cold${rnd.nextInt(500)}")
+    val stream = rnd.shuffle(heavy ++ tail)
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size
+    val cap = 32
+    val summary = stream.toDF("item").repartition(8)
+      .agg(graft.functions.sketch.heavyHitters($"item", cap).as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e.item", $"e.cnt", $"e.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(summary.length <= cap)
+    // every item with true frequency > n/cap must be present (all 5 hots:
+    // 400 > 4020/32 ≈ 126)
+    val items = summary.map(_._1).toSet
+    (0 until 5).foreach(h => assert(items.contains(s"hot$h"), s"lost hot$h"))
+    // count is an overestimate bounded by err: true <= cnt <= true + err
+    summary.foreach { case (item, cnt, err) =>
+      val t = truth(item)
+      assert(cnt >= t, s"$item undercounted: $cnt < $t")
+      assert(cnt <= t + err, s"$item: cnt $cnt > true $t + err $err")
+    }
+  }
+
   test("asofJoin picks the latest dim version at-or-before the fact time") {
     import spark.implicits._
     def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
