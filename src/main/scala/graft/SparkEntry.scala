@@ -357,6 +357,15 @@ object SparkEntry {
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0")).select("doc_id")
     }),
+    // D10: bloom-prefiltered decontamination — must be bit-identical to
+    // the plain anti-join (bloom has no false negatives; positives get the
+    // exact check), so the oracle is d6's.
+    "d10_bloom_decontaminate" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Dedup.bloomDecontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0")).select("doc_id")
+    }),
     "d2_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(table(s, d, "documents"))),
     "d3_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(table(s, d, "documents"))),
     "d4_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(table(s, d, "documents"))),
@@ -895,6 +904,17 @@ object SparkEntry {
         |              WHERE b.source = 'src0' AND b.g = a.g)
         |GROUP BY a.doc_id""".stripMargin,
     "d6_decontaminate" ->
+      """WITH fp AS (
+        |  SELECT doc_id, source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents)
+        |SELECT c.doc_id FROM fp c
+        |WHERE c.source <> 'src0'
+        |  AND NOT EXISTS (SELECT 1 FROM fp b
+        |                  WHERE b.source = 'src0' AND b.f = c.f)""".stripMargin,
+    // d10: the bloom prefilter must not change the answer — same oracle
+    // as the exact anti-join.
+    "d10_bloom_decontaminate" ->
       """WITH fp AS (
         |  SELECT doc_id, source,
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f

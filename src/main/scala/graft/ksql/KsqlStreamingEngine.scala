@@ -265,4 +265,13 @@ class KsqlStreamingEngine(
     handles.foreach(h => if (h.query.isActive) h.stop())
     streamDecls.values.foreach(pruneDead)
   }
+
+  /** Live MemoryStream attachments backing `stream` — operational
+    * introspection. Bounded by the number of ACTIVE push queries (+1 for
+    * a not-yet-claimed CREATE-time binding); a count growing with the
+    * number of queries EVER issued is the leak the pruning exists to
+    * prevent (regression-tested in KsqlStreamingSpec).
+    */
+  def attachmentCount(stream: String): Int =
+    streamDecls.get(stream.toLowerCase).map(_.attached.size).getOrElse(0)
 }

@@ -47,6 +47,41 @@ object Dedup {
       .drop("_fp")
   }
 
+  /** Bloom-prefiltered decontamination — [[decontaminate]]'s shape for a
+    * benchmark too big to broadcast raw: build a bloom filter over the
+    * benchmark's fingerprint hashes (bloom bytes are MB-scale however big
+    * the benchmark — the one driver-resident artifact), ship it into the
+    * corpus scan as a codegen'd `BloomFilterMightContain` literal, and
+    * run the exact anti-join ONLY over the rows the bloom flags. Bloom
+    * filters have no false negatives, so non-flagged rows are clean with
+    * certainty and skip the shuffle entirely; false positives (rate
+    * `fpp`) just pay the exact check. Result is bit-identical to
+    * [[decontaminate]] — which is what the d10 oracle asserts.
+    */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val fp = md5(TextAnalysis.normalized(col(textCol)))
+    val bmHashes = benchmark.select(xxhash64(fp).as("h")).distinct()
+    val nItems = math.max(bmHashes.count(), 1L) // one pass, benchmark-sized
+    val bloom = bmHashes.stat.bloomFilter("h", nItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val flagged = corpus.withColumn("_fp", fp).withColumn("_maybe",
+      Bridge.column(BloomFilterMightContain(
+        Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+        Bridge.expression(xxhash64(col("_fp"))))))
+    val clean = flagged.filter(!col("_maybe"))
+    val verified = flagged.filter(col("_maybe"))
+      .join(benchmark.select(fp.as("_fp")).distinct(), Seq("_fp"), "left_anti")
+    clean.unionByName(verified.select(clean.columns.map(col): _*))
+      .drop("_fp", "_maybe")
+  }
+
   /** N-gram contamination check (GPT-3-appendix-style decontamination):
     * for each corpus document, the number of distinct w-grams it shares
     * with the benchmark set. Both sides reduce to 64-bit w-gram hashes

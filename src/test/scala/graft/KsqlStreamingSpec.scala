@@ -159,6 +159,32 @@ class KsqlStreamingSpec extends SparkSpec {
     } finally { agg.stop(); filt.stop() }
   }
 
+  test("stopped push queries' stream attachments are pruned (no leak)") {
+    val e = freshEngine
+    ddl(e)
+    insert(e, Tutorial.canonicalEvents.take(2))
+    // issue-and-stop N queries: without owner-based pruning each one
+    // leaves its MemoryStream attached and every INSERT fans out to all
+    // of them — attachment count would reach N
+    for (_ <- 1 to 3) {
+      val h = e.execute(
+        "SELECT id, event_type FROM match_event EMIT CHANGES;").get
+      h.processAllAvailable()
+      h.stop()
+      assert(e.attachmentCount("match_event") <= 1,
+        "attachments grew with queries issued")
+    }
+    // a live query holds exactly its own attachment; inserts still flow
+    val live = e.execute(
+      "SELECT id, event_type FROM match_event EMIT CHANGES;").get
+    try {
+      assert(e.attachmentCount("match_event") === 1)
+      insert(e, Tutorial.canonicalEvents.slice(2, 3))
+      live.processAllAvailable()
+      assert(live.emissions.count() >= 3)
+    } finally live.stop()
+  }
+
   test("stateless push query appends (Q4) and SELECT * expands") {
     val e = freshEngine
     ddl(e)

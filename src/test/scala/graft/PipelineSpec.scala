@@ -156,6 +156,25 @@ class PipelineSpec extends SparkSpec {
     assert(top.toSeq === Seq((999L, 1)))
   }
 
+  test("bloomDecontaminate equals the exact anti-join, keeps clean docs") {
+    val corpus = docs(
+      1L -> "the quick brown fox", 2L -> "an original document",
+      3L -> "leaked benchmark item", 4L -> "another clean one",
+      5L -> "LEAKED   benchmark ITEM") // normalizes equal to 3
+    val benchmark = docs(100L -> "leaked benchmark item",
+      101L -> "unrelated benchmark row")
+    val exact = Dedup.decontaminate(corpus, benchmark)
+      .collect().map(_.getLong(0)).toSet
+    val bloomed = Dedup.bloomDecontaminate(corpus, benchmark)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact === Set(1L, 2L, 4L))
+    assert(bloomed === exact)
+    // and with an aggressive fpp the exact check still rescues the result
+    val sloppy = Dedup.bloomDecontaminate(corpus, benchmark, fpp = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(sloppy === exact)
+  }
+
   test("weightedSample: rate-0 drops all, rate-1 keeps all, deterministic") {
     import spark.implicits._
     val d = (1L to 400L).map(i => (i, "text", "en", s"src${i % 4}"))
