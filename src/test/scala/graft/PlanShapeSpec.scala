@@ -93,6 +93,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("bloom decontamination: might_contain sits in the scan filter") {
+    val plan = SparkEntry.queries("d10_bloom_decontaminate")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // the bloom probe must be a plain filter expression (codegen'd, no
+    // join, no UDF) — only flagged rows reach the exact anti-join
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+    val antiJoins = "LeftAnti".r.findAllIn(plan).size
+    assert(antiJoins === 1, s"expected exactly one exact anti-join:\n$plan")
+  }
+
   test("pairwise dedup joins stay equi-hash (no cartesian product)") {
     for (q <- Seq("d2_ngram_jaccard", "d3_minhash_pairs", "d4_simhash_pairs")) {
       val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
