@@ -305,4 +305,61 @@ class StreamingTutorialSpec extends SparkSpec {
       assert(spark.table("assists_stream").count() === 2)
     } finally q.stop()
   }
+
+  test("stateless pipeline ops run unchanged on a stream (batch parity)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the SAME DataFrame => DataFrame operators, applied to a readStream:
+    // redaction + chunking are stateless projections, so streaming output
+    // must equal the batch result on the same rows
+    val rows = Seq(
+      (1L, "contact a@b.io from 10.0.0.1 " + (1 to 200).map("w" + _).mkString(" ")),
+      (2L, "clean text " + (1 to 150).map("v" + _).mkString(" ")))
+    val batchDf = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val input = MemoryStream[(Long, String)]
+    val streamDf = input.toDF().toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val redacted = graft.pipeline.TextAnalysis.piiRedact(streamDf)
+    val chunked = graft.pipeline.TextAnalysis.chunk(streamDf)
+    val q1 = redacted.writeStream.format("memory")
+      .queryName("pii_stream").outputMode("append").start()
+    val q2 = chunked.writeStream.format("memory")
+      .queryName("chunk_stream").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      def rset(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      assert(rset(spark.table("pii_stream")) ===
+        rset(graft.pipeline.TextAnalysis.piiRedact(batchDf)))
+      assert(rset(spark.table("chunk_stream")) ===
+        rset(graft.pipeline.TextAnalysis.chunk(batchDf)))
+      assert(spark.table("pii_stream").filter(col("n_emails") > 0).count() === 1)
+      assert(spark.table("chunk_stream").count() > 2) // long docs chunked
+    } finally { q1.stop(); q2.stop() }
+  }
+
+  test("streaming heavy hitters: sketch aggregates a stream in complete mode") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[String]
+    val hh = input.toDF().toDF("item")
+      .agg(graft.functions.sketch.heavyHitters(col("item"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.cnt"), col("e.err"))
+    val q = hh.writeStream.format("memory")
+      .queryName("hh_stream").outputMode("complete").start()
+    try {
+      input.addData(Seq.fill(10)("hot") ++ Seq("a", "b", "c"): _*)
+      q.processAllAvailable()
+      input.addData(Seq.fill(5)("hot") ++ Seq("d"): _*)
+      q.processAllAvailable()
+      val got = spark.table("hh_stream").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // exact regime across micro-batches: counts accumulate, err stays 0
+      assert(got("hot") === ((15L, 0L)))
+      assert(got("d") === ((1L, 0L)))
+    } finally q.stop()
+  }
 }
