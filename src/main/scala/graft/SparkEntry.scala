@@ -430,6 +430,9 @@ object SparkEntry {
           (col("pos") + 1).cast("int").as("rank"),
           col("col.cnt").as("cnt"), col("col.err").as("err"))
     }),
+    // T19: bigram collocation lift (log-free PMI core, exact millionths).
+    "t19_bigram_lift" -> ((s, d) =>
+      TextAnalysis.bigramLift(table(s, d, "documents"))),
     // T17: weighted per-source sampling (mix weights) — deterministic md5
     // gate, so the kept set is a pure function of (doc_id, rate).
     "t17_weighted_sample" -> ((s, d) =>
@@ -1226,6 +1229,30 @@ object SparkEntry {
         |FROM (SELECT bigram, cnt,
         |        row_number() OVER (ORDER BY cnt DESC, bigram) AS rn FROM c)
         |WHERE rn <= 50""".stripMargin,
+    // t19: identical op order both engines — exact BIGINT products, one
+    // double division, floor. No libm log anywhere.
+    "t19_bigram_lift" ->
+      """WITH tokall AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS x
+        |  FROM documents),
+        |uni AS (SELECT x, count(*) AS cx FROM tokall GROUP BY x),
+        |tot AS (SELECT count(*) AS n FROM tokall),
+        |tok AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2),
+        |st AS (
+        |  SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM tok),
+        |bi AS (
+        |  SELECT t[i] AS x, t[i + 1] AS y, count(*) AS cxy
+        |  FROM st GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT b.x, b.y, CAST(b.cxy AS BIGINT) AS cxy,
+        |  CAST(floor(1000000.0 * (
+        |    CAST(tot.n * b.cxy AS DOUBLE) / CAST(ux.cx * uy.cx AS DOUBLE)))
+        |    AS BIGINT) AS lift_c6
+        |FROM bi b CROSS JOIN tot
+        |JOIN uni ux ON ux.x = b.x
+        |JOIN uni uy ON uy.x = b.y""".stripMargin,
     "t17_weighted_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT

@@ -310,6 +310,41 @@ object TextAnalysis {
           / count(lit(1))).cast("long").as("mean_freq_c6"))
   }
 
+  /** Bigram collocation lift: `p(x,y) / (p(x)·p(y))` — the inside of PMI
+    * without the log, in exact millionths (lift > 1e6 ⟹ positive PMI).
+    * Flags collocations ("new york") vs chance co-occurrence; the log is
+    * monotone, so ranking by lift IS ranking by PMI — and skipping it
+    * keeps the value bit-reproducible across engines (libm logs are not).
+    * `n·c_xy` and `c_x·c_y` stay ≤ ~2^47 as exact longs, each cast to
+    * double before ONE division — every step IEEE-deterministic.
+    *
+    * Scale: unigram/bigram count aggregates (vocab-sized), then two
+    * vocab-sized joins back — AQE broadcasts them when they fit; the
+    * token stream itself is never joined.
+    */
+  def bigramLift(documents: DataFrame, minCount: Long = 5): DataFrame = {
+    val uniStream = documents.select(explode(tokens(col("text"))).as("x"))
+    val uni = uniStream.groupBy("x").agg(count(lit(1)).as("cx"))
+    val total = uniStream.agg(count(lit(1)).as("n"))
+    val pairs = documents
+      .select(tokens(col("text")).as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(_t) - 1), " +
+          "i -> struct(element_at(_t, i) AS x, element_at(_t, i + 1) AS y))"))
+        .as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val bi = pairs.groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    bi.crossJoin(broadcast(total))
+      .join(uni, "x")
+      .join(uni.select(col("x").as("y"), col("cx").as("cy")), "y")
+      .select(col("x"), col("y"), col("cxy"),
+        floor(lit(1000000.0d) * ((col("n") * col("cxy")).cast("double")
+          / (col("cx") * col("cy")).cast("double"))).cast("long")
+          .as("lift_c6"))
+  }
+
   /** Weighted per-source sampling — the mix-weights knob: keep each
     * document with its source's probability, deterministically (an md5
     * gate on doc_id, same trick as [[datasetSplit]] but at 1/65536

@@ -156,6 +156,24 @@ class PipelineSpec extends SparkSpec {
     assert(top.toSeq === Seq((999L, 1)))
   }
 
+  test("bigramLift: a fixed collocation scores above independent pairs") {
+    // 'new york' always adjacent (collocation); 'a b' co-occur by chance
+    val collocated = Seq.fill(10)("new york").mkString(" filler ")
+    val mixed = "a x a y b z b w a b " * 3
+    val d = docs(1L -> collocated, 2L -> mixed)
+    val got = TextAnalysis.bigramLift(d, minCount = 3).collect()
+      .map(r => (r.getString(1), r.getString(0), r.getLong(2), r.getLong(3)))
+    // note: join reorders columns (y, x, ...) — map back by name
+    val byPair = TextAnalysis.bigramLift(d, minCount = 3).collect()
+      .map(r => (r.getAs[String]("x"), r.getAs[String]("y")) ->
+        ((r.getAs[Long]("cxy"), r.getAs[Long]("lift_c6")))).toMap
+    val nyLift = byPair(("new", "york"))._2
+    assert(nyLift > 1000000L, s"collocation lift $nyLift not positive-PMI")
+    // every observed pair has positive count and the collocation tops them
+    assert(byPair.values.forall(_._1 >= 3))
+    assert(got.nonEmpty)
+  }
+
   test("bloomDecontaminate equals the exact anti-join, keeps clean docs") {
     val corpus = docs(
       1L -> "the quick brown fox", 2L -> "an original document",
