@@ -78,7 +78,7 @@ object Dedup {
     val clean = flagged.filter(!col("_maybe"))
     val verified = flagged.filter(col("_maybe"))
       .join(benchmark.select(fp.as("_fp")).distinct(), Seq("_fp"), "left_anti")
-    clean.unionByName(verified.select(clean.columns.map(col): _*))
+    clean.unionByName(verified.select(clean.columns.toIndexedSeq.map(col): _*))
       .drop("_fp", "_maybe")
   }
 
