@@ -371,6 +371,20 @@ object SparkEntry {
     "d4_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(table(s, d, "documents"))),
     "d5_embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(table(s, d, "embeddings"))),
+    // D11: SemDeDup — k-means cells bound the pairwise cosine check; the
+    // kept corpus after dropping non-representative members. Cell
+    // boundaries make recall < 1 (the documented SemDeDup trade), so this
+    // entry is rows-only; d11b is the exact twin the oracle hashes.
+    "d11_semantic_dedup" -> ((s, d) =>
+      Dedup.semanticSurvivors(table(s, d, "embeddings"))),
+    // D11b: singleCell forces the all-pairs answer over a bounded slice —
+    // pair generation, components, and survivor election all hash-check
+    // against the recursive SQL oracle (quadratic at gate SF by design,
+    // like d2/d8's documented twins).
+    "d11b_semantic_exact" -> ((s, d) =>
+      Dedup.semanticSurvivors(
+        table(s, d, "embeddings").filter(col("vec_id") < 2000),
+        singleCell = true)),
     // D8: cluster resolution — connected components over the d3 near-dup
     // pair graph (large-star/small-star label propagation), min-id survivor
     // election, cluster sizes. The missing stage between "pair list" and
@@ -391,6 +405,29 @@ object SparkEntry {
         .toString + "/customer"
       graft.engine.Avro.write(table(s, d, "customer"), tmp)
       graft.engine.Avro.read(s, tmp)
+    }),
+    // S12: JSONL round trip — the interchange format corpora ship in.
+    // Write the documents table as line-delimited JSON, read it back under
+    // the writer's schema; the oracle is the original parquet, so a hash
+    // match proves the serde loses nothing (escaping included).
+    "s12_jsonl_roundtrip" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
+        .toString + "/documents"
+      graft.engine.Sinks.toJsonl(docs, tmp)
+      graft.engine.Sources.fromJsonl(s, tmp, docs.schema)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+    // S13: CSV round trip — RFC-4180 quoting for embedded delimiters,
+    // shortest-round-trip double printing; same oracle as the Avro twin.
+    "s13_csv_roundtrip" -> ((s, d) => {
+      val cust = table(s, d, "customer")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
+        .toString + "/customer"
+      graft.engine.Sinks.toCsv(cust, tmp)
+      graft.engine.Sources.fromCsv(s, tmp, cust.schema)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
     }),
     // ---- T: text analysis ----------------------------------------------
     "t1_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(table(s, d, "documents"))),
@@ -433,6 +470,11 @@ object SparkEntry {
     // T19: bigram collocation lift (log-free PMI core, exact millionths).
     "t19_bigram_lift" -> ((s, d) =>
       TextAnalysis.bigramLift(table(s, d, "documents"))),
+    // T20: boilerplate n-gram coverage — corpus-frequent 3-grams
+    // (doc-frequency ≥ 1% of docs) and how much of each document they
+    // cover; the template/chrome detector a crawl pipeline runs.
+    "t20_boilerplate" -> ((s, d) =>
+      TextAnalysis.boilerplateCoverage(table(s, d, "documents"))),
     // T17: weighted per-source sampling (mix weights) — deterministic md5
     // gate, so the kept set is a pure function of (doc_id, rate).
     "t17_weighted_sample" -> ((s, d) =>
@@ -505,6 +547,54 @@ object SparkEntry {
       events(s, d).select(col("event_id"), col("user_id"),
         sum(round(col("value") * 100).cast("long")).over(w).as("running_c2"))
     }),
+    // X8: the OVER-clause analytics family — lag/lead (neighbor rows),
+    // ntile (quartile binning), percent_rank / cume_dist (distribution
+    // position), all over ONE per-user window pass. The ordering key
+    // (ts, event_id) is unique, so every function is deterministic, and
+    // the rank-family outputs are single IEEE divisions of exact integers
+    // — bit-identical cross-engine.
+    "x8_window_analytics" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d).select(col("event_id"), col("user_id"),
+        lag("value", 1).over(w).as("prev_value"),
+        lead("value", 1).over(w).as("next_value"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    }),
+    // A12: GROUPING SETS — the explicit-set cousin of ROLLUP/CUBE (a9/a10):
+    // (lang), (source), and the grand total in one pass; Catalyst expands
+    // to a single Expand + hash aggregate, not three scans.
+    "a12_grouping_sets" -> ((s, d) =>
+      table(s, d, "documents")
+        .groupingSets(Seq(Seq(col("lang")), Seq(col("source")), Seq.empty),
+          col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))),
+    // A13: PIVOT — priority × status order totals in exact cents. The
+    // pivot value list is explicit, so the plan is one hash aggregate with
+    // no distinct-values pre-scan (the implicit form pays an extra job).
+    "a13_pivot" -> ((s, d) =>
+      table(s, d, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("cents")))),
+    // A14: UNPIVOT (melt) — the wide per-status report folded back to
+    // (status, metric, value) rows; both value columns are exact longs so
+    // the melted column is type-stable.
+    "a14_unpivot" -> ((s, d) => {
+      val wide = table(s, d, "orders").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_c2"))
+      wide.unpivot(Array(col("o_orderstatus")),
+        Array(col("n_orders"), col("total_c2")), "metric", "value")
+    }),
+    // E4: ordered conversion funnel (view → click → purchase) — per-user
+    // first-completion times where each step must follow the previous
+    // one; chained window minima over one user_id exchange.
+    "e4_funnel" -> ((s, d) =>
+      graft.pipeline.EventAnalytics.funnel(events(s, d))),
     // X6: skew-safe salted join — each key's rows spread over 8 (key,salt)
     // reducers. Salting must be RESULT-INVARIANT, so the oracle is the
     // plain equi-join.
@@ -1036,6 +1126,26 @@ object SparkEntry {
         |rep AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM rep WHERE doc_id <> rep_id)""".stripMargin,
+    // d11b: all-pairs cosine ≥ 0.45 over the vec_id < 2000 slice, resolved
+    // to survivors through the same recursive reachability as d9. round-6
+    // cosine matches gvec.cosine bit-for-bit (the v1/d5-proven kernel).
+    "d11b_semantic_exact" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id < 2000),
+        |pairs AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS r FROM edges
+        |  UNION
+        |  SELECT e2.u AS id, reach.r AS r FROM edges e2
+        |  JOIN reach ON reach.id = e2.v),
+        |rep AS (SELECT id, min(r) AS rep_id FROM reach GROUP BY id)
+        |SELECT vec_id FROM e
+        |WHERE vec_id NOT IN (SELECT id FROM rep WHERE id <> rep_id)""".stripMargin,
     // d4's fingerprint is an md5-low64-token-hash SimHash, replicable in
     // SQL; and with 4 bands of 16 bits, any pair at hamming ≤ 3 shares at
     // least one untouched band (pigeonhole), so the banded LSH has recall
@@ -1204,6 +1314,38 @@ object SparkEntry {
     // simply the parquet original.
     "s11_avro_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    // s12/s13: round trips must reproduce the source table exactly — the
+    // oracle IS the original parquet.
+    "s12_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "s13_csv_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    // t20: same shingle CASE as the d8 oracle (docs of ≤ 3 tokens have one
+    // whole-text gram); df threshold compares count(double) against
+    // n_docs · 0.01 — one IEEE multiply+compare, identical both engines.
+    "t20_boilerplate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tok),
+        |g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |hot AS (
+        |  SELECT g FROM g GROUP BY g
+        |  HAVING CAST(count(*) AS DOUBLE) >=
+        |    (SELECT CAST(count(*) AS DOUBLE) FROM documents) * 0.01),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler FROM g
+        |  WHERE g IN (SELECT g FROM hot) GROUP BY doc_id)
+        |SELECT doc_id, CAST(len(s) AS BIGINT) AS n_grams,
+        |  coalesce(n_boiler, 0) AS n_boiler,
+        |  CAST(floor(1000000.0 * coalesce(n_boiler, 0) / len(s)) AS BIGINT)
+        |    AS boiler_c6
+        |FROM sh LEFT JOIN per USING (doc_id)""".stripMargin,
     // t15: DuckDB list slices are 1-based inclusive, so a 128-token window
     // starting at s is t[s : s+127] (clipped at the document end).
     "t15_chunk" ->
@@ -1403,6 +1545,58 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c2
         |FROM events""".stripMargin,
+    // x8: unique ordering key (ts, event_id) ⟹ no rank peers; ntile is
+    // integer; pct_rank/cume are one IEEE division of exact ints each.
+    "x8_window_analytics" ->
+      """SELECT event_id, user_id,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "a12_grouping_sets" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), ())""".stripMargin,
+    "a13_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS "F",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS "O",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "a14_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS total_c2
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM wide
+        |UNION ALL
+        |SELECT o_orderstatus, 'total_c2' AS metric, total_c2 FROM wide""".stripMargin,
+    // e4: the chained conditional window minima replicate 1:1; DISTINCT
+    // collapses the per-event rows (window values are constant per user).
+    "e4_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM e),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+        |           AND ts_us >= t1 THEN ts_us END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+        |           AND ts_us >= t2 THEN ts_us END)
+        |         OVER (PARTITION BY user_id) AS t3 FROM s2)
+        |SELECT DISTINCT user_id, t1 AS t_view_us, t2 AS t_click_us,
+        |  t3 AS t_purchase_us,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stage
+        |FROM s3""".stripMargin,
     // x6's salt is a physical-layout trick only — the oracle is the plain
     // equi-join, proving result invariance.
     "x6_salted_join" ->

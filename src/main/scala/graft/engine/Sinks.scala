@@ -75,4 +75,24 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .start()
+
+  /** JSONL export — the interchange format training-data corpora actually
+    * ship in. One file per partition (line-delimited JSON objects); string
+    * values JSON-escape, so embedded quotes/control chars round-trip.
+    * Read back with [[Sources.fromJsonl]] under the writer's schema.
+    */
+  def toJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Header-less CSV export (RFC-4180 quoting, so delimiters/quotes inside
+    * values round-trip). Doubles print via Java `Double.toString`, whose
+    * shortest-round-trip contract makes parse(print(x)) == x — the s13
+    * oracle's hash equality depends on exactly that. Read back with
+    * [[Sources.fromCsv]] under the writer's schema.
+    */
+  def toCsv(df: DataFrame, path: String, delimiter: String = ","): Unit =
+    df.write.mode("overwrite")
+      .option("header", "false")
+      .option("delimiter", delimiter)
+      .csv(path)
 }

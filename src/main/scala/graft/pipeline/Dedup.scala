@@ -354,6 +354,60 @@ object Dedup {
     documents.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. '23):
+    * k-means-cluster the embedding space, then emit intra-cluster pairs
+    * with cosine ≥ threshold. Clustering bounds the quadratic term to
+    * per-cluster sizes — the same blocking trick as [[ngramJaccardPairs]],
+    * but the blocks are learned from the geometry instead of metadata, so
+    * semantically-close vectors land together regardless of source/lang.
+    *
+    * Scale: centroid build is [[Similarity.kmeansCentroids]] (vectors
+    * never shuffle; only centroid rows collect); assignment is the narrow
+    * codegen'd argmax; the pair join is an equi-shuffle on cell id with
+    * per-cell quadratic verify — cells ≈ corpus/centroidEvery keeps cells
+    * bounded. Recall < 1 (a near-dup pair split across a cell boundary is
+    * missed) — that is SemDeDup's documented trade; `singleCell = true`
+    * forces one cell, making the output the exact all-pairs answer the
+    * d11b oracle twin hash-checks.
+    */
+  def semanticPairs(embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", threshold: Double = 0.45,
+      centroidEvery: Int = 50, kmeansIters: Int = 2,
+      singleCell: Boolean = false): DataFrame = {
+    val cellOf: Column =
+      if (singleCell) lit(0L)
+      else {
+        val cents = Similarity.kmeansCentroids(
+          embeddings, centroidEvery, kmeansIters, idCol, vecCol)
+        gvec.nearestCentroid(col(vecCol), cents.map(_._1), cents.map(_._2))
+      }
+    // persisted: both sides of the cell self-join read the assignment
+    val assigned = embeddings
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"), cellOf.as("_cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = assigned.select(col("_cell"), col("_id").as("a"), col("_v").as("_va"))
+    val r = assigned.select(col("_cell"), col("_id").as("b"), col("_v").as("_vb"))
+    l.join(r, Seq("_cell"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(gvec.cosine(col("_va"), col("_vb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** The corpus that SURVIVES semantic dedup: [[semanticPairs]] resolved
+    * through [[connectedComponents]], non-representatives dropped (min-id
+    * survivor, the package-wide contract). One row per kept vector.
+    */
+  def semanticSurvivors(embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", threshold: Double = 0.45,
+      centroidEvery: Int = 50, kmeansIters: Int = 2,
+      singleCell: Boolean = false): DataFrame =
+    nearDupSurvivors(
+      embeddings.select(col(idCol)),
+      semanticPairs(embeddings, idCol, vecCol, threshold, centroidEvery,
+        kmeansIters, singleCell),
+      idCol)
+
   /** Embedding near-duplicate pairs: random-hyperplane LSH (Charikar '02
     * §3) buckets vectors by the sign pattern of `nPlanes` fixed random
     * projections; pairs within a bucket verify exact cosine ≥ threshold.

@@ -345,6 +345,43 @@ object TextAnalysis {
           .as("lift_c6"))
   }
 
+  /** Boilerplate n-gram coverage (CCNet/RefinedWeb-style template
+    * detection): a w-gram is "boilerplate" when it appears in at least
+    * `dfFrac` of all documents; each document reports how much of its
+    * distinct-gram set those corpus-frequent grams cover. Headers,
+    * footers, navigation chrome and license blurbs all surface as
+    * high-coverage documents — the standard drop/strip candidates a crawl
+    * pipeline flags before training.
+    *
+    * Scale: gram doc-frequency is one hash aggregate over distinct-per-doc
+    * grams (the codegen'd ShingleStrings pass — documents are scanned
+    * once, grams travel, text does not); the hot-gram set is tiny (grams
+    * above a df floor) and broadcasts into a LEFT SEMI probe. The corpus
+    * size rides along as a broadcast 1-row aggregate, keeping the operator
+    * fully lazy. Ratio in exact millionths (floor of one IEEE division) —
+    * bit-reproducible cross-engine.
+    */
+  def boilerplateCoverage(documents: DataFrame, w: Int = 3,
+      dfFrac: Double = 0.01): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), w)).as("_g"))
+    val nDocs = documents.select(count(lit(1)).cast("double").as("_nd"))
+    val hot = grams.groupBy("_g").agg(count(lit(1)).as("_df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("_df").cast("double") >= col("_nd") * dfFrac)
+      .select("_g")
+    val perDoc = grams.join(broadcast(hot), Seq("_g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    documents
+      .select(col("doc_id"),
+        size(Dedup.shingles(col("text"), w)).cast("long").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        floor(lit(1000000.0d) * coalesce(col("n_boiler"), lit(0L))
+          / col("n_grams")).cast("long").as("boiler_c6"))
+  }
+
   /** Weighted per-source sampling — the mix-weights knob: keep each
     * document with its source's probability, deterministically (an md5
     * gate on doc_id, same trick as [[datasetSplit]] but at 1/65536

@@ -557,4 +557,75 @@ class PipelineSpec extends SparkSpec {
     assert(dec1.toSeq === dec2.toSeq)  // deterministic
     assert(dec1.forall(m => m.width > 0 && m.height > 0 && m.n_frames > 0))
   }
+
+  private def eventsDF(rows: (Long, String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+  }
+
+  test("funnel counts steps only in order") {
+    // user 1: click BEFORE first view must not count; completes all 3
+    // user 2: purchase precedes click — stops at stage 2
+    // user 3: view only
+    val ev = eventsDF(
+      (1L, "click", 10L), (1L, "view", 20L), (1L, "click", 30L),
+      (1L, "purchase", 40L),
+      (2L, "view", 10L), (2L, "purchase", 15L), (2L, "click", 20L),
+      (3L, "view", 5L))
+    val got = graft.pipeline.EventAnalytics.funnel(ev).collect()
+      .map(r => r.getLong(0) -> (r.get(1), r.get(2), r.get(3), r.getInt(4)))
+      .toMap
+    assert(got(1L) === ((20000000L, 30000000L, 40000000L, 3)))
+    assert(got(2L) === ((10000000L, 20000000L, null, 2)))
+    assert(got(3L) === ((5000000L, null, null, 1)))
+  }
+
+  test("boilerplate coverage flags corpus-frequent grams only") {
+    // the "header one two" 3-gram set appears in every doc; tails unique
+    val d = docs((1L to 10L).map(i =>
+      i -> s"header one two unique$i tail$i more$i words$i"): _*)
+    val got = TextAnalysis.boilerplateCoverage(d, w = 3, dfFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // 8 tokens -> 6 distinct grams; exactly "header one two" is shared
+    // by all 10 docs, every other gram has df = 1
+    assert(got.size === 10)
+    assert(got.values.forall(_ === ((6L, 1L, 166666L))))
+  }
+
+  private def vecsDF(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("semantic dedup: single-cell pairs equal brute cosine, survivors drop non-reps") {
+    // v1 ~ v2 (cos ≈ 0.995), v3 orthogonal, v4 ~ v1 negatively aligned
+    val e = vecsDF(
+      1L -> Seq(1f, 0f), 2L -> Seq(0.99f, 0.1f), 3L -> Seq(0f, 1f),
+      4L -> Seq(-1f, 0f))
+    val pairs = Dedup.semanticPairs(e, threshold = 0.9, singleCell = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)))
+    val kept = Dedup.semanticSurvivors(e, threshold = 0.9, singleCell = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L))
+  }
+
+  test("semantic dedup with k-means cells emits no false positives") {
+    // two tight near-dup pairs + four spread vectors; the celled path may
+    // miss a pair across a cell boundary (recall < 1 is the documented
+    // trade) but must never invent one the exact path lacks
+    val e = vecsDF(
+      1L -> Seq(1f, 0f), 2L -> Seq(0.999f, 0.04f),
+      3L -> Seq(0f, 1f), 4L -> Seq(0.04f, 0.999f),
+      5L -> Seq(0.7f, 0.7f), 6L -> Seq(-1f, 0f), 7L -> Seq(0f, -1f),
+      8L -> Seq(-0.7f, 0.7f))
+    val exact = Dedup.semanticPairs(e, threshold = 0.99, singleCell = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === Set((1L, 2L), (3L, 4L)))
+    val celled = Dedup.semanticPairs(e, threshold = 0.99, centroidEvery = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(celled.subsetOf(exact))
+  }
 }
