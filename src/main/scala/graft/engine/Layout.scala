@@ -27,14 +27,22 @@ object Layout {
     * Idempotent across JVMs: a managed-table directory orphaned by a
     * previous session (the table is on disk but not in this catalog —
     * `mode("overwrite")` cannot see it and `saveAsTable` refuses with
-    * LOCATION_ALREADY_EXISTS) is dropped before the write.
+    * LOCATION_ALREADY_EXISTS) is dropped before the write. The orphan
+    * location is resolved against the session's CURRENT database (where
+    * `saveAsTable` puts an unqualified name); qualified `db.tbl` names are
+    * rejected up front — resolving their location correctly needs the
+    * target database's URI, and a silently wrong path would defeat the
+    * cleanup this method exists for.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, sorted: Boolean = true): Unit = {
+    require(!table.contains("."),
+      s"writeBucketed: unqualified table name required, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
-      spark.catalog.getDatabase("default").locationUri, table.toLowerCase)
+      spark.catalog.getDatabase(spark.catalog.currentDatabase).locationUri,
+      table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")

@@ -141,7 +141,8 @@ object Dedup {
     */
   def minhashPairs(documents: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 64, bands: Int = 16,
-      shingleW: Int = 3, threshold: Double = 0.8, seed: Int = 42): DataFrame = {
+      shingleW: Int = 3, threshold: Double = 0.8, seed: Int = 42,
+      materialize: Boolean = true): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, s"bands=$bands must divide k=$k")
     val sh = documents.select(
@@ -168,7 +169,7 @@ object Dedup {
     // shingleHashes output is already sorted+distinct → merge-scan count;
     // size-ratio prefilter as in [[ngramJaccardPairs]] (exact-safe).
     val inter = gtext.sortedIntersectCount(col("_sha"), col("_shb")).cast("double")
-    candidates
+    val pairs = candidates
       .join(sh.select(col("_id").as("a"), col("_sh").as("_sha")), "a")
       .join(sh.select(col("_id").as("b"), col("_sh").as("_shb")), "b")
       .filter(least(size(col("_sha")), size(col("_shb"))).cast("double") >=
@@ -178,6 +179,7 @@ object Dedup {
         round(inter / (size(col("_sha")) + size(col("_shb")) - inter), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    if (materialize) Scratch.materializeThenFree(pairs, sh, banded) else pairs
   }
 
   /** Blocked exact n-gram Jaccard pairs: all pairs within a blocking key
@@ -195,7 +197,8 @@ object Dedup {
     * with a single merge scan instead of a per-pair hash set.
     */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.8,
-      blockCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+      blockCols: Seq[String] = Seq("lang", "source"),
+      materialize: Boolean = true): DataFrame = {
     // persisted: both sides of the block self-join read the token sets —
     // the cache keeps the tokenize+sort pass single-scan
     val toks = documents.select(
@@ -208,13 +211,14 @@ object Dedup {
     val b = toks.select(col("doc_id").as("b") +: blockCols.map(col) :+
       col("_t").as("_tb") :+ col("_n").as("_nb"): _*)
     val inter = gtext.sortedIntersectCount(col("_ta"), col("_tb")).cast("double")
-    a.join(b, blockCols)
+    val pairs = a.join(b, blockCols)
       .filter(col("a") < col("b") &&
         least(col("_na"), col("_nb")).cast("double") >=
           greatest(col("_na"), col("_nb")).cast("double") * threshold - 1e-9)
       .select(col("a"), col("b"),
         round(inter / (col("_na") + col("_nb") - inter), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    if (materialize) Scratch.materializeThenFree(pairs, toks) else pairs
   }
 
   /** SimHash near-dup pairs (Charikar '02; Manku et al. WWW'07 table
@@ -224,7 +228,8 @@ object Dedup {
     * Output: (a, b, hamming) with a < b, distinct.
     */
   def simhashPairs(documents: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+      textCol: String = "text", maxHamming: Int = 3,
+      materialize: Boolean = true): DataFrame = {
     // persisted: the banded self-join reads this twice; the cache keeps
     // the tokenize+md5 fingerprint scan single-pass
     val fps = documents.select(
@@ -239,12 +244,13 @@ object Dedup {
       col("_id").as("a"), col("_fp").as("_fpa"))
     val r = banded.select(col("_band"), col("_bucket"),
       col("_id").as("b"), col("_fp").as("_fpb"))
-    l.join(r, Seq("_band", "_bucket"))
+    val pairs = l.join(r, Seq("_band", "_bucket"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("_fpa").bitwiseXOR(col("_fpb"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    if (materialize) Scratch.materializeThenFree(pairs, fps) else pairs
   }
 
   /** Connected components over a near-duplicate pair graph, resolving the
@@ -373,7 +379,7 @@ object Dedup {
   def semanticPairs(embeddings: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.45,
       centroidEvery: Int = 50, kmeansIters: Int = 2,
-      singleCell: Boolean = false): DataFrame = {
+      singleCell: Boolean = false, materialize: Boolean = true): DataFrame = {
     val cellOf: Column =
       if (singleCell) lit(0L)
       else {
@@ -387,11 +393,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = assigned.select(col("_cell"), col("_id").as("a"), col("_v").as("_va"))
     val r = assigned.select(col("_cell"), col("_id").as("b"), col("_v").as("_vb"))
-    l.join(r, Seq("_cell"))
+    val pairs = l.join(r, Seq("_cell"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         round(gvec.cosine(col("_va"), col("_vb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
+    if (materialize) Scratch.materializeThenFree(pairs, assigned) else pairs
   }
 
   /** The corpus that SURVIVES semantic dedup: [[semanticPairs]] resolved
@@ -418,7 +425,8 @@ object Dedup {
     */
   def embeddingNearDupPairs(embeddings: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", dim: Int = 64, threshold: Double = 0.99,
-      nPlanes: Int = 12, nTables: Int = 4, seed: Int = 7): DataFrame = {
+      nPlanes: Int = 12, nTables: Int = 4, seed: Int = 7,
+      materialize: Boolean = true): DataFrame = {
     val planes = Similarity.randomPlanes(nTables * nPlanes, dim, seed)
     val buckets = (0 until nTables).map { t =>
       val bits = (0 until nPlanes).map { p =>
@@ -434,11 +442,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("_b"), col("_id").as("a"), col("_v").as("_va"))
     val r = banded.select(col("_b"), col("_id").as("b"), col("_v").as("_vb"))
-    l.join(r, Seq("_b"))
+    val pairs = l.join(r, Seq("_b"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         round(gvec.cosine(col("_va"), col("_vb")), 6).as("cosine"))
       .distinct()
       .filter(col("cosine") >= threshold)
+    if (materialize) Scratch.materializeThenFree(pairs, banded) else pairs
   }
 }

@@ -257,16 +257,19 @@ object Similarity {
   def ivfCosineTopKIndexed(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, centroids: Array[(Long, Array[Float])],
       queries: DataFrame, k: Int = 5, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      materialize: Boolean = true): DataFrame = {
     val assigned = spark.read.parquet(indexPath)
     val probed = probedCellsOf(centroids, queries, nProbe, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // queries are index-build-small: their probed cell set collects to a
     // literal filter so Catalyst prunes index partitions statically; the
-    // persisted probe relation feeds both the filter and the join
+    // persisted probe relation feeds both the filter and the join, and is
+    // freed once the (k-bounded) result is materialized
     val cells = probed.select("cell_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    probeJoin(assigned.filter(col("cell_id").isin(cells: _*)), probed, k)
+    val topk = probeJoin(assigned.filter(col("cell_id").isin(cells: _*)), probed, k)
+    if (materialize) Scratch.materializeThenFree(topk, probed) else topk
   }
 
   /** (query_id, _qv, cell_id) for each query's nProbe nearest cells. */

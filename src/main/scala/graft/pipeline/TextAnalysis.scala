@@ -243,14 +243,16 @@ object TextAnalysis {
   def curate(documents: DataFrame, benchmark: DataFrame): DataFrame = {
     // persisted: the dedup winner join and the decontamination fingerprint
     // each rescan the kept slice — without the cache every rescan would
-    // re-tokenize and re-shingle the corpus for the quality gate. (At
+    // re-tokenize and re-shingle the corpus for the quality gate; freed
+    // deterministically once the curated result is materialized. (At
     // 100 TB, persist a (doc_id, source, fingerprint) projection instead
     // of text and key the later stages off fingerprints.)
     val kept = documents.filter(qualityReason(col("text")) === "ok")
       .select("doc_id", "source", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deduped = kept.join(Dedup.exact(kept), "doc_id")
-    datasetSplit(Dedup.decontaminate(deduped, benchmark))
+    Scratch.materializeThenFree(
+      datasetSplit(Dedup.decontaminate(deduped, benchmark)), kept)
   }
 
   /** 64-bit min-rolling-hash fingerprint (winnowing-style, native
@@ -271,7 +273,9 @@ object TextAnalysis {
     */
   def chunk(documents: DataFrame, chunkTokens: Int = 128,
       overlap: Int = 32): DataFrame = {
-    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    require(chunkTokens > 0, "chunkTokens must be > 0")
+    require(overlap >= 0 && overlap < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
     val stride = chunkTokens - overlap
     documents
       .select(col("doc_id"), tokens(col("text")).as("_t"))
@@ -454,19 +458,21 @@ object TextAnalysis {
     * redacted (the per-doc audit trail a compliance pass needs).
     * Order matters — emails first (their local part can contain digits),
     * then IPs (dotted digit runs), then phones — and the oracle applies
-    * the same order. Pure narrow projection: codegen'd regexps, no
-    * shuffle, linear at 100 TB.
+    * the same order. Each count is taken on the text the corresponding
+    * replacement actually ran against, so `n_emails`/`n_ips`/`n_phones`
+    * equal the number of placeholders inserted at each stage. Pure narrow
+    * projection: codegen'd regexps, no shuffle, linear at 100 TB.
     */
-  def piiRedact(documents: DataFrame): DataFrame =
+  def piiRedact(documents: DataFrame): DataFrame = {
+    val afterEmail = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
     documents.select(
       col("doc_id"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-          Ipv4Re, "<IP>"),
-        PhoneRe, "<PHONE>").as("clean_text"),
+      regexp_replace(afterIp, PhoneRe, "<PHONE>").as("clean_text"),
       size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
-      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ips"))
+      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).as("n_ips"),
+      size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0))).as("n_phones"))
+  }
 
   /** Sequence packing: assign each document to a fixed-token-budget
     * training pack — the concat-and-chunk data prep for pre-training

@@ -243,12 +243,13 @@ class PipelineSpec extends SparkSpec {
       3L -> "no pii here at all",
       4L -> "two mails: a@b.io c.d@e-f.org one ip 8.8.8.8")
     val r = TextAnalysis.piiRedact(d).collect()
-      .map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2), x.getInt(3))))
+      .map(x => x.getLong(0) ->
+        ((x.getString(1), x.getInt(2), x.getInt(3), x.getInt(4))))
       .toMap
-    assert(r(1L) === (("mail me at <EMAIL> or call <PHONE>", 1, 0)))
-    assert(r(2L) === (("server <IP> and backup <IP> are down", 0, 2)))
-    assert(r(3L) === (("no pii here at all", 0, 0)))
-    assert(r(4L) === (("two mails: <EMAIL> <EMAIL> one ip <IP>", 2, 1)))
+    assert(r(1L) === (("mail me at <EMAIL> or call <PHONE>", 1, 0, 1)))
+    assert(r(2L) === (("server <IP> and backup <IP> are down", 0, 2, 0)))
+    assert(r(3L) === (("no pii here at all", 0, 0, 0)))
+    assert(r(4L) === (("two mails: <EMAIL> <EMAIL> one ip <IP>", 2, 1, 0)))
   }
 
   test("sequencePack: per-source running offsets and budget-quantized packs") {
@@ -584,7 +585,7 @@ class PipelineSpec extends SparkSpec {
   test("boilerplate coverage flags corpus-frequent grams only") {
     // the "header one two" 3-gram set appears in every doc; tails unique
     val d = docs((1L to 10L).map(i =>
-      i -> s"header one two unique$i tail$i more$i words$i"): _*)
+      i -> s"header one two unique$i tail$i more$i words$i end$i"): _*)
     val got = TextAnalysis.boilerplateCoverage(d, w = 3, dfFrac = 0.5)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

@@ -104,13 +104,24 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("pairwise dedup joins stay equi-hash (no cartesian product)") {
-    for (q <- Seq("d2_ngram_jaccard", "d3_minhash_pairs", "d4_simhash_pairs")) {
-      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
-        .queryExecution.executedPlan.toString
+    // materialize = false: the public API localCheckpoints (hiding the
+    // plan behind a LogicalRDD scan); the lazy variant runs the SAME
+    // physical plan, so asserting on it covers what executes.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lazyPairs = Map(
+      "d2_ngram_jaccard" ->
+        graft.pipeline.Dedup.ngramJaccardPairs(docs, materialize = false),
+      "d3_minhash_pairs" ->
+        graft.pipeline.Dedup.minhashPairs(docs, materialize = false),
+      "d4_simhash_pairs" ->
+        graft.pipeline.Dedup.simhashPairs(docs, materialize = false))
+    for ((q, df) <- lazyPairs) {
+      val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q went cartesian:\n$plan")
       assert(plan.contains("graft_sorted_intersect_count") || q == "d4_simhash_pairs",
         s"$q lost the merge-scan verify:\n$plan")
     }
+    spark.sharedState.cacheManager.clearCache() // lazy mode leaves scratch cached
   }
 
   test("graft functions are callable from SQL text") {
@@ -193,7 +204,10 @@ class PlanShapeSpec extends SparkSpec {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)
     val centroids = Similarity.buildIvfIndex(emb, dir)
-    val topk = Similarity.ivfCosineTopKIndexed(spark, dir, centroids, queries)
+    // materialize = false exposes the probe plan (the public default
+    // localCheckpoints the k-bounded result and frees the probe cache)
+    val topk = Similarity.ivfCosineTopKIndexed(spark, dir, centroids, queries,
+      materialize = false)
     val plan = topk.queryExecution.executedPlan.toString
     assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell_id[^\\]]*\\].*"),
       s"probe not pruning index partitions:\n$plan")
@@ -206,6 +220,7 @@ class PlanShapeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & indexed).size.toDouble / brute.size
     assert(recall >= 0.5, s"indexed IVF recall $recall too low")
+    spark.sharedState.cacheManager.clearCache() // lazy mode leaves the probe cached
   }
 
   test("partitioned layout: partition predicate prunes directories") {
