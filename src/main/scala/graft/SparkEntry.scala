@@ -563,6 +563,28 @@ object SparkEntry {
         percent_rank().over(w).as("pct_rank"),
         cume_dist().over(w).as("cume"))
     }),
+    // X9: directory-partitioned layout (Layout.writePartitioned) — ingest
+    // once per (source data, session), then scan with a partition predicate
+    // that prunes whole source= directories before any I/O; must
+    // hash-match the flat-parquet twin the oracle computes.
+    "x9_partitioned_scan" -> ((s, d) => {
+      val dir = partitionedIngest(s, d, "documents", "source")
+      s.read.parquet(dir)
+        .filter(col("source").isin("src1", "src2", "src3"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_len"))
+    }),
+    // X10: small-file compaction (Layout.compact) — a 16-file ingest is
+    // compacted to 2 files (count asserted at ingest), and the compacted
+    // scan must hash-match the original data: compaction changes layout,
+    // never content.
+    "x10_compacted_scan" -> ((s, d) => {
+      val dir = compactedIngest(s, d, "documents", targetFiles = 2)
+      s.read.parquet(dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
     // A12: GROUPING SETS — the explicit-set cousin of ROLLUP/CUBE (a9/a10):
     // (lang), (source), and the grand total in one pass; Catalyst expands
     // to a single Expand + hash aggregate, not three scans.
@@ -1560,6 +1582,19 @@ object SparkEntry {
         |  cume_dist() OVER w AS cume
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // x9/x10 read engine-written layouts (partitioned / compacted); the
+    // oracle reads the flat source parquet — layout must never change data.
+    "x9_partitioned_scan" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len
+        |FROM documents
+        |WHERE source IN ('src1', 'src2', 'src3')
+        |GROUP BY source, lang""".stripMargin,
+    "x10_compacted_scan" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY source""".stripMargin,
     "a12_grouping_sets" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -1673,6 +1708,20 @@ object SparkEntry {
     */
   private def bucketedIngest(s: SparkSession, sfDir: String, src: String,
       cols: Seq[String], key: String, buckets: Int = 8): String = {
+    val name = s"graft_bkt_${sourceStamp(s, sfDir, src)}"
+    if (!s.catalog.tableExists(name))
+      Layout.writeBucketed(
+        table(s, sfDir, src).select(cols.map(col): _*), name, key, buckets)
+    name
+  }
+
+  /** Identity stamp for a once-per-(source data, session) layout ingest:
+    * the SANITIZED FULL source path (a 32-bit `String.hashCode` can
+    * collide across data dirs) plus the source's latest modification time,
+    * so data regenerated in-place under the same path triggers a fresh
+    * ingest instead of silently serving a stale layout.
+    */
+  private def sourceStamp(s: SparkSession, sfDir: String, src: String): String = {
     val path = new org.apache.hadoop.fs.Path(s"$sfDir/$src.parquet")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(path)
@@ -1682,11 +1731,50 @@ object SparkEntry {
           fs.listStatus(path).map(_.getModificationTime).toSeq).max
       else st.getModificationTime
     val slug = s"${sfDir}_$src".toLowerCase.replaceAll("[^a-z0-9]+", "_")
-    val name = s"graft_bkt_${slug}_${java.lang.Long.toHexString(mtime)}"
-    if (!s.catalog.tableExists(name))
-      Layout.writeBucketed(
-        table(s, sfDir, src).select(cols.map(col): _*), name, key, buckets)
-    name
+    s"${slug}_${java.lang.Long.toHexString(mtime)}"
+  }
+
+  /** Layouts land under the session warehouse next to the bucketed tables
+    * — same lifecycle, same disk, stamped like [[sourceStamp]] so stale
+    * data can never be served.
+    */
+  private def layoutDir(s: SparkSession, sfDir: String, src: String,
+      tag: String): (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem) = {
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "graft_layout")
+    val dir = new org.apache.hadoop.fs.Path(
+      root, s"${tag}_${sourceStamp(s, sfDir, src)}")
+    (dir, dir.getFileSystem(s.sparkContext.hadoopConfiguration))
+  }
+
+  /** Once-per-(source data, session) directory-partitioned ingest backing
+    * x9 (the [[Layout.writePartitioned]] contract: pay the layout write
+    * once, every later scan with a partition predicate prunes directories).
+    */
+  private def partitionedIngest(s: SparkSession, sfDir: String, src: String,
+      partCol: String): String = {
+    val (dir, fs) = layoutDir(s, sfDir, src, "part")
+    if (!fs.exists(dir))
+      Layout.writePartitioned(table(s, sfDir, src), dir.toString, partCol)
+    dir.toString
+  }
+
+  /** Once-per-(source data, session) compacted ingest backing x10: a
+    * deliberately fragmented 16-file copy is compacted to `targetFiles`
+    * (count asserted — the layout contract), content untouched.
+    */
+  private def compactedIngest(s: SparkSession, sfDir: String, src: String,
+      targetFiles: Int): String = {
+    val (dir, fs) = layoutDir(s, sfDir, src, "compact")
+    if (!fs.exists(dir)) {
+      table(s, sfDir, src).repartition(16).write.parquet(dir.toString)
+      Layout.compact(s, dir.toString, targetFiles)
+      val nFiles = fs.listStatus(dir)
+        .count(st => st.getPath.getName.endsWith(".parquet"))
+      require(nFiles <= targetFiles,
+        s"compact left $nFiles files at $dir, expected <= $targetFiles")
+    }
+    dir.toString
   }
 
   /** Exact top-5 cosine neighbors — the shared oracle of the brute-force
