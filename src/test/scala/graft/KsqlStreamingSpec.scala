@@ -84,6 +84,41 @@ class KsqlStreamingSpec extends SparkSpec {
     } finally h.stop()
   }
 
+  test("player_stats composite JSON key bytes via kafkaKeyValue (K1, README.md:462-465)") {
+    val e = freshEngine
+    ddl(e)
+    e.execute("""CREATE STREAM match_event_player WITH (
+        KAFKA_TOPIC='match_event_player') AS
+      SELECT id, event_type, player_id FROM match_event PARTITION BY player_id;""")
+    val h = e.execute(
+      """SELECT p.id AS player_id, p.name AS name, p.nationality AS nationality,
+           sum(CASE WHEN mep.event_type = 'GOAL' THEN 1 ELSE 0 END) goals,
+           CAST(sum(CASE WHEN mep.event_type = 'GOAL' THEN 1 ELSE 0 END)
+               AS DOUBLE) / cast(COUNT_DISTINCT((mep.id)) AS DOUBLE) avg_goals,
+           sum(CASE WHEN mep.event_type = 'ASSIST' THEN 1 ELSE 0 END) assists
+         FROM match_event_player mep JOIN players p ON p.id = mep.player_id
+         GROUP BY p.id, p.name, p.nationality EMIT CHANGES;""").get
+    try {
+      insert(e, Tutorial.canonicalEvents)
+      h.processAllAvailable()
+      // converged state (latest changelog emission per key), re-lifted to a
+      // DataFrame and pushed through the SAME key/value assembly the Kafka
+      // sink uses — the README's console-consumer golden, byte for byte
+      val em = h.emissions
+      val latest = em.collect().groupBy(_.getString(0)).map(_._2.last).toSeq
+      val converged = spark.createDataFrame(
+        spark.sparkContext.parallelize(latest), em.schema)
+      val kv = graft.engine.Sinks
+        .kafkaKeyValue(converged, Seq("PLAYER_ID", "NAME", "NATIONALITY"))
+        .orderBy("key").collect().map(r => (r.getString(0), r.getString(1)))
+      assert(kv.toSeq === Seq(
+        ("""{"PLAYER_ID":"1","NAME":"Lionel Messi","NATIONALITY":"Argentinian"}""",
+         """{"GOALS":3,"AVG_GOALS":1.5,"ASSISTS":1}"""),
+        ("""{"PLAYER_ID":"2","NAME":"Cristiano Ronaldo","NATIONALITY":"Portuguese"}""",
+         """{"GOALS":2,"AVG_GOALS":1.0,"ASSISTS":1}""")))
+    } finally h.stop()
+  }
+
   test("windowed push query: TUMBLING aggregation emits live window counts") {
     val e = freshEngine
     ddl(e)
