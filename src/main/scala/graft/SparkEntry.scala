@@ -397,6 +397,24 @@ object SparkEntry {
       val docs = table(s, d, "documents")
       Dedup.nearDupSurvivors(docs, Dedup.minhashPairs(docs)).select("doc_id")
     }),
+    // D12: incremental dedup — the continuous-ingest shape: near-dup pairs
+    // between a NEW batch (doc_id % 20 = 0) and the existing corpus; the
+    // band join is batch×corpus only, so re-deduplicating a small ingest
+    // never re-pairs the corpus against itself.
+    "d12_incremental_dedup" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Dedup.incrementalMinhashPairs(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0))
+    }),
+    // D13: the batch docs ACCEPTED by incremental dedup — anti-join on the
+    // d12 pair list; these are the rows that append to the corpus.
+    "d13_incremental_survivors" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Dedup.incrementalSurvivors(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0))
+    }),
     // S11: Avro container-file round trip — write the customer table as
     // .avro (distributed, one container per partition), read it back via
     // the avro-mapred input format; must equal the parquet original.
@@ -475,6 +493,15 @@ object SparkEntry {
     // cover; the template/chrome detector a crawl pipeline runs.
     "t20_boilerplate" -> ((s, d) =>
       TextAnalysis.boilerplateCoverage(table(s, d, "documents"))),
+    // T21: passage-level cross-doc duplication (fixed 8-token windows,
+    // hashed) — the paragraph-dedup signal at sub-document granularity.
+    "t21_passage_dedup" -> ((s, d) =>
+      TextAnalysis.passageDedup(table(s, d, "documents"))),
+    // T22: domain-mixture rebalancing — every source sampled down to the
+    // smallest source's token budget via the deterministic md5 gate with
+    // integer-only compare (bucket·src_tokens < 10000·min_tokens).
+    "t22_domain_mixture" -> ((s, d) =>
+      TextAnalysis.domainMixture(table(s, d, "documents"))),
     // T17: weighted per-source sampling (mix weights) — deterministic md5
     // gate, so the kept set is a pure function of (doc_id, rate).
     "t17_weighted_sample" -> ((s, d) =>
@@ -537,6 +564,17 @@ object SparkEntry {
       Similarity.ivfCosineTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
         nProbe = Int.MaxValue, kmeansIters = 0)
     }),
+    // V7: kNN graph — every vector's top-5 neighbors, candidates bounded
+    // to the vector's k-means cell (cell-boundary recall < 1, the IVF
+    // trade), so this entry is rows-only; v7b is the exact twin.
+    "v7_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(table(s, d, "embeddings"), k = 5)),
+    // V7b: singleCell forces the all-pairs graph over a bounded slice —
+    // scoring, rounding-then-ranking, and the bounded top-k agg all
+    // hash-check against the brute-force SQL oracle.
+    "v7b_knn_exact" -> ((s, d) =>
+      Similarity.knnGraph(table(s, d, "embeddings").filter(col("vec_id") < 2000),
+        k = 5, singleCell = true)),
     // X5: OVER-clause window function — per-user running total in exact
     // cents, ordered by (ts, event_id). Partitions are per-user (bounded);
     // the explicit ROWS frame keeps Spark and the oracle frame-identical.
@@ -1081,6 +1119,44 @@ object SparkEntry {
         |      6) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
+    // d12: exact cross-pair Jaccard between the batch (doc_id % 20 = 0)
+    // and the corpus — the same exhaustive twin d3 uses, restricted to the
+    // batch×corpus cross.
+    "d12_incremental_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tok)
+        |SELECT batch_id, corpus_id, jaccard FROM (
+        |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        |    round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
+        |      CAST(len(b.s) + len(c.s) - len(list_intersect(b.s, c.s)) AS DOUBLE),
+        |      6) AS jaccard
+        |  FROM sh b JOIN sh c ON b.doc_id % 20 = 0 AND c.doc_id % 20 <> 0)
+        |WHERE jaccard >= 0.8""".stripMargin,
+    "d13_incremental_survivors" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tok),
+        |hits AS (
+        |  SELECT DISTINCT b.doc_id AS bid
+        |  FROM sh b JOIN sh c ON b.doc_id % 20 = 0 AND c.doc_id % 20 <> 0
+        |  WHERE round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
+        |      CAST(len(b.s) + len(c.s) - len(list_intersect(b.s, c.s)) AS DOUBLE),
+        |      6) >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 20 = 0 AND doc_id NOT IN (SELECT bid FROM hits)""".stripMargin,
     // d8 resolves the d3 pair graph into components; the oracle recomputes
     // the exhaustive pair list (d3's oracle twin) and takes its transitive
     // closure with WITH RECURSIVE — reach(id, r) = r reachable from id —
@@ -1361,6 +1437,44 @@ object SparkEntry {
         |  CAST(floor(1000000.0 * coalesce(n_boiler, 0) / len(s)) AS BIGINT)
         |    AS boiler_c6
         |FROM sh LEFT JOIN per USING (doc_id)""".stripMargin,
+    // t21: passages are non-overlapping 8-token windows (1-based inclusive
+    // slices); a passage is shared when ≥2 distinct docs contain it. The
+    // engine hashes passages (xxhash64) where the oracle compares strings —
+    // identical counts, 64-bit collisions aside.
+    "t21_passage_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |pas AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) // 8),
+        |    i -> array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' '))) AS p
+        |  FROM tok WHERE len(t) >= 8),
+        |shared AS (
+        |  SELECT p FROM pas GROUP BY p HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, count(*) AS n_passages,
+        |  count(CASE WHEN p IN (SELECT p FROM shared) THEN 1 END)
+        |    AS n_dup_passages,
+        |  round(CAST(count(CASE WHEN p IN (SELECT p FROM shared) THEN 1 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+        |FROM pas GROUP BY doc_id""".stripMargin,
+    // t22: the keep gate is integer-only on both sides
+    // (bucket·src_tokens < 10000·min_tokens) — no float rate compare.
+    "t22_domain_mixture" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |src AS (
+        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |  FROM tok GROUP BY source),
+        |m AS (SELECT min(src_tokens) AS min_tokens FROM src)
+        |SELECT t.doc_id, t.source, t.n_tokens,
+        |  round(CAST(min_tokens AS DOUBLE) / CAST(src_tokens AS DOUBLE), 6)
+        |    AS sample_rate
+        |FROM tok t JOIN src USING (source) CROSS JOIN m
+        |WHERE (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |       % 10000) * src_tokens < 10000 * min_tokens""".stripMargin,
     // t15: DuckDB list slices are 1-based inclusive, so a 128-token window
     // starting at s is t[s : s+127] (clipped at the document end).
     "t15_chunk" ->
@@ -1696,7 +1810,22 @@ object SparkEntry {
         |      FROM s)
         |WHERE rank <= 5""".stripMargin
   // exhaustive IVF must reproduce the brute-force answer bit-for-bit
-  ) + ("v2b_ivf_full_probe" -> baseV1Oracle)
+  ) + ("v2b_ivf_full_probe" -> baseV1Oracle) +
+    // v7b: the exact kNN graph over the bounded slice — every vector is a
+    // query; brute-force rank with the same round-then-tiebreak contract.
+    ("v7b_knn_exact" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id < 2000),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+        |  FROM v q JOIN v c ON q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM s)
+        |WHERE rank <= 5""".stripMargin)
 
   /** Once-per-(source data, session) bucketed ingest backing x7: pays the
     * bucket shuffle at most once so repeat executions measure the

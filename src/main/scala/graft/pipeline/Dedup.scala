@@ -182,6 +182,78 @@ object Dedup {
     if (materialize) Scratch.materializeThenFree(pairs, sh, banded) else pairs
   }
 
+  /** Incremental MinHash dedup — the continuous-ingest shape: near-dup
+    * pairs between a NEW batch and the EXISTING corpus only (never
+    * corpus×corpus, which [[minhashPairs]] already covered when the corpus
+    * was built). Same signature/band scheme as [[minhashPairs]] (same seed
+    * ⇒ same buckets), but the band join is batch-banded × corpus-banded —
+    * the candidate space is only the cross collisions, so re-deduplicating
+    * a daily 0.1% ingest costs ~0.1% of the original build, not a rebuild.
+    *
+    * Output: (batch_id, corpus_id, jaccard) — exact verified Jaccard ≥
+    * threshold; [[incrementalSurvivors]] anti-joins to the accepted docs.
+    *
+    * Scale: at 100 TB the corpus side of this join is a MATERIALIZED
+    * banded-signature table (write `(_band, _bucket, _id, _sh)` bucketed by
+    * `(_band, _bucket)` at corpus-build time); each ingest then shuffles
+    * only its own bands + the colliding corpus rows. Here both sides derive
+    * in-plan, which is the same join shape minus the one-time persist.
+    */
+  def incrementalMinhashPairs(corpus: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 64,
+      bands: Int = 16, shingleW: Int = 3, threshold: Double = 0.8,
+      seed: Int = 42, materialize: Boolean = true): DataFrame = {
+    val rows = k / bands
+    require(bands * rows == k, s"bands=$bands must divide k=$k")
+    def shingled(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("_id"),
+      gtext.shingleHashes(TextAnalysis.tokens(col(textCol)), shingleW, seed)
+        .as("_sh"))
+    def banded(sh: DataFrame): DataFrame = sh
+      .select(col("_id"),
+        gtext.minhashFromHashes(col("_sh"), k, seed).as("_sig"))
+      .select(col("_id"),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => hash(slice(col("_sig"), b * rows + 1, lit(rows))))))
+      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bucket"))
+    // persisted: each side feeds its band pass AND the verification join
+    val shB = shingled(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shC = shingled(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = banded(shB).select(col("_band"), col("_bucket"), col("_id").as("batch_id"))
+      .join(banded(shC).select(col("_band"), col("_bucket"), col("_id").as("corpus_id")),
+        Seq("_band", "_bucket"))
+      .select("batch_id", "corpus_id").distinct()
+    val inter = gtext.sortedIntersectCount(col("_sha"), col("_shb")).cast("double")
+    val pairs = candidates
+      .join(shB.select(col("_id").as("batch_id"), col("_sh").as("_sha")), "batch_id")
+      .join(shC.select(col("_id").as("corpus_id"), col("_sh").as("_shb")), "corpus_id")
+      .filter(least(size(col("_sha")), size(col("_shb"))).cast("double") >=
+        greatest(size(col("_sha")), size(col("_shb"))).cast("double")
+          * threshold - 1e-9)
+      .select(col("batch_id"), col("corpus_id"),
+        round(inter / (size(col("_sha")) + size(col("_shb")) - inter), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    if (materialize) Scratch.materializeThenFree(pairs, shB, shC) else pairs
+  }
+
+  /** The batch docs ACCEPTED by incremental dedup: anti-join on
+    * [[incrementalMinhashPairs]] — a batch doc near-duplicating anything
+    * already in the corpus is dropped; the rest append. One row per kept
+    * batch doc id.
+    */
+  def incrementalSurvivors(corpus: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8): DataFrame =
+    batch.select(col(idCol)).join(
+      incrementalMinhashPairs(corpus, batch, idCol, textCol,
+        threshold = threshold)
+        .select(col("batch_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Blocked exact n-gram Jaccard pairs: all pairs within a blocking key
     * (default lang+source) with distinct-token Jaccard ≥ threshold. The
     * blocking key bounds the quadratic term to per-block sizes; SQL-

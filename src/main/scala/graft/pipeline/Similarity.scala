@@ -62,6 +62,51 @@ object Similarity {
         .agg(gagg.topKByScore(col("cosine"), col("neighbor_id"), k).as("_top")))
   }
 
+  /** kNN graph: for EVERY corpus vector, its k nearest neighbors by cosine
+    * (6dp-rounded, neighbor-id tiebreak) — the building block for kNN-graph
+    * curation passes (SemDeDup-style pruning, label propagation, graph-based
+    * quality filtering). Output: (query_id, neighbor_id, rank, cosine).
+    *
+    * A full exact kNN self-join is quadratic, so candidates are bounded to
+    * the query's k-means cell ([[kmeansCentroids]] + the codegen'd
+    * nearest-centroid argmax): one equi-shuffle on cell id, per-cell scoring,
+    * then the bounded [[graft.functions.agg.topKByScore]] per vector —
+    * partial heaps reduce each map task to ≤ k entries per query before the
+    * exchange. Cells ≈ corpus/centroidEvery keeps per-cell work bounded; at
+    * 100 TB the assignment would be written `partitionBy(cell)` once and the
+    * graph built cell-by-cell with no global shuffle at all.
+    *
+    * Recall < 1 at cell boundaries (the documented IVF trade);
+    * `singleCell = true` forces one cell, making the output the exact
+    * all-pairs graph the v7b oracle twin hash-checks.
+    */
+  def knnGraph(embeddings: DataFrame, k: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding", centroidEvery: Int = 50,
+      kmeansIters: Int = 2, singleCell: Boolean = false,
+      materialize: Boolean = true): DataFrame = {
+    val cellOf: Column =
+      if (singleCell) lit(0L)
+      else {
+        val cents = kmeansCentroids(embeddings, centroidEvery, kmeansIters, idCol, vecCol)
+        gvec.nearestCentroid(col(vecCol), cents.map(_._1), cents.map(_._2))
+      }
+    // persisted: both sides of the cell self-join read the assignment
+    val assigned = embeddings
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"),
+        cellOf.as("_cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = assigned.select(col("_cell"), col("_id").as("query_id"), col("_v").as("_qv"))
+    val r = assigned.select(col("_cell"), col("_id").as("neighbor_id"), col("_v").as("_cv"))
+    val scored = l.join(r, Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(gvec.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
+    val graph = explodeTopK(
+      scored.groupBy("query_id")
+        .agg(gagg.topKByScore(col("cosine"), col("neighbor_id"), k).as("_top")))
+    if (materialize) Scratch.materializeThenFree(graph, assigned) else graph
+  }
+
   /** Nearest cell id per vector — a native codegen'd argmax over the
     * (tiny) centroid matrix carried as a reference object: narrow, no
     * join, no window, no shuffle, and no interpreted HOF lambda in the

@@ -386,6 +386,76 @@ object TextAnalysis {
           / col("n_grams")).cast("long").as("boiler_c6"))
   }
 
+  /** Passage-level cross-document duplication (Dolma/RefinedWeb-style
+    * paragraph dedup, at fixed w-token granularity since this corpus has no
+    * newline structure): each doc explodes into non-overlapping w-token
+    * passages, a passage is SHARED if it occurs in ≥ 2 distinct docs, and
+    * each doc reports how much of it is shared material. Docs shorter than
+    * one full passage drop out (no unit to measure).
+    *
+    * Output: (doc_id, n_passages, n_dup_passages, dup_ratio).
+    *
+    * Scale: passages travel as 64-bit hashes, never strings — the exploded
+    * relation is (doc_id, long), ~2 longs per w tokens of text. One hash
+    * aggregate finds the shared set (df ≥ 2 — typically tiny next to the
+    * passage universe), which joins back with a LEFT SEMI-shaped probe;
+    * the per-doc rollup re-uses the exploded relation (persisted so the
+    * tokenize+hash pass runs once, freed deterministically).
+    */
+  def passageDedup(documents: DataFrame, w: Int = 8,
+      materialize: Boolean = true): DataFrame = {
+    val passages = documents
+      .select(col("doc_id"), tokens(col("text")).as("_t"))
+      .withColumn("_np", (size(col("_t")) / lit(w)).cast("int"))
+      .filter(col("_np") >= 1)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("_np") - 1),
+          i => xxhash64(array_join(slice(col("_t"), i * w + 1, lit(w)), " "))))
+          .as("_p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = passages.groupBy("_p")
+      .agg(count_distinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select(col("_p"), lit(1).as("_dup"))
+    val out = passages.join(shared, Seq("_p"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"), count(col("_dup")).as("n_dup_passages"))
+      .select(col("doc_id"), col("n_passages"), col("n_dup_passages"),
+        round(col("n_dup_passages").cast("double")
+          / col("n_passages").cast("double"), 6).as("dup_ratio"))
+    if (materialize) Scratch.materializeThenFree(out, passages) else out
+  }
+
+  /** Domain-mixture rebalancing: sample every source down to (at most) the
+    * smallest source's token budget, so each domain contributes equally —
+    * the static mixture-weights pass of an LLM data pipeline. The keep/drop
+    * gate is the package's deterministic md5 bucket on doc_id, and the
+    * comparison is pure INTEGER math (`bucket · src_tokens <
+    * 10000 · min_tokens` instead of a float rate), so engines and reruns
+    * agree bit-for-bit. Kept docs carry their source's effective
+    * sample_rate for audit.
+    *
+    * Scale: per-source token totals are one hash-agg exchange of
+    * |sources| rows; both the totals and the 1-row minimum broadcast back
+    * onto the corpus scan — the documents themselves never shuffle.
+    */
+  def domainMixture(documents: DataFrame): DataFrame = {
+    val perDoc = documents.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val perSource = perDoc.groupBy("source")
+      .agg(sum("n_tokens").as("_src_tokens"))
+    val minTok = perSource.agg(min("_src_tokens").as("_min_tokens"))
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10000
+    perDoc.join(broadcast(perSource), "source")
+      .crossJoin(broadcast(minTok))
+      .filter(bucket * col("_src_tokens") < lit(10000L) * col("_min_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(col("_min_tokens").cast("double")
+          / col("_src_tokens").cast("double"), 6).as("sample_rate"))
+  }
+
   /** Weighted per-source sampling — the mix-weights knob: keep each
     * document with its source's probability, deterministically (an md5
     * gate on doc_id, same trick as [[datasetSplit]] but at 1/65536

@@ -629,4 +629,77 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(celled.subsetOf(exact))
   }
+
+  test("incremental minhash pairs batch against corpus only, never corpus×corpus") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"token$i").mkString(" ") + " tokenX tokenY"
+    // corpus holds TWO exact duplicates (1,2) — a corpus×corpus pair the
+    // incremental path must NOT emit — plus an unrelated doc 3
+    val corpus = docs(1L -> base, 2L -> base,
+      3L -> (100 to 140).map(i => s"word$i").mkString(" "))
+    // batch: a near-dup of corpus 1/2, and a genuinely new doc
+    val batch = docs(20L -> nearDup,
+      21L -> (200 to 240).map(i => s"new$i").mkString(" "))
+    val pairs = Dedup.incrementalMinhashPairs(corpus, batch, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((20L, 1L), (20L, 2L)))
+    val kept = Dedup.incrementalSurvivors(corpus, batch, threshold = 0.7)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(21L))
+  }
+
+  test("passage dedup: shared w-token windows counted per doc, short docs drop") {
+    // w=4: doc 1 = [a b c d][e f g h]; doc 2 = [a b c d][x y z w];
+    // doc 3 = [p q r s] (+ trailing 't' ignored); doc 4 < w tokens → absent
+    val d = docs(
+      1L -> "a b c d e f g h", 2L -> "a b c d x y z w",
+      3L -> "p q r s t", 4L -> "u v")
+    val got = TextAnalysis.passageDedup(d, w = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, 0.5)), 2L -> ((2L, 1L, 0.5)), 3L -> ((1L, 0L, 0.0))))
+  }
+
+  test("domain mixture: integer gate against an independent md5 recompute") {
+    import spark.implicits._
+    // source A: 4 docs × 8 tokens = 32; source B: 2 docs × 8 tokens = 16
+    // (the minimum). B keeps everything at rate 1.0; A keeps exactly the
+    // docs whose md5 bucket passes bucket·32 < 10000·16.
+    val eight = (1 to 8).map(i => s"w$i").mkString(" ")
+    val d = (1L to 4L).map(i => (i, eight, "A")) ++ Seq((10L, eight, "B"), (11L, eight, "B"))
+    val df = d.toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val got = TextAnalysis.domainMixture(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(2).map(b => f"$b%02x").mkString, 16) % 10000
+    }
+    val expectA = (1L to 4L).filter(id => bucket(id) * 32L < 10000L * 16L)
+    assert(got.keySet === (expectA.toSet ++ Set(10L, 11L)))
+    assert(got(10L) === (("B", 8L, 1.0)))
+    expectA.foreach(id => assert(got(id) === (("A", 8L, 0.5))))
+  }
+
+  test("knn graph: single-cell ranks by cosine with id tiebreak; celled path sane") {
+    // query 1's neighbors by cosine: 2 (≈0.995) > 5 (≈0.707) > 3 (0.0) > 4 (-1)
+    val e = vecsDF(
+      1L -> Seq(1f, 0f), 2L -> Seq(0.99f, 0.1f), 3L -> Seq(0f, 1f),
+      4L -> Seq(-1f, 0f), 5L -> Seq(0.7f, 0.7f))
+    val g = Similarity.knnGraph(e, k = 2, singleCell = true).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(g((1L, 1)) === 2L && g((1L, 2)) === 5L)
+    assert(g((2L, 1)) === 1L && g((2L, 2)) === 5L)
+    // every vector is a query with exactly k rows, never itself
+    val rows = Similarity.knnGraph(e, k = 2, singleCell = true).collect()
+    assert(rows.length === 5 * 2)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    // celled path: ranks stay within-cell-correct and bounded by k
+    val celled = Similarity.knnGraph(e, k = 2, centroidEvery = 2).collect()
+    assert(celled.nonEmpty)
+    assert(celled.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 2 &&
+      r.getLong(0) != r.getLong(1)))
+  }
 }

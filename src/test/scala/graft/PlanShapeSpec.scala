@@ -154,7 +154,11 @@ class PlanShapeSpec extends SparkSpec {
       "d3_minhash_pairs" ->
         graft.pipeline.Dedup.minhashPairs(docs, materialize = false),
       "d4_simhash_pairs" ->
-        graft.pipeline.Dedup.simhashPairs(docs, materialize = false))
+        graft.pipeline.Dedup.simhashPairs(docs, materialize = false),
+      "d12_incremental_dedup" ->
+        graft.pipeline.Dedup.incrementalMinhashPairs(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0), materialize = false))
     for ((q, df) <- lazyPairs) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q went cartesian:\n$plan")
@@ -162,6 +166,35 @@ class PlanShapeSpec extends SparkSpec {
         s"$q lost the merge-scan verify:\n$plan")
     }
     spark.sharedState.cacheManager.clearCache() // lazy mode leaves scratch cached
+  }
+
+  test("knn graph: partial top-k under the exchange, cell join stays equi-hash") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Similarity.knnGraph(emb, k = 5, centroidEvery = 50,
+      materialize = false).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_top_k_by_score"),
+      s"no partial top-k phase:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cell join went cartesian:\n$plan")
+    assert(!plan.contains("Window"), s"rank window crept in:\n$plan")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("passage dedup and domain mixture: docs never shuffle whole") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // t21: the exchanges carry (doc_id, passage-hash) longs and the per-doc
+    // rollup — never the text column
+    val p21 = graft.pipeline.TextAnalysis.passageDedup(docs, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(!p21.contains("CartesianProduct"), s"t21 cartesian:\n$p21")
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(p21).isDefined,
+      s"t21 shuffles document text:\n$p21")
+    spark.sharedState.cacheManager.clearCache()
+    // t22: per-source totals and the 1-row minimum broadcast back onto the
+    // scan — the final join must be broadcast, not sort-merge
+    val p22 = graft.pipeline.TextAnalysis.domainMixture(docs)
+      .queryExecution.executedPlan.toString
+    assert(p22.contains("BroadcastHashJoin"), s"t22 source join not broadcast:\n$p22")
+    assert(!p22.contains("SortMergeJoin"), s"t22 fell back to sort-merge:\n$p22")
   }
 
   test("graft functions are callable from SQL text") {
