@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale benchmark: replicate the sf0.1 driver data N× with key remapping
+  * (default 10× ≈ sf1) and time a headline query subset in a
+  * compute-dominated regime. The per-query sf0.1 numbers are
+  * scheduling-noise-dominated (±50% run-to-run on identical binaries —
+  * round-5 verdict, Performance), so cross-round plan comparisons need a
+  * run where work, not task dispatch, is the cost.
+  *
+  * Replication follows TPC-H scaling semantics: fact/satellite tables
+  * (customer, supplier, part, orders, lineitem, events, documents,
+  * embeddings) replicate with every key column offset by replica×stride so
+  * FK joins stay 1:1; the fixed dims nation/region copy as-is (they are
+  * constant-size at every TPC-H SF, which is also what keeps them
+  * broadcastable at 100 TB).
+  *
+  * Excluded from the headline set, deliberately:
+  *  - pair-regime text/embedding dedup (d2–d5, d8/d9, d11–d13, v7b):
+  *    replicating documents makes every doc an exact N-way duplicate, so
+  *    those queries change OUTPUT REGIME (pair blowup) instead of scaling
+  *    input — their scale story is the plan-shape + SCALE.md analysis;
+  *  - session-stamped layout ingests (x7/x9/x10) and the tiny tutorial
+  *    fixtures (s-/ksql rows), which measure setup, not throughput;
+  *  - media synthesis (m1–m3), whose cost is the synthetic byte generator.
+  *
+  * Usage: SPARK_GRAFT_SCALE_DIR=/tmp/graft_sfscale SPARK_GRAFT_REPLICAS=10
+  *        sbt "runMain graft.ScaleBench"
+  * Prints the same one-line JSON contract as [[Bench]] (metric
+  * "scale_total", plus a "replicas" field).
+  */
+object ScaleBench {
+
+  private val Stride = 10000000L
+
+  /** Key columns offset per replica — PK and FK get the same stride so
+    * join cardinalities scale linearly, never quadratically.
+    */
+  private val ScaledKeys: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private val AllTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val Headline: Seq[String] = Seq(
+    // aggregation / shuffle shapes
+    "a1_count_group", "a5_multi_group", "a7_percentiles", "a8_topk_per_group",
+    "a9_rollup", "a11_heavy_hitters",
+    // joins / projections / rekey
+    "j1_inner_join", "j2_left_join_count", "k1_composite_key",
+    "p5_case_when", "p6_cast_divide", "s4_rekey",
+    // relational analytics
+    "x1_star_join", "x2_parts_by_brand", "x3_asof_join", "x5_running_sum",
+    "x6_salted_join", "x8_window_analytics",
+    // event analytics
+    "e1_sessionize", "e2_tumbling_window", "e3_hopping_window", "e4_funnel",
+    // vector
+    "v1_brute_cosine_topk", "v2_ivf_cosine_topk", "v2b_ivf_full_probe",
+    "v3_label_centroid", "v5_int8_quantize", "v6_int8_topk", "v7_knn_graph",
+    // text (single-pass / bounded-join operators)
+    "t1_token_counts", "t2_quality_score", "t3_lang_id", "t8_tfidf",
+    "t11_curation_pipeline", "t16_token_rarity", "t19_bigram_lift",
+    "t20_boilerplate", "t21_passage_dedup", "t22_domain_mixture",
+    // exact / anti-join dedup (linear in input at any SF)
+    "d1_dedup_exact", "d6_decontaminate", "d10_bloom_decontaminate")
+
+  /** Replicate srcDir into outDir once (marker-gated). */
+  private def generate(spark: SparkSession, srcDir: String, outDir: String,
+      replicas: Int, partitions: Int): Unit = {
+    val marker = new java.io.File(outDir, s"_GRAFT_SCALED_$replicas")
+    if (marker.exists()) return
+    val rep = broadcast(spark.range(replicas).toDF("_r"))
+    AllTables.foreach { t =>
+      val df = spark.read.parquet(s"$srcDir/$t.parquet")
+      val out = ScaledKeys.get(t) match {
+        case Some(keys) =>
+          df.crossJoin(rep).select(df.columns.map { c =>
+            if (keys.contains(c)) (col(c) + col("_r") * Stride).as(c)
+            else col(c)
+          }.toIndexedSeq: _*).repartition(partitions)
+        case None => df
+      }
+      out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    marker.createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sfscale")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val missing = Headline.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty, s"unknown headline queries: $missing")
+    generate(spark, srcDir, outDir, replicas, cpus.toInt)
+    val qs = Headline.map(n => n -> SparkEntry.queries(n))
+    qs.foreach { case (_, fn) => // warmup pass (JIT, codegen, listings)
+      try fn(spark, outDir).count() catch { case _: Throwable => () }
+    }
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val results = qs.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val err = try { fn(spark, outDir).count(); None }
+                catch { case e: Throwable => Some(e.toString.take(200)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    val js = results.map {
+      case (k, v, None) => s""""$k":$v"""
+      case (k, v, Some(e)) => s""""$k":{"sec":$v,"err":"${esc(e)}"}"""
+    }.mkString("{", ",", "}")
+    val ok = results.collect { case (_, v, None) => v }
+    val nErr = results.count(_._3.isDefined)
+    println(s"""{"metric":"scale_total","value":${ok.sum},"unit":"sec","queries":$js,"n_ok":${ok.size},"n_err":$nErr,"sf":"$outDir","replicas":$replicas}""")
+    spark.stop()
+    if (nErr > 0) sys.exit(1)
+  }
+}
