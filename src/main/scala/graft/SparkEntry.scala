@@ -575,6 +575,17 @@ object SparkEntry {
     "v7b_knn_exact" -> ((s, d) =>
       Similarity.knnGraph(table(s, d, "embeddings").filter(col("vec_id") < 2000),
         k = 5, singleCell = true)),
+    // V8: the PRODUCTION ANN path — materialized partitioned IVF index
+    // (built once per source data + session, centroids persisted) probed
+    // with every cell, which is exhaustive and must hash-match the
+    // brute-force oracle. v2 measures build+probe in one plan; this row
+    // verifies the probe-over-layout machinery users actually run.
+    "v8_ivf_indexed" -> ((s, d) => {
+      val (cells, cents) = ivfIngest(s, d)
+      Similarity.ivfCosineTopKIndexed(s, cells, cents,
+        table(s, d, "embeddings").filter(col("vec_id") < 20), k = 5,
+        nProbe = Int.MaxValue)
+    }),
     // X5: OVER-clause window function — per-user running total in exact
     // cents, ordered by (ts, event_id). Partitions are per-user (bounded);
     // the explicit ROWS frame keeps Spark and the oracle frame-identical.
@@ -1811,6 +1822,7 @@ object SparkEntry {
         |WHERE rank <= 5""".stripMargin
   // exhaustive IVF must reproduce the brute-force answer bit-for-bit
   ) + ("v2b_ivf_full_probe" -> baseV1Oracle) +
+    ("v8_ivf_indexed" -> baseV1Oracle) +
     // v7b: the exact kNN graph over the bounded slice — every vector is a
     // query; brute-force rank with the same round-then-tiebreak contract.
     ("v7b_knn_exact" ->
@@ -1904,6 +1916,31 @@ object SparkEntry {
         s"compact left $nFiles files at $dir, expected <= $targetFiles")
     }
     dir.toString
+  }
+
+  /** Once-per-(source data, session) MATERIALIZED IVF index backing v8:
+    * the production ANN shape — cell assignment written
+    * `partitionBy(cell_id)` (probes prune whole directories), centroids
+    * persisted beside it so the probe path never re-runs k-means. The
+    * centroid parquet is written last and gates reuse (a crash mid-build
+    * re-ingests instead of serving a partial index).
+    */
+  private def ivfIngest(s: SparkSession,
+      sfDir: String): (String, Array[(Long, Array[Float])]) = {
+    import s.implicits._
+    val (dir, fs) = layoutDir(s, sfDir, "embeddings", "ivf")
+    val cellsDir = new org.apache.hadoop.fs.Path(dir, "cells").toString
+    val centDir = new org.apache.hadoop.fs.Path(dir, "centroids")
+    if (!fs.exists(centDir)) {
+      val cents = Similarity.buildIvfIndex(
+        table(s, sfDir, "embeddings"), cellsDir)
+      cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+        .toDF("cell_id", "cent")
+        .coalesce(1).write.mode("overwrite").parquet(centDir.toString)
+    }
+    val cents = s.read.parquet(centDir.toString).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    (cellsDir, cents)
   }
 
   /** Exact top-5 cosine neighbors — the shared oracle of the brute-force

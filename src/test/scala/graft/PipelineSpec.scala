@@ -648,6 +648,24 @@ class PipelineSpec extends SparkSpec {
     assert(kept === Set(21L))
   }
 
+  test("incremental pairs equal the batch×corpus slice of full-corpus minhash") {
+    // consistency contract: running LSH over corpus ∪ batch and keeping
+    // only cross pairs must equal the incremental path (same seed ⇒ same
+    // buckets), on real data
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val inc = Dedup.incrementalMinhashPairs(corpus, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect { // keep cross pairs only, re-oriented (batch_id, corpus_id)
+        case (a, b, j) if a % 20 == 0 && b % 20 != 0 => (a, b, j)
+        case (a, b, j) if b % 20 == 0 && a % 20 != 0 => (b, a, j)
+      }.toSet
+    assert(inc === full)
+  }
+
   test("passage dedup: shared w-token windows counted per doc, short docs drop") {
     // w=4: doc 1 = [a b c d][e f g h]; doc 2 = [a b c d][x y z w];
     // doc 3 = [p q r s] (+ trailing 't' ignored); doc 4 < w tokens → absent
