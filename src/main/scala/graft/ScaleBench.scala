@@ -66,6 +66,7 @@ object ScaleBench {
     // vector
     "v1_brute_cosine_topk", "v2_ivf_cosine_topk", "v2b_ivf_full_probe",
     "v3_label_centroid", "v5_int8_quantize", "v6_int8_topk", "v7_knn_graph",
+    "v8_ivf_indexed",
     // text (single-pass / bounded-join operators)
     "t1_token_counts", "t2_quality_score", "t3_lang_id", "t8_tfidf",
     "t11_curation_pipeline", "t16_token_rarity", "t19_bigram_lift",

@@ -279,6 +279,16 @@ object SparkEntry {
       events(s, d).groupBy("event_type").agg(
         round(expr("percentile(value, 0.5)"), 6).as("p50"),
         round(expr("percentile(value, 0.95)"), 6).as("p95"))),
+    // A15: the SCALE path for quantiles — percentile_approx is a mergeable
+    // sketch (map-side partials, bounded memory at any cardinality) where
+    // a7's exact percentile must hold each group's full value set. Sketch
+    // estimates are not hash-stable across engines, so this entry is
+    // rows-only; a7 is the exact reference the estimates are audited
+    // against (PropertySpec bounds the rank error).
+    "a15_approx_percentiles" -> ((s, d) =>
+      events(s, d).groupBy("event_type").agg(
+        round(expr("percentile_approx(value, 0.5, 1000)"), 6).as("p50"),
+        round(expr("percentile_approx(value, 0.95, 1000)"), 6).as("p95"))),
     // A8: bounded top-k per group via the native TopKByScore aggregate —
     // each map task's partial reduces to <= k entries per group BEFORE the
     // exchange (a rank-window plan would shuffle the full relation).

@@ -264,4 +264,28 @@ class PropertySpec extends SparkSpec {
       assert(got(id) === exp2, s"id=$id")
     }
   }
+
+  test("approx percentile (a15 scale path) stays within its rank-error bound") {
+    import spark.implicits._
+    // percentile_approx(accuracy=1000) guarantees rank error <= n/1000;
+    // assert the estimate's actual rank against that bound per group
+    val rnd = new Random(31)
+    val vals = (1 to 5000).map(i => (s"g${i % 3}", rnd.nextDouble() * 1000))
+    val df = vals.toDF("g", "v")
+    val approx = df.groupBy("g").agg(
+      expr("percentile_approx(v, 0.5, 1000)").as("p50"),
+      expr("percentile_approx(v, 0.95, 1000)").as("p95"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    vals.groupBy(_._1).foreach { case (g, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.length
+      val tol = n / 1000 + 1
+      def rankOf(x: Double): Int = sorted.count(_ <= x)
+      val (p50, p95) = approx(g)
+      assert(math.abs(rankOf(p50) - 0.5 * n) <= tol + 1,
+        s"$g p50 rank ${rankOf(p50)} of $n outside bound")
+      assert(math.abs(rankOf(p95) - 0.95 * n) <= tol + 1,
+        s"$g p95 rank ${rankOf(p95)} of $n outside bound")
+    }
+  }
 }
