@@ -74,11 +74,35 @@ object ScaleBench {
     // exact / anti-join dedup (linear in input at any SF)
     "d1_dedup_exact", "d6_decontaminate", "d10_bloom_decontaminate")
 
-  /** Replicate srcDir into outDir once (marker-gated). */
+  /** Max mtime over the source tables — regenerated source data must
+    * invalidate a previously scaled copy (same contract as
+    * SparkEntry's sourceStamp for bucketed/partitioned ingests).
+    */
+  private def sourceStamp(srcDir: String): String = {
+    val mtime = AllTables.map { t =>
+      val f = new java.io.File(srcDir, s"$t.parquet")
+      val own = f.lastModified()
+      val kids = Option(f.listFiles()).map(_.map(_.lastModified()).max)
+      math.max(own, kids.getOrElse(0L))
+    }.max
+    java.lang.Long.toHexString(mtime)
+  }
+
+  /** Replicate srcDir into outDir once. The marker encodes BOTH the
+    * replica count and the source stamp, and every other `_GRAFT_SCALED_*`
+    * marker is deleted before regeneration — otherwise a rerun with
+    * replicas=10 after a replicas=5 run into the same outDir (or after the
+    * source data was regenerated in place) would find a stale marker and
+    * silently time the wrong data.
+    */
   private def generate(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int, partitions: Int): Unit = {
-    val marker = new java.io.File(outDir, s"_GRAFT_SCALED_$replicas")
+    val out = new java.io.File(outDir)
+    val marker = new java.io.File(out,
+      s"_GRAFT_SCALED_${replicas}_${sourceStamp(srcDir)}")
     if (marker.exists()) return
+    Option(out.listFiles()).foreach(_.filter(_.getName.startsWith("_GRAFT_SCALED_"))
+      .foreach(f => f.delete()))
     val rep = broadcast(spark.range(replicas).toDF("_r"))
     AllTables.foreach { t =>
       val df = spark.read.parquet(s"$srcDir/$t.parquet")
@@ -113,7 +137,10 @@ object ScaleBench {
     generate(spark, srcDir, outDir, replicas, cpus.toInt)
     val qs = Headline.map(n => n -> SparkEntry.queries(n))
     qs.foreach { case (_, fn) => // warmup pass (JIT, codegen, listings)
-      try fn(spark, outDir).count() catch { case _: Throwable => () }
+      // NonFatal only: after an OOM/linkage error the JVM is unreliable —
+      // fail the run rather than time a broken process
+      try fn(spark, outDir).count()
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -122,7 +149,7 @@ object ScaleBench {
     val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, outDir).count(); None }
-                catch { case e: Throwable => Some(e.toString.take(200)) }
+                catch { case scala.util.control.NonFatal(e) => Some(e.toString.take(200)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val js = results.map {
@@ -131,7 +158,7 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val ok = results.collect { case (_, v, None) => v }
     val nErr = results.count(_._3.isDefined)
-    println(s"""{"metric":"scale_total","value":${ok.sum},"unit":"sec","queries":$js,"n_ok":${ok.size},"n_err":$nErr,"sf":"$outDir","replicas":$replicas}""")
+    println(s"""{"metric":"scale_total","value":${ok.sum},"unit":"sec","queries":$js,"n_ok":${ok.size},"n_err":$nErr,"sf":"$outDir","replicas":$replicas,"cpus":$cpus}""")
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }

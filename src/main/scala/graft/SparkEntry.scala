@@ -281,14 +281,22 @@ object SparkEntry {
         round(expr("percentile(value, 0.95)"), 6).as("p95"))),
     // A15: the SCALE path for quantiles — percentile_approx is a mergeable
     // sketch (map-side partials, bounded memory at any cardinality) where
-    // a7's exact percentile must hold each group's full value set. Sketch
-    // estimates are not hash-stable across engines, so this entry is
-    // rows-only; a7 is the exact reference the estimates are audited
-    // against (PropertySpec bounds the rank error).
+    // a7's exact percentile must hold each group's full value set. The raw
+    // estimate is not hash-stable across engines, so the emitted columns
+    // are the sketch's own CONTRACT: accuracy=1000 guarantees rank error
+    // ≤ n/1000, so the estimate must lie between the exact percentiles at
+    // q ± 0.005 (5× slack absorbs interpolation at the window edges). The
+    // oracle states the invariant as constants — if the sketch ever left
+    // its window, the booleans flip and the row hash-fails.
     "a15_approx_percentiles" -> ((s, d) =>
       events(s, d).groupBy("event_type").agg(
-        round(expr("percentile_approx(value, 0.5, 1000)"), 6).as("p50"),
-        round(expr("percentile_approx(value, 0.95, 1000)"), 6).as("p95"))),
+        count(lit(1)).as("n"),
+        expr("percentile_approx(value, 0.5, 1000) BETWEEN " +
+          "percentile(value, 0.495) AND percentile(value, 0.505)")
+          .as("p50_in_window"),
+        expr("percentile_approx(value, 0.95, 1000) BETWEEN " +
+          "percentile(value, 0.945) AND percentile(value, 0.955)")
+          .as("p95_in_window"))),
     // A8: bounded top-k per group via the native TopKByScore aggregate —
     // each map task's partial reduces to <= k entries per group BEFORE the
     // exchange (a rank-window plan would shuffle the full relation).
@@ -424,6 +432,18 @@ object SparkEntry {
       Dedup.incrementalSurvivors(
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0))
+    }),
+    // D14: the COMPLETE ingest gate — d13's batch-vs-corpus check composed
+    // with intra-batch near-dup election: a batch doc survives iff it
+    // neither near-dups the corpus nor loses its intra-batch cluster's
+    // min-id election. Two near-identical docs arriving in the SAME batch
+    // → one survives, where d13 (corpus-only by design) appends both.
+    "d14_incremental_full" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Dedup.incrementalSurvivors(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        dedupWithinBatch = true)
     }),
     // S11: Avro container-file round trip — write the customer table as
     // .avro (distributed, one container per partition), read it back via
@@ -928,6 +948,14 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY event_type""".stripMargin,
+    // a15: the oracle states the sketch contract as constants — the Spark
+    // side computes whether percentile_approx actually landed inside its
+    // guaranteed exact-percentile window; a violation flips a boolean and
+    // hash-fails the row.
+    "a15_approx_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  true AS p50_in_window, true AS p95_in_window
+        |FROM events GROUP BY event_type""".stripMargin,
     "a8_topk_per_group" ->
       """SELECT event_type, event_id, CAST(rank AS INTEGER) AS rank, value
         |FROM (SELECT event_type, event_id, value,
@@ -1178,6 +1206,44 @@ object SparkEntry {
         |      6) >= 0.8)
         |SELECT doc_id FROM documents
         |WHERE doc_id % 20 = 0 AND doc_id NOT IN (SELECT bid FROM hits)""".stripMargin,
+    // d14: d13's cross-hit filter composed with intra-batch components —
+    // exhaustive exact pairs within the batch, recursive reachability
+    // (d8's closure pattern), min-id representative election.
+    "d14_incremental_full" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tok),
+        |hits AS (
+        |  SELECT DISTINCT b.doc_id AS bid
+        |  FROM sh b JOIN sh c ON b.doc_id % 20 = 0 AND c.doc_id % 20 <> 0
+        |  WHERE round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
+        |      CAST(len(b.s) + len(c.s) - len(list_intersect(b.s, c.s)) AS DOUBLE),
+        |      6) >= 0.8),
+        |bpairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT a.doc_id AS a, b.doc_id AS b,
+        |      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE),
+        |        6) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      AND a.doc_id % 20 = 0 AND b.doc_id % 20 = 0)
+        |  WHERE jaccard >= 0.8),
+        |edges AS (SELECT a AS u, b AS v FROM bpairs UNION SELECT b, a FROM bpairs),
+        |reach AS (
+        |  SELECT u AS id, u AS r FROM edges
+        |  UNION
+        |  SELECT e.u AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.v),
+        |rep AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 20 = 0
+        |  AND doc_id NOT IN (SELECT bid FROM hits)
+        |  AND doc_id NOT IN (SELECT doc_id FROM rep WHERE doc_id <> rep_id)""".stripMargin,
     // d8 resolves the d3 pair graph into components; the oracle recomputes
     // the exhaustive pair list (d3's oracle twin) and takes its transitive
     // closure with WITH RECURSIVE — reach(id, r) = r reachable from id —

@@ -303,6 +303,24 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Cosine of a Catalyst float vector against a plain float[] centroid
+    * (the inner loop of every IVF assignment / probe kernel below). Double
+    * accumulation in element order — bit-reproducible at any parallelism.
+    */
+  @inline private def simTo(vec: ArrayData, cent: Array[Float]): Double = {
+    val n = math.min(vec.numElements(), cent.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = vec.getFloat(i).toDouble
+      val y = cent(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Nearest-centroid id by cosine over a small centroid matrix (IVF
     * assignment): centroids scan in array order, strict-greater keeps the
     * first on ties — the same semantics as an argmax fold with `sim >
@@ -314,22 +332,58 @@ object Kernels {
     var bestId = -1L
     var c = 0
     while (c < cents.length) {
-      val cent = cents(c)
-      val n = math.min(vec.numElements(), cent.length)
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < n) {
-        val x = vec.getFloat(i).toDouble
-        val y = cent(i).toDouble
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      val sim = if (na == 0.0 || nb == 0.0) 0.0
-                else dot / (math.sqrt(na) * math.sqrt(nb))
+      val sim = simTo(vec, cents(c))
       if (sim > best) { best = sim; bestId = ids(c) }
       c += 1
     }
     bestId
+  }
+
+  /** Two-level nearest-cell assignment: argmax cosine over the ~√C coarse
+    * centroids, then argmax over only the fine centroids grouped under the
+    * winning coarse cell. Per-row cost is O((√C + maxGroup)·dim) instead of
+    * the flat O(C·dim) — the term that made corpus-coupled cell counts
+    * superlinear. Approximate at coarse-cell boundaries (a vector's true
+    * nearest fine centroid can live under a different coarse centroid) —
+    * the same recall trade IVF probing already makes, and irrelevant to
+    * exhaustive-probe twins, which scan every cell regardless of
+    * assignment. Ties keep the first (lowest-id) entry at both levels.
+    */
+  def nearestCellTwoLevel(vec: ArrayData, coarse: Array[Array[Float]],
+      groupIds: Array[Array[Long]],
+      groupCents: Array[Array[Array[Float]]]): Long = {
+    var best = -2.0
+    var bg = 0
+    var g = 0
+    while (g < coarse.length) {
+      val sim = simTo(vec, coarse(g))
+      if (sim > best) { best = sim; bg = g }
+      g += 1
+    }
+    nearestCell(vec, groupCents(bg), groupIds(bg))
+  }
+
+  /** The `nProbe` nearest cell ids by cosine, best first (sim descending,
+    * ties broken toward the earlier = lower id — consistent with
+    * [[nearestCell]]'s first-wins argmax, so element 0 always equals the
+    * flat assignment). Runs once per QUERY row (queries are index-small by
+    * contract), replacing the sort-a-giant-struct-literal probe plan whose
+    * expression tree grew with the cell count.
+    */
+  def nearestCells(vec: ArrayData, cents: Array[Array[Float]],
+      ids: Array[Long], nProbe: Int): ArrayData = {
+    val c = cents.length
+    val take = math.min(math.max(nProbe, 0), c)
+    val sims = new Array[Double](c)
+    var i = 0
+    while (i < c) { sims(i) = simTo(vec, cents(i)); i += 1 }
+    val order = Array.range(0, c).sortWith { (a, b) =>
+      sims(a) > sims(b) || (sims(a) == sims(b) && a < b)
+    }
+    val out = new Array[Long](take)
+    var j = 0
+    while (j < take) { out(j) = ids(order(j)); j += 1 }
+    new GenericArrayData(out)
   }
 
   /** [[sortedIntersectCountString]] for sorted distinct long arrays (the

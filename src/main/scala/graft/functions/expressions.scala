@@ -137,6 +137,54 @@ case class NearestCentroid(child: Expression, cellIds: Array[Long],
   override def prettyName: String = "graft_nearest_centroid"
 }
 
+/** nearest_centroid_2l(vec): Long — two-level coarse→fine nearest-cell
+  * assignment (see [[Kernels.nearestCellTwoLevel]]). The grouped centroid
+  * matrices ride along as reference objects, so per-row cost is
+  * O((√cells + maxGroup)·dim) inside whole-stage codegen — the assignment
+  * form that keeps a growing cell budget from making the corpus scan
+  * superlinear.
+  */
+case class NearestCentroidTwoLevel(child: Expression,
+    coarse: Array[Array[Float]], groupIds: Array[Array[Long]],
+    groupCents: Array[Array[Array[Float]]]) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(vec: Any): Any =
+    Kernels.nearestCellTwoLevel(vec.asInstanceOf[ArrayData], coarse,
+      groupIds, groupCents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val co = ctx.addReferenceObj("coarse", coarse, "float[][]")
+    val gi = ctx.addReferenceObj("groupIds", groupIds, "long[][]")
+    val gc = ctx.addReferenceObj("groupCents", groupCents, "float[][][]")
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.Kernels.nearestCellTwoLevel($v, $co, $gi, $gc)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nearest_centroid_2l"
+}
+
+/** nearest_cells(vec): array<bigint> — the nProbe nearest cell ids, best
+  * first (IVF probe selection). Centroids are a reference object, so the
+  * expression tree stays O(1) in the cell count — the previous probe plan
+  * sorted an array-of-structs LITERAL of every centroid, whose analysis
+  * cost grew with the index.
+  */
+case class NearestCells(child: Expression, cellIds: Array[Long],
+    centroids: Array[Array[Float]], nProbe: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(vec: Any): Any =
+    Kernels.nearestCells(vec.asInstanceOf[ArrayData], centroids, cellIds, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val ids = ctx.addReferenceObj("cellIds", cellIds, "long[]")
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.Kernels.nearestCells($v, $cents, $ids, $nProbe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nearest_cells"
+}
+
 /** term_counts(tokens): array<struct<term, cnt>> — per-row term counts in
   * one linear pass (the narrow TF pre-aggregation).
   */
@@ -221,6 +269,14 @@ object vector {
   def nearestCentroid(vec: Column, cellIds: Array[Long],
       centroids: Array[Array[Float]]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(vec), cellIds, centroids))
+  def nearestCentroidTwoLevel(vec: Column, coarse: Array[Array[Float]],
+      groupIds: Array[Array[Long]],
+      groupCents: Array[Array[Array[Float]]]): Column =
+    Bridge.column(NearestCentroidTwoLevel(Bridge.expression(vec), coarse,
+      groupIds, groupCents))
+  def nearestCells(vec: Column, cellIds: Array[Long],
+      centroids: Array[Array[Float]], nProbe: Int): Column =
+    Bridge.column(NearestCells(Bridge.expression(vec), cellIds, centroids, nProbe))
 }
 
 object text {

@@ -244,15 +244,31 @@ object Dedup {
     * [[incrementalMinhashPairs]] — a batch doc near-duplicating anything
     * already in the corpus is dropped; the rest append. One row per kept
     * batch doc id.
+    *
+    * BOUNDARY: by default this checks batch-vs-CORPUS only — two
+    * near-identical docs arriving in the SAME batch both pass and both
+    * append. `dedupWithinBatch = true` composes the intra-batch pass:
+    * [[minhashPairs]] over the batch, resolved through
+    * [[connectedComponents]], keeps only each intra-batch cluster's min-id
+    * representative (the package-wide survivor contract) — the two gates
+    * are independent, so a doc survives iff it neither near-dups the
+    * corpus nor loses its intra-batch cluster election. The default stays
+    * corpus-only because the intra-batch pass is a second full LSH over
+    * the batch; a pipeline that already ran [[minhashPairs]] on the batch
+    * upstream should not pay it twice.
     */
   def incrementalSurvivors(corpus: DataFrame, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.8): DataFrame =
-    batch.select(col(idCol)).join(
+      threshold: Double = 0.8, dedupWithinBatch: Boolean = false): DataFrame = {
+    val crossKept = batch.select(col(idCol)).join(
       incrementalMinhashPairs(corpus, batch, idCol, textCol,
         threshold = threshold)
         .select(col("batch_id").as(idCol)),
       Seq(idCol), "left_anti")
+    if (!dedupWithinBatch) crossKept
+    else nearDupSurvivors(crossKept,
+      minhashPairs(batch, idCol, textCol, threshold = threshold), idCol)
+  }
 
   /** Blocked exact n-gram Jaccard pairs: all pairs within a blocking key
     * (default lang+source) with distinct-token Jaccard ≥ threshold. The
@@ -441,24 +457,27 @@ object Dedup {
     *
     * Scale: centroid build is [[Similarity.kmeansCentroids]] (vectors
     * never shuffle; only centroid rows collect); assignment is the narrow
-    * codegen'd argmax; the pair join is an equi-shuffle on cell id with
-    * per-cell quadratic verify — cells ≈ corpus/centroidEvery keeps cells
-    * bounded. Recall < 1 (a near-dup pair split across a cell boundary is
-    * missed) — that is SemDeDup's documented trade; `singleCell = true`
-    * forces one cell, making the output the exact all-pairs answer the
-    * d11b oracle twin hash-checks.
+    * codegen'd argmax — two-level coarse→fine above 64 cells, so per-row
+    * cost is O(√cells), and `maxCells` bounds the centroid set outright;
+    * the pair join is an equi-shuffle on cell id with per-cell quadratic
+    * verify — cells ≈ corpus/centroidEvery keeps cells bounded below the
+    * cap (cell SIZE, the SemDeDup quality knob, stays ~centroidEvery).
+    * Recall < 1 (a near-dup pair split across a cell boundary is missed)
+    * — that is SemDeDup's documented trade; `singleCell = true` forces
+    * one cell, making the output the exact all-pairs answer the d11b
+    * oracle twin hash-checks.
     */
   def semanticPairs(embeddings: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.45,
       centroidEvery: Int = 50, kmeansIters: Int = 2,
-      singleCell: Boolean = false, materialize: Boolean = true): DataFrame = {
+      singleCell: Boolean = false, materialize: Boolean = true,
+      maxCells: Int = 4096): DataFrame = {
     val cellOf: Column =
       if (singleCell) lit(0L)
-      else {
-        val cents = Similarity.kmeansCentroids(
-          embeddings, centroidEvery, kmeansIters, idCol, vecCol)
-        gvec.nearestCentroid(col(vecCol), cents.map(_._1), cents.map(_._2))
-      }
+      else Similarity.cellAssignExpr(
+        Similarity.kmeansCentroids(
+          embeddings, centroidEvery, kmeansIters, idCol, vecCol, maxCells),
+        col(vecCol))
     // persisted: both sides of the cell self-join read the assignment
     val assigned = embeddings
       .select(col(idCol).as("_id"), col(vecCol).as("_v"), cellOf.as("_cell"))
@@ -480,11 +499,11 @@ object Dedup {
   def semanticSurvivors(embeddings: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.45,
       centroidEvery: Int = 50, kmeansIters: Int = 2,
-      singleCell: Boolean = false): DataFrame =
+      singleCell: Boolean = false, maxCells: Int = 4096): DataFrame =
     nearDupSurvivors(
       embeddings.select(col(idCol)),
       semanticPairs(embeddings, idCol, vecCol, threshold, centroidEvery,
-        kmeansIters, singleCell),
+        kmeansIters, singleCell, materialize = true, maxCells = maxCells),
       idCol)
 
   /** Embedding near-duplicate pairs: random-hyperplane LSH (Charikar '02

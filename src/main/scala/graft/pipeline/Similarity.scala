@@ -72,7 +72,9 @@ object Similarity {
     * nearest-centroid argmax): one equi-shuffle on cell id, per-cell scoring,
     * then the bounded [[graft.functions.agg.topKByScore]] per vector —
     * partial heaps reduce each map task to ≤ k entries per query before the
-    * exchange. Cells ≈ corpus/centroidEvery keeps per-cell work bounded; at
+    * exchange. Cells ≈ corpus/centroidEvery keeps per-cell work bounded
+    * (capped at `maxCells`; assignment is two-level coarse→fine above 64
+    * cells, so per-row cost is O(√cells·dim), not O(cells·dim)); at
     * 100 TB the assignment would be written `partitionBy(cell)` once and the
     * graph built cell-by-cell with no global shuffle at all.
     *
@@ -83,13 +85,13 @@ object Similarity {
   def knnGraph(embeddings: DataFrame, k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding", centroidEvery: Int = 50,
       kmeansIters: Int = 2, singleCell: Boolean = false,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true, maxCells: Int = 4096): DataFrame = {
     val cellOf: Column =
       if (singleCell) lit(0L)
-      else {
-        val cents = kmeansCentroids(embeddings, centroidEvery, kmeansIters, idCol, vecCol)
-        gvec.nearestCentroid(col(vecCol), cents.map(_._1), cents.map(_._2))
-      }
+      else cellAssignExpr(
+        kmeansCentroids(embeddings, centroidEvery, kmeansIters, idCol, vecCol,
+          maxCells),
+        col(vecCol))
     // persisted: both sides of the cell self-join read the assignment
     val assigned = embeddings
       .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"),
@@ -107,35 +109,114 @@ object Similarity {
     if (materialize) Scratch.materializeThenFree(graph, assigned) else graph
   }
 
-  /** Nearest cell id per vector — a native codegen'd argmax over the
-    * (tiny) centroid matrix carried as a reference object: narrow, no
-    * join, no window, no shuffle, and no interpreted HOF lambda in the
-    * corpus-scan hot path.
+  /** Cell count above which assignment switches from the flat argmax to
+    * the two-level coarse→fine form. Below this, one flat pass is both
+    * faster (no dispatch) and byte-identical to prior behavior.
     */
-  private def nearestCellExpr(centroids: Array[(Long, Array[Float])],
-      vec: Column): Column =
-    gvec.nearestCentroid(vec, centroids.map(_._1), centroids.map(_._2))
+  private val FlatAssignMax = 64
 
-  private def cellLiterals(centroids: Array[(Long, Array[Float])]): Column =
-    array(centroids.map { case (cid, v) =>
-      struct(lit(cid).as("cell_id"), planeLit(v).as("cent"))
-    }.toIndexedSeq: _*)
+  /** Pure-Scala cosine for the driver-side coarse grouping (tiny inputs). */
+  private def cosineArr(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Group a (driver-resident, tiny) fine-centroid set under ~√C coarse
+    * centroids: deterministic evenly-spaced init in id order, a few Lloyd
+    * steps over the centroid array itself, fine centroids bucketed by
+    * their final nearest coarse. O(C·√C·dim) on the driver — microseconds
+    * at any sane cell budget; empty coarse groups are dropped.
+    */
+  private[graft] def coarseGroups(cents: Array[(Long, Array[Float])],
+      iters: Int = 3): (Array[Array[Float]], Array[Array[Long]],
+        Array[Array[Array[Float]]]) = {
+    val c = cents.length
+    val dim = cents(0)._2.length
+    val nCoarse = math.max(1, math.ceil(math.sqrt(c.toDouble)).toInt)
+    var coarse: Array[Array[Float]] =
+      Array.tabulate(nCoarse)(g => cents((g.toLong * c / nCoarse).toInt)._2)
+    def assign(): Array[Int] = cents.map { case (_, v) =>
+      var best = -2.0; var bg = 0; var g = 0
+      while (g < coarse.length) {
+        val s = cosineArr(v, coarse(g))
+        if (s > best) { best = s; bg = g }
+        g += 1
+      }
+      bg
+    }
+    var asg = assign()
+    (1 to iters).foreach { _ =>
+      val sums = Array.fill(nCoarse)(new Array[Double](dim))
+      val counts = new Array[Int](nCoarse)
+      asg.indices.foreach { i =>
+        val g = asg(i); val v = cents(i)._2
+        var d = 0
+        while (d < dim) { sums(g)(d) += v(d); d += 1 }
+        counts(g) += 1
+      }
+      coarse = Array.tabulate(nCoarse) { g =>
+        if (counts(g) == 0) coarse(g)
+        else sums(g).map(s => (s / counts(g)).toFloat)
+      }
+      asg = assign()
+    }
+    val nonEmpty = (0 until nCoarse).filter(g => asg.contains(g))
+    (nonEmpty.map(coarse).toArray,
+      nonEmpty.map(g => cents.indices.filter(asg(_) == g).map(cents(_)._1).toArray).toArray,
+      nonEmpty.map(g => cents.indices.filter(asg(_) == g).map(cents(_)._2).toArray).toArray)
+  }
+
+  /** The cell-assignment expression for a centroid set: flat codegen'd
+    * argmax up to [[FlatAssignMax]] cells, two-level coarse→fine above it.
+    * Per-row cost is O((√C + maxGroup)·dim) instead of O(C·dim), so a
+    * cell budget that grows with the corpus (fixed cell SIZE — the
+    * SemDeDup quality knob) no longer makes the assignment scan
+    * superlinear, and the centroid matrices ride as reference objects —
+    * no Catalyst literal growing with the index.
+    */
+  private[graft] def cellAssignExpr(centroids: Array[(Long, Array[Float])],
+      vec: Column): Column =
+    if (centroids.length <= FlatAssignMax)
+      gvec.nearestCentroid(vec, centroids.map(_._1), centroids.map(_._2))
+    else {
+      val (coarse, gids, gcents) = coarseGroups(centroids)
+      gvec.nearestCentroidTwoLevel(vec, coarse, gids, gcents)
+    }
 
   /** Distributed k-means centroids for the IVF index: deterministic
-    * hash-sample init (~1 per `centroidEvery` corpus rows), then `iters`
-    * Lloyd steps. Each step is one narrow assignment pass (argmax fold
-    * over broadcast centroid literals) plus one ObjectHashAggregate whose
+    * hash-sample init (~1 per `centroidEvery` corpus rows, CAPPED at
+    * `maxCells` by keeping the smallest sample hashes), then `iters`
+    * Lloyd steps. Each step is one narrow assignment pass (the codegen'd
+    * [[cellAssignExpr]] argmax) plus one ObjectHashAggregate whose
     * map-side partial reduces every task to |cells| dim-length sum
     * buffers — the vectors themselves never shuffle. Centroid rows
     * (tiny: cells × dim) collect to the driver between steps, exactly
     * like any iterative-refinement index build.
+    *
+    * `maxCells` DECOUPLES the cell count from the corpus: below the cap
+    * the seed set is exactly the hash-sample (one cell per ~centroidEvery
+    * rows — bounded cell size, the quality knob); at the cap the driver
+    * collect, the reference-object size, and per-row assignment cost all
+    * stop growing with N. The cap is a top-`maxCells` by sample hash
+    * (TakeOrdered — bounded memory), so seeds at any two corpus sizes are
+    * consistent prefixes, not disjoint resamples.
     */
   def kmeansCentroids(corpus: DataFrame, centroidEvery: Int = 50,
       iters: Int = 2, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Array[(Long, Array[Float])] = {
+      vecCol: String = "embedding",
+      maxCells: Int = 4096): Array[(Long, Array[Float])] = {
     var centroids: Array[(Long, Array[Float])] = corpus
       .filter(pmod(xxhash64(col(idCol)), lit(centroidEvery)) === 0)
-      .select(col(idCol).cast("long"), col(vecCol))
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .orderBy(xxhash64(col("_id")), col("_id"))
+      .limit(maxCells)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
@@ -143,7 +224,7 @@ object Similarity {
       s"no centroids sampled (corpus too small for centroidEvery=$centroidEvery)")
     (1 to iters).foreach { _ =>
       val means = corpus
-        .select(nearestCellExpr(centroids, col(vecCol)).as("cell_id"),
+        .select(cellAssignExpr(centroids, col(vecCol)).as("cell_id"),
           col(vecCol).as("_v"))
         .groupBy("cell_id")
         .agg(graft.functions.VectorSumAgg.column(col("_v")).as("_sum"),
@@ -175,11 +256,13 @@ object Similarity {
     */
   def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       nProbe: Int = 4, centroidEvery: Int = 50, kmeansIters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = kmeansCentroids(corpus, centroidEvery, kmeansIters, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCells: Int = 4096): DataFrame = {
+    val centroids = kmeansCentroids(corpus, centroidEvery, kmeansIters, idCol,
+      vecCol, maxCells)
     val assigned = corpus.select(
       col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_cv"),
-      nearestCellExpr(centroids, col(vecCol)).as("cell_id"))
+      cellAssignExpr(centroids, col(vecCol)).as("cell_id"))
     probeCells(assigned, centroids, queries, k, nProbe, idCol, vecCol)
   }
 
@@ -190,11 +273,13 @@ object Similarity {
     */
   def buildIvfIndex(corpus: DataFrame, path: String, centroidEvery: Int = 50,
       kmeansIters: Int = 2, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Array[(Long, Array[Float])] = {
-    val centroids = kmeansCentroids(corpus, centroidEvery, kmeansIters, idCol, vecCol)
+      vecCol: String = "embedding",
+      maxCells: Int = 4096): Array[(Long, Array[Float])] = {
+    val centroids = kmeansCentroids(corpus, centroidEvery, kmeansIters, idCol,
+      vecCol, maxCells)
     val assigned = corpus.select(
       col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_cv"),
-      nearestCellExpr(centroids, col(vecCol)).as("cell_id"))
+      cellAssignExpr(centroids, col(vecCol)).as("cell_id"))
     graft.engine.Layout.writePartitioned(assigned, path, "cell_id")
     centroids
   }
@@ -213,7 +298,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
     vectors.select(
         col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_cv"),
-        nearestCellExpr(centroids, col(vecCol)).as("cell_id"))
+        cellAssignExpr(centroids, col(vecCol)).as("cell_id"))
       .write.mode("append").partitionBy("cell_id").parquet(indexPath)
 
   /** Streaming freshness path: land each micro-batch of embedding rows
@@ -317,20 +402,18 @@ object Similarity {
     if (materialize) Scratch.materializeThenFree(topk, probed) else topk
   }
 
-  /** (query_id, _qv, cell_id) for each query's nProbe nearest cells. */
+  /** (query_id, _qv, cell_id) for each query's nProbe nearest cells —
+    * one codegen'd [[graft.functions.NearestCells]] call per query row,
+    * centroids as a reference object (the previous form sorted an
+    * array-of-structs literal whose expression tree grew with the index).
+    */
   private def probedCellsOf(centroids: Array[(Long, Array[Float])],
       queries: DataFrame, nProbe: Int, idCol: String,
-      vecCol: String): DataFrame = {
-    val cellArr = cellLiterals(centroids)
+      vecCol: String): DataFrame =
     queries.select(
       col(idCol).cast("long").as("query_id"), col(vecCol).as("_qv"),
-      explode(slice(
-        sort_array(transform(cellArr, c => struct(
-          (-gvec.cosine(col(vecCol), c.getField("cent"))).as("_negsim"),
-          c.getField("cell_id").as("cell_id")))),
-        1, nProbe)).as("_probe"))
-      .select(col("query_id"), col("_qv"), col("_probe.cell_id").as("cell_id"))
-  }
+      explode(gvec.nearestCells(col(vecCol), centroids.map(_._1),
+        centroids.map(_._2), nProbe)).as("cell_id"))
 
   private def probeCells(assigned: DataFrame,
       centroids: Array[(Long, Array[Float])], queries: DataFrame, k: Int,

@@ -126,6 +126,77 @@ class PipelineSpec extends SparkSpec {
     assert(inertia(refined) >= inertia(init) - 1e-6)
   }
 
+  test("kmeansCentroids: maxCells caps the budget with a consistent seed prefix") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val uncapped = Similarity.kmeansCentroids(emb, centroidEvery = 2, iters = 0)
+    assert(uncapped.length > 64) // ~250 seeds: the regime the cap exists for
+    val capped = Similarity.kmeansCentroids(emb, centroidEvery = 2, iters = 0,
+      maxCells = 40)
+    assert(capped.length === 40)
+    val uncappedIds = uncapped.map(_._1).toSet
+    assert(capped.map(_._1).forall(uncappedIds)) // a subset, not a resample
+  }
+
+  test("two-level assignment agrees with flat argmax on centroid self-lookup") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val cents = Array.tabulate(120)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    // query each centroid's own vector: flat argmax finds it (sim = 1);
+    // the coarse level must route to the group that contains it
+    val df = cents.toSeq.map { case (id, v) => (id, v) }
+      .toDF("vec_id", "embedding")
+    val (coarse, gids, gcents) = Similarity.coarseGroups(cents)
+    assert(gids.map(_.length).sum === cents.length) // every fine cell grouped
+    val both = df.select(
+      graft.functions.vector.nearestCentroid(
+        col("embedding"), cents.map(_._1), cents.map(_._2)).as("flat"),
+      graft.functions.vector.nearestCentroidTwoLevel(
+        col("embedding"), coarse, gids, gcents).as("two"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("nearestCells: best-first order, element 0 = flat argmax, full probe = all cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12)
+    val cents = Array.tabulate(80)(i =>
+      (i.toLong * 3, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val vecs = Seq.tabulate(50)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val rows = vecs.select(
+      graft.functions.vector.nearestCentroid(
+        col("embedding"), cents.map(_._1), cents.map(_._2)).as("flat"),
+      graft.functions.vector.nearestCells(
+        col("embedding"), cents.map(_._1), cents.map(_._2), 3).as("top3"),
+      graft.functions.vector.nearestCells(
+        col("embedding"), cents.map(_._1), cents.map(_._2),
+        Int.MaxValue).as("all"))
+      .collect()
+    val idSet = cents.map(_._1).toSet
+    rows.foreach { r =>
+      val top3 = r.getSeq[Long](1)
+      val all = r.getSeq[Long](2)
+      assert(top3.head === r.getLong(0))     // probe 1 = the assignment cell
+      assert(all.size === cents.length && all.toSet === idSet)
+      assert(all.take(3) === top3)           // prefix-consistent selection
+    }
+  }
+
+  test("IVF full probe equals brute force through the two-level assignment path") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // centroidEvery = 2 → ~250 cells > FlatAssignMax → two-level assignment;
+    // probing every cell is exhaustive, so any assignment must yield brute
+    val ivf = Similarity.ivfCosineTopK(emb, queries, k = 5,
+      nProbe = Int.MaxValue, centroidEvery = 2, kmeansIters = 0)
+    assert(key(ivf) === key(Similarity.bruteCosineTopK(emb, queries, k = 5)))
+  }
+
   test("streaming IVF append: late vectors land in the index and are probed") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -646,6 +717,28 @@ class PipelineSpec extends SparkSpec {
     val kept = Dedup.incrementalSurvivors(corpus, batch, threshold = 0.7)
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(21L))
+  }
+
+  test("incrementalSurvivors: dedupWithinBatch drops same-batch near-dups") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val corpus = docs(1L -> base,
+      2L -> (100 to 140).map(i => s"word$i").mkString(" "))
+    // batch: 20 near-dups corpus 1; 21/22 duplicate EACH OTHER only;
+    // 23 is genuinely new
+    val sameBatchDup = (200 to 240).map(i => s"new$i").mkString(" ")
+    val batch = docs(
+      20L -> ((1 to 38).map(i => s"token$i").mkString(" ") + " tokenX tokenY"),
+      21L -> sameBatchDup, 22L -> sameBatchDup,
+      23L -> (300 to 340).map(i => s"other$i").mkString(" "))
+    // default boundary: corpus-only — both same-batch twins pass
+    val corpusOnly = Dedup.incrementalSurvivors(corpus, batch, threshold = 0.7)
+      .collect().map(_.getLong(0)).toSet
+    assert(corpusOnly === Set(21L, 22L, 23L))
+    // composed gate: 22 loses the intra-batch min-id election too
+    val full = Dedup.incrementalSurvivors(corpus, batch, threshold = 0.7,
+      dedupWithinBatch = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(full === Set(21L, 23L))
   }
 
   test("incremental pairs equal the batch×corpus slice of full-corpus minhash") {
