@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   *  - pair-regime text/embedding dedup (d2–d5, d8/d9, d11–d13, v7b):
   *    replicating documents makes every doc an exact N-way duplicate, so
   *    those queries change OUTPUT REGIME (pair blowup) instead of scaling
-  *    input — their scale story is the plan-shape + SCALE.md analysis;
+  *    input — their scale story is the plan-shape + SCALE.md analysis.
+  *    Exception: d12's continuous-ingest shape IS swept, via
+  *    d12_incremental_scale, whose batch is pinned to replica-0 keys so
+  *    only the corpus side replicates (linear input, linear output);
   *  - session-stamped layout ingests (x7/x9/x10) and the tiny tutorial
   *    fixtures (s-/ksql rows), which measure setup, not throughput;
   *  - media synthesis (m1–m3), whose cost is the synthetic byte generator.
@@ -71,8 +74,12 @@ object ScaleBench {
     "t1_token_counts", "t2_quality_score", "t3_lang_id", "t8_tfidf",
     "t11_curation_pipeline", "t16_token_rarity", "t19_bigram_lift",
     "t20_boilerplate", "t21_passage_dedup", "t22_domain_mixture",
+    "t23_bm25",
     // exact / anti-join dedup (linear in input at any SF)
-    "d1_dedup_exact", "d6_decontaminate", "d10_bloom_decontaminate")
+    "d1_dedup_exact", "d6_decontaminate", "d10_bloom_decontaminate",
+    // incremental dedup: batch pinned to replica-0 keys, so the corpus
+    // side scales linearly without the batch becoming N-way self-dupes
+    "d12_incremental_scale")
 
   /** Max mtime over the source tables — regenerated source data must
     * invalidate a previously scaled copy (same contract as

@@ -287,7 +287,9 @@ object SparkEntry {
     // ≤ n/1000, so the estimate must lie between the exact percentiles at
     // q ± 0.005 (5× slack absorbs interpolation at the window edges). The
     // oracle states the invariant as constants — if the sketch ever left
-    // its window, the booleans flip and the row hash-fails.
+    // its window, the booleans flip and the row hash-fails. (The exact
+    // percentiles exist only to AUDIT the sketch at gate SF; the
+    // production form at scale is the percentile_approx columns alone.)
     "a15_approx_percentiles" -> ((s, d) =>
       events(s, d).groupBy("event_type").agg(
         count(lit(1)).as("n"),
@@ -433,6 +435,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0))
     }),
+    // D12s: the d12 shape at sweep scale — the batch restricted to the
+    // ORIGINAL key range (ScaleBench replicas offset doc_id by r×10M), so
+    // the key-remapped corpus replicas scale the corpus side of the band
+    // join linearly while the batch stays the held-out originals. On
+    // unscaled dirs every doc_id < 10M, so this is exactly d12.
+    "d12_incremental_scale" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Dedup.incrementalMinhashPairs(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0 && col("doc_id") < 10000000L))
+    }),
     // D14: the COMPLETE ingest gate — d13's batch-vs-corpus check composed
     // with intra-batch near-dup election: a batch doc survives iff it
     // neither near-dups the corpus nor loses its intra-batch cluster's
@@ -489,6 +502,9 @@ object SparkEntry {
       TextAnalysis.datasetSplit(table(s, d, "documents"))),
     "t7_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(table(s, d, "documents"))),
     "t8_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(table(s, d, "documents"))),
+    // T23: Okapi BM25 term weighting — t8's shape with tf saturation and
+    // document-length normalization (the retrieval-grade scorer).
+    "t23_bm25" -> ((s, d) => TextAnalysis.bm25TopTerms(table(s, d, "documents"))),
     "t9_repetition" -> ((s, d) =>
       TextAnalysis.repetitionScore(table(s, d, "documents"))),
     "t10_quality_filter" -> ((s, d) =>
@@ -1144,6 +1160,31 @@ object SparkEntry {
         |    ORDER BY tfidf DESC, term) AS rank
         |  FROM scored)
         |WHERE rank <= 3""".stripMargin,
+    // t23: BM25 with the identical float op order as the Spark side —
+    // exact integer tf/df/dl/N inputs, one fixed IEEE expression each.
+    "t23_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, dl, tk AS term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS tk FROM tok)
+        |  GROUP BY doc_id, dl, tk),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |          FROM tf GROUP BY term),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(len(t)) AS avgdl
+        |          FROM tok),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(((nd + 1.0) / (df + 1.0)) *
+        |      ((tf * (1.2 + 1.0)) /
+        |        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+        |  FROM tf JOIN dfreq USING (term), stats)
+        |SELECT doc_id, term, bm25, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY bm25 DESC, term) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3""".stripMargin,
     // d3's LSH is candidate generation + EXACT jaccard verification, so its
     // output equals the exhaustive all-pairs answer whenever every
     // qualifying pair shares a band bucket (P(miss) = (1-s^4)^16 ≤ 2e-4 at
@@ -1187,6 +1228,26 @@ object SparkEntry {
         |      CAST(len(b.s) + len(c.s) - len(list_intersect(b.s, c.s)) AS DOUBLE),
         |      6) AS jaccard
         |  FROM sh b JOIN sh c ON b.doc_id % 20 = 0 AND c.doc_id % 20 <> 0)
+        |WHERE jaccard >= 0.8""".stripMargin,
+    // d12s: d12 plus the replica-0 batch restriction (no-op at gate SF,
+    // where every doc_id < 10M).
+    "d12_incremental_scale" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tok)
+        |SELECT batch_id, corpus_id, jaccard FROM (
+        |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        |    round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
+        |      CAST(len(b.s) + len(c.s) - len(list_intersect(b.s, c.s)) AS DOUBLE),
+        |      6) AS jaccard
+        |  FROM sh b JOIN sh c
+        |    ON b.doc_id % 20 = 0 AND b.doc_id < 10000000 AND c.doc_id % 20 <> 0)
         |WHERE jaccard >= 0.8""".stripMargin,
     "d13_incremental_survivors" ->
       """WITH tok AS (

@@ -1,7 +1,6 @@
 package graft.functions
 
 import java.nio.ByteBuffer
-import java.nio.charset.StandardCharsets
 
 import scala.collection.mutable
 
@@ -36,30 +35,48 @@ import org.apache.spark.unsafe.types.UTF8String
   * min-count bound.
   */
 final class SpaceSavingBuffer(val capacity: Int) {
-  val counts = mutable.HashMap.empty[String, Long]
-  val errs = mutable.HashMap.empty[String, Long]
+  val counts = mutable.HashMap.empty[UTF8String, Long]
+  val errs = mutable.HashMap.empty[UTF8String, Long]
 
-  private def minEntry(): (String, Long) = {
-    var mk: String = null; var mv = Long.MaxValue
+  private def minEntry(): (UTF8String, Long) = {
+    var mk: UTF8String = null; var mv = Long.MaxValue
     counts.foreach { case (k, v) =>
-      if (v < mv || (v == mv && (mk == null || k < mk))) { mk = k; mv = v }
+      if (v < mv || (v == mv && (mk == null || k.compareTo(mk) < 0))) {
+        mk = k; mv = v
+      }
     }
     (mk, mv)
   }
 
-  def add(item: String, by: Long = 1L, err: Long = 0L): Unit =
+  /** `item` may be TRANSIENT (backed by a reused scan row buffer): it is
+    * cloned only on first insertion, so the per-occurrence hot path — a
+    * hash lookup + counter bump for every already-tracked item — allocates
+    * NOTHING. (The previous String-keyed form decoded every occurrence to
+    * a Java String: one UTF-16 allocation per row, GC-bound at the 100×
+    * sweep's ~50M bigrams.)
+    *
+    * Contract: callers passing `err > 0` (merge/deserialize replay) must
+    * pass OWNED keys — the err-map insert below stores the key as-is.
+    * Per-row update() always passes err = 0, so the transient path never
+    * inserts its key anywhere un-cloned. (Scala's mutable HashMap keeps
+    * the existing key object on value overwrite, so the count bump for a
+    * tracked item never captures the transient key either.)
+    */
+  def add(item: UTF8String, by: Long = 1L, err: Long = 0L): Unit =
     counts.get(item) match {
       case Some(c) =>
         counts(item) = c + by
         if (err > 0) errs(item) = errs.getOrElse(item, 0L) + err
       case None if counts.size < capacity =>
-        counts(item) = by
-        if (err > 0) errs(item) = err
+        val own = item.clone()
+        counts(own) = by
+        if (err > 0) errs(own) = err
       case None =>
         val (mk, mv) = minEntry()
         counts.remove(mk); errs.remove(mk)
-        counts(item) = mv + by
-        errs(item) = mv + err
+        val own = item.clone()
+        counts(own) = mv + by
+        errs(own) = mv + err
     }
 
   /** Merge = replay the other summary's entries as WEIGHTED arrivals
@@ -73,10 +90,14 @@ final class SpaceSavingBuffer(val capacity: Int) {
   def merge(other: SpaceSavingBuffer): Unit =
     other.sorted.foreach { case (k, v, e) => add(k, v, e) }
 
-  /** Entries sorted (count desc, item asc). */
-  def sorted: Array[(String, Long, Long)] =
+  /** Entries sorted (count desc, item asc — binary UTF-8 order, which is
+    * also what the DuckDB oracle's ORDER BY uses).
+    */
+  def sorted: Array[(UTF8String, Long, Long)] =
     counts.iterator.map { case (k, v) => (k, v, errs.getOrElse(k, 0L)) }
-      .toArray.sortBy { case (k, v, _) => (-v, k) }
+      .toArray.sortWith { (a, b) =>
+        a._2 > b._2 || (a._2 == b._2 && a._1.compareTo(b._1) < 0)
+      }
 }
 
 /** `heavy_hitters(item, capacity)`: array of `struct<item, cnt, err>`
@@ -117,7 +138,7 @@ case class HeavyHitters(
 
   override def update(buffer: SpaceSavingBuffer, input: InternalRow): SpaceSavingBuffer = {
     val v = child.eval(input)
-    if (v != null) buffer.add(v.asInstanceOf[UTF8String].toString)
+    if (v != null) buffer.add(v.asInstanceOf[UTF8String]) // cloned on insert
     buffer
   }
 
@@ -127,15 +148,13 @@ case class HeavyHitters(
 
   override def eval(buffer: SpaceSavingBuffer): Any =
     new GenericArrayData(buffer.sorted.map { case (k, c, e) =>
-      InternalRow(UTF8String.fromString(k), c, e)
+      InternalRow(k, c, e) // keys are owned clones — safe to emit directly
     }.toArray[Any])
 
   override def serialize(buffer: SpaceSavingBuffer): Array[Byte] = {
     val entries = buffer.sorted
     var bytes = 8
-    val encoded = entries.map { case (k, _, _) =>
-      k.getBytes(StandardCharsets.UTF_8)
-    }
+    val encoded = entries.map { case (k, _, _) => k.getBytes }
     encoded.foreach(b => bytes += 4 + b.length + 16)
     val bb = ByteBuffer.allocate(bytes)
     bb.putInt(buffer.capacity).putInt(entries.length)
@@ -155,7 +174,7 @@ case class HeavyHitters(
     var i = 0
     while (i < n) {
       val len = bb.getInt(); val kb = new Array[Byte](len); bb.get(kb)
-      val k = new String(kb, StandardCharsets.UTF_8)
+      val k = UTF8String.fromBytes(kb)
       val c = bb.getLong(); val e = bb.getLong()
       buf.counts(k) = c
       if (e > 0) buf.errs(k) = e

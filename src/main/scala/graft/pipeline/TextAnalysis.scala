@@ -230,6 +230,47 @@ object TextAnalysis {
       .select("doc_id", "term", "tfidf", "rank")
   }
 
+  /** Per-document top-k terms by Okapi BM25 weight (Robertson et al.,
+    * TREC-3): `w(t,d) = idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * — the saturating-tf, length-normalized upgrade of [[tfidfTopTerms]],
+    * with the same LOG-FREE rational idf ((N+1)/(df+1), monotone with the
+    * log form at fixed tf) so scores stay bit-reproducible cross-engine.
+    *
+    * Plan shape = t8's: one narrow `termCounts` pass (document length
+    * rides along), a vocab-sized df aggregate joined back (broadcast; AQE
+    * decides beyond the hint), a broadcast 1-row (N, avgdl) aggregate,
+    * and a per-doc rank window bounded by document length — no
+    * corpus-sized window state at any scale.
+    */
+  def bm25TopTerms(documents: DataFrame, k: Int = 3, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{text => gtext}
+    val base = documents.select(col("doc_id"), tokens(col("text")).as("_t"))
+    val tf = base
+      .select(col("doc_id"), size(col("_t")).cast("double").as("dl"),
+        explode(gtext.termCounts(col("_t"))).as("_tc"))
+      .select(col("doc_id"), col("dl"), col("_tc.term").as("term"),
+        col("_tc.cnt").cast("double").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).cast("double").as("_nd"),
+      avg(size(col("_t"))).as("_avgdl"))
+    // every float op below mirrors the oracle SQL operation-for-operation
+    // (exact integer inputs, fixed IEEE op order) — hash-comparable
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        round(((col("_nd") + lit(1.0)) / (col("df") + lit(1.0))) *
+          ((col("tf") * (lit(k1) + lit(1.0))) /
+            (col("tf") + lit(k1) *
+              (lit(1.0) - lit(b) + lit(b) * col("dl") / col("_avgdl")))), 6)
+          .as("bm25"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("bm25").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "bm25", "rank")
+  }
+
   /** End-to-end curation: the composition a training-data pipeline
     * actually runs — quality gate → exact dedup (min-id winner) →
     * benchmark decontamination → deterministic split. Every stage is one
@@ -299,19 +340,27 @@ object TextAnalysis {
     * bit-reproducible across engines — unlike log-based surprisal, whose
     * libm rounding is not portable.
     *
-    * Scale: one (token → count) aggregate (vocab-sized, ≪ corpus) joined
-    * back to the exploded token stream — the df side broadcasts when it
-    * fits, AQE decides; same shape as [[tfidfTopTerms]]'s df stage.
+    * Scale: the per-doc [[graft.functions.text.termCounts]] kernel
+    * pre-aggregates occurrences in one narrow pass (same trick as
+    * [[tfidfTopTerms]]), so the relation that joins the vocab-sized
+    * (token → count) aggregate and shuffles into the per-doc rollup is
+    * (doc, DISTINCT-term) rows, not every token occurrence — the freq
+    * side broadcasts when it fits, AQE decides. (An earlier form joined
+    * the raw exploded stream; at the 100× sweep that was ~40% wall-time
+    * slower for identical output.)
     */
   def tokenRarity(documents: DataFrame): DataFrame = {
-    val tok = documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val freq = tok.groupBy("token").agg(count(lit(1)).as("corpus_freq"))
-    tok.join(freq, "token")
+    import graft.functions.{text => gtext}
+    val tc = documents
+      .select(col("doc_id"), explode(gtext.termCounts(tokens(col("text")))).as("_tc"))
+      .select(col("doc_id"), col("_tc.term").as("token"),
+        col("_tc.cnt").cast("long").as("cnt"))
+    val freq = tc.groupBy("token").agg(sum(col("cnt")).as("corpus_freq"))
+    tc.join(freq, "token")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        floor(lit(1000000.0d) * sum(col("corpus_freq"))
-          / count(lit(1))).cast("long").as("mean_freq_c6"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        floor(lit(1000000.0d) * sum(col("corpus_freq") * col("cnt"))
+          / sum(col("cnt"))).cast("long").as("mean_freq_c6"))
   }
 
   /** Bigram collocation lift: `p(x,y) / (p(x)·p(y))` — the inside of PMI

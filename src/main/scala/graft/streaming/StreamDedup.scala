@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.pipeline.TextAnalysis
+import graft.pipeline.{Dedup, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -26,4 +26,52 @@ object StreamDedup {
       .withColumn("_fp", md5(TextAnalysis.normalized(col(textCol))))
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
+
+  /** Streaming NEAR-dup dedup — the continuous-ingest twin of
+    * [[graft.pipeline.Dedup.incrementalMinhashPairs]]: each micro-batch
+    * runs the batch×corpus band join against the accumulated corpus
+    * (never corpus×corpus — re-pairing what previous batches already
+    * deduplicated), resolves intra-batch near-dup elections
+    * ([[graft.pipeline.Dedup.incrementalSurvivors]] with
+    * `dedupWithinBatch`), and appends ONLY the accepted docs to
+    * `corpusPath`. The corpus parquet is the dedup state itself, so state
+    * never lives in the state store and restart resumes from whatever the
+    * corpus already holds; the checkpoint gives at-least-once appends (a
+    * crash between append and commit replays the batch — the same
+    * boundary as any parquet `foreachBatch` sink, and harmless here
+    * beyond re-appended rows, which the next batch's band join would
+    * catch as exact dups of the corpus).
+    *
+    * At 100 TB the `corpusPath` side of the band join is the
+    * materialized banded-signature table described in
+    * [[graft.pipeline.Dedup.incrementalMinhashPairs]]'s Scale note; here
+    * the signatures derive in-plan from the corpus parquet, which is the
+    * same join shape minus the one-time persist.
+    */
+  def incrementalNearDup(stream: DataFrame, corpusPath: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.8,
+      dedupWithinBatch: Boolean = true):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val path = new org.apache.hadoop.fs.Path(corpusPath)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val keptIds =
+          if (fs.exists(path))
+            Dedup.incrementalSurvivors(spark.read.parquet(corpusPath), batch,
+              idCol, textCol, threshold, dedupWithinBatch)
+          else if (dedupWithinBatch) // first batch: corpus empty, only the
+            Dedup.nearDupSurvivors(  // intra-batch election applies
+              batch.select(col(idCol)),
+              Dedup.minhashPairs(batch, idCol, textCol, threshold = threshold),
+              idCol)
+          else batch.select(col(idCol))
+        batch.join(keptIds, Seq(idCol), "left_semi")
+          .write.mode("append").parquet(corpusPath)
+      }
+      .start()
 }

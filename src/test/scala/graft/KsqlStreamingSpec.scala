@@ -220,6 +220,47 @@ class KsqlStreamingSpec extends SparkSpec {
     } finally live.stop()
   }
 
+  test("soak: sustained INSERT load — attachments and agg state plateau") {
+    val e = freshEngine
+    ddl(e)
+    val h = e.execute(
+      """SELECT id, count(id) AS goals FROM match_event
+         WHERE home AND event_type = 'GOAL' GROUP BY id EMIT CHANGES;""").get
+    try {
+      val nInserts = 2000
+      val keys = 4
+      for (i <- 0 until nInserts) {
+        e.execute("INSERT INTO match_event VALUES " +
+          s"('${i % keys + 1}', 'GOAL', 'p${i % keys + 1}', true);")
+        // churn push queries mid-load: each must prune on stop, never
+        // accumulate (the O(queries × records) leak pruneDead prevents)
+        if (i % 500 == 250) {
+          val cycle = e.execute(
+            "SELECT id, event_type FROM match_event EMIT CHANGES;").get
+          cycle.processAllAvailable()
+          cycle.stop()
+        }
+        // live agg query (1) + at most a just-stopped cycle query not yet
+        // pruned (1): anything above that is attachment growth
+        assert(e.attachmentCount("match_event") <= 2,
+          s"attachment count grew under load at insert $i")
+      }
+      h.processAllAvailable()
+      // dead cycle queries pruned by the INSERT fan-out path: only the
+      // live query's attachment remains after the full soak
+      assert(e.attachmentCount("match_event") === 1)
+      // aggregation state is keyed: nInserts rows collapse to `keys` state
+      // rows (state size plateaus at distinct-key cardinality, not volume)
+      val latest = h.emissions.collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(latest === (1 to keys).map(k => k.toString -> nInserts.toLong / keys).toMap)
+      Option(h.query.lastProgress).foreach { p =>
+        assert(p.stateOperators.map(_.numRowsTotal).sum === keys.toLong)
+      }
+    } finally h.stop()
+  }
+
   test("stateless push query appends (Q4) and SELECT * expands") {
     val e = freshEngine
     ddl(e)

@@ -759,6 +759,25 @@ class PipelineSpec extends SparkSpec {
     assert(inc === full)
   }
 
+  test("bm25: rare terms outrank saturated common terms; long docs normalize down") {
+    // df: banana=3 (idf (3+1)/(3+1)=1), others=1 (idf (3+1)/(1+1)=2).
+    // doc 1: banana tf=2 saturates; apple's 2x idf wins rank 1.
+    val d = docs(1L -> "apple banana banana", 2L -> "banana cherry",
+      3L -> "banana date")
+    val got = TextAnalysis.bm25TopTerms(d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getInt(3)))
+    val rank1 = got.filter(_._4 == 1).map(t => t._1 -> t._2).toMap
+    assert(rank1 === Map(1L -> "apple", 2L -> "cherry", 3L -> "date"))
+    // saturation + length normalization (what BM25 adds over TF-IDF):
+    // doc 1 has DOUBLE the banana tf of doc 2 AND is longer than avgdl,
+    // so its weight gain must be well under 2x (tf-linear scoring would
+    // give exactly 2x before normalization)
+    val banana = got.filter(_._2 == "banana").map(t => t._1 -> t._3).toMap
+    assert(banana(1L) > banana(2L) && banana(1L) < 1.5 * banana(2L))
+    assert(banana(2L) === banana(3L)) // same dl, same tf → identical weight
+  }
+
   test("passage dedup: shared w-token windows counted per doc, short docs drop") {
     // w=4: doc 1 = [a b c d][e f g h]; doc 2 = [a b c d][x y z w];
     // doc 3 = [p q r s] (+ trailing 't' ignored); doc 4 < w tokens → absent

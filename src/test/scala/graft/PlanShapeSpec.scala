@@ -68,6 +68,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("graft_term_counts"), s"native TF missing:\n$plan")
   }
 
+  test("bm25 (t23): narrow termCounts TF, bounded exchanges, no occurrence shuffle") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.pipeline.TextAnalysis.bm25TopTerms(docs)
+      .queryExecution.executedPlan.toString
+    // same budget as t8: the df agg + the per-doc rank window — dl and the
+    // (N, avgdl) stats must NOT add exchanges (broadcast 1-row aggregate)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"bm25 reintroduced a shuffle:\n$plan")
+    assert(plan.contains("graft_term_counts"), s"native TF missing:\n$plan")
+  }
+
+  test("token rarity (t16): occurrences pre-aggregate per doc, never shuffle raw") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.pipeline.TextAnalysis.tokenRarity(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_term_counts"),
+      s"t16 regressed to the exploded-stream join:\n$plan")
+    // freq agg + per-doc rollup: two exchanges of (doc, distinct-term) /
+    // vocab rows — the raw token stream must not appear in any exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"t16 shuffles more than freq+rollup:\n$plan")
+  }
+
   test("grouped top-k (a8) bounds the shuffle with a partial phase") {
     val plan = SparkEntry.queries("a8_topk_per_group")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString

@@ -274,6 +274,40 @@ class StreamingTutorialSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental near-dup: batches check the corpus, never re-pair it") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamDedup.incrementalNearDup(
+      input.toDF().toDF("doc_id", "text"), s"$dir/corpus", s"$dir/ckpt",
+      threshold = 0.7)
+    def corpusIds = spark.read.parquet(s"$dir/corpus")
+      .collect().map(_.getLong(0)).toSet
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"token$i").mkString(" ") + " tokenX tokenY"
+    try {
+      // batch 1: 2 near-dups 1 (same batch → intra-batch election keeps 1);
+      // 3 is unrelated
+      input.addData((1L, base), (2L, nearDup),
+        (3L, (100 to 140).map(i => s"word$i").mkString(" ")))
+      q.processAllAvailable()
+      assert(corpusIds === Set(1L, 3L))
+      // batch 2: 10 near-dups corpus doc 1 → dropped against the corpus;
+      // 11 is new → appends. Corpus docs 1/3 must NOT re-pair (their rows
+      // stay exactly once — an all-pairs rerun would have dropped nothing,
+      // but a corpus×corpus leak in the plan would at least re-shuffle them;
+      // the band join is batch×corpus only, so the corpus set is stable).
+      input.addData((10L, nearDup), (11L, (200 to 240).map(i => s"new$i").mkString(" ")))
+      q.processAllAvailable()
+      assert(corpusIds === Set(1L, 3L, 11L))
+      // batch 3: exact re-send of an accepted doc → dropped as a corpus dup
+      input.addData((20L, base))
+      q.processAllAvailable()
+      assert(corpusIds === Set(1L, 3L, 11L))
+    } finally q.stop()
+  }
+
   test("batch sessionization matches a hand-built fixture") {
     import spark.implicits._
     def us(minute: Int) = minute * 60L * 1000000L
