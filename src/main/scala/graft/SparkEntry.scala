@@ -361,6 +361,12 @@ object SparkEntry {
     // for 100 TB vector corpora; exploded scalar output for comparability.
     "v5_int8_quantize" -> ((s, d) =>
       Similarity.int8Quantize(table(s, d, "embeddings"))),
+    // V9: JL random projection with an md5-derived Rademacher matrix —
+    // dim 64 → 16 over 1e-6-quantized components in exact Long arithmetic;
+    // the oracle re-derives the SAME matrix from md5, so matrix AND output
+    // hash-check cross-engine.
+    "v9_random_projection" -> ((s, d) =>
+      Similarity.randomProjection(table(s, d, "embeddings"))),
     // V6: retrieval over the quantized corpus — scales cancel in cosine,
     // so the quantized ranking is bit-deterministic and hash-checkable.
     "v6_int8_topk" -> ((s, d) => {
@@ -712,6 +718,10 @@ object SparkEntry {
     // one; chained window minima over one user_id exchange.
     "e4_funnel" -> ((s, d) =>
       graft.pipeline.EventAnalytics.funnel(events(s, d))),
+    // E5: cohort retention triangle — users by signup week, counted in
+    // every week offset with activity; exact integer week math (`div`).
+    "e5_cohort_retention" -> ((s, d) =>
+      graft.pipeline.EventAnalytics.cohortRetention(events(s, d))),
     // X6: skew-safe salted join — each key's rows spread over 8 (key,salt)
     // reducers. Salting must be RESULT-INVARIANT, so the oracle is the
     // plain equi-join.
@@ -1028,6 +1038,21 @@ object SparkEntry {
         |    ELSE floor(v[i] / scale + 0.5) END AS INTEGER) AS q,
         |  scale
         |FROM s, generate_series(1, 64) AS g(i)""".stripMargin,
+    // v9: the oracle re-derives the Rademacher matrix from md5 (parity of
+    // the first 4 hex chars of md5('rp_p_d') — the same derivation the
+    // Scala side runs), quantizes components to exact 1e-6 longs, and sums
+    // in integer arithmetic: matrix and output both hash-check.
+    "v9_random_projection" ->
+      """WITH signs AS (
+        |  SELECT p, d,
+        |    CASE WHEN ('0x' || substr(md5('rp_' || p || '_' || d), 1, 4))::BIGINT % 2 = 0
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM generate_series(0, 15) AS gp(p), generate_series(0, 63) AS gd(d)),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id, CAST(p AS INTEGER) AS proj,
+        |  CAST(sum(s * CAST(floor(v[d + 1] * 1000000.0) AS BIGINT)) AS BIGINT) AS y_c6
+        |FROM v, signs
+        |GROUP BY vec_id, p""".stripMargin,
     "t9_repetition" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -1898,6 +1923,20 @@ object SparkEntry {
         |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
         |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stage
         |FROM s3""".stripMargin,
+    // e5: exact integer week arithmetic (`//` ≡ Spark's `div`) — a double
+    // divide could misplace a boundary user by one ulp.
+    "e5_cohort_retention" ->
+      """WITH s AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS signup_us FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (
+        |  SELECT e.user_id, epoch_us(e.ts) AS ts_us, s.signup_us
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE epoch_us(e.ts) >= s.signup_us)
+        |SELECT signup_us // 604800000000 AS cohort_week,
+        |  (ts_us - signup_us) // 604800000000 AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin,
     // x6's salt is a physical-layout trick only — the oracle is the plain
     // equi-join, proving result invariance.
     "x6_salted_join" ->

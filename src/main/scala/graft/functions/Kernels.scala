@@ -363,6 +363,34 @@ object Kernels {
     nearestCell(vec, groupCents(bg), groupIds(bg))
   }
 
+  /** Signed (Rademacher ±1) projection of a float vector onto `signs.length`
+    * directions over the 1e-6-QUANTIZED components: `y_p = Σ_d s(p,d) ·
+    * floor(x_d · 1e6)` as exact Long arithmetic — order-independent,
+    * overflow-free (64 dims × ±1e6-scale ≪ 2^63), and therefore
+    * hash-checkable cross-engine, unlike a float accumulation whose sum
+    * order would have to match the oracle's. One tight loop per row, no
+    * allocation beyond the k-length output.
+    */
+  def signedProject(vec: ArrayData, signs: Array[Array[Byte]]): ArrayData = {
+    val k = signs.length
+    val out = new Array[Long](k)
+    var p = 0
+    while (p < k) {
+      val s = signs(p)
+      val n = math.min(vec.numElements(), s.length)
+      var acc = 0L
+      var d = 0
+      while (d < n) {
+        val q = math.floor(vec.getFloat(d).toDouble * 1000000.0).toLong
+        acc += (if (s(d) > 0) q else -q)
+        d += 1
+      }
+      out(p) = acc
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** The `nProbe` nearest cell ids by cosine, best first (sim descending,
     * ties broken toward the earlier = lower id — consistent with
     * [[nearestCell]]'s first-wins argmax, so element 0 always equals the

@@ -185,6 +185,25 @@ case class NearestCells(child: Expression, cellIds: Array[Long],
   override def prettyName: String = "graft_nearest_cells"
 }
 
+/** signed_project(vec): array<bigint> — Rademacher ±1 projection over
+  * 1e-6-quantized components ([[Kernels.signedProject]]); the sign matrix
+  * rides as a reference object.
+  */
+case class SignedProject(child: Expression, signs: Array[Array[Byte]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(vec: Any): Any =
+    Kernels.signedProject(vec.asInstanceOf[ArrayData], signs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("signs", signs, "byte[][]")
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.Kernels.signedProject($v, $s)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_signed_project"
+}
+
 /** term_counts(tokens): array<struct<term, cnt>> — per-row term counts in
   * one linear pass (the narrow TF pre-aggregation).
   */
@@ -277,6 +296,8 @@ object vector {
   def nearestCells(vec: Column, cellIds: Array[Long],
       centroids: Array[Array[Float]], nProbe: Int): Column =
     Bridge.column(NearestCells(Bridge.expression(vec), cellIds, centroids, nProbe))
+  def signedProject(vec: Column, signs: Array[Array[Byte]]): Column =
+    Bridge.column(SignedProject(Bridge.expression(vec), signs))
 }
 
 object text {

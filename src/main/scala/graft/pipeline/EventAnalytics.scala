@@ -53,4 +53,34 @@ object EventAnalytics {
         } :+ stage.as("stage"): _*)
       .distinct()
   }
+
+  /** Cohort retention: users grouped by signup week (their first
+    * `cohortEvent`), counted as retained in every week offset where they
+    * show ANY activity at or after signup. The standard growth-analytics
+    * triangle: `(cohort_week, week_offset, n_users)`.
+    *
+    * All week math is EXACT integer division on µs epochs (`div`, not a
+    * double divide whose one-ulp error at a week boundary would misplace a
+    * user — and would hash-mismatch an oracle computing `//`).
+    *
+    * Scale: the signup relation aggregates per user (map-side partials),
+    * the activity join is user-keyed (both sides hash-partition on
+    * user_id — one exchange each), and the final count-distinct runs on
+    * (cohort, offset, user) triples ≪ events. No window, no self-join on
+    * the event table.
+    */
+  def cohortRetention(events: DataFrame,
+      cohortEvent: String = "signup"): DataFrame = {
+    val weekUs = 604800000000L // 7 × 86400 × 1e6
+    val signup = events.filter(col("event_type") === cohortEvent)
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("_signup_us"))
+    events.select(col("user_id"), unix_micros(col("ts")).as("_ts_us"))
+      .join(signup, "user_id")
+      .filter(col("_ts_us") >= col("_signup_us"))
+      .groupBy(
+        expr(s"_signup_us div $weekUs").as("cohort_week"),
+        expr(s"(_ts_us - _signup_us) div $weekUs").as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
 }

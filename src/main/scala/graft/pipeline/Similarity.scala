@@ -321,6 +321,45 @@ object Similarity {
       }
       .start()
 
+  /** The md5-derived Rademacher sign matrix for [[randomProjection]]:
+    * `sign(p,d) = +1 if int(md5("rp_p_d")[0:4 hex]) is even else -1` —
+    * the same derivation a SQL engine can replay (`('0x' ||
+    * substr(md5(...), 1, 4))::BIGINT % 2`), so the PROJECTION MATRIX
+    * itself, not just the output, is cross-engine reproducible. MD5 is
+    * MD5 everywhere; no seeded PRNG to mismatch.
+    */
+  private[graft] def rpSigns(k: Int, dim: Int): Array[Array[Byte]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k) { p =>
+      Array.tabulate(dim) { d =>
+        md.reset()
+        val h = md.digest(s"rp_${p}_$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 4 hex chars = first 2 digest bytes; parity = low bit of byte 1
+        if ((h(1) & 1) == 0) 1.toByte else (-1).toByte
+      }
+    }
+  }
+
+  /** Johnson–Lindenstrauss dimensionality reduction via a database-friendly
+    * Rademacher ±1 matrix (Achlioptas '01): project each embedding onto
+    * `k` fixed sign patterns over the 1e-6-quantized components — exact
+    * Long arithmetic end-to-end, so the reduced representation is
+    * hash-checkable against an oracle that re-derives the SAME matrix from
+    * md5. The 4×(dim/k) footprint lever that composes with [[int8Quantize]]
+    * for embedding corpora; distances in the projected space approximate
+    * originals with the standard JL guarantee (cosine structure preserved
+    * in expectation — sign-projection LSH is this same matrix at k = 1
+    * bit). Output EXPLODED (`vec_id, proj, y_c6`), one narrow codegen'd
+    * kernel pass — no shuffle, no UDF.
+    */
+  def randomProjection(embeddings: DataFrame, k: Int = 16, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col(idCol), posexplode(
+        graft.functions.vector.signedProject(col(vecCol), rpSigns(k, dim))))
+      .select(col(idCol), col("pos").cast("int").as("proj"),
+        col("col").as("y_c6"))
+
   /** Symmetric per-vector int8 quantization: `scale = max|x| / 127`,
     * `q_i = floor(x_i / scale + 0.5)` (zero vectors stay zero). The
     * footprint lever for embedding corpora — 4× smaller than float32

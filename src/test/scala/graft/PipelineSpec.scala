@@ -184,6 +184,50 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("random projection: kernel output matches a driver-side recompute exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 5)
+    val signs = Similarity.rpSigns(16, 64)
+    val expected = emb.collect().flatMap { r =>
+      val id = r.getLong(r.fieldIndex("vec_id"))
+      val v = r.getSeq[Float](r.fieldIndex("embedding")).toArray
+      signs.indices.map { p =>
+        val acc = v.indices.map(d =>
+          signs(p)(d) * math.floor(v(d).toDouble * 1e6).toLong).sum
+        (id, p, acc)
+      }
+    }.toSet
+    val got = Similarity.randomProjection(emb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
+  test("random projection preserves relative distances (JL property)") {
+    import spark.implicits._
+    // a planted near-dup pair must stay FAR closer in the projected space
+    // than typical random pairs — the JL property dedup/ANN actually rely
+    // on. (Pairwise distances of a uniform cloud concentrate, so a plain
+    // correlation over random pairs is a weak signal at k=16; the planted
+    // contrast is the sharp one.)
+    val rnd = new scala.util.Random(17)
+    val base = Array.tabulate(30)(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val twin = (100L, base(0)._2.map(v => v + (rnd.nextFloat() - 0.5f) * 0.01f))
+    val emb = (base :+ twin).toSeq.toDF("vec_id", "embedding")
+    val proj = Similarity.randomProjection(emb).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getLong(2).toDouble / 1e6)
+      }
+    def d2p(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val twinDist = d2p(proj(0L), proj(100L))
+    val randomDists = for (i <- 1L until 30L) yield d2p(proj(0L), proj(i))
+    val median = randomDists.sorted.apply(randomDists.size / 2)
+    assert(twinDist < median * 0.05,
+      s"planted near-pair not preserved: $twinDist vs median $median")
+  }
+
   test("IVF full probe equals brute force through the two-level assignment path") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)
@@ -757,6 +801,29 @@ class PipelineSpec extends SparkSpec {
         case (a, b, j) if b % 20 == 0 && a % 20 != 0 => (b, a, j)
       }.toSet
     assert(inc === full)
+  }
+
+  test("cohort retention counts users per (signup week, activity offset)") {
+    import spark.implicits._
+    val wk = 604800000000L
+    def ev(u: Long, t: String, usWeeks: Double) =
+      (u, t, (usWeeks * wk).toLong)
+    val events = Seq(
+      ev(1L, "signup", 0.1), ev(1L, "view", 0.5), ev(1L, "view", 2.2),
+      ev(2L, "signup", 0.2), ev(2L, "purchase", 0.3),
+      ev(3L, "signup", 1.1), ev(3L, "view", 3.2),
+      ev(4L, "view", 0.4),                       // never signed up → excluded
+      ev(2L, "view", 0.05))                      // before signup → excluded
+      .toDF("user_id", "event_type", "ts_us")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("ts_us")).as("ts"))
+    val got = graft.pipeline.EventAnalytics.cohortRetention(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (0L, 0L, 2L),  // week-0 cohort active at offset 0: users 1, 2
+      (0L, 2L, 1L),  // user 1 returns ~2 weeks after signup (2.2 - 0.1)
+      (1L, 0L, 1L),  // week-1 cohort: user 3 signup activity
+      (1L, 2L, 1L))) // user 3 returns at offset 2 (3.2 - 1.1)
   }
 
   test("bm25: rare terms outrank saturated common terms; long docs normalize down") {
