@@ -222,6 +222,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("two-level assignment: valid id, coarse-optimal, within-group optimal") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new Random(31)
+    def cosArr(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    (1 to 10).foreach { trial =>
+      val c = 65 + rnd.nextInt(150) // always above the flat threshold
+      val dim = 8
+      val cents = Array.tabulate(c)(i =>
+        ((i * 3 + trial).toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      val (coarse, gids, gcents) = graft.pipeline.Similarity.coarseGroups(cents)
+      assert(gids.map(_.length).sum === c)       // partition: every cell grouped
+      assert(gids.flatten.toSet === cents.map(_._1).toSet) // ...exactly once
+      (1 to 50).foreach { _ =>
+        val v = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+        val got = graft.functions.Kernels.nearestCellTwoLevel(
+          new GenericArrayData(v), coarse, gids, gcents)
+        // the chosen coarse group is argmax over coarse centroids
+        val bg = coarse.indices.maxBy(g => (cosArr(v, coarse(g)), -g))
+        assert(gids(bg).contains(got), "cell not from the optimal coarse group")
+        // within that group, the chosen fine cell is argmax (first on ties)
+        val inGroup = gids(bg).zip(gcents(bg))
+        val best = inGroup.maxBy { case (id, cent) => (cosArr(v, cent), -id) }._1
+        assert(got === best, "not within-group optimal")
+      }
+    }
+  }
+
   test("aggregate buffers survive serialize/deserialize round trips") {
     // the partial->final exchange ships serialized buffers; a serde bug
     // silently corrupts results only in multi-partition plans
