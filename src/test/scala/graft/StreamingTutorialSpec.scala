@@ -308,6 +308,41 @@ class StreamingTutorialSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel matches the batch funnel on in-order feeds") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // u1 completes all 3 in order; u2 clicks BEFORE any view (must not
+    // count) then views; u3 views only
+    val evs = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(5)), (1L, "purchase", ts(9)),
+      (2L, "click", ts(1)), (2L, "view", ts(2)),
+      (3L, "view", ts(4)), (3L, "purchase", ts(6))) // purchase w/o click
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.Funnel.stream(
+      input.toDF().toDF("user_id", "event_type", "ts"))
+      .toDF().writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      // two in-order micro-batches
+      input.addData(evs.take(4): _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(4): _*)
+      q.processAllAvailable()
+      val live = spark.table("funnel_stream").collect()
+        .map(r => r.getLong(0) ->
+          ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.last._2 } // latest state
+      val batch = graft.pipeline.EventAnalytics.funnel(
+        evs.toDF("user_id", "event_type", "ts"))
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4))))
+        .toMap
+      assert(live === batch)
+      assert(live(1L)._4 === 3 && live(2L)._4 === 1 && live(3L)._4 === 1)
+    } finally q.stop()
+  }
+
   test("batch sessionization matches a hand-built fixture") {
     import spark.implicits._
     def us(minute: Int) = minute * 60L * 1000000L
