@@ -1,0 +1,74 @@
+package graft
+
+import graft.pipeline.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured recall of every APPROXIMATE path against its exact twin —
+  * the quality half of the speed/recall trade the scale sweeps time:
+  *  - IVF cosine top-k (v2) vs brute force, across nProbe;
+  *  - cell-bounded kNN graph (v7) vs the exact graph;
+  *  - SemDeDup celled pairs (d11) vs exact threshold pairs.
+  * Precision is intentionally not reported where it is 1 by construction
+  * (candidate verification is exact; only RECALL is traded).
+  *
+  * Usage: runMain graft.RecallReport [sfDir] — prints one JSON line.
+  */
+object RecallReport {
+
+  private def pairSet(df: DataFrame, a: String, b: String): Set[(Long, Long)] =
+    df.select(col(a).cast("long"), col(b).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // v2: IVF recall@5 vs brute force over nProbe (100 query vectors)
+    val queries = emb.filter(col("vec_id") < 100)
+    val exactTopK = pairSet(
+      Similarity.bruteCosineTopK(emb, queries, k = 5), "query_id", "neighbor_id")
+    val ivf = Seq(1, 2, 4, 8, 16).map { np =>
+      val got = pairSet(
+        Similarity.ivfCosineTopK(emb, queries, k = 5, nProbe = np),
+        "query_id", "neighbor_id")
+      s""""nprobe_$np":${(got & exactTopK).size.toDouble / exactTopK.size}"""
+    }
+
+    // v7: cell-bounded kNN graph recall vs the exact graph (singleCell on
+    // the full relation is quadratic — bound to 2000 vectors, v7b's slice),
+    // across the nAssign multi-assignment recall knob
+    val slice = emb.filter(col("vec_id") < 2000)
+    val exactGraph = pairSet(
+      Similarity.knnGraph(slice, k = 5, singleCell = true), "query_id", "neighbor_id")
+    val v7 = Seq(1, 2, 4).map { na =>
+      val got = pairSet(Similarity.knnGraph(slice, k = 5, nAssign = na),
+        "query_id", "neighbor_id")
+      s""""assign_$na":${(got & exactGraph).size.toDouble / exactGraph.size}"""
+    }
+
+    // d11: SemDeDup celled pair recall vs exact threshold pairs, across
+    // nAssign (precision stays 1 — verification is exact cosine)
+    val exactPairs = pairSet(
+      Dedup.semanticPairs(slice, singleCell = true), "a", "b")
+    val d11 = Seq(1, 2, 4).map { na =>
+      val got = pairSet(Dedup.semanticPairs(slice, nAssign = na), "a", "b")
+      val r = if (exactPairs.isEmpty) 1.0
+              else (got & exactPairs).size.toDouble / exactPairs.size
+      s""""assign_$na":$r"""
+    }
+
+    println(s"""{"metric":"recall","sf":"$sfDir","ivf_recall_at_5":{${ivf.mkString(",")}},"knn_graph_recall":{${v7.mkString(",")}},"semdedup_pair_recall":{${d11.mkString(",")}},"exact_topk_pairs":${exactTopK.size},"exact_graph_pairs":${exactGraph.size},"exact_semantic_pairs":${exactPairs.size}}""")
+    spark.stop()
+  }
+}

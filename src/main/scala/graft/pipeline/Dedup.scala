@@ -463,31 +463,40 @@ object Dedup {
     * verify — cells ≈ corpus/centroidEvery keeps cells bounded below the
     * cap (cell SIZE, the SemDeDup quality knob, stays ~centroidEvery).
     * Recall < 1 (a near-dup pair split across a cell boundary is missed)
-    * — that is SemDeDup's documented trade; `singleCell = true` forces
-    * one cell, making the output the exact all-pairs answer the d11b
-    * oracle twin hash-checks.
+    * — that is SemDeDup's documented trade; `nAssign > 1` multi-assigns
+    * each vector to its top-n cells (a pair is caught when ANY cell is
+    * shared — the recall knob, at ~nAssign× candidate cost; measured in
+    * RECALL_r08.json); `singleCell = true` forces one cell, making the
+    * output the exact all-pairs answer the d11b oracle twin hash-checks.
     */
   def semanticPairs(embeddings: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.45,
       centroidEvery: Int = 50, kmeansIters: Int = 2,
       singleCell: Boolean = false, materialize: Boolean = true,
-      maxCells: Int = 4096): DataFrame = {
-    val cellOf: Column =
-      if (singleCell) lit(0L)
-      else Similarity.cellAssignExpr(
-        Similarity.kmeansCentroids(
-          embeddings, centroidEvery, kmeansIters, idCol, vecCol, maxCells),
-        col(vecCol))
+      maxCells: Int = 4096, nAssign: Int = 1): DataFrame = {
+    val cellsOf: Column =
+      if (singleCell) array(lit(0L))
+      else {
+        val cents = Similarity.kmeansCentroids(
+          embeddings, centroidEvery, kmeansIters, idCol, vecCol, maxCells)
+        if (nAssign <= 1) array(Similarity.cellAssignExpr(cents, col(vecCol)))
+        else graft.functions.vector.nearestCells(col(vecCol),
+          cents.map(_._1), cents.map(_._2), nAssign)
+      }
     // persisted: both sides of the cell self-join read the assignment
     val assigned = embeddings
-      .select(col(idCol).as("_id"), col(vecCol).as("_v"), cellOf.as("_cell"))
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        explode(cellsOf).as("_cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = assigned.select(col("_cell"), col("_id").as("a"), col("_v").as("_va"))
     val r = assigned.select(col("_cell"), col("_id").as("b"), col("_v").as("_vb"))
-    val pairs = l.join(r, Seq("_cell"))
+    val base = l.join(r, Seq("_cell"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         round(gvec.cosine(col("_va"), col("_vb")), 6).as("cosine"))
+    // multi-assignment (the recall knob) can emit a pair once per shared
+    // cell — dedup the candidate pairs before thresholding
+    val pairs = (if (nAssign <= 1) base else base.distinct())
       .filter(col("cosine") >= threshold)
     if (materialize) Scratch.materializeThenFree(pairs, assigned) else pairs
   }

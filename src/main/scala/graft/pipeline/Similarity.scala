@@ -79,30 +79,40 @@ object Similarity {
     * graph built cell-by-cell with no global shuffle at all.
     *
     * Recall < 1 at cell boundaries (the documented IVF trade);
-    * `singleCell = true` forces one cell, making the output the exact
-    * all-pairs graph the v7b oracle twin hash-checks.
+    * `nAssign > 1` multi-assigns each vector to its top-n cells (the
+    * multi-probe trick: a neighbor pair is caught when ANY assigned cell
+    * is shared — recall rises at ~nAssign× candidate cost); `singleCell =
+    * true` forces one cell, making the output the exact all-pairs graph
+    * the v7b oracle twin hash-checks.
     */
   def knnGraph(embeddings: DataFrame, k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding", centroidEvery: Int = 50,
       kmeansIters: Int = 2, singleCell: Boolean = false,
-      materialize: Boolean = true, maxCells: Int = 4096): DataFrame = {
-    val cellOf: Column =
-      if (singleCell) lit(0L)
-      else cellAssignExpr(
-        kmeansCentroids(embeddings, centroidEvery, kmeansIters, idCol, vecCol,
-          maxCells),
-        col(vecCol))
+      materialize: Boolean = true, maxCells: Int = 4096,
+      nAssign: Int = 1): DataFrame = {
+    val cellsOf: Column =
+      if (singleCell) array(lit(0L))
+      else {
+        val cents = kmeansCentroids(embeddings, centroidEvery, kmeansIters,
+          idCol, vecCol, maxCells)
+        if (nAssign <= 1) array(cellAssignExpr(cents, col(vecCol)))
+        else gvec.nearestCells(col(vecCol), cents.map(_._1),
+          cents.map(_._2), nAssign)
+      }
     // persisted: both sides of the cell self-join read the assignment
     val assigned = embeddings
       .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"),
-        cellOf.as("_cell"))
+        explode(cellsOf).as("_cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = assigned.select(col("_cell"), col("_id").as("query_id"), col("_v").as("_qv"))
     val r = assigned.select(col("_cell"), col("_id").as("neighbor_id"), col("_v").as("_cv"))
-    val scored = l.join(r, Seq("_cell"))
+    val base = l.join(r, Seq("_cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(gvec.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
+    // multi-assignment can emit a pair once per shared cell — dedup before
+    // the bounded top-k heap (which would otherwise rank duplicates)
+    val scored = if (nAssign <= 1) base else base.distinct()
     val graph = explodeTopK(
       scored.groupBy("query_id")
         .agg(gagg.topKByScore(col("cosine"), col("neighbor_id"), k).as("_top")))
