@@ -92,16 +92,24 @@ class KsqlStreamingEngine(
   /** Attach a fresh MemoryStream to a declared stream: replay the buffer,
     * re-register the collection view over it. Already-started queries keep
     * their resolved plans (bound to their own attached streams).
+    *
+    * `watermarked` registers the view with a zero-delay watermark on
+    * `_rowtime` — required for SESSION-window aggregations (Spark only
+    * supports session windows in append mode, which needs a watermark to
+    * close sessions). Zero delay is exact here because rowtime derives
+    * from the topic offset, so event time is monotone by construction —
+    * nothing is ever late.
     */
-  private def attachStream(d: StreamDecl): Unit = {
+  private def attachStream(d: StreamDecl, watermarked: Boolean = false): Unit = {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(String, Long)]
     if (d.buffer.nonEmpty) input.addData(d.buffer.toSeq: _*)
     val valueSchema = StructType(d.cols.map(c => StructField(c.name, c.dataType)))
-    withRowtime(input.toDF().toDF("value", "_offset")
+    val base = withRowtime(input.toDF().toDF("value", "_offset")
       .select(from_json(col("value"), valueSchema).as("_v"), col("_offset"))
       .select(d.cols.map(c => col(s"_v.${c.name}").as(c.name)) :+ col("_offset"): _*))
+    (if (watermarked) base.withWatermark("_rowtime", "0 seconds") else base)
       .createOrReplaceTempView(d.name)
     d.attached += Attachment(input, None)
   }
@@ -221,9 +229,15 @@ class KsqlStreamingEngine(
       // Drop dead AND stale-unowned attachments first — only streams
       // backing still-active plans (plus the fresh ones) may remain, or
       // attachment count grows per query issued.
+      // SESSION windows are the one shape Spark restricts to APPEND mode
+      // (+ watermark): sessions have no static bounds, so the changelog
+      // form ksqlDB emits per update is undefined until the watermark
+      // closes the session — closed sessions ARE the append rows.
+      val sessionWindowed =
+        "(?is)\\bWINDOW\\s+SESSION\\b".r.findFirstIn(select).isDefined
       streamDecls.values.foreach { d =>
         d.attached.filterInPlace(a => a.owner.exists(_.isActive))
-        attachStream(d)
+        attachStream(d, watermarked = sessionWindowed)
       }
       refreshDerived()
       val df = spark.sql(translate(select))
@@ -232,7 +246,9 @@ class KsqlStreamingEngine(
       val name = s"ksql_push_$queryId"
       val upper = df.toDF(df.columns.map(_.toUpperCase).toIndexedSeq: _*)
       val q = upper.writeStream.format("memory").queryName(name)
-        .outputMode(if (aggregated) OutputMode.Update() else OutputMode.Append())
+        .outputMode(
+          if (aggregated && !sessionWindowed) OutputMode.Update()
+          else OutputMode.Append())
         .start()
       // the fresh attachments (the only unowned ones left) belong to this
       // query's resolved plan now

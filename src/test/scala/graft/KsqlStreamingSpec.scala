@@ -139,6 +139,32 @@ class KsqlStreamingSpec extends SparkSpec {
     } finally h.stop()
   }
 
+  test("windowed push query: SESSION aggregation emits gap-closed sessions") {
+    val e = freshEngine
+    ddl(e)
+    // append mode: a session row emits once the watermark (= max rowtime,
+    // zero delay) passes its end (last event + gap)
+    val h = e.execute(
+      """SELECT id, COUNT(id) n FROM match_event
+        WINDOW SESSION (2 SECONDS) GROUP BY id EMIT CHANGES;""").get
+    try {
+      // canonical events: ids 1,1,1,1,2,2,2 at rowtime seconds 0..6 →
+      // id '1' chains 0-3 into ONE session of 4 (ends 3+2=5 ≤ watermark 6
+      // → closed); id '2' chains 4-6 (ends 8 → still open)
+      insert(e, Tutorial.canonicalEvents)
+      h.processAllAvailable()
+      def closed = h.emissions.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(closed === Set(("1", 4L)))
+      // two later events advance the watermark to 8 s, closing id '2's
+      // session (n=3); the id-'9' pair forms its own still-open session
+      insert(e, Seq(Tutorial.MatchEvent("9", "GOAL", "1", true),
+        Tutorial.MatchEvent("9", "GOAL", "1", true)))
+      h.processAllAvailable()
+      assert(closed === Set(("1", 4L), ("2", 3L)))
+    } finally h.stop()
+  }
+
   test("batch and streaming engines converge to the same query state") {
     val sql = """SELECT p.id AS player_id,
         SUM(CASE WHEN me.event_type = 'GOAL' THEN 1 ELSE 0 END) goals,
