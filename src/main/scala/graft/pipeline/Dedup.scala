@@ -474,19 +474,21 @@ object Dedup {
       centroidEvery: Int = 50, kmeansIters: Int = 2,
       singleCell: Boolean = false, materialize: Boolean = true,
       maxCells: Int = 4096, nAssign: Int = 1): DataFrame = {
-    val cellsOf: Column =
-      if (singleCell) array(lit(0L))
+    // scalar assignment for the default; the explode only exists when
+    // multi-assignment actually emits >1 cell per vector
+    val cellCol: Column =
+      if (singleCell) lit(0L)
       else {
         val cents = Similarity.kmeansCentroids(
           embeddings, centroidEvery, kmeansIters, idCol, vecCol, maxCells)
-        if (nAssign <= 1) array(Similarity.cellAssignExpr(cents, col(vecCol)))
-        else graft.functions.vector.nearestCells(col(vecCol),
-          cents.map(_._1), cents.map(_._2), nAssign)
+        if (nAssign <= 1) Similarity.cellAssignExpr(cents, col(vecCol))
+        else explode(graft.functions.vector.nearestCells(col(vecCol),
+          cents.map(_._1), cents.map(_._2), nAssign))
       }
     // persisted: both sides of the cell self-join read the assignment
     val assigned = embeddings
       .select(col(idCol).as("_id"), col(vecCol).as("_v"),
-        explode(cellsOf).as("_cell"))
+        cellCol.as("_cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = assigned.select(col("_cell"), col("_id").as("a"), col("_v").as("_va"))
     val r = assigned.select(col("_cell"), col("_id").as("b"), col("_v").as("_vb"))

@@ -90,19 +90,21 @@ object Similarity {
       kmeansIters: Int = 2, singleCell: Boolean = false,
       materialize: Boolean = true, maxCells: Int = 4096,
       nAssign: Int = 1): DataFrame = {
-    val cellsOf: Column =
-      if (singleCell) array(lit(0L))
+    // scalar assignment for the default; the explode only exists when
+    // multi-assignment actually emits >1 cell per vector
+    val cellCol: Column =
+      if (singleCell) lit(0L)
       else {
         val cents = kmeansCentroids(embeddings, centroidEvery, kmeansIters,
           idCol, vecCol, maxCells)
-        if (nAssign <= 1) array(cellAssignExpr(cents, col(vecCol)))
-        else gvec.nearestCells(col(vecCol), cents.map(_._1),
-          cents.map(_._2), nAssign)
+        if (nAssign <= 1) cellAssignExpr(cents, col(vecCol))
+        else explode(gvec.nearestCells(col(vecCol), cents.map(_._1),
+          cents.map(_._2), nAssign))
       }
     // persisted: both sides of the cell self-join read the assignment
     val assigned = embeddings
       .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"),
-        explode(cellsOf).as("_cell"))
+        cellCol.as("_cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = assigned.select(col("_cell"), col("_id").as("query_id"), col("_v").as("_qv"))
     val r = assigned.select(col("_cell"), col("_id").as("neighbor_id"), col("_v").as("_cv"))
