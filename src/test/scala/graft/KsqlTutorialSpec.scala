@@ -256,6 +256,33 @@ class KsqlTutorialSpec extends SparkSpec {
     assert(row === Row("goal", "GOAL", 4, "9"))
   }
 
+  test("pipeline kernels are callable from the KSQL dialect (graft_* functions)") {
+    // the two halves of the library meet: a KSQL-text query can invoke the
+    // native dedup/similarity kernels, so a reference user gets the
+    // training-data operators through the SAME statement surface
+    val e = engine
+    e.execute("""CREATE STREAM match_event (
+      id VARCHAR KEY, event_type VARCHAR, player_id VARCHAR, home boolean)
+      WITH (KAFKA_TOPIC='match_event');""")
+    e.execute("INSERT INTO match_event VALUES ('1', 'GOAL SCORED NOW', '9', true);")
+    e.execute("INSERT INTO match_event VALUES ('2', 'GOAL SCORED NOW', '9', true);")
+    e.execute("INSERT INTO match_event VALUES ('3', 'KICKOFF', '9', true);")
+    val rows = e.execute(
+      """SELECT id, graft_simhash64(SPLIT(LCASE(event_type), ' ')) fp,
+        graft_rolling_fingerprint(event_type) rfp
+        FROM match_event EMIT CHANGES;""").get
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    val byId = rows.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId("1") === byId("2"))      // identical text → identical prints
+    assert(byId("1") !== byId("3"))      // different text → different prints
+    // and the kernel agrees with the Scala-side expression API
+    val direct = graft.functions.Kernels.simhash64(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Seq("goal", "scored", "now").map(
+          org.apache.spark.unsafe.types.UTF8String.fromString)))
+    assert(byId("1")._1 === direct)
+  }
+
   test("KSQL HAVING / ORDER BY / LIMIT pass through to Catalyst") {
     val e = engine
     e.execute("""CREATE STREAM match_event (
