@@ -452,6 +452,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0 && col("doc_id") < 10000000L))
     }),
+    // D15: the PRODUCTION incremental-dedup shape — the corpus's banded
+    // signatures live in a bucketed table built once (its candidate-join
+    // shuffle paid at build time; the bucketed scan joins with no corpus
+    // exchange), shingle sets in parquet beside it; each ingest bands and
+    // shuffles only itself. Must equal d12 (same seed => same buckets),
+    // so the oracle is d12's exhaustive cross-pair SQL.
+    "d15_incremental_indexed" -> ((s, d) => {
+      val (tbl, shPath) = bandedIngest(s, d)
+      Dedup.incrementalMinhashPairsIndexed(s, tbl, shPath,
+        table(s, d, "documents").filter(col("doc_id") % 20 === 0))
+    }),
     // D14: the COMPLETE ingest gate — d13's batch-vs-corpus check composed
     // with intra-batch near-dup election: a batch doc survives iff it
     // neither near-dups the corpus nor loses its intra-batch cluster's
@@ -1238,6 +1249,26 @@ object SparkEntry {
     // and the corpus — the same exhaustive twin d3 uses, restricted to the
     // batch×corpus cross.
     "d12_incremental_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tok)
+        |SELECT batch_id, corpus_id, jaccard FROM (
+        |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        |    round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
+        |      CAST(len(b.s) + len(c.s) - len(list_intersect(b.s, c.s)) AS DOUBLE),
+        |      6) AS jaccard
+        |  FROM sh b JOIN sh c ON b.doc_id % 20 = 0 AND c.doc_id % 20 <> 0)
+        |WHERE jaccard >= 0.8""".stripMargin,
+    // d15: the indexed path must produce EXACTLY d12's pairs (same LSH
+    // seed; composite band keys only add candidates that exact
+    // verification rejects), so its oracle is d12's exhaustive twin.
+    "d15_incremental_indexed" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
         |  FROM documents),
@@ -2092,6 +2123,24 @@ object SparkEntry {
         s"compact left $nFiles files at $dir, expected <= $targetFiles")
     }
     dir.toString
+  }
+
+  /** Once-per-(source data, session) banded-signature index backing d15:
+    * the corpus's LSH band rows in a bucketed table + shingle sets in
+    * parquet (written LAST — it gates reuse, so a crash mid-build
+    * re-ingests instead of serving a bandless/shingleless index).
+    */
+  private def bandedIngest(s: SparkSession, sfDir: String): (String, String) = {
+    val stamp = sourceStamp(s, sfDir, "documents")
+    val name = s"graft_band_$stamp"
+    val (dir, fs) = layoutDir(s, sfDir, "documents", "bandsh")
+    val shPath = new org.apache.hadoop.fs.Path(dir, "sh").toString
+    if (!s.catalog.tableExists(name) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(shPath)))
+      Dedup.buildBandedIndex(
+        table(s, sfDir, "documents").filter(col("doc_id") % 20 =!= 0),
+        name, shPath)
+    (name, shPath)
   }
 
   /** Once-per-(source data, session) MATERIALIZED IVF index backing v8:

@@ -240,6 +240,86 @@ object Dedup {
     if (materialize) Scratch.materializeThenFree(pairs, shB, shC) else pairs
   }
 
+  /** Materialize the corpus's banded-signature index — the production
+    * form of [[incrementalMinhashPairs]]'s corpus side (its Scale note
+    * made concrete): the banded rows `(_bb, _id)` — `_bb = xxhash64(band,
+    * bucket)`, one uniform 64-bit join key — land in a BUCKETED table
+    * (`Layout.writeBucketed`), so the corpus's candidate-join shuffle is
+    * paid ONCE at build time; the shingle-hash sets `(_id, _sh)` go to a
+    * plain parquet beside it for exact verification. Each later ingest
+    * then shuffles only itself. The dedup twin of
+    * [[Similarity.buildIvfIndex]].
+    */
+  def buildBandedIndex(corpus: DataFrame, table: String, shPath: String,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 64,
+      bands: Int = 16, shingleW: Int = 3, seed: Int = 42,
+      buckets: Int = 8): Unit = {
+    val rows = k / bands
+    require(bands * rows == k, s"bands=$bands must divide k=$k")
+    val sh = corpus.select(
+      col(idCol).as("_id"),
+      gtext.shingleHashes(TextAnalysis.tokens(col(textCol)), shingleW, seed)
+        .as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sh
+      .select(col("_id"), gtext.minhashFromHashes(col("_sh"), k, seed).as("_sig"))
+      .select(col("_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("_sig"), b * rows + 1, lit(rows))))))
+      .select(col("_id"), xxhash64(col("pos"), col("col")).as("_bb"))
+    graft.engine.Layout.writeBucketed(banded, table, "_bb", buckets)
+    // sh written LAST: a crash mid-build leaves the band table without
+    // it, and the ingest gate (which requires BOTH) rebuilds
+    sh.write.mode("overwrite").parquet(shPath)
+    sh.unpersist()
+  }
+
+  /** Incremental near-dup pairs against a MATERIALIZED banded index: the
+    * batch bands itself, joins the pre-bucketed corpus band table — the
+    * bucketed scan reports hash-partitioned output, so the corpus side
+    * joins with NO exchange (asserted in PlanShapeSpec) — and candidates
+    * verify with exact Jaccard against the stored shingle sets. Results ≡
+    * [[incrementalMinhashPairs]]: same seed ⇒ same buckets; the composite
+    * 64-bit band key can only ADD (cross-band collision) candidates,
+    * which the exact verification filters like any other non-duplicate.
+    */
+  def incrementalMinhashPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, shPath: String, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 64,
+      bands: Int = 16, shingleW: Int = 3, threshold: Double = 0.8,
+      seed: Int = 42, materialize: Boolean = true): DataFrame = {
+    val rows = k / bands
+    require(bands * rows == k, s"bands=$bands must divide k=$k")
+    val shB = batch.select(
+      col(idCol).as("_id"),
+      gtext.shingleHashes(TextAnalysis.tokens(col(textCol)), shingleW, seed)
+        .as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandedB = shB
+      .select(col("_id"), gtext.minhashFromHashes(col("_sh"), k, seed).as("_sig"))
+      .select(col("_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("_sig"), b * rows + 1, lit(rows))))))
+      .select(col("_id").as("batch_id"), xxhash64(col("pos"), col("col")).as("_bb"))
+    val candidates = bandedB
+      .join(graft.engine.Layout.read(spark, table)
+        .withColumnRenamed("_id", "corpus_id"), "_bb")
+      .select("batch_id", "corpus_id").distinct()
+    val shC = spark.read.parquet(shPath)
+    val inter = gtext.sortedIntersectCount(col("_sha"), col("_shb")).cast("double")
+    val pairs = candidates
+      .join(shB.select(col("_id").as("batch_id"), col("_sh").as("_sha")), "batch_id")
+      .join(shC.select(col("_id").as("corpus_id"), col("_sh").as("_shb")), "corpus_id")
+      .filter(least(size(col("_sha")), size(col("_shb"))).cast("double") >=
+        greatest(size(col("_sha")), size(col("_shb"))).cast("double")
+          * threshold - 1e-9)
+      .select(col("batch_id"), col("corpus_id"),
+        round(inter / (size(col("_sha")) + size(col("_shb")) - inter), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    if (materialize) Scratch.materializeThenFree(pairs, shB) else pairs
+  }
+
   /** The batch docs ACCEPTED by incremental dedup: anti-join on
     * [[incrementalMinhashPairs]] — a batch doc near-duplicating anything
     * already in the corpus is dropped; the rest append. One row per kept

@@ -763,6 +763,24 @@ class PipelineSpec extends SparkSpec {
     assert(kept === Set(21L))
   }
 
+  test("indexed incremental pairs equal the in-plan incremental pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val batch = docs.filter(col("doc_id") % 20 === 0)
+    val tbl = "band_equiv"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val p = new org.apache.hadoop.fs.Path(s"/tmp/graft-test-warehouse/$tbl")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_band2").toString
+    Dedup.buildBandedIndex(corpus, tbl, s"$dir/sh")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(
+      key(Dedup.incrementalMinhashPairsIndexed(spark, tbl, s"$dir/sh", batch))
+        === key(Dedup.incrementalMinhashPairs(corpus, batch)))
+  }
+
   test("incrementalSurvivors: dedupWithinBatch drops same-batch near-dups") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val corpus = docs(1L -> base,

@@ -295,6 +295,49 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("banded-signature index: candidate join reads corpus buckets with no exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tbl = "band_planshape"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val p = new org.apache.hadoop.fs.Path(s"/tmp/graft-test-warehouse/$tbl")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_band").toString
+    graft.pipeline.Dedup.buildBandedIndex(
+      docs.filter(col("doc_id") % 20 =!= 0), tbl, s"$dir/sh")
+    // scale regime: broadcast off, so the candidate join is shuffle-based
+    // — the batch side must shuffle to the corpus's bucket layout while
+    // the bucketed corpus scan feeds its join with NO exchange on ITS path
+    withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") { // AQE wraps the tree in a leaf
+      import org.apache.spark.sql.execution.SparkPlan
+      val pairs = graft.pipeline.Dedup.incrementalMinhashPairsIndexed(
+        spark, tbl, s"$dir/sh", docs.filter(col("doc_id") % 20 === 0),
+        materialize = false)
+      val root = pairs.queryExecution.executedPlan
+      // root-to-scan path for the band table's bucketed file scan
+      def pathTo(p: SparkPlan): Option[List[SparkPlan]] =
+        if (p.toString.linesIterator.next().contains(s"default.$tbl"))
+          Some(List(p))
+        else p.children.view.flatMap(pathTo).headOption.map(p :: _)
+      val path = pathTo(root).getOrElse(
+        fail(s"bucketed band scan missing:\n$root"))
+      assert(path.last.toString.contains("Bucketed: true"),
+        s"band scan not bucketed:\n${path.last}")
+      // walk from the scan upward to its nearest join ancestor: no
+      // shuffle exchange may sit on that segment (the batch side's
+      // exchange lives on the OTHER child and is expected)
+      val upward = path.reverse.drop(1) // scan's ancestors, nearest first
+      val segment = upward.takeWhile(n =>
+        !n.getClass.getSimpleName.contains("Join"))
+      assert(upward.exists(_.getClass.getSimpleName.contains("Join")),
+        s"no join above the band scan:\n$root")
+      segment.foreach(n => assert(
+        !n.getClass.getSimpleName.contains("ShuffleExchange"),
+        s"corpus band scan shuffles before its join:\n$root"))
+    }
+  }
+
   test("materialized IVF index: probe prunes cell partitions statically") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
