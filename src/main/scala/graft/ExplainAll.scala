@@ -12,6 +12,8 @@ object ExplainAll {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outFile = args.lift(1).getOrElse("/tmp/plans.txt")
+    // dump the real operator trees, not lineage-truncated checkpoint scans
+    sys.props("graft.explain.lazy") = "true"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

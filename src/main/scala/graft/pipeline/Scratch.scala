@@ -28,8 +28,15 @@ private[graft] object Scratch {
     * the scratch relations (candidate pairs after a threshold filter,
     * top-k rows) — the checkpoint blocks it leaves behind are bounded and
     * GC-collected, while the corpus-sized scratch cache is freed now.
+    *
+    * System property `graft.explain.lazy` (set by [[graft.ExplainAll]])
+    * skips the checkpoint and returns the lazy plan unchanged, so plan
+    * dumps show the operator's real join/exchange tree instead of a
+    * lineage-truncated RDD scan. Explain-only: in that mode the scratch
+    * cache is never freed.
     */
   def materializeThenFree(result: DataFrame, scratch: DataFrame*): DataFrame = {
+    if (sys.props.contains("graft.explain.lazy")) return result
     val out = result.localCheckpoint(eager = true)
     scratch.foreach(_.unpersist(blocking = false))
     out
