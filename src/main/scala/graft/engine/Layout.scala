@@ -50,6 +50,18 @@ object Layout {
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 
+  /** Append to a bucketed table created by [[writeBucketed]] with the
+    * SAME (key, buckets, sorted) spec — Spark rejects a mismatched spec,
+    * so the table's bucket layout (and the exchange-free join it buys)
+    * survives incremental ingest. Each append adds one file per non-empty
+    * bucket; compact periodically on high-frequency ingest.
+    */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, sorted: Boolean = true): Unit = {
+    val w = df.write.mode("append").format("parquet").bucketBy(buckets, key)
+    (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+  }
+
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
   /** Directory-partitioned parquet layout on low-cardinality columns

@@ -250,27 +250,61 @@ object Dedup {
     * then shuffles only itself. The dedup twin of
     * [[Similarity.buildIvfIndex]].
     */
-  def buildBandedIndex(corpus: DataFrame, table: String, shPath: String,
-      idCol: String = "doc_id", textCol: String = "text", k: Int = 64,
-      bands: Int = 16, shingleW: Int = 3, seed: Int = 42,
-      buckets: Int = 8): Unit = {
+  /** Shingle-hash sets `(_id, _sh)` for a document relation — the shared
+    * front of every banded-index path. */
+  private def shingledSet(df: DataFrame, idCol: String, textCol: String,
+      shingleW: Int, seed: Int): DataFrame = df.select(
+    col(idCol).as("_id"),
+    gtext.shingleHashes(TextAnalysis.tokens(col(textCol)), shingleW, seed)
+      .as("_sh"))
+
+  /** Banded rows `(_id, _bb)` with `_bb = xxhash64(band, bucket)` — the
+    * composite 64-bit key folds the (band, bucket) pair into one uniform
+    * join/bucketing column; a cross-band collision can only ADD a
+    * candidate, which exact verification then rejects. */
+  private def bandedKeys(sh: DataFrame, k: Int, bands: Int,
+      seed: Int): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, s"bands=$bands must divide k=$k")
-    val sh = corpus.select(
-      col(idCol).as("_id"),
-      gtext.shingleHashes(TextAnalysis.tokens(col(textCol)), shingleW, seed)
-        .as("_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sh
-      .select(col("_id"), gtext.minhashFromHashes(col("_sh"), k, seed).as("_sig"))
+    sh.select(col("_id"), gtext.minhashFromHashes(col("_sh"), k, seed).as("_sig"))
       .select(col("_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("_sig"), b * rows + 1, lit(rows))))))
       .select(col("_id"), xxhash64(col("pos"), col("col")).as("_bb"))
-    graft.engine.Layout.writeBucketed(banded, table, "_bb", buckets)
+  }
+
+  def buildBandedIndex(corpus: DataFrame, table: String, shPath: String,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 64,
+      bands: Int = 16, shingleW: Int = 3, seed: Int = 42,
+      buckets: Int = 8): Unit = {
+    val sh = shingledSet(corpus, idCol, textCol, shingleW, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.engine.Layout.writeBucketed(
+      bandedKeys(sh, k, bands, seed), table, "_bb", buckets)
     // sh written LAST: a crash mid-build leaves the band table without
     // it, and the ingest gate (which requires BOTH) rebuilds
     sh.write.mode("overwrite").parquet(shPath)
+    sh.unpersist()
+  }
+
+  /** Append newly ACCEPTED docs to a banded index built by
+    * [[buildBandedIndex]]: their band rows land in the bucketed table
+    * (same spec, so bucket layout is preserved) and their shingle sets
+    * append beside it — the per-ingest index maintenance step of the
+    * continuous-dedup loop. Shingles append FIRST: a crash between the
+    * two writes then leaves sh rows without band rows, which are inert
+    * (never candidates), whereas band rows without sh rows would silently
+    * fail verification and stop blocking future duplicates.
+    */
+  def appendToBandedIndex(accepted: DataFrame, table: String,
+      shPath: String, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 64, bands: Int = 16, shingleW: Int = 3, seed: Int = 42,
+      buckets: Int = 8): Unit = {
+    val sh = shingledSet(accepted, idCol, textCol, shingleW, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.write.mode("append").parquet(shPath)
+    graft.engine.Layout.appendBucketed(
+      bandedKeys(sh, k, bands, seed), table, "_bb", buckets)
     sh.unpersist()
   }
 
@@ -288,20 +322,10 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text", k: Int = 64,
       bands: Int = 16, shingleW: Int = 3, threshold: Double = 0.8,
       seed: Int = 42, materialize: Boolean = true): DataFrame = {
-    val rows = k / bands
-    require(bands * rows == k, s"bands=$bands must divide k=$k")
-    val shB = batch.select(
-      col(idCol).as("_id"),
-      gtext.shingleHashes(TextAnalysis.tokens(col(textCol)), shingleW, seed)
-        .as("_sh"))
+    val shB = shingledSet(batch, idCol, textCol, shingleW, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandedB = shB
-      .select(col("_id"), gtext.minhashFromHashes(col("_sh"), k, seed).as("_sig"))
-      .select(col("_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("_sig"), b * rows + 1, lit(rows))))))
-      .select(col("_id").as("batch_id"), xxhash64(col("pos"), col("col")).as("_bb"))
-    val candidates = bandedB
+    val candidates = bandedKeys(shB, k, bands, seed)
+      .withColumnRenamed("_id", "batch_id")
       .join(graft.engine.Layout.read(spark, table)
         .withColumnRenamed("_id", "corpus_id"), "_bb")
       .select("batch_id", "corpus_id").distinct()
@@ -343,6 +367,26 @@ object Dedup {
     val crossKept = batch.select(col(idCol)).join(
       incrementalMinhashPairs(corpus, batch, idCol, textCol,
         threshold = threshold)
+        .select(col("batch_id").as(idCol)),
+      Seq(idCol), "left_anti")
+    if (!dedupWithinBatch) crossKept
+    else nearDupSurvivors(crossKept,
+      minhashPairs(batch, idCol, textCol, threshold = threshold), idCol)
+  }
+
+  /** [[incrementalSurvivors]] against a MATERIALIZED banded index instead
+    * of an in-plan corpus: same acceptance semantics (drop batch docs
+    * that near-dup the indexed corpus; optionally resolve intra-batch
+    * elections), but the corpus side never recomputes — the shape a
+    * continuously-ingesting pipeline runs every batch.
+    */
+  def incrementalSurvivorsIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, shPath: String, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8, dedupWithinBatch: Boolean = false): DataFrame = {
+    val crossKept = batch.select(col(idCol)).join(
+      incrementalMinhashPairsIndexed(spark, table, shPath, batch, idCol,
+        textCol, threshold = threshold)
         .select(col("batch_id").as(idCol)),
       Seq(idCol), "left_anti")
     if (!dedupWithinBatch) crossKept

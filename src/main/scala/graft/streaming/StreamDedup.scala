@@ -74,4 +74,60 @@ object StreamDedup {
           .write.mode("append").parquet(corpusPath)
       }
       .start()
+
+  /** [[incrementalNearDup]] against a MATERIALIZED banded-signature index
+    * ([[graft.pipeline.Dedup.buildBandedIndex]]) — the production
+    * continuous-ingest loop: each micro-batch probes the bucketed band
+    * table (corpus side joins with no exchange), accepted docs append to
+    * the corpus parquet AND their band rows + shingle sets append to the
+    * index, so the next batch's probe sees them without recomputing
+    * anything corpus-sized. The first batch bootstraps the index from its
+    * own survivors; pass a pre-built index to start from an existing
+    * corpus.
+    *
+    * Crash boundary (at-least-once, same as [[incrementalNearDup]]): the
+    * corpus append lands before the index append, so a crash between the
+    * two can leave accepted docs in the corpus but not the index; the
+    * checkpoint then replays the batch, whose docs no longer self-block
+    * (the index lacks them) and re-append — duplicate corpus rows and
+    * index rows for those docs. Downstream dedup semantics are unchanged
+    * (a doc duplicated in the index blocks exactly as one copy would);
+    * only corpus storage carries the extra rows.
+    */
+  def incrementalNearDupIndexed(stream: DataFrame, indexTable: String,
+      shPath: String, corpusPath: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8, dedupWithinBatch: Boolean = true):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val bootstrapped = spark.catalog.tableExists(indexTable) &&
+          new org.apache.hadoop.fs.Path(shPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(new org.apache.hadoop.fs.Path(shPath))
+        val keptIds =
+          if (bootstrapped)
+            Dedup.incrementalSurvivorsIndexed(spark, indexTable, shPath,
+              batch, idCol, textCol, threshold, dedupWithinBatch)
+          else if (dedupWithinBatch)
+            Dedup.nearDupSurvivors(
+              batch.select(col(idCol)),
+              Dedup.minhashPairs(batch, idCol, textCol, threshold = threshold),
+              idCol)
+          else batch.select(col(idCol))
+        val accepted = batch.join(keptIds, Seq(idCol), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        accepted.write.mode("append").parquet(corpusPath)
+        if (bootstrapped)
+          Dedup.appendToBandedIndex(accepted, indexTable, shPath,
+            idCol, textCol)
+        else
+          Dedup.buildBandedIndex(accepted, indexTable, shPath, idCol, textCol)
+        accepted.unpersist(blocking = false)
+        ()
+      }
+      .start()
 }

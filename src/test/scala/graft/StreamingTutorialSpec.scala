@@ -308,6 +308,57 @@ class StreamingTutorialSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming indexed near-dup maintains the banded index across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incidx").toString
+    val tbl = "band_stream_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = new org.apache.hadoop.fs.Path(s"/tmp/graft-test-warehouse/$tbl")
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamDedup.incrementalNearDupIndexed(
+      input.toDF().toDF("doc_id", "text"), tbl, s"$dir/sh", s"$dir/corpus",
+      s"$dir/ckpt", threshold = 0.7)
+    // this session only OBSERVES paths the streaming query's session
+    // writes; refresh before each read or the shared file-status cache
+    // serves pre-append listings (the query's own probes run in the
+    // writing session, which self-refreshes on append)
+    def corpusIds = {
+      spark.catalog.refreshByPath(s"$dir/corpus")
+      spark.read.parquet(s"$dir/corpus").collect().map(_.getLong(0)).toSet
+    }
+    def indexIds = {
+      spark.catalog.refreshTable(tbl)
+      spark.table(tbl).select("_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+    }
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"token$i").mkString(" ") + " tokenX tokenY"
+    try {
+      // batch 1 bootstraps the index from its own survivors (2 loses the
+      // intra-batch election to 1)
+      input.addData((1L, base), (2L, nearDup),
+        (3L, (100 to 140).map(i => s"word$i").mkString(" ")))
+      q.processAllAvailable()
+      assert(corpusIds === Set(1L, 3L))
+      assert(indexIds === Set(1L, 3L))
+      // batch 2 probes the index: 10 collides with indexed doc 1 →
+      // dropped; 11 is new → appends to corpus AND index
+      input.addData((10L, nearDup), (11L, (200 to 240).map(i => s"new$i").mkString(" ")))
+      q.processAllAvailable()
+      assert(corpusIds === Set(1L, 3L, 11L))
+      assert(indexIds === Set(1L, 3L, 11L))
+      // batch 3: a doc near-dupping 11 — accepted in batch 2's APPEND, so
+      // only index maintenance (not the bootstrap build) can block it
+      input.addData((21L, (200 to 238).map(i => s"new$i").mkString(" ")))
+      q.processAllAvailable()
+      assert(corpusIds === Set(1L, 3L, 11L))
+      assert(indexIds === Set(1L, 3L, 11L))
+    } finally q.stop()
+  }
+
   test("streaming funnel matches the batch funnel on in-order feeds") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
