@@ -75,12 +75,15 @@ object ScaleBench {
     "t1_token_counts", "t2_quality_score", "t3_lang_id", "t8_tfidf",
     "t11_curation_pipeline", "t16_token_rarity", "t19_bigram_lift",
     "t20_boilerplate", "t21_passage_dedup", "t22_domain_mixture",
-    "t23_bm25",
+    "t23_bm25", "t24_lm_score",
     // exact / anti-join dedup (linear in input at any SF)
     "d1_dedup_exact", "d6_decontaminate", "d10_bloom_decontaminate",
     // incremental dedup: batch pinned to replica-0 keys, so the corpus
-    // side scales linearly without the batch becoming N-way self-dupes
-    "d12_incremental_scale")
+    // side scales linearly without the batch becoming N-way self-dupes;
+    // d15s probes the MATERIALIZED banded index (built once per session
+    // over the scaled corpus) with the same pinned batch — the recurring
+    // per-ingest cost vs d12s's recompute-everything baseline
+    "d12_incremental_scale", "d15_incremental_scale")
 
   /** Max mtime over the source tables — regenerated source data must
     * invalidate a previously scaled copy (same contract as

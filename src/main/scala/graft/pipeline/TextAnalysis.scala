@@ -398,6 +398,56 @@ object TextAnalysis {
           .as("lift_c6"))
   }
 
+  /** Bigram-LM document quality score — the CCNet-style perplexity
+    * filter: train an add-k-smoothed bigram model on the corpus itself,
+    * then score every document by its mean token-bigram log-probability
+    * (low = out-of-distribution/noisy, the classic crawl-quality signal).
+    *
+    * `p(y|x) = (c(x,y) + k) / (c(x) + k·V)` with `c(x)` the left bigram
+    * marginal and `V` the distinct-continuation vocabulary. Per-bigram
+    * log-probs quantize to integer micro-units (`floor(1e6·ln p)`) BEFORE
+    * aggregation, so the per-doc mean is integer-exact arithmetic over
+    * exact counts — no float-sum-order divergence between engines (same
+    * device as [[Similarity.randomProjection]]'s quantized components);
+    * the one float op per distinct bigram is a correctly-rounded IEEE
+    * divide + ln + multiply on identical inputs.
+    *
+    * Scale: the instance stream collapses to per-(doc, bigram)
+    * multiplicities first (map-side combine), the model tables are
+    * vocab-bounded, and the scoring join is an equi-shuffle on the bigram
+    * key — no broadcast of anything corpus-sized, no driver-side model.
+    * Output: (doc_id, lm_c6, n_bigrams) for docs with ≥ 1 bigram.
+    */
+  def ngramLmScore(documents: DataFrame, k: Long = 1L): DataFrame = {
+    // per-(doc, bigram) multiplicities — feeds BOTH the model build and
+    // the scoring join, hence persisted
+    val docBi = documents
+      .select(col("doc_id"), tokens(col("text")).as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(_t) - 1), " +
+          "i -> struct(element_at(_t, i) AS x, element_at(_t, i + 1) AS y))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("doc_id", "x", "y").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bi = docBi.groupBy("x", "y").agg(sum("n").as("c12"))
+    val left = bi.groupBy("x").agg(sum("c12").as("c1"))
+    val v = bi.agg(count_distinct(col("y")).as("_v"))
+    val lp = bi.join(left, "x").crossJoin(broadcast(v))
+      .select(col("x"), col("y"),
+        floor(lit(1e6) * log((col("c12") + k).cast("double")
+          / (col("c1") + col("_v") * k).cast("double"))).cast("long")
+          .as("lp_c6"))
+    val scored = docBi.join(lp, Seq("x", "y"))
+      .groupBy("doc_id")
+      .agg(
+        floor(sum(col("n") * col("lp_c6")).cast("double")
+          / sum(col("n")).cast("double")).cast("long").as("lm_c6"),
+        sum("n").cast("long").as("n_bigrams"))
+    Scratch.materializeThenFree(scored, docBi)
+  }
+
   /** Boilerplate n-gram coverage (CCNet/RefinedWeb-style template
     * detection): a w-gram is "boilerplate" when it appears in at least
     * `dfFrac` of all documents; each document reports how much of its

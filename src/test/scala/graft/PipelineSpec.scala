@@ -763,6 +763,19 @@ class PipelineSpec extends SparkSpec {
     assert(kept === Set(21L))
   }
 
+  test("ngramLmScore: add-1 bigram LM on a hand-computed fixture") {
+    // instances: (a,b)x3, (b,a)x1, (b,c)x1 → c1: a=3, b=2; V = |{a,b,c}| = 3
+    // lp(a,b) = floor(1e6·ln(4/6)) = -405466
+    // lp(b,a) = lp(b,c) = floor(1e6·ln(2/5)) = -916291
+    val d = docs(1L -> "a b a b", 2L -> "a b c", 3L -> "x")
+    val out = TextAnalysis.ngramLmScore(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(
+      (1L, -575741L, 3L), // floor((2·-405466 + -916291)/3)
+      (2L, -660879L, 2L)  // floor((-405466 + -916291)/2); doc 3 has no bigram
+    ))
+  }
+
   test("indexed incremental pairs equal the in-plan incremental pairs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = docs.filter(col("doc_id") % 20 =!= 0)
