@@ -441,6 +441,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0))
     }),
+    // D16: d13's accept gate driven by the MATERIALIZED banded index —
+    // the per-ingest decision a continuous pipeline actually executes
+    // (d15 checks the pairs; this checks the composed accept/reject).
+    "d16_survivors_indexed" -> ((s, d) => {
+      val (tbl, shPath) = bandedIngest(s, d)
+      Dedup.incrementalSurvivorsIndexed(s, tbl, shPath,
+        table(s, d, "documents").filter(col("doc_id") % 20 === 0))
+    }),
     // D12s: the d12 shape at sweep scale — the batch restricted to the
     // ORIGINAL key range (ScaleBench replicas offset doc_id by r×10M), so
     // the key-remapped corpus replicas scale the corpus side of the band
@@ -537,6 +545,11 @@ object SparkEntry {
     // by its mean bigram log-prob in integer micro-units.
     "t24_lm_score" -> ((s, d) =>
       TextAnalysis.ngramLmScore(table(s, d, "documents"))),
+    // T25: hashed-linear scorer — fastText-style classifier filtering as
+    // a PURE PROJECTION (hash-bucketed features, weights in the
+    // expression): zero shuffles, codegen over the scan.
+    "t25_hashed_linear" -> ((s, d) =>
+      TextAnalysis.hashedLinearScore(table(s, d, "documents"))),
     "t9_repetition" -> ((s, d) =>
       TextAnalysis.repetitionScore(table(s, d, "documents"))),
     "t10_quality_filter" -> ((s, d) =>
@@ -1265,6 +1278,20 @@ object SparkEntry {
         |  CAST(sum(d.n) AS BIGINT) AS n_bigrams
         |FROM db d JOIN lp p ON p.x = d.x AND p.y = d.y
         |GROUP BY 1""".stripMargin,
+    // t25: integer (sum, count) per doc, quantized mean — exact.
+    "t25_hashed_linear" ->
+      """SELECT doc_id,
+        |  CAST(floor(1000000.0 * CAST(sum(w) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS lin_c6,
+        |  CAST(count(*) AS BIGINT) AS n_tokens
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(tk), 1, 4))::BIGINT % 2 = 0
+        |      THEN 1 ELSE -1 END AS w
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+        |        FROM documents))
+        |GROUP BY doc_id""".stripMargin,
     // d3's LSH is candidate generation + EXACT jaccard verification, so its
     // output equals the exhaustive all-pairs answer whenever every
     // qualifying pair shares a band bucket (P(miss) = (1-s^4)^16 ≤ 2e-4 at
@@ -1370,6 +1397,26 @@ object SparkEntry {
         |    ON b.doc_id % 20 = 0 AND b.doc_id < 10000000 AND c.doc_id % 20 <> 0)
         |WHERE jaccard >= 0.8""".stripMargin,
     "d13_incremental_survivors" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tok),
+        |hits AS (
+        |  SELECT DISTINCT b.doc_id AS bid
+        |  FROM sh b JOIN sh c ON b.doc_id % 20 = 0 AND c.doc_id % 20 <> 0
+        |  WHERE round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
+        |      CAST(len(b.s) + len(c.s) - len(list_intersect(b.s, c.s)) AS DOUBLE),
+        |      6) >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 20 = 0 AND doc_id NOT IN (SELECT bid FROM hits)""".stripMargin,
+    // d16: the indexed accept gate ≡ d13 (d15 ≡ d12 pairs ⇒ identical
+    // anti-join), so it shares d13's exhaustive oracle.
+    "d16_survivors_indexed" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
         |  FROM documents),

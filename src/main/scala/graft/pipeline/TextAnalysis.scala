@@ -448,6 +448,34 @@ object TextAnalysis {
     Scratch.materializeThenFree(scored, docBi)
   }
 
+  /** Hashed-linear document scorer — the fastText-style classifier
+    * filter in its SCALE-DEFINING regime: when features are hash-bucketed
+    * and weights ride in the expression, model scoring is a pure
+    * projection — zero shuffles, zero joins, whole-stage codegen over the
+    * scan; at 100 TB the filter costs exactly one pass. (The
+    * vocab-weights-as-a-TABLE regime — explode + equi-join + re-agg — is
+    * [[ngramLmScore]]'s shape; these are the two ways model scoring plans,
+    * and which one wins depends on whether the weights fit the row.)
+    *
+    * Weights here are a deterministic md5-parity placeholder (±1 per
+    * hashed token bucket, the [[Similarity.randomProjection]] device —
+    * a trained model would ship its D-bucket weight array as an array
+    * literal in the same expression with identical plan shape). Mean
+    * weight quantizes to integer micro-units from exact integer
+    * (sum, count), so the score hash-matches the oracle exactly.
+    * Output: (doc_id, lin_c6, n_tokens), one row per document.
+    */
+  def hashedLinearScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val s = aggregate(toks, lit(0L), (acc, t) =>
+      acc + when(conv(substring(md5(t), 1, 4), 16, 10)
+        .cast("long") % 2 === 0, 1L).otherwise(-1L))
+    documents.select(col("doc_id"),
+      floor(lit(1e6) * s.cast("double") / size(toks).cast("double"))
+        .cast("long").as("lin_c6"),
+      size(toks).cast("long").as("n_tokens"))
+  }
+
   /** Boilerplate n-gram coverage (CCNet/RefinedWeb-style template
     * detection): a w-gram is "boilerplate" when it appears in at least
     * `dfFrac` of all documents; each document reports how much of its

@@ -776,6 +776,20 @@ class PipelineSpec extends SparkSpec {
     ))
   }
 
+  test("hashedLinearScore matches an independent md5-parity recompute") {
+    def w(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.take(4), 16) % 2 == 0) 1L else -1L
+    }
+    val d = docs(1L -> "foo bar foo", 2L -> "baz")
+    val got = TextAnalysis.hashedLinearScore(d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) ===
+      (math.floor(1e6 * (2 * w("foo") + w("bar")) / 3.0).toLong, 3L))
+    assert(got(2L) === (math.floor(1e6 * w("baz")).toLong, 1L))
+  }
+
   test("indexed incremental pairs equal the in-plan incremental pairs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = docs.filter(col("doc_id") % 20 =!= 0)

@@ -338,6 +338,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("hashed-linear scorer is a pure projection: zero exchanges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.pipeline.TextAnalysis.hashedLinearScore(docs)
+      .queryExecution.executedPlan
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, s"model scoring must not shuffle:\n$plan")
+  }
+
   test("materialized IVF index: probe prunes cell partitions statically") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -389,6 +399,62 @@ class PlanShapeSpec extends SparkSpec {
     assert(files === 2)
     val after = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
     assert(after.toSeq === before.toSeq)
+  }
+
+  test("bucketed compaction collapses append accretion to one file per bucket") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tbl = "compact_bucketed_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__compacting")
+    val wh = new org.apache.hadoop.fs.Path(s"/tmp/graft-test-warehouse/$tbl")
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+    val keyed = docs.select(col("doc_id").as("_bb"), col("source"))
+    graft.engine.Layout.writeBucketed(keyed.filter(col("_bb") % 3 === 0), tbl, "_bb", 4)
+    graft.engine.Layout.appendBucketed(keyed.filter(col("_bb") % 3 === 1), tbl, "_bb", 4)
+    graft.engine.Layout.appendBucketed(keyed.filter(col("_bb") % 3 === 2), tbl, "_bb", 4)
+    def files = fs.listStatus(wh).count(_.getPath.getName.endsWith(".parquet"))
+    val before = spark.table(tbl).collect().map(_.getLong(0)).sorted
+    assert(files > 4, s"expected append accretion, got $files files")
+    graft.engine.Layout.compactBucketed(spark, tbl, "_bb", 4)
+    assert(files === 4, "one file per bucket after compaction")
+    spark.catalog.refreshTable(tbl)
+    val after = spark.table(tbl).collect().map(_.getLong(0)).sorted
+    assert(after.toSeq === before.toSeq)
+    // the compacted table still feeds joins bucketed (spec preserved)
+    val cat = spark.catalog
+    assert(cat.tableExists(tbl) && !cat.tableExists(s"${tbl}__compacting"))
+    withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val probe = spark.range(10).select(col("id").as("_bb"))
+      val plan = graft.engine.Layout.read(spark, tbl).join(probe, "_bb")
+        .queryExecution.executedPlan
+      val scan = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.toString.contains(s"default.$tbl") => s
+      }
+      assert(scan.nonEmpty && scan.head.toString.contains("Bucketed: true"),
+        s"compacted table lost its bucketing:\n$plan")
+    }
+  }
+
+  test("bucketed compaction recovers when only the tmp table survives") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tbl = "compact_bucketed_crash"
+    Seq(tbl, s"${tbl}__compacting").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"/tmp/graft-test-warehouse/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    // simulate a crash between DROP TABLE and RENAME: the rewrite
+    // completed into __compacting but the live name is gone
+    val keyed = docs.select(col("doc_id").as("_bb"), col("source"))
+    graft.engine.Layout.writeBucketed(keyed, s"${tbl}__compacting", "_bb", 4)
+    graft.engine.Layout.compactBucketed(spark, tbl, "_bb", 4)
+    assert(spark.catalog.tableExists(tbl))
+    assert(!spark.catalog.tableExists(s"${tbl}__compacting"))
+    assert(spark.table(tbl).count() === keyed.count())
   }
 
   test("compaction recovers from a crash between the two swap renames") {
