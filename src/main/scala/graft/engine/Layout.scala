@@ -62,6 +62,50 @@ object Layout {
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 
+  /** Compact a bucketed table back to ONE file per bucket. Each
+    * [[appendBucketed]] adds a file per non-empty bucket, and at
+    * streaming-ingest frequency that accretion degrades scan planning
+    * exactly like the path-based case [[compact]] handles — this is its
+    * table-form twin. The rewrite repartitions on the bucket key with the
+    * bucket count (Spark's bucket id IS `pmod(murmur3, buckets)`, the
+    * same hash family `repartition` uses), so every task holds exactly
+    * one bucket's rows and writes exactly one file; the swap is
+    * drop-then-rename on the catalog. Crash windows: before the drop the
+    * original is untouched; between drop and rename the data lives only
+    * in `<table>__compacting`, and the recovery step at entry (rename if
+    * the live name is missing) completes the swap on rerun.
+    */
+  def compactBucketed(spark: SparkSession, table: String, key: String,
+      buckets: Int, sorted: Boolean = true): Unit = {
+    require(!table.contains("."),
+      s"compactBucketed: unqualified table name required, got '$table'")
+    val tmp = table + "__compacting"
+    if (!spark.catalog.tableExists(table)) {
+      // crashed between drop and rename: the tmp table holds the only
+      // copy — install it and return
+      require(spark.catalog.tableExists(tmp),
+        s"compactBucketed: neither $table nor $tmp exists")
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+      return
+    }
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`") // incomplete rewrite, discard
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.catalog.getDatabase(spark.catalog.currentDatabase).locationUri,
+      tmp.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    // repartition on the BUCKET ID (pmod(murmur3, buckets) — the same
+    // function the bucket writer assigns files by), so every bucket lands
+    // wholly in one task and the writer emits exactly one file per bucket
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val w = spark.table(table)
+      .repartition(buckets, pmod(hash(col(key)), lit(buckets)))
+      .write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    (if (sorted) w.sortBy(key) else w).saveAsTable(tmp)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
   /** Directory-partitioned parquet layout on low-cardinality columns

@@ -359,6 +359,40 @@ class StreamingTutorialSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("indexed near-dup state is the index itself: restart keeps blocking") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incidxr").toString
+    val tbl = "band_stream_restart"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = new org.apache.hadoop.fs.Path(s"/tmp/graft-test-warehouse/$tbl")
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+    val input = MemoryStream[(Long, String)]
+    def start() = graft.streaming.StreamDedup.incrementalNearDupIndexed(
+      input.toDF().toDF("doc_id", "text"), tbl, s"$dir/sh", s"$dir/corpus",
+      s"$dir/ckpt", threshold = 0.7)
+    def corpusIds = {
+      spark.catalog.refreshByPath(s"$dir/corpus")
+      spark.read.parquet(s"$dir/corpus").collect().map(_.getLong(0)).toSet
+    }
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"token$i").mkString(" ") + " tokenX tokenY"
+    val q1 = start()
+    input.addData((1L, base), (3L, (100 to 140).map(i => s"word$i").mkString(" ")))
+    q1.processAllAvailable()
+    assert(corpusIds === Set(1L, 3L))
+    q1.stop()
+    // the dedup state is the EXTERNALIZED index + corpus, not the state
+    // store — a fresh query over the same paths must keep blocking
+    val q2 = start()
+    try {
+      input.addData((10L, nearDup), (11L, (200 to 240).map(i => s"new$i").mkString(" ")))
+      q2.processAllAvailable()
+      assert(corpusIds === Set(1L, 3L, 11L))
+    } finally q2.stop()
+  }
+
   test("streaming funnel matches the batch funnel on in-order feeds") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
