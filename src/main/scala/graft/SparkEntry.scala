@@ -639,6 +639,22 @@ object SparkEntry {
       val emb = table(s, d, "embeddings")
       Similarity.bruteCosineTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
     }),
+    // V10: maximum-inner-product retrieval — rank by raw dot product
+    // (factor-model recommendation semantics; cosine's normalization is
+    // wrong there). v1's broadcast/bounded-top-k shape.
+    "v10_brute_mips_topk" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.bruteMipsTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
+    }),
+    // V10b: the norm-augmented IVF reduction with every cell probed —
+    // exhaustive, and the query's 0 component makes scores bit-identical
+    // to v10, so this hash-checks the whole augmentation machinery
+    // (residual clamp, augmented cells, dot scoring) against v10's oracle.
+    "v10b_ivf_mips_full_probe" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfMipsTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
+        nProbe = Int.MaxValue, kmeansIters = 0)
+    }),
     "v2_ivf_cosine_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       Similarity.ivfCosineTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
@@ -2113,6 +2129,39 @@ object SparkEntry {
         |    AS n_agree
         |FROM top GROUP BY query_id, q_label""".stripMargin,
     "v1_brute_cosine_topk" -> baseV1Oracle,
+    // v10: v1's oracle with raw dot ranking (list_dot_product over the
+    // same DOUBLE[] cast — identical fixed-order double accumulation).
+    "v10_brute_mips_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_dot_product(qv, cv), 6) AS dot
+        |  FROM c, q WHERE neighbor_id <> query_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, dot
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+        |      FROM s)
+        |WHERE rank <= 5""".stripMargin,
+    // v10b: full-probe augmented IVF ≡ brute MIPS (see the queries comment)
+    "v10b_ivf_mips_full_probe" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_dot_product(qv, cv), 6) AS dot
+        |  FROM c, q WHERE neighbor_id <> query_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, dot
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+        |      FROM s)
+        |WHERE rank <= 5""".stripMargin,
     // v6: the v1 ranking recomputed over SQL-requantized vectors — the
     // scales cancel in cosine, so quantized retrieval is exactly checkable.
     "v6_int8_topk" ->

@@ -30,14 +30,15 @@ object Similarity {
   /** Expand a grouped top-k array (`struct<id, score>` best-first) into
     * (query_id, neighbor_id, rank, cosine) rows.
     */
-  private def explodeTopK(grouped: DataFrame): DataFrame =
+  private def explodeTopK(grouped: DataFrame,
+      scoreName: String = "cosine"): DataFrame =
     grouped
       .select(col("query_id"), posexplode(col("_top")))
       .select(
         col("query_id"),
         col("col.id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"),
-        col("col.score").as("cosine"))
+        col("col.score").as(scoreName))
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors by cosine (rounded to 6dp for cross-engine reproducibility),
@@ -60,6 +61,69 @@ object Similarity {
     explodeTopK(
       scored.groupBy("query_id")
         .agg(gagg.topKByScore(col("cosine"), col("neighbor_id"), k).as("_top")))
+  }
+
+  /** Brute-force MAXIMUM INNER PRODUCT top-k — recommendation-style
+    * retrieval, where magnitude matters and cosine's normalization is
+    * wrong (user×item factor models rank by raw dot product). Same
+    * distributed shape as [[bruteCosineTopK]]: queries broadcast, the
+    * corpus never shuffles, `TopKByScore` bounds every partial to k
+    * entries before the exchange. The classic scale path beyond brute
+    * force is the norm-augmentation reduction (append
+    * `sqrt(maxNorm² − ‖x‖²)` to each corpus vector and 0 to queries;
+    * dot ORDER becomes cosine order), which re-enters the IVF machinery
+    * above — order-preserving, so its exactness oracle is THIS query.
+    */
+  def bruteMipsTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("_qv"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(gvec.dot(col("_qv"), col("_cv")), 6).as("dot"))
+    explodeTopK(
+      scored.groupBy("query_id")
+        .agg(gagg.topKByScore(col("dot"), col("neighbor_id"), k).as("_top")),
+      scoreName = "dot")
+  }
+
+  /** IVF-accelerated MIPS via the norm-augmentation reduction (Shrivastava
+    * & Li's asymmetric LSH idea in its exact L2 form): every corpus vector
+    * gets one extra component `sqrt(maxNorm² − ‖x‖²)` so all augmented
+    * vectors share the same norm — inner-product order becomes angular
+    * order, which is the geometry k-means cells partition well — and every
+    * query gets a 0 component. Cells and probes run on the AUGMENTED
+    * vectors; the emitted score is still the raw dot product (the query's
+    * 0 component annihilates the augmentation term inside the same fixed-
+    * order kernel, so scores are bit-identical to [[bruteMipsTopK]], and
+    * the full-probe variant IS that query — its oracle). Same scale
+    * contract as [[ivfCosineTopK]]: celled candidates, partial top-k under
+    * the exchange, centroid set capped by `maxCells`.
+    */
+  def ivfMipsTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nProbe: Int = 4, centroidEvery: Int = 50, kmeansIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCells: Int = 4096): DataFrame = {
+    val n2 = gvec.dot(col(vecCol), col(vecCol))
+    val m = corpus.agg(max(n2).as("_m2"))
+    // greatest(…, 0): the max-norm row's residual can round a hair below
+    // zero in float; clamp before sqrt
+    val aug = corpus.crossJoin(broadcast(m)).select(
+      col(idCol),
+      concat(col(vecCol),
+        array(sqrt(greatest(col("_m2") - n2, lit(0.0))).cast("float")))
+        .as("_aug"))
+    val centroids = kmeansCentroids(aug, centroidEvery, kmeansIters,
+      idCol, "_aug", maxCells)
+    val assigned = aug.select(
+      col(idCol).cast("long").as("neighbor_id"), col("_aug").as("_cv"),
+      cellAssignExpr(centroids, col("_aug")).as("cell_id"))
+    val q = queries.select(col(idCol),
+      concat(col(vecCol), array(lit(0.0f))).as("_aug"))
+    probeJoin(assigned,
+      probedCellsOf(centroids, q, nProbe, idCol, "_aug"), k,
+      gvec.dot, "dot")
   }
 
   /** kNN graph: for EVERY corpus vector, its k nearest neighbors by cosine
@@ -472,14 +536,16 @@ object Similarity {
     probeJoin(assigned,
       probedCellsOf(centroids, queries, nProbe, idCol, vecCol), k)
 
-  private def probeJoin(assigned: DataFrame, probed: DataFrame,
-      k: Int): DataFrame = {
+  private def probeJoin(assigned: DataFrame, probed: DataFrame, k: Int,
+      score: (Column, Column) => Column = gvec.cosine,
+      scoreName: String = "cosine"): DataFrame = {
     val scored = assigned.join(broadcast(probed), Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(gvec.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
+        round(score(col("_qv"), col("_cv")), 6).as(scoreName))
     explodeTopK(
       scored.groupBy("query_id")
-        .agg(gagg.topKByScore(col("cosine"), col("neighbor_id"), k).as("_top")))
+        .agg(gagg.topKByScore(col(scoreName), col("neighbor_id"), k).as("_top")),
+      scoreName)
   }
 }

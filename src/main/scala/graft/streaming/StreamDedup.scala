@@ -93,16 +93,22 @@ object StreamDedup {
     * index rows for those docs. Downstream dedup semantics are unchanged
     * (a doc duplicated in the index blocks exactly as one copy would);
     * only corpus storage carries the extra rows.
+    *
+    * `compactEvery` > 0 folds the band table back to one file per bucket
+    * every that-many batches ([[graft.engine.Layout.compactBucketed]]) —
+    * append accretion is the price of the exchange-free corpus join, and
+    * at micro-batch frequency it must be repaid periodically.
     */
   def incrementalNearDupIndexed(stream: DataFrame, indexTable: String,
       shPath: String, corpusPath: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.8, dedupWithinBatch: Boolean = true):
+      threshold: Double = 0.8, dedupWithinBatch: Boolean = true,
+      compactEvery: Int = 0):
       org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val bootstrapped = spark.catalog.tableExists(indexTable) &&
           new org.apache.hadoop.fs.Path(shPath)
@@ -127,6 +133,11 @@ object StreamDedup {
         else
           Dedup.buildBandedIndex(accepted, indexTable, shPath, idCol, textCol)
         accepted.unpersist(blocking = false)
+        // every append adds up to one file per bucket; at micro-batch
+        // frequency that accretion degrades the bucketed scan — fold it
+        // back down every `compactEvery` batches (0 = caller compacts)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          graft.engine.Layout.compactBucketed(spark, indexTable, "_bb", 8)
         ()
       }
       .start()

@@ -109,6 +109,18 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("full-probe augmented IVF MIPS equals brute MIPS exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    // the query's 0 component annihilates the augmentation term in the
+    // same fixed-order dot kernel — scores (not just ranks) must match
+    assert(key(Similarity.ivfMipsTopK(emb, queries, k = 5,
+        nProbe = Int.MaxValue, kmeansIters = 0))
+      === key(Similarity.bruteMipsTopK(emb, queries, k = 5)))
+  }
+
   test("k-means refinement does not degrade assignment quality") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def inertia(cents: Array[(Long, Array[Float])]): Double = {

@@ -320,7 +320,7 @@ class StreamingTutorialSpec extends SparkSpec {
     val input = MemoryStream[(Long, String)]
     val q = graft.streaming.StreamDedup.incrementalNearDupIndexed(
       input.toDF().toDF("doc_id", "text"), tbl, s"$dir/sh", s"$dir/corpus",
-      s"$dir/ckpt", threshold = 0.7)
+      s"$dir/ckpt", threshold = 0.7, compactEvery = 1)
     // this session only OBSERVES paths the streaming query's session
     // writes; refresh before each read or the shared file-status cache
     // serves pre-append listings (the query's own probes run in the
@@ -356,6 +356,10 @@ class StreamingTutorialSpec extends SparkSpec {
       q.processAllAvailable()
       assert(corpusIds === Set(1L, 3L, 11L))
       assert(indexIds === Set(1L, 3L, 11L))
+      // compactEvery=1 ran after every batch (and blocking survived it, per
+      // the asserts above): the band table must be back to ≤ 1 file/bucket
+      val files = fs.listStatus(wh).count(_.getPath.getName.endsWith(".parquet"))
+      assert(files <= 8, s"compaction did not bound accretion: $files files")
     } finally q.stop()
   }
 
