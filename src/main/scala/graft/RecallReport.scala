@@ -57,6 +57,17 @@ object RecallReport {
       s""""assign_$na":${(got & exactGraph).size.toDouble / exactGraph.size}"""
     }
 
+    // v10b: norm-augmented IVF MIPS recall@5 vs brute dot-product,
+    // across nProbe (full probe is exact by construction — v10b's oracle)
+    val exactMips = pairSet(
+      Similarity.bruteMipsTopK(emb, queries, k = 5), "query_id", "neighbor_id")
+    val mips = Seq(1, 2, 4, 8, 16).map { np =>
+      val got = pairSet(
+        Similarity.ivfMipsTopK(emb, queries, k = 5, nProbe = np),
+        "query_id", "neighbor_id")
+      s""""nprobe_$np":${(got & exactMips).size.toDouble / exactMips.size}"""
+    }
+
     // d11: SemDeDup celled pair recall vs exact threshold pairs, across
     // nAssign (precision stays 1 — verification is exact cosine)
     val exactPairs = pairSet(
@@ -68,7 +79,7 @@ object RecallReport {
       s""""assign_$na":$r"""
     }
 
-    println(s"""{"metric":"recall","sf":"$sfDir","ivf_recall_at_5":{${ivf.mkString(",")}},"knn_graph_recall":{${v7.mkString(",")}},"semdedup_pair_recall":{${d11.mkString(",")}},"exact_topk_pairs":${exactTopK.size},"exact_graph_pairs":${exactGraph.size},"exact_semantic_pairs":${exactPairs.size}}""")
+    println(s"""{"metric":"recall","sf":"$sfDir","ivf_recall_at_5":{${ivf.mkString(",")}},"mips_recall_at_5":{${mips.mkString(",")}},"knn_graph_recall":{${v7.mkString(",")}},"semdedup_pair_recall":{${d11.mkString(",")}},"exact_topk_pairs":${exactTopK.size},"exact_mips_pairs":${exactMips.size},"exact_graph_pairs":${exactGraph.size},"exact_semantic_pairs":${exactPairs.size}}""")
     spark.stop()
   }
 }

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * broadcastable at 100 TB).
   *
   * Excluded from the headline set, deliberately:
-  *  - pair-regime text/embedding dedup (d2–d5, d8/d9, d11–d13, v7b):
+  *  - pair-regime text/embedding dedup (d2–d5, d8/d9, d11–d13, d17, v7b):
   *    replicating documents makes every doc an exact N-way duplicate, so
   *    those queries change OUTPUT REGIME (pair blowup) instead of scaling
   *    input — their scale story is the plan-shape + SCALE.md analysis.

@@ -441,6 +441,11 @@ object SparkEntry {
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0))
     }),
+    // D17: asymmetric containment pairs — the quote/subset-duplication
+    // signal symmetric Jaccard misses; rare-shingle inverted-index
+    // candidates (df ≤ 5), exact containment verification.
+    "d17_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(table(s, d, "documents"), threshold = 0.9)),
     // D16: d13's accept gate driven by the MATERIALIZED banded index —
     // the per-ingest decision a continuous pipeline actually executes
     // (d15 checks the pairs; this checks the composed accept/reject).
@@ -1430,6 +1435,34 @@ object SparkEntry {
         |      6) >= 0.8)
         |SELECT doc_id FROM documents
         |WHERE doc_id % 20 = 0 AND doc_id NOT IN (SELECT bid FROM hits)""".stripMargin,
+    // d17: hashed-shingle containment equals string-shingle containment
+    // absent 64-bit collisions (d3's argument), and the rare-shingle
+    // candidate rule is mirrored verbatim — both engines compute the same
+    // posting lists, so the candidate sets are identical by construction.
+    "d17_containment_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tok),
+        |post AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+        |rare AS (SELECT sg FROM post GROUP BY sg HAVING count(*) <= 5),
+        |rp AS (SELECT p.doc_id, p.sg FROM post p JOIN rare r ON r.sg = p.sg),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM rp x JOIN rp y ON x.sg = y.sg AND x.doc_id <> y.doc_id)
+        |SELECT a, b, containment FROM (
+        |  SELECT c.a, c.b,
+        |    round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / CAST(len(sa.s) AS DOUBLE), 6) AS containment
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.a
+        |  JOIN sh sb ON sb.doc_id = c.b)
+        |WHERE containment >= 0.9""".stripMargin,
     // d16: the indexed accept gate ≡ d13 (d15 ≡ d12 pairs ⇒ identical
     // anti-join), so it shares d13's exhaustive oracle.
     "d16_survivors_indexed" ->

@@ -250,6 +250,48 @@ object Dedup {
     * then shuffles only itself. The dedup twin of
     * [[Similarity.buildIvfIndex]].
     */
+  /** Asymmetric CONTAINMENT near-dup pairs: `|sh(a) ∩ sh(b)| / |sh(a)|`
+    * — the signal symmetric Jaccard structurally misses: a short document
+    * quoted or embedded inside a much longer one has containment ≈ 1 but
+    * Jaccard ≈ |a|/|b| (tested: a verbatim-quoted doc that [[minhashPairs]]
+    * cannot flag at any reasonable threshold). Output is ORDERED
+    * `(a, b, containment)`: a's shingle fraction found in b.
+    *
+    * Candidates are an inverted-index join on RARE shingles (document
+    * frequency ≤ `maxDf`): per-shingle posting lists bound the pair blowup
+    * to `Σ_rare df²  ≤  maxDf · Σ df` — linear in the posting volume,
+    * never all-pairs; common shingles carry no duplication signal and are
+    * excluded BY DEFINITION of the candidate rule, which the DuckDB oracle
+    * mirrors exactly (a contained doc whose every shingle is common is out
+    * of scope for both engines — a documented rule, not silent recall
+    * loss). Verification is exact on the full shingle sets.
+    */
+  def containmentPairs(documents: DataFrame, threshold: Double = 0.9,
+      maxDf: Int = 5, shingleW: Int = 3, seed: Int = 42,
+      idCol: String = "doc_id", textCol: String = "text",
+      materialize: Boolean = true): DataFrame = {
+    val sh = shingledSet(documents, idCol, textCol, shingleW, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-doc shingles are distinct, so this IS document frequency
+    val posting = sh.select(col("_id"), explode(col("_sh")).as("_s"))
+    val rarePost = posting.join(
+      posting.groupBy("_s").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDf).select("_s"),
+      "_s")
+    val candidates = rarePost.select(col("_s"), col("_id").as("a"))
+      .join(rarePost.select(col("_s"), col("_id").as("b")), "_s")
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val inter = gtext.sortedIntersectCount(col("_sha"), col("_shb")).cast("double")
+    val pairs = candidates
+      .join(sh.select(col("_id").as("a"), col("_sh").as("_sha")), "a")
+      .join(sh.select(col("_id").as("b"), col("_sh").as("_shb")), "b")
+      .select(col("a"), col("b"),
+        round(inter / size(col("_sha")), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+    if (materialize) Scratch.materializeThenFree(pairs, sh) else pairs
+  }
+
   /** Shingle-hash sets `(_id, _sh)` for a document relation — the shared
     * front of every banded-index path. */
   private def shingledSet(df: DataFrame, idCol: String, textCol: String,

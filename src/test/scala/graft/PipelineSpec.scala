@@ -775,6 +775,20 @@ class PipelineSpec extends SparkSpec {
     assert(kept === Set(21L))
   }
 
+  test("containmentPairs catches a verbatim quote that Jaccard misses") {
+    val quoted = (1 to 30).map(i => s"token$i").mkString(" ")
+    val host = ((100 to 160).map(i => s"host$i") ++ (1 to 30).map(i => s"token$i"))
+      .mkString(" ") // 61 host tokens then the full quote
+    val d = docs(1L -> quoted, 2L -> host,
+      3L -> (200 to 240).map(i => s"other$i").mkString(" "))
+    // every shingle of doc 1 appears in doc 2 → containment(1 in 2) = 1.0
+    val pairs = Dedup.containmentPairs(d, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs === Set((1L, 2L, 1.0)))
+    // the symmetric Jaccard path cannot flag it: J = 28/89 ≈ 0.31
+    assert(Dedup.minhashPairs(d, threshold = 0.8).count() === 0)
+  }
+
   test("ngramLmScore: add-1 bigram LM on a hand-computed fixture") {
     // instances: (a,b)x3, (b,a)x1, (b,c)x1 → c1: a=3, b=2; V = |{a,b,c}| = 3
     // lp(a,b) = floor(1e6·ln(4/6)) = -405466

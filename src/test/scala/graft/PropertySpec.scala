@@ -321,4 +321,77 @@ class PropertySpec extends SparkSpec {
         s"$g p95 rank ${rankOf(p95)} of $n outside bound")
     }
   }
+
+  test("ngramLmScore matches a reference LM implementation on random corpora") {
+    import spark.implicits._
+    val rnd = new Random(29)
+    val corpus = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(30))("w" + rnd.nextInt(12)).mkString(" ")))
+    // reference: add-1 bigram LM over exact integer counts, quantized
+    // per-bigram exactly like the engine
+    val docBigrams = corpus.map { case (id, text) =>
+      id -> text.split("\\s+").toSeq.sliding(2).map(p => (p(0), p(1))).toSeq }
+    val c12 = docBigrams.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (x, m) => x -> m.values.sum }
+    val v = c12.keySet.map(_._2).size.toLong
+    val lp = c12.map { case (b, n) =>
+      b -> math.floor(1e6 * math.log((n + 1).toDouble / (c1(b._1) + v))).toLong }
+    val expected = docBigrams.map { case (id, bs) =>
+      val s = bs.map(lp).sum; val n = bs.size.toLong
+      (id, math.floor(s.toDouble / n).toLong, n)
+    }.toSet
+    val got = graft.pipeline.TextAnalysis.ngramLmScore(
+      corpus.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
+  test("containmentPairs matches a reference inverted-index implementation") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    // small alphabet + some verbatim embeddings → real containment hits
+    val base = Seq.tabulate(20)(i =>
+      Seq.fill(4 + rnd.nextInt(25))("w" + rnd.nextInt(10)))
+    val corpus = base.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      Seq((100L, base(0) ++ base(1)), (101L, base(2).take(6)))
+    def shingles(t: Seq[String]): Set[String] =
+      if (t.size <= 3) Set(t.mkString(" "))
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    val sh = corpus.map { case (id, t) => id -> shingles(t) }.toMap
+    val df = sh.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).map { case (s, v) => s -> v.map(_._2).toSet }
+    val rare = df.filter(_._2.size <= 5)
+    val cand = for {
+      (_, ids) <- rare.toSeq; a <- ids; b <- ids if a != b
+    } yield (a, b)
+    val expected = cand.distinct.flatMap { case (a, b) =>
+      val c = sh(a).intersect(sh(b)).size.toDouble / sh(a).size
+      val r = BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (r >= 0.9) Some((a, b, r)) else None
+    }.toSet
+    val got = graft.pipeline.Dedup.containmentPairs(
+      corpus.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text"),
+      threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+  }
+
+  test("hashedLinearScore matches its md5-parity reference on random docs") {
+    import spark.implicits._
+    def w(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.take(4), 16) % 2 == 0) 1L else -1L
+    }
+    val rnd = new Random(37)
+    val corpus = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(40))("tk" + rnd.nextInt(50))))
+    val expected = corpus.map { case (id, t) =>
+      (id, math.floor(1e6 * t.map(w).sum.toDouble / t.size).toLong, t.size.toLong)
+    }.toSet
+    val got = graft.pipeline.TextAnalysis.hashedLinearScore(
+      corpus.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
 }
