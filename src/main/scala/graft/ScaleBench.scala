@@ -57,7 +57,7 @@ object ScaleBench {
   private val Headline: Seq[String] = Seq(
     // aggregation / shuffle shapes
     "a1_count_group", "a5_multi_group", "a7_percentiles", "a8_topk_per_group",
-    "a9_rollup", "a11_heavy_hitters",
+    "a9_rollup", "a11_heavy_hitters", "a16_count_min",
     // joins / projections / rekey
     "j1_inner_join", "j2_left_join_count", "k1_composite_key",
     "p5_case_when", "p6_cast_divide", "s4_rekey",

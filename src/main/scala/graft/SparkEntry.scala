@@ -299,6 +299,49 @@ object SparkEntry {
         expr("percentile_approx(value, 0.95, 1000) BETWEEN " +
           "percentile(value, 0.945) AND percentile(value, 0.955)")
           .as("p95_in_window"))),
+    // A16: Count–Min point frequency — the SCALE path for "how often does
+    // item x occur" where a1's exact GROUP BY must shuffle the full key
+    // set. The grid is 5×8192 longs (320 KiB) at ANY input cardinality;
+    // partials merge by element-wise add (a commutative monoid — unlike
+    // the MG summary, estimates are bit-identical under any partitioning).
+    // Emitted columns are the sketch's CONTRACT in a15's style:
+    // est >= exact always (collisions only over-count), and
+    // est <= exact + ceil(8n/w) (Markov per row at 8× the n/w mean,
+    // independent rows multiply: miss odds ~(1/8)^5 per item —
+    // deterministic here for fixed data and seeds). The oracle states the
+    // booleans as constants; a sketch bug flips them and hash-fails.
+    "a16_count_min" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      val sk = li.agg(graft.functions.countmin.countMinEstimates(
+        col("l_partkey").cast("string"), (0L to 40L).map(_.toString), 5, 8192)
+        .as("_cm"))
+        .select(explode(col("_cm")).as("e"))
+        .select(col("e.item").cast("long").as("l_partkey"),
+          col("e.est").as("_est"), col("e.n").as("_n"))
+      li.filter(col("l_partkey") <= 40)
+        .groupBy("l_partkey").agg(count(lit(1)).as("n_exact"))
+        .join(broadcast(sk), Seq("l_partkey"))
+        .select(col("l_partkey"), col("n_exact"),
+          (col("_est") >= col("n_exact")).as("cm_ge_exact"),
+          (col("_est") <= col("n_exact")
+            + ceil(col("_n") * 8.0 / 8192.0).cast("long")).as("cm_within_eps"))
+    }),
+    // A17: numeric column profiling — the one-pass per-group moment/
+    // correlation panel (count, mean, spread, linear association) a
+    // feature-engineering pipeline runs before training. All moments are
+    // map-side-combinable partials (Welford-style merge inside Spark's
+    // CentralMomentAgg/Corr), so the shuffle carries O(groups) rows at any
+    // input size. Outputs round to 6dp like a7 — both engines compute the
+    // same sample statistics from identical doubles.
+    "a17_numeric_profile" -> ((s, d) =>
+      table(s, d, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("cov_qty_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"))),
     // A8: bounded top-k per group via the native TopKByScore aggregate —
     // each map task's partial reduces to <= k entries per group BEFORE the
     // exchange (a rank-window plan would shuffle the full relation).
@@ -1042,6 +1085,17 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |  true AS p50_in_window, true AS p95_in_window
         |FROM events GROUP BY event_type""".stripMargin,
+    "a16_count_min" ->
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_exact,
+        |  true AS cm_ge_exact, true AS cm_within_eps
+        |FROM lineitem WHERE l_partkey <= 40 GROUP BY l_partkey""".stripMargin,
+    "a17_numeric_profile" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a8_topk_per_group" ->
       """SELECT event_type, event_id, CAST(rank AS INTEGER) AS rank, value
         |FROM (SELECT event_type, event_id, value,

@@ -15,7 +15,8 @@ import org.apache.spark.sql.graftbridge.Bridge
   *   graft_sorted_intersect_count(a, b), graft_term_counts(tokens),
   *   graft_latest_by_offset(value, order)   (aggregate),
   *   graft_top_k_by_score(score, id, k)     (aggregate),
-  *   graft_heavy_hitters(item, capacity)    (aggregate).
+  *   graft_heavy_hitters(item, capacity)    (aggregate),
+  *   graft_count_min(item, 'q1,q2,…', depth, width) (aggregate).
   */
 object GraftFunctions {
 
@@ -23,6 +24,12 @@ object GraftFunctions {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
   }
 
   def registerAll(spark: SparkSession): Unit = {
@@ -67,5 +74,12 @@ object GraftFunctions {
       args => TopKByScore(args(0), args(1), intLit(args(2), "k")))
     Bridge.registerFunction(spark, "graft_heavy_hitters",
       args => HeavyHitters(args(0), intLit(args(1), "capacity")))
+    Bridge.registerFunction(spark, "graft_count_min", {
+      case Seq(item, items, d, w) =>
+        CountMinEstimates(item, strLit(items, "queryItems").split(',').toSeq,
+          intLit(d, "depth"), intLit(w, "width"))
+      case args => throw new IllegalArgumentException(
+        s"graft_count_min takes (item, 'q1,q2,…', depth, width), got ${args.size} args")
+    })
   }
 }

@@ -283,6 +283,28 @@ class KsqlTutorialSpec extends SparkSpec {
     assert(byId("1")._1 === direct)
   }
 
+  test("count-min sketch aggregate is callable from the KSQL dialect") {
+    val e = engine
+    e.execute("""CREATE STREAM match_event (
+      id VARCHAR KEY, event_type VARCHAR, player_id VARCHAR, home boolean)
+      WITH (KAFKA_TOPIC='match_event');""")
+    Tutorial.canonicalEvents.foreach { ev =>
+      e.execute(s"INSERT INTO match_event VALUES " +
+        s"('${ev.id}', '${ev.event_type}', '${ev.player_id}', ${ev.home});")
+    }
+    // the sketch estimate can only over-count, so est(GOAL) >= exact(GOAL);
+    // at 7 events into a 4x64 grid the estimate is almost surely exact,
+    // but the asserted contract is the sketch's own (>=)
+    val exact = Tutorial.canonicalEvents.count(_.event_type == "GOAL")
+    val row = e.execute(
+      """SELECT graft_count_min(event_type, 'GOAL,KICKOFF', 4, 64) cm
+        FROM match_event EMIT CHANGES;""").get.collect().head
+    val ests = row.getSeq[Row](0).map(r =>
+      r.getString(0) -> r.getLong(1)).toMap
+    assert(ests("GOAL") >= exact)
+    assert(ests.keySet === Set("GOAL", "KICKOFF"))
+  }
+
   test("KSQL HAVING / ORDER BY / LIMIT pass through to Catalyst") {
     val e = engine
     e.execute("""CREATE STREAM match_event (

@@ -180,6 +180,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch: overestimates only, and is partition-invariant") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    // zipfish stream over 2000 distinct items through a 4x256 grid —
+    // collisions guaranteed (2000 items into 256 buckets per row)
+    val stream = (0 until 8000).map { _ =>
+      val r = rnd.nextInt(100)
+      if (r < 40) s"hot${rnd.nextInt(5)}" else s"cold${rnd.nextInt(2000)}"
+    }
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val queries = (0 until 5).map(h => s"hot$h") ++
+      (0 until 30).map(c => s"cold$c") :+ "never-seen"
+    def estimates(parts: Int): Map[String, Long] =
+      stream.toDF("item").repartition(parts)
+        .agg(graft.functions.countmin.countMinEstimates(
+          $"item", queries, depth = 4, width = 256).as("cm"))
+        .select(explode($"cm").as("e"))
+        .select($"e.item", $"e.est")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = estimates(8)
+    // est >= true for every queried item, including absent ones (>= 0)
+    queries.foreach { q =>
+      val t = truth.getOrElse(q, 0L)
+      assert(est(q) >= t, s"$q undercounted: ${est(q)} < $t")
+      // and the excess is bounded by the full stream mass (sanity ceiling)
+      assert(est(q) <= t + stream.size, s"$q: absurd estimate ${est(q)}")
+    }
+    // the grid is a commutative monoid: 1-partition and 8-partition runs
+    // produce bit-identical estimates (the property MG summaries lack)
+    assert(estimates(1) === est, "estimates changed with partitioning")
+  }
+
   test("asofJoin picks the latest dim version at-or-before the fact time") {
     import spark.implicits._
     def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)

@@ -520,4 +520,31 @@ class StreamingTutorialSpec extends SparkSpec {
       assert(got("d") === ((1L, 0L)))
     } finally q.stop()
   }
+
+  test("streaming count-min: grid accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[String]
+    val cm = input.toDF().toDF("item")
+      .agg(graft.functions.countmin.countMinEstimates(
+        col("item"), Seq("hot", "d", "absent"), depth = 4, width = 256).as("cm"))
+      .select(explode(col("cm")).as("e"))
+      .select(col("e.item"), col("e.est"), col("e.n"))
+    val q = cm.writeStream.format("memory")
+      .queryName("cm_stream").outputMode("complete").start()
+    try {
+      input.addData(Seq.fill(10)("hot") ++ Seq("a", "b", "c"): _*)
+      q.processAllAvailable()
+      input.addData(Seq.fill(5)("hot") ++ Seq("d"): _*)
+      q.processAllAvailable()
+      val got = spark.table("cm_stream").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // the grid merges across micro-batches like any commutative partial:
+      // estimates only over-count, n is the full stream mass, and with 6
+      // distinct items in 256 buckets these are exact
+      assert(got("hot") === ((15L, 19L)))
+      assert(got("d") === ((1L, 19L)))
+      assert(got("absent") === ((0L, 19L)))
+    } finally q.stop()
+  }
 }
