@@ -583,6 +583,12 @@ object SparkEntry {
       TextAnalysis.rollingFingerprint(table(s, d, "documents"))),
     "t6_dataset_split" -> ((s, d) =>
       TextAnalysis.datasetSplit(table(s, d, "documents"))),
+    // T26: leakage-safe split — t6's md5 gate applied to each doc's
+    // near-dup cluster representative (d8's components), so near-dup
+    // pairs can never straddle train/test. Singletons assign exactly as
+    // t6; only clustered docs move.
+    "t26_leakage_safe_split" -> ((s, d) =>
+      TextAnalysis.leakageSafeSplit(table(s, d, "documents"))),
     "t7_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(table(s, d, "documents"))),
     "t8_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(table(s, d, "documents"))),
     // T23: Okapi BM25 term weighting — t8's shape with tf saturation and
@@ -2039,6 +2045,41 @@ object SparkEntry {
         |       WHEN ('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS group_split
         |FROM documents""".stripMargin,
+    // t26: d8's recursive reachability (exact all-pairs Jaccard closure —
+    // LSH recall is 1 at gate SFs, the d3-proven equivalence) resolves
+    // representatives; t6's md5 gate then hashes rep_id instead of doc_id.
+    "t26_leakage_safe_split" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM tok),
+        |pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT a.doc_id AS a, b.doc_id AS b,
+        |      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE),
+        |        6) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.8),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS r FROM edges
+        |  UNION
+        |  SELECT e.u AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.v),
+        |rep AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id),
+        |full_rep AS (
+        |  SELECT d.doc_id, coalesce(r.rep_id, d.doc_id) AS rep_id
+        |  FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id)
+        |SELECT doc_id, rep_id,
+        |  CASE WHEN ('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM full_rep""".stripMargin,
     "t7_top_bigrams" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

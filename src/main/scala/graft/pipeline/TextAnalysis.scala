@@ -109,18 +109,51 @@ object TextAnalysis {
     * document of a group lands in the same split — the standard guard
     * against train/test leakage via near-duplicate groups.
     */
+  private def md5Bucket100(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 100
+
+  private def splitLabel(b: Column, trainPct: Int, valPct: Int): Column =
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+
   def datasetSplit(documents: DataFrame, groupCol: String = "source",
-      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    def bucket(c: Column): Column =
-      conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 100
-    def label(b: Column): Column =
-      when(b < trainPct, "train")
-        .when(b < trainPct + valPct, "val")
-        .otherwise("test")
+      trainPct: Int = 80, valPct: Int = 10): DataFrame =
     documents.select(
       col("doc_id"),
-      label(bucket(col("doc_id"))).as("split"),
-      label(bucket(col(groupCol))).as("group_split"))
+      splitLabel(md5Bucket100(col("doc_id")), trainPct, valPct).as("split"),
+      splitLabel(md5Bucket100(col(groupCol)), trainPct, valPct).as("group_split"))
+
+  /** Leakage-safe train/val/test split: the split is a function of each
+    * document's NEAR-DUP CLUSTER representative, not of the document
+    * itself, so two near-duplicates can never straddle train/test — the
+    * contamination [[datasetSplit]]'s per-doc hash cannot prevent (a
+    * near-dup pair hashes to independent buckets; at 80/10/10 about a
+    * third of dup pairs split across sets, which is test-set leakage).
+    *
+    * Composition: [[Dedup.minhashPairs]] (banded LSH candidates — never
+    * all-pairs) → [[Dedup.connectedComponents]] (log-rounds star
+    * contraction) → min-id representative, then the same md5 gate as
+    * [[datasetSplit]] applied to `rep_id`. Singletons are their own
+    * representative, so their assignment is IDENTICAL to
+    * [[datasetSplit]]'s `split` column — the clustered docs are the only
+    * rows that move.
+    *
+    * Scale: only (doc_id, rep_id) pairs shuffle (no text); the rep
+    * relation is bounded by clustered docs (typically a small fraction
+    * of the corpus) and broadcasts into the corpus join; the gate itself
+    * is a pure projection.
+    */
+  def leakageSafeSplit(documents: DataFrame, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    val rep = Dedup.connectedComponents(Dedup.minhashPairs(documents))
+      .select(col("a").as("doc_id"), col("rep_id"))
+    documents.select(col("doc_id"))
+      .join(broadcast(rep), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
+      .select(col("doc_id"), col("rep_id"),
+        splitLabel(md5Bucket100(col("rep_id")), trainPct, valPct).as("split"))
   }
 
   /** Corpus-wide top-k bigram counts (data-quality / boilerplate
