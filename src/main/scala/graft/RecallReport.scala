@@ -79,7 +79,10 @@ object RecallReport {
       s""""assign_$na":$r"""
     }
 
-    println(s"""{"metric":"recall","sf":"$sfDir","ivf_recall_at_5":{${ivf.mkString(",")}},"mips_recall_at_5":{${mips.mkString(",")}},"knn_graph_recall":{${v7.mkString(",")}},"semdedup_pair_recall":{${d11.mkString(",")}},"exact_topk_pairs":${exactTopK.size},"exact_mips_pairs":${exactMips.size},"exact_graph_pairs":${exactGraph.size},"exact_semantic_pairs":${exactPairs.size}}""")
+    // the curves above sweep the knob explicitly; defaults record which
+    // point on each curve a caller gets without choosing (recall target
+    // ≥ 0.75: nProbe=16, nAssign=4)
+    println(s"""{"metric":"recall","sf":"$sfDir","defaults":{"nprobe":16,"nassign":4},"ivf_recall_at_5":{${ivf.mkString(",")}},"mips_recall_at_5":{${mips.mkString(",")}},"knn_graph_recall":{${v7.mkString(",")}},"semdedup_pair_recall":{${d11.mkString(",")}},"exact_topk_pairs":${exactTopK.size},"exact_mips_pairs":${exactMips.size},"exact_graph_pairs":${exactGraph.size},"exact_semantic_pairs":${exactPairs.size}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming throughput benchmark — the continuous-execution numbers the
+  * batch benches ([[Bench]], [[ScaleBench]]) cannot see:
+  *
+  *  1. the INDEXED DEDUP INGEST loop
+  *     ([[graft.streaming.StreamDedup.incrementalNearDupIndexed]]): N
+  *     micro-batches of fixed size stream through the band + containment
+  *     gates, each batch probing and then maintaining the materialized
+  *     index. Per-batch wall latency over the run is the design's core
+  *     claim made measurable: the banded index keeps per-ingest cost
+  *     O(batch), so the latency curve must stay FLAT as the corpus (and
+  *     index) grows — a corpus-coupled probe would slope upward.
+  *  2. the KSQL PUSH-QUERY path ([[ksql.KsqlStreamingEngine]]): INSERT →
+  *     MemoryStream → update-mode aggregation changelog, timed per
+  *     insert burst (the reference's interactive `EMIT CHANGES` shape).
+  *
+  * Prints ONE JSON line:
+  * `{"metric":"stream_throughput","ingest":{...},"ksql_push":{...}}`
+  * with per-batch latencies (seconds), aggregate records/s, and the
+  * final index/corpus sizes. Run via the [[ScaleBench]] java -cp recipe;
+  * `SPARK_GRAFT_SF_DIR` picks the source table (default sf0.1),
+  * `SPARK_GRAFT_STREAM_BATCHES` / `_BATCH_ROWS` the shape.
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
+    val batchRows = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH_ROWS", "500").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // ---- 1. indexed dedup ingest ------------------------------------
+    // feed = real documents in doc_id order, constant batch size; most
+    // are unique (append + index-maintenance work every batch), the
+    // planted near-dups exercise the reject path
+    val feed = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .orderBy("doc_id")
+      .limit(nBatches * batchRows)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_streambench").toString
+    val tbl = "graft_streambench_band"
+    val ctbl = "graft_streambench_post"
+    Seq(tbl, ctbl).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamDedup.incrementalNearDupIndexed(
+      input.toDF().toDF("doc_id", "text"), tbl, s"$dir/sh", s"$dir/corpus",
+      s"$dir/ckpt", compactEvery = 4, containTable = Some(ctbl))
+    val ingestLat = try {
+      feed.grouped(batchRows).take(nBatches).map { rows =>
+        val t0 = System.nanoTime()
+        input.addData(rows.toIndexedSeq: _*)
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }.toSeq
+    } finally q.stop()
+    val corpusRows = spark.read.parquet(s"$dir/corpus").count()
+    val indexRows = spark.table(tbl).count()
+    val postRows = spark.table(ctbl).count()
+    val fed = math.min(feed.length, nBatches * batchRows)
+
+    // ---- 2. KSQL push query ----------------------------------------
+    val e = new ksql.KsqlStreamingEngine(spark,
+      connectorProvider = (s, _) => graft.streaming.Tutorial.playersSeed(s))
+    e.execute("CREATE SOURCE CONNECTOR c WITH ('table.whitelist' = 'players');")
+    e.execute("""CREATE TABLE players (
+      ID VARCHAR PRIMARY KEY, name VARCHAR(50), team VARCHAR(50),
+      nationality VARCHAR(50)) WITH (KAFKA_TOPIC = 'players');""")
+    e.execute("""CREATE STREAM match_event (
+      id VARCHAR KEY, event_type VARCHAR, player_id VARCHAR, home boolean)
+      WITH (KAFKA_TOPIC='match_event');""")
+    val h = e.execute(
+      """SELECT id, count(id) AS n FROM match_event
+         GROUP BY id EMIT CHANGES;""").get
+    val insertsPerBurst = 200
+    val kinds = Seq("GOAL", "ASSIST", "SAVE")
+    val pushLat = try {
+      (0 until nBatches).map { b =>
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < insertsPerBurst) {
+          val id = (b * insertsPerBurst + i) % 7 + 1
+          e.execute(s"INSERT INTO match_event VALUES " +
+            s"('$id', '${kinds(i % kinds.size)}', '${i % 5 + 1}', ${i % 2 == 0});")
+          i += 1
+        }
+        h.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+    } finally h.stop()
+
+    def arr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val ingestRps = fed / ingestLat.sum
+    val pushRps = nBatches * insertsPerBurst / pushLat.sum
+    // slope proxy for "flat": mean of last 3 batches over mean of first 3
+    def trend(xs: Seq[Double]): Double =
+      if (xs.size < 6) 1.0
+      else (xs.takeRight(3).sum / 3.0) / (xs.take(3).sum / 3.0)
+    println(
+      s"""{"metric":"stream_throughput","sf":"$sfDir",""" +
+      s""""ingest":{"batch_rows":$batchRows,"batches":${ingestLat.size},""" +
+      s""""latency_sec":${arr(ingestLat)},"records_per_sec":${f"$ingestRps%.1f"},""" +
+      s""""last3_over_first3":${f"${trend(ingestLat)}%.3f"},""" +
+      s""""corpus_rows":$corpusRows,"band_index_rows":$indexRows,""" +
+      s""""posting_rows":$postRows},""" +
+      s""""ksql_push":{"inserts_per_burst":$insertsPerBurst,""" +
+      s""""bursts":${pushLat.size},"latency_sec":${arr(pushLat)},""" +
+      s""""records_per_sec":${f"$pushRps%.1f"},""" +
+      s""""last3_over_first3":${f"${trend(pushLat)}%.3f"}}}""")
+    spark.stop()
+  }
+}

@@ -76,8 +76,15 @@ object GraftFunctions {
       args => HeavyHitters(args(0), intLit(args(1), "capacity")))
     Bridge.registerFunction(spark, "graft_count_min", {
       case Seq(item, items, d, w) =>
-        CountMinEstimates(item, strLit(items, "queryItems").split(',').toSeq,
-          intLit(d, "depth"), intLit(w, "width"))
+        // comma-separated query list: items trim their surrounding
+        // whitespace ('q1, q2' queries q2, not ' q2') and empty segments
+        // drop; a key CONTAINING a comma is unrepresentable in this
+        // literal form — pass it through the Scala API instead
+        val qs = strLit(items, "queryItems").split(',')
+          .iterator.map(_.trim).filter(_.nonEmpty).toSeq
+        if (qs.isEmpty) throw new IllegalArgumentException(
+          "graft_count_min needs at least one non-empty query item")
+        CountMinEstimates(item, qs, intLit(d, "depth"), intLit(w, "width"))
       case args => throw new IllegalArgumentException(
         s"graft_count_min takes (item, 'q1,q2,…', depth, width), got ${args.size} args")
     })

@@ -233,8 +233,9 @@ class KsqlStreamingEngine(
       // (+ watermark): sessions have no static bounds, so the changelog
       // form ksqlDB emits per update is undefined until the watermark
       // closes the session — closed sessions ARE the append rows.
-      val sessionWindowed =
-        "(?is)\\bWINDOW\\s+SESSION\\b".r.findFirstIn(select).isDefined
+      // derived from the translator's structural (literal-masked) WINDOW
+      // parse — the flag and the translation can never disagree
+      val sessionWindowed = windowKind(select).contains("SESSION")
       streamDecls.values.foreach { d =>
         d.attached.filterInPlace(a => a.owner.exists(_.isActive))
         attachStream(d, watermarked = sessionWindowed)

@@ -54,6 +54,21 @@ trait KsqlTranslator {
   private val AdvanceRe = "(?i)ADVANCE\\s+BY\\s+(\\d+)\\s+(\\w+)".r
   private val BareDurRe = "(?i)(\\d+)\\s+(\\w+)".r
 
+  /** The structural WINDOW match, with string literals masked so
+    * `WHERE note = 'WINDOW SESSION(x)'` never parses as a window clause.
+    * Masking is length-preserving, so match positions index into the
+    * ORIGINAL string. [[translateSelect]] and the streaming engine's
+    * output-mode decision both go through this — one parse, no
+    * regex-vs-translator drift.
+    */
+  private[ksql] def windowMatch(
+      select: String): Option[scala.util.matching.Regex.Match] =
+    WindowRe.findFirstMatchIn(KsqlTranslator.maskLiterals(select))
+
+  /** TUMBLING / HOPPING / SESSION, if the select has a WINDOW clause. */
+  private[ksql] def windowKind(select: String): Option[String] =
+    windowMatch(select).map(_.group(1).toUpperCase)
+
   private[ksql] def translateSelect(select0: String,
       injectOffset: Boolean = false): String = {
     import KsqlTranslator.replaceOutsideQuotes
@@ -69,7 +84,7 @@ trait KsqlTranslator {
       "(?i)(?<![\\w])STRINGTOTIMESTAMP\\s*\\(([^()]*)\\)",
       "unix_millis(to_timestamp($1))")
     // ---- windowed aggregation (WINDOW TUMBLING/HOPPING/SESSION) --------
-    WindowRe.findFirstMatchIn(s).foreach { m =>
+    windowMatch(s).foreach { m =>
       require(rowtimeSupported,
         "WINDOW clauses need an engine with record timestamps (_rowtime)")
       val ref = fromSources(s).headOption.map(_._2).getOrElse(
@@ -95,7 +110,9 @@ trait KsqlTranslator {
       }
       require(s.toUpperCase.contains("GROUP BY"),
         s"WINDOW clauses require GROUP BY (windowed aggregation): $select0")
-      s = WindowRe.replaceFirstIn(s, " ")
+      // positional splice (mask is length-preserving): a literal
+      // containing 'WINDOW …' earlier in the text must not be the one cut
+      s = s.substring(0, m.start) + " " + s.substring(m.end)
       s = s.replaceFirst("(?i)\\bGROUP\\s+BY\\b",
         java.util.regex.Matcher.quoteReplacement(s"GROUP BY $winExpr,"))
       s = replaceOutsideQuotes(s, "(?i)(?<![\\w])WINDOWSTART(?![\\w])",
@@ -187,6 +204,21 @@ object KsqlTranslator {
       } else cur.append(c)
     }
     flush()
+    out.result()
+  }
+
+  /** Replace every single-quoted literal's content (quotes included) with
+    * spaces — length-preserving, so regex match positions computed on the
+    * masked text index into the original. Structural parses (WINDOW
+    * clauses) match against this, never against literal text.
+    */
+  private[ksql] def maskLiterals(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var inQuote = false
+    s.foreach { c =>
+      if (c == '\'') { inQuote = !inQuote; out.append(' ') }
+      else out.append(if (inQuote) ' ' else c)
+    }
     out.result()
   }
 }

@@ -315,6 +315,54 @@ object Dedup {
       .select(col("_id"), xxhash64(col("pos"), col("col")).as("_bb"))
   }
 
+  /** The LSH parameters a banded index was built with. Probes and appends
+    * MUST use the same values — a different k/bands/seed produces band
+    * keys that never collide with the stored ones (silent zero recall),
+    * and a different bucket count mis-compacts the table — so
+    * [[buildBandedIndex]] persists this spec as a sidecar beside the
+    * shingle store and the streaming loop reads it back instead of
+    * trusting its own defaults.
+    */
+  final case class BandSpec(k: Int = 64, bands: Int = 16, shingleW: Int = 3,
+      seed: Int = 42, buckets: Int = 8)
+
+  private def specPath(shPath: String) =
+    new org.apache.hadoop.fs.Path(shPath + "_spec.json")
+
+  private def writeBandSpec(spark: org.apache.spark.sql.SparkSession,
+      shPath: String, spec: BandSpec): Unit = {
+    val p = specPath(shPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      (s"""{"k":${spec.k},"bands":${spec.bands},"shingleW":${spec.shingleW},""" +
+        s""""seed":${spec.seed},"buckets":${spec.buckets}}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The spec an existing index was built with; None for indexes that
+    * predate the sidecar (callers then fall back to their own params).
+    */
+  def readBandSpec(spark: org.apache.spark.sql.SparkSession,
+      shPath: String): Option[BandSpec] = {
+    val p = specPath(shPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def field(name: String): Int =
+        s""""$name":(-?\\d+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toInt)
+          .getOrElse(throw new IllegalArgumentException(
+            s"malformed band-index spec at $p: missing $name in $txt"))
+      Some(BandSpec(field("k"), field("bands"), field("shingleW"),
+        field("seed"), field("buckets")))
+    }
+  }
+
   def buildBandedIndex(corpus: DataFrame, table: String, shPath: String,
       idCol: String = "doc_id", textCol: String = "text", k: Int = 64,
       bands: Int = 16, shingleW: Int = 3, seed: Int = 42,
@@ -323,6 +371,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.engine.Layout.writeBucketed(
       bandedKeys(sh, k, bands, seed), table, "_bb", buckets)
+    writeBandSpec(corpus.sparkSession, shPath,
+      BandSpec(k, bands, shingleW, seed, buckets))
     // sh written LAST: a crash mid-build leaves the band table without
     // it, and the ingest gate (which requires BOTH) rebuilds
     sh.write.mode("overwrite").parquet(shPath)
@@ -348,6 +398,94 @@ object Dedup {
     graft.engine.Layout.appendBucketed(
       bandedKeys(sh, k, bands, seed), table, "_bb", buckets)
     sh.unpersist()
+  }
+
+  /** Materialize the containment posting index beside a banded index: one
+    * bucketed table of shingle postings `(_s, _id)` — EVERY shingle of
+    * every indexed doc, bucketed by the shingle hash — derived from the
+    * same shingle store ([[buildBandedIndex]]'s `shPath`) the band index
+    * verifies against. This is the state that lets ingest also catch
+    * CONTAINMENT dups (a batch doc quoting / quoted by corpus content —
+    * the class banded Jaccard structurally misses, see
+    * [[containmentPairs]]).
+    *
+    * Storing ALL postings (not just currently-rare ones) buys two
+    * properties: (a) rarity is decided at probe time from the live table,
+    * so a shingle crossing `maxDf` as the corpus grows stops generating
+    * candidates with no tombstoning; (b) the probe counts df as
+    * `count(DISTINCT _id)`, so the at-least-once replay of a crashed
+    * append (duplicate posting rows) cannot inflate df and silently
+    * push rare shingles out of the candidate rule.
+    */
+  def buildContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+      shPath: String, table: String, buckets: Int = 8): Unit =
+    graft.engine.Layout.writeBucketed(
+      spark.read.parquet(shPath).select(explode(col("_sh")).as("_s"), col("_id")),
+      table, "_s", buckets)
+
+  /** Append accepted docs' shingle postings to a containment index (the
+    * per-ingest maintenance step; the shingle STORE append is owned by
+    * [[appendToBandedIndex]] when the two indexes share it).
+    */
+  def appendToContainmentIndex(accepted: DataFrame, table: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleW: Int = 3, seed: Int = 42, buckets: Int = 8): Unit =
+    graft.engine.Layout.appendBucketed(
+      shingledSet(accepted, idCol, textCol, shingleW, seed)
+        .select(explode(col("_sh")).as("_s"), col("_id")),
+      table, "_s", buckets)
+
+  /** Incremental containment pairs against a MATERIALIZED posting index —
+    * [[containmentPairs]]'s candidate rule in its batch-vs-corpus ingest
+    * form: a (batch doc, corpus doc) pair is a candidate iff it shares a
+    * shingle whose CORPUS document frequency is ≤ `maxDf` (batch
+    * occurrences do not count toward rarity — the index is the
+    * authority), then BOTH orientations verify exactly against the
+    * stored shingle sets:
+    * `containment_batch = |∩|/|sh(batch)|` (the batch doc sits inside a
+    * corpus doc), `containment_corpus = |∩|/|sh(corpus)|` (the batch doc
+    * QUOTES a corpus doc wholly). A row emits when either meets
+    * `threshold`.
+    *
+    * Scale: the df aggregation and the rare-postings join both run on the
+    * bucketed table's own layout (no exchange on the corpus side — same
+    * contract as [[incrementalMinhashPairsIndexed]], asserted in
+    * PlanShapeSpec); only the batch's exploded shingles shuffle. The df
+    * pass is linear in the index per probe; a compaction cycle can fold
+    * it into a (_s, df) summary when probe frequency demands it — the
+    * candidate volume itself stays bounded by `maxDf · |batch shingles|`.
+    */
+  def containmentPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, shPath: String, batch: DataFrame,
+      threshold: Double = 0.9, maxDf: Int = 5, shingleW: Int = 3,
+      seed: Int = 42, idCol: String = "doc_id", textCol: String = "text",
+      materialize: Boolean = true): DataFrame = {
+    val shB = shingledSet(batch, idCol, textCol, shingleW, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val post = graft.engine.Layout.read(spark, table)
+    // count(DISTINCT): replayed at-least-once appends must not inflate df
+    val rare = post.groupBy("_s")
+      .agg(count_distinct(col("_id")).as("_df"))
+      .filter(col("_df") <= maxDf).select("_s")
+    // rare ⋈ post first (both on the bucketed layout, co-partitioned):
+    // common-shingle postings — the bulk of the table — drop before the
+    // batch join ever sees them
+    val rarePost = post.join(rare, "_s").withColumnRenamed("_id", "corpus_id")
+    val candidates = shB
+      .select(col("_id").as("batch_id"), explode(col("_sh")).as("_s"))
+      .join(rarePost, "_s")
+      .select("batch_id", "corpus_id").distinct()
+    val shC = spark.read.parquet(shPath)
+    val inter = gtext.sortedIntersectCount(col("_sha"), col("_shb")).cast("double")
+    val pairs = candidates
+      .join(shB.select(col("_id").as("batch_id"), col("_sh").as("_sha")), "batch_id")
+      .join(shC.select(col("_id").as("corpus_id"), col("_sh").as("_shb")), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        round(inter / size(col("_sha")), 6).as("containment_batch"),
+        round(inter / size(col("_shb")), 6).as("containment_corpus"))
+      .filter(col("containment_batch") >= threshold ||
+        col("containment_corpus") >= threshold)
+    if (materialize) Scratch.materializeThenFree(pairs, shB) else pairs
   }
 
   /** Incremental near-dup pairs against a MATERIALIZED banded index: the
@@ -425,15 +563,18 @@ object Dedup {
   def incrementalSurvivorsIndexed(spark: org.apache.spark.sql.SparkSession,
       table: String, shPath: String, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.8, dedupWithinBatch: Boolean = false): DataFrame = {
+      threshold: Double = 0.8, dedupWithinBatch: Boolean = false,
+      k: Int = 64, bands: Int = 16, shingleW: Int = 3,
+      seed: Int = 42): DataFrame = {
     val crossKept = batch.select(col(idCol)).join(
       incrementalMinhashPairsIndexed(spark, table, shPath, batch, idCol,
-        textCol, threshold = threshold)
+        textCol, k, bands, shingleW, threshold, seed)
         .select(col("batch_id").as(idCol)),
       Seq(idCol), "left_anti")
     if (!dedupWithinBatch) crossKept
     else nearDupSurvivors(crossKept,
-      minhashPairs(batch, idCol, textCol, threshold = threshold), idCol)
+      minhashPairs(batch, idCol, textCol, k, bands, shingleW,
+        threshold, seed), idCol)
   }
 
   /** Blocked exact n-gram Jaccard pairs: all pairs within a blocking key
@@ -631,15 +772,19 @@ object Dedup {
     * Recall < 1 (a near-dup pair split across a cell boundary is missed)
     * — that is SemDeDup's documented trade; `nAssign > 1` multi-assigns
     * each vector to its top-n cells (a pair is caught when ANY cell is
-    * shared — the recall knob, at ~nAssign× candidate cost; measured in
-    * RECALL_r08.json); `singleCell = true` forces one cell, making the
-    * output the exact all-pairs answer the d11b oracle twin hash-checks.
+    * shared — the recall knob, at ~nAssign× candidate cost); `singleCell
+    * = true` forces one cell, making the output the exact all-pairs
+    * answer the d11b oracle twin hash-checks.
+    *
+    * Default `nAssign = 4` targets ≥0.75 pair recall — measured on the
+    * sf0.1 testdata (RECALL_r09.json): 0.18 at nAssign=1 (a dedup that
+    * silently keeps 82% of semantic dups), 0.47 at 2, 0.83 at 4.
     */
   def semanticPairs(embeddings: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.45,
       centroidEvery: Int = 50, kmeansIters: Int = 2,
       singleCell: Boolean = false, materialize: Boolean = true,
-      maxCells: Int = 4096, nAssign: Int = 1): DataFrame = {
+      maxCells: Int = 4096, nAssign: Int = 4): DataFrame = {
     // scalar assignment for the default; the explode only exists when
     // multi-assignment actually emits >1 cell per vector
     val cellCol: Column =
@@ -676,11 +821,13 @@ object Dedup {
   def semanticSurvivors(embeddings: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.45,
       centroidEvery: Int = 50, kmeansIters: Int = 2,
-      singleCell: Boolean = false, maxCells: Int = 4096): DataFrame =
+      singleCell: Boolean = false, maxCells: Int = 4096,
+      nAssign: Int = 4): DataFrame =
     nearDupSurvivors(
       embeddings.select(col(idCol)),
       semanticPairs(embeddings, idCol, vecCol, threshold, centroidEvery,
-        kmeansIters, singleCell, materialize = true, maxCells = maxCells),
+        kmeansIters, singleCell, materialize = true, maxCells = maxCells,
+        nAssign = nAssign),
       idCol)
 
   /** Embedding near-duplicate pairs: random-hyperplane LSH (Charikar '02

@@ -98,12 +98,28 @@ object StreamDedup {
     * every that-many batches ([[graft.engine.Layout.compactBucketed]]) —
     * append accretion is the price of the exchange-free corpus join, and
     * at micro-batch frequency it must be repaid periodically.
+    *
+    * LSH parameters come from the index's OWN persisted spec
+    * ([[graft.pipeline.Dedup.readBandSpec]], written at build time): a
+    * pre-built index with non-default k/bands/seed probes and appends
+    * with ITS values — defaults here apply only when bootstrapping a new
+    * index (or probing a legacy one with no sidecar, where `spec` is the
+    * caller's last-resort override).
+    *
+    * `containTable` adds the CONTAINMENT gate: a posting index
+    * ([[graft.pipeline.Dedup.buildContainmentIndex]], sharing this
+    * loop's shingle store) probed per batch, so a doc quoting — or
+    * quoted by — corpus content is rejected even though its symmetric
+    * Jaccard clears the near-dup bar; accepted docs' postings append so
+    * later batches see them.
     */
   def incrementalNearDupIndexed(stream: DataFrame, indexTable: String,
       shPath: String, corpusPath: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.8, dedupWithinBatch: Boolean = true,
-      compactEvery: Int = 0):
+      compactEvery: Int = 0, spec: Dedup.BandSpec = Dedup.BandSpec(),
+      containTable: Option[String] = None,
+      containThreshold: Double = 0.9, containMaxDf: Int = 5):
       org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
@@ -114,30 +130,63 @@ object StreamDedup {
           new org.apache.hadoop.fs.Path(shPath)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
             .exists(new org.apache.hadoop.fs.Path(shPath))
+        // the stored spec wins over the caller's: band keys from any other
+        // parameters never match the table's, which silently kills recall
+        val sp =
+          if (bootstrapped) Dedup.readBandSpec(spark, shPath).getOrElse(spec)
+          else spec
         val keptIds =
           if (bootstrapped)
             Dedup.incrementalSurvivorsIndexed(spark, indexTable, shPath,
-              batch, idCol, textCol, threshold, dedupWithinBatch)
+              batch, idCol, textCol, threshold, dedupWithinBatch,
+              sp.k, sp.bands, sp.shingleW, sp.seed)
           else if (dedupWithinBatch)
             Dedup.nearDupSurvivors(
               batch.select(col(idCol)),
-              Dedup.minhashPairs(batch, idCol, textCol, threshold = threshold),
+              Dedup.minhashPairs(batch, idCol, textCol, sp.k, sp.bands,
+                sp.shingleW, threshold, sp.seed),
               idCol)
           else batch.select(col(idCol))
-        val accepted = batch.join(keptIds, Seq(idCol), "left_semi")
+        // containment gate: drop band-survivors that quote / are quoted
+        // by indexed corpus content (probe BEFORE this batch appends)
+        val kept2 = containTable match {
+          case Some(ct) if bootstrapped && spark.catalog.tableExists(ct) =>
+            keptIds.join(
+              Dedup.containmentPairsIndexed(spark, ct, shPath,
+                batch.join(keptIds, Seq(idCol), "left_semi"),
+                containThreshold, containMaxDf, sp.shingleW, sp.seed,
+                idCol, textCol)
+                .select(col("batch_id").as(idCol)).distinct(),
+              Seq(idCol), "left_anti")
+          case _ => keptIds
+        }
+        val accepted = batch.join(kept2, Seq(idCol), "left_semi")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         accepted.write.mode("append").parquet(corpusPath)
         if (bootstrapped)
           Dedup.appendToBandedIndex(accepted, indexTable, shPath,
-            idCol, textCol)
+            idCol, textCol, sp.k, sp.bands, sp.shingleW, sp.seed, sp.buckets)
         else
-          Dedup.buildBandedIndex(accepted, indexTable, shPath, idCol, textCol)
+          Dedup.buildBandedIndex(accepted, indexTable, shPath, idCol,
+            textCol, sp.k, sp.bands, sp.shingleW, sp.seed, sp.buckets)
+        containTable.foreach { ct =>
+          if (spark.catalog.tableExists(ct))
+            Dedup.appendToContainmentIndex(accepted, ct, idCol, textCol,
+              sp.shingleW, sp.seed, sp.buckets)
+          else // bootstrap from the shingle store the band build just wrote
+            Dedup.buildContainmentIndex(spark, shPath, ct, sp.buckets)
+        }
         accepted.unpersist(blocking = false)
         // every append adds up to one file per bucket; at micro-batch
         // frequency that accretion degrades the bucketed scan — fold it
         // back down every `compactEvery` batches (0 = caller compacts)
-        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          graft.engine.Layout.compactBucketed(spark, indexTable, "_bb", 8)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          graft.engine.Layout.compactBucketed(spark, indexTable, "_bb",
+            sp.buckets)
+          containTable.foreach(ct =>
+            if (spark.catalog.tableExists(ct))
+              graft.engine.Layout.compactBucketed(spark, ct, "_s", sp.buckets))
+        }
         ()
       }
       .start()

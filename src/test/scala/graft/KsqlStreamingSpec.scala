@@ -165,6 +165,27 @@ class KsqlStreamingSpec extends SparkSpec {
     } finally h.stop()
   }
 
+  test("'WINDOW SESSION' inside a string literal does not switch emission mode") {
+    val e = freshEngine
+    ddl(e)
+    // the literal would regex-match a naive text scan; the structural
+    // (literal-masked) parse must keep this a plain aggregation → UPDATE
+    // mode live changelog, not a watermarked append query that emits
+    // nothing until sessions close
+    val h = e.execute(
+      """SELECT id, COUNT(id) n FROM match_event
+        WHERE event_type != 'WINDOW SESSION (2 SECONDS)'
+        GROUP BY id EMIT CHANGES;""").get
+    try {
+      insert(e, Tutorial.canonicalEvents)
+      h.processAllAvailable()
+      val state = h.emissions.collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map(_._2.last).toSet
+      assert(state === Set(("1", 4L), ("2", 3L)))
+    } finally h.stop()
+  }
+
   test("batch and streaming engines converge to the same query state") {
     val sql = """SELECT p.id AS player_id,
         SUM(CASE WHEN me.event_type = 'GOAL' THEN 1 ELSE 0 END) goals,

@@ -834,6 +834,41 @@ class PipelineSpec extends SparkSpec {
         === key(Dedup.incrementalMinhashPairs(corpus, batch)))
   }
 
+  test("indexed containment probes catch both orientations, rarity from corpus df") {
+    val corpusText = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    // boiler appears in SIX corpus docs → its shingles have df 6 > maxDf
+    // 5: docs sharing ONLY boilerplate must generate no candidate
+    val boiler = (900 to 910).map(i => s"boiler$i").mkString(" ")
+    val corpus = docs(
+      (1L -> corpusText) +:
+      (2L -> ((500 to 540).map(i => s"beta$i").mkString(" "))) +:
+      (30L to 35L).map(i => i -> (boiler + s" uniq$i")): _*)
+    val tbl = "post_equiv"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val p = new org.apache.hadoop.fs.Path(s"/tmp/graft-test-warehouse/$tbl")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_post").toString
+    Dedup.buildBandedIndex(corpus, "post_equiv_band", s"$dir/sh")
+    Dedup.buildContainmentIndex(spark, s"$dir/sh", tbl)
+    val batch = docs(
+      // quotes doc 1 inside much longer text → corpus orientation = 1.0
+      100L -> ((600 to 700).map(i => s"pad$i").mkString(" ") + " " + corpusText),
+      // a fragment of doc 2 → batch orientation = 1.0
+      101L -> ((500 to 520).map(i => s"beta$i").mkString(" ")),
+      // shares ONLY the common boilerplate with corpus docs → no pair
+      102L -> (boiler + " uniq102"),
+      // unrelated
+      103L -> ((800 to 840).map(i => s"gamma$i").mkString(" ")))
+    val got = Dedup.containmentPairsIndexed(spark, tbl, s"$dir/sh", batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    assert(got.map(t => (t._1, t._2)) === Set((100L, 1L), (101L, 2L)))
+    val byPair = got.map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    assert(byPair((100L, 1L))._2 === 1.0) // corpus doc inside the batch doc
+    assert(byPair((101L, 2L))._1 === 1.0) // batch doc inside the corpus doc
+  }
+
   test("incrementalSurvivors: dedupWithinBatch drops same-batch near-dups") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val corpus = docs(1L -> base,

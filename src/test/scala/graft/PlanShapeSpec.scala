@@ -338,6 +338,47 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("t26: split joins persisted reps — no LSH recompute, no forced broadcast") {
+    val df = SparkEntry.queries("t26_leakage_safe_split")(
+      spark, "/root/testdata/sf0.001")
+    // the rep side is corpus-derived (clustered docs — a large fraction
+    // of a crawl corpus): a forced broadcast hint would be a 100 TB
+    // scale-killer, so the plan must carry NO join-strategy hint and let
+    // AQE size the side at runtime
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.toLowerCase.contains("hint"),
+      s"t26 carries a join-strategy hint:\n$analyzed")
+    // and the split itself must JOIN the materialized rep relation, not
+    // recompute corpus LSH + components in-plan: no shingle explosion
+    // (Generate) and no iterative-join tower in the optimized plan
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Generate"),
+      s"t26 recomputes LSH in-plan:\n$opt")
+    // the rep side must be a parquet scan of the persisted (doc_id,
+    // rep_id) relation (plan text omits paths — match the scan schema)
+    assert(opt.toLowerCase.matches(
+        "(?s).*relation \\[doc_id#\\d+l,rep_id#\\d+l\\] parquet.*"),
+      s"t26 does not read the persisted rep relation:\n$opt")
+  }
+
+  test("t24b: indexed LM scoring reads the model — no training stages in-plan") {
+    val df = SparkEntry.queries("t24b_lm_score_indexed")(
+      spark, "/root/testdata/sf0.001")
+    val opt = df.queryExecution.optimizedPlan.toString
+    // the scoring plan joins the batch's (doc,bigram) stream against the
+    // PREBUILT log-prob parquet: no in-plan model build — which would
+    // show as the bigram-marginal/vocab aggregate tower feeding the
+    // log() expression — and exactly one aggregate (the per-doc mean)
+    assert(!opt.toLowerCase.contains("log(") &&
+        !opt.toLowerCase.contains("count(distinct"),
+      s"t24b retrains the model in-plan:\n$opt")
+    // the model side must be a parquet scan of the persisted (x, y,
+    // lp_c6) table (plan text omits paths — match the scan schema)
+    assert(opt.toLowerCase.matches(
+        "(?s).*relation \\[x#\\d+,y#\\d+,lp_c6#\\d+l\\] parquet.*"),
+      s"t24b does not read the persisted model:\n$opt")
+  }
+
   test("hashed-linear scorer is a pure projection: zero exchanges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = graft.pipeline.TextAnalysis.hashedLinearScore(docs)

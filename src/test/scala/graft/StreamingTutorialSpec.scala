@@ -397,6 +397,94 @@ class StreamingTutorialSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("indexed near-dup ingest probes a pre-built index with ITS spec, not defaults") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incspec").toString
+    val tbl = "band_stream_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = new org.apache.hadoop.fs.Path(s"/tmp/graft-test-warehouse/$tbl")
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"token$i").mkString(" ") + " tokenX tokenY"
+    // index pre-built with NON-default LSH parameters: different seed and
+    // band count produce band keys no default-parameter probe could match
+    graft.pipeline.Dedup.buildBandedIndex(
+      Seq((1L, base)).toDF("doc_id", "text"), tbl, s"$dir/sh",
+      k = 32, bands = 8, seed = 7, buckets = 4)
+    val read = graft.pipeline.Dedup.readBandSpec(spark, s"$dir/sh")
+    assert(read === Some(graft.pipeline.Dedup.BandSpec(32, 8, 3, 7, 4)))
+    // the streaming loop is launched with DEFAULT parameters — it must
+    // read the sidecar and probe/append with the index's own spec, so the
+    // near-dup of the indexed doc is still blocked
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamDedup.incrementalNearDupIndexed(
+      input.toDF().toDF("doc_id", "text"), tbl, s"$dir/sh", s"$dir/corpus",
+      s"$dir/ckpt", threshold = 0.7)
+    def corpusIds = {
+      spark.catalog.refreshByPath(s"$dir/corpus")
+      spark.read.parquet(s"$dir/corpus").collect().map(_.getLong(0)).toSet
+    }
+    try {
+      input.addData((10L, nearDup),
+        (11L, (200 to 240).map(i => s"new$i").mkString(" ")))
+      q.processAllAvailable()
+      assert(corpusIds === Set(11L))
+      // and the appended doc 11 blocks its own near-dups in a later batch
+      // (the append used the spec too — mismatched keys would not)
+      input.addData((21L, (200 to 238).map(i => s"new$i").mkString(" ")))
+      q.processAllAvailable()
+      assert(corpusIds === Set(11L))
+    } finally q.stop()
+  }
+
+  test("containment gate: streaming ingest blocks a doc QUOTING corpus content") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_inccont").toString
+    val tbl = "band_stream_cont"
+    val ctbl = "post_stream_cont"
+    Seq(tbl, ctbl).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(s"/tmp/graft-test-warehouse/$t")
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
+    }
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamDedup.incrementalNearDupIndexed(
+      input.toDF().toDF("doc_id", "text"), tbl, s"$dir/sh", s"$dir/corpus",
+      s"$dir/ckpt", threshold = 0.7, containTable = Some(ctbl))
+    def corpusIds = {
+      spark.catalog.refreshByPath(s"$dir/corpus")
+      spark.read.parquet(s"$dir/corpus").collect().map(_.getLong(0)).toSet
+    }
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    // a much longer doc embedding base verbatim: Jaccard(quote, base) ≈
+    // 30/130 — far below the near-dup bar — but every shingle of base
+    // appears in it, so containment_corpus = 1.0
+    val quote = (100 to 200).map(i => s"filler$i").mkString(" ") +
+      " " + base + " " + (300 to 320).map(i => s"tail$i").mkString(" ")
+    try {
+      input.addData((1L, base),
+        (2L, (400 to 440).map(i => s"word$i").mkString(" ")))
+      q.processAllAvailable()
+      assert(corpusIds === Set(1L, 2L))
+      // the quoting doc passes the band gate (low Jaccard) but must be
+      // blocked by the containment probe; the unrelated doc appends
+      input.addData((10L, quote),
+        (11L, (500 to 540).map(i => s"new$i").mkString(" ")))
+      q.processAllAvailable()
+      assert(corpusIds === Set(1L, 2L, 11L))
+      // and a doc CONTAINED IN an accepted doc (a 16-token fragment of
+      // 11's text: Jaccard 14/39 ≈ 0.36 clears the band gate) blocks via
+      // the batch orientation on the MAINTAINED index (11 appended)
+      input.addData((20L, (500 to 515).map(i => s"new$i").mkString(" ")))
+      q.processAllAvailable()
+      assert(corpusIds === Set(1L, 2L, 11L))
+    } finally q.stop()
+  }
+
   test("streaming funnel matches the batch funnel on in-order feeds") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
