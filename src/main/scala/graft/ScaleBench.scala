@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   *
   * Excluded from the headline set, deliberately:
   *  - pair-regime text/embedding dedup (d2–d5, d8/d9, d11–d13, d17, v7b):
+  *    (d17/d18 additionally: replication multiplies every shingle's
+  *    corpus df by N, so the rare-shingle (df ≤ maxDf) candidate set
+  *    COLLAPSES instead of scaling — a changed regime, not a bigger one)
   *    replicating documents makes every doc an exact N-way duplicate, so
   *    those queries change OUTPUT REGIME (pair blowup) instead of scaling
   *    input — their scale story is the plan-shape + SCALE.md analysis.
@@ -71,15 +74,19 @@ object ScaleBench {
     "v1_brute_cosine_topk", "v2_ivf_cosine_topk", "v2b_ivf_full_probe",
     "v3_label_centroid", "v5_int8_quantize", "v6_int8_topk", "v7_knn_graph",
     "v8_ivf_indexed", "v9_random_projection",
+    // one-pass corpus statistics: v11 is the gram/covariance reduction
+    // (O(dim²) partials per task, single merge exchange); v12 is a
+    // label-bounded centroid agg + broadcast join back
+    "v11_covariance", "v12_centroid_affinity",
     // text (single-pass / bounded-join operators)
     "t1_token_counts", "t2_quality_score", "t3_lang_id", "t8_tfidf",
     "t11_curation_pipeline", "t16_token_rarity", "t19_bigram_lift",
     "t20_boilerplate", "t21_passage_dedup", "t22_domain_mixture",
     "t23_bm25", "t24_lm_score",
-    // train-once/score-many: lmIngest builds the LM table once per
-    // session; the timed row is the recurring score-a-batch cost (vs
-    // t24's retrain-every-invocation baseline)
-    "t24b_lm_score_indexed",
+    // train-once/score-many: the stats/model ingests build their tables
+    // once per session; the timed rows are the recurring score-a-batch
+    // cost (vs t23/t24's retrain-every-invocation baselines)
+    "t23b_bm25_indexed", "t24b_lm_score_indexed",
     // leakage-safe split: repIngest builds the rep relation once per
     // session over the scaled corpus; the timed query is the recurring
     // cost — a doc_id equi-join against that persisted state

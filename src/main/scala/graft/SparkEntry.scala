@@ -416,6 +416,25 @@ object SparkEntry {
       val emb = table(s, d, "embeddings")
       Similarity.int8CosineTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
     }),
+    // V11: distributed covariance — one GramSumAgg pass (fixed O(dim²)
+    // partials, exact 1e-3-quantized Long arithmetic), unpacked to
+    // (i, j, n, cov) rows fully in-plan. The corpus-sized half of PCA;
+    // the oracle replays the same integers via a component self-join.
+    "v11_covariance" -> ((s, d) =>
+      Similarity.covarianceMatrix(table(s, d, "embeddings"))),
+    // V11b: the driver-side half of PCA as an oracle-checkable CONTRACT
+    // (a15/a16 pattern): eigendecomposition of the v11 matrix must
+    // satisfy residual/orthonormality/ordering/trace identities; emitted
+    // as one boolean row per component vs a constant-truth oracle. The
+    // projection itself is pure dot products (v1/v9-proven kernels),
+    // pinned by PipelineSpec variance/reconstruction tests.
+    "v11b_pca_contract" -> ((s, d) =>
+      Similarity.pcaContract(table(s, d, "embeddings"))),
+    // V12: prototypicality — cosine of each vector to its label centroid
+    // (SSL-pruning signal: both tails are pruning targets). Centroids
+    // from exact integer sums; corpus never shuffles.
+    "v12_centroid_affinity" -> ((s, d) =>
+      Similarity.centroidAffinity(table(s, d, "embeddings"))),
     // ---- D: deduplication ----------------------------------------------
     "d1_dedup_exact" -> ((s, d) => Dedup.exact(table(s, d, "documents"))),
     // D6: benchmark decontamination (train/test leakage guard) — src0
@@ -499,6 +518,12 @@ object SparkEntry {
       Dedup.containmentPairsIndexed(s, post, shPath,
         table(s, d, "documents").filter(col("doc_id") % 20 === 0))
     }),
+    // D19: pairwise source-overlap matrix — exact Jaccard + directional
+    // containment between per-source distinct-shingle vocabularies; the
+    // mixture-level dedup analytic (which sources duplicate each other)
+    // computed from ONE corpus scan + a vocabulary self-join.
+    "d19_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(table(s, d, "documents"))),
     // D16: d13's accept gate driven by the MATERIALIZED banded index —
     // the per-ingest decision a continuous pipeline actually executes
     // (d15 checks the pairs; this checks the composed accept/reject).
@@ -1198,6 +1223,55 @@ object SparkEntry {
         |  CAST(sum(s * CAST(floor(v[d + 1] * 1000000.0) AS BIGINT)) AS BIGINT) AS y_c6
         |FROM v, signs
         |GROUP BY vec_id, p""".stripMargin,
+    // v11: same 1e-3 quantized integers via a component self-join; the
+    // double arithmetic replays Spark's op order exactly (multiply,
+    // divide by n, subtract, divide by n−1, divide by 1e6, round).
+    "v11_covariance" ->
+      """WITH comp AS (
+        |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT) AS q
+        |  FROM embeddings, generate_series(1, 64) AS g(i)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |s AS (SELECT i, CAST(sum(q) AS BIGINT) AS sq FROM comp GROUP BY i),
+        |gm AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS gq
+        |       FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |       GROUP BY a.i, b.i)
+        |SELECT gm.i, gm.j, nn.n,
+        |  round((CAST(gq AS DOUBLE)
+        |      - CAST(sa.sq AS DOUBLE) * CAST(sb.sq AS DOUBLE) / nn.n)
+        |    / (nn.n - 1) / 1000000.0, 6) AS cov
+        |FROM gm CROSS JOIN nn
+        |JOIN s sa ON sa.i = gm.i
+        |JOIN s sb ON sb.i = gm.j""".stripMargin,
+    // v11b: constant-truth contract (a15/a16 pattern) — the identities
+    // hold or the row hash breaks.
+    "v11b_pca_contract" ->
+      """SELECT CAST(c AS INTEGER) AS component,
+        |  true AS eigen_ok, true AS ortho_ok,
+        |  true AS ordered_ok, true AS trace_ok
+        |FROM generate_series(0, 63) AS t(c)""".stripMargin,
+    // v12: centroid as an ordered list from exact integer sums;
+    // list_dot_product replays the fixed-order fold.
+    "v12_centroid_affinity" ->
+      """WITH comp AS (
+        |  SELECT label, vec_id, CAST(i - 1 AS INTEGER) AS i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        |  FROM embeddings, generate_series(1, 64) AS g(i)),
+        |cent AS (
+        |  SELECT label,
+        |    list(CAST(sq AS DOUBLE) / (CAST(nv AS DOUBLE) * 1000000.0)
+        |      ORDER BY i) AS c
+        |  FROM (SELECT label, i, CAST(sum(q) AS BIGINT) AS sq,
+        |          CAST(count(*) AS BIGINT) AS nv
+        |        FROM comp GROUP BY label, i)
+        |  GROUP BY label),
+        |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x
+        |      FROM embeddings)
+        |SELECT v.vec_id, v.label,
+        |  round(list_dot_product(v.x, c.c) /
+        |    (sqrt(list_dot_product(v.x, v.x)) *
+        |     sqrt(list_dot_product(c.c, c.c))), 6) AS cos_centroid
+        |FROM v JOIN cent c ON v.label = c.label""".stripMargin,
     "t9_repetition" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -1536,6 +1610,36 @@ object SparkEntry {
         |  JOIN bat sb ON sb.doc_id = c.batch_id
         |  JOIN corp sc ON sc.doc_id = c.corpus_id)
         |WHERE containment_batch >= 0.9 OR containment_corpus >= 0.9""".stripMargin,
+    // d19: string-shingle twin of the hashed vocabulary (equal modulo
+    // 64-bit collisions — d3's correspondence rule); all-pairs frame with
+    // zero-overlap pairs kept.
+    "d19_source_overlap" ->
+      """WITH tok AS (
+        |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, u.s AS s
+        |  FROM tok, UNNEST(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS u(s)),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |          FROM sh GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa.source AS src_a, sb.source AS src_b,
+        |  CAST(COALESCE(i, 0) AS BIGINT) AS n_shared,
+        |  round(CAST(COALESCE(i, 0) AS DOUBLE)
+        |    / CAST(sa.n + sb.n - COALESCE(i, 0) AS DOUBLE), 6) AS jaccard,
+        |  round(CAST(COALESCE(i, 0) AS DOUBLE) / CAST(sa.n AS DOUBLE), 6)
+        |    AS containment_a,
+        |  round(CAST(COALESCE(i, 0) AS DOUBLE) / CAST(sb.n AS DOUBLE), 6)
+        |    AS containment_b
+        |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+        |LEFT JOIN inter ON inter.src_a = sa.source
+        |  AND inter.src_b = sb.source""".stripMargin,
     // d16: the indexed accept gate ≡ d13 (d15 ≡ d12 pairs ⇒ identical
     // anti-join), so it shares d13's exhaustive oracle.
     "d16_survivors_indexed" ->

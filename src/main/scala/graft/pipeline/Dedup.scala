@@ -865,4 +865,52 @@ object Dedup {
       .filter(col("cosine") >= threshold)
     if (materialize) Scratch.materializeThenFree(pairs, banded) else pairs
   }
+
+  /** Pairwise source-overlap matrix: exact Jaccard + directional
+    * containment between the distinct-shingle VOCABULARIES of every pair
+    * of sources — the corpus-curation analytic behind mixture decisions
+    * (which sources substantially duplicate each other, which are
+    * near-subsets worth dropping before [[minhashPairs]] ever runs
+    * doc-level). One row per unordered source pair, zero-overlap pairs
+    * included (`containment_a` = |A∩B|/|A| — how much of source a's
+    * vocabulary source b already covers).
+    *
+    * Scale shape: the text is scanned ONCE into DISTINCT
+    * (source, shingle_hash) rows — the per-source vocabulary relation,
+    * bounded by Σ vocab sizes, not corpus tokens; the pairwise
+    * intersection is an equi-join of that relation with itself on
+    * shingle_hash (cost Σ_h deg(h)² with deg ≤ #sources — never
+    * doc×doc), and everything after aggregates to sources² rows joined
+    * against the broadcast per-source sizes. No signatures, no sampling:
+    * the statistic is exact, so it composes with threshold policies
+    * downstream.
+    */
+  def sourceOverlap(documents: DataFrame, textCol: String = "text",
+      srcCol: String = "source", shingleW: Int = 3,
+      seed: Int = 42): DataFrame = {
+    val vocab = documents.select(col(srcCol).as("_src"),
+        explode(gtext.shingleHashes(
+          TextAnalysis.tokens(col(textCol)), shingleW, seed)).as("_h"))
+      .distinct()
+    val sizes = vocab.groupBy("_src").agg(count(lit(1)).as("_n"))
+    val inter = vocab.select(col("_src").as("src_a"), col("_h"))
+      .join(vocab.select(col("_src").as("src_b"), col("_h")), Seq("_h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("_i"))
+    // the all-pairs frame is sources² rows (bounded analytics output);
+    // both the size relation and the intersection counts broadcast
+    sizes.select(col("_src").as("src_a"), col("_n").as("_na"))
+      .join(broadcast(sizes.select(col("_src").as("src_b"), col("_n").as("_nb"))))
+      .filter(col("src_a") < col("src_b"))
+      .join(broadcast(inter), Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("_i"), lit(0L)).as("n_shared"),
+        round(coalesce(col("_i"), lit(0L)).cast("double") /
+          (col("_na") + col("_nb") - coalesce(col("_i"), lit(0L)))
+            .cast("double"), 6).as("jaccard"),
+        round(coalesce(col("_i"), lit(0L)).cast("double") /
+          col("_na").cast("double"), 6).as("containment_a"),
+        round(coalesce(col("_i"), lit(0L)).cast("double") /
+          col("_nb").cast("double"), 6).as("containment_b"))
+  }
 }

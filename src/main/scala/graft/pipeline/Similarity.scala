@@ -558,4 +558,184 @@ object Similarity {
         .agg(gagg.topKByScore(col(scoreName), col("neighbor_id"), k).as("_top")),
       scoreName)
   }
+
+  // ---------------------------------------------------------------------
+  // Distributed PCA (tall-skinny regime) + centroid-affinity scoring
+  // ---------------------------------------------------------------------
+
+  /** Fixed-order fold dot product over `array<double>` columns — the
+    * left-to-right summation a SQL oracle's `list_dot_product` replays
+    * (float sums are order-sensitive; a fixed fold makes them
+    * deterministic and engine-comparable).
+    */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Covariance matrix of the embedding corpus as (i, j, n, cov) rows
+    * for i ≤ j — the input statistic of PCA/whitening over a 100 TB
+    * vector corpus.
+    *
+    * Scale shape: ONE narrow scan feeding [[graft.functions.GramSumAgg]]
+    * map-side partials; the exchange carries a single O(dim²) integer
+    * buffer per partition (never a vector), and the dim·(dim+1)/2 output
+    * rows unpack from the one merged buffer fully in-plan (no collect).
+    * Components quantize to 1e-3 (`floor(x·1000)` — exact Long
+    * arithmetic, bit-identical under any partitioning), so `cov` is the
+    * covariance of the quantized components: a deterministic,
+    * SQL-replayable contract (quantization noise ≤ 1e-6/12 per
+    * component² — far below embedding variance).
+    */
+  def covarianceMatrix(embeddings: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val g = embeddings
+      .agg(graft.functions.GramSumAgg.column(col(vecCol)).as("_g"))
+      .select(col("_g.n").as("n"), col("_g.s").as("s"), col("_g.g").as("gm"))
+    // packed upper-triangle index: row i starts at i·dim − i(i−1)/2
+    val dim = size(col("s"))
+    val idx = col("i") * dim - (col("i") * (col("i") - 1)) / 2 +
+      (col("j") - col("i"))
+    g.select(col("n"), col("s"), col("gm"),
+        explode(sequence(lit(0), dim - 1)).as("i"))
+      .select(col("n"), col("s"), col("gm"), col("i"),
+        explode(sequence(col("i"), size(col("s")) - 1)).as("j"))
+      .select(
+        col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        col("n"),
+        round(
+          (element_at(col("gm"), (idx + 1).cast("int")).cast("double") -
+            element_at(col("s"), col("i") + 1).cast("double") *
+            element_at(col("s"), col("j") + 1).cast("double") / col("n")) /
+          (col("n") - 1) / lit(1e6), 6).as("cov"))
+  }
+
+  /** Principal components of the corpus covariance: `(eigenvalues desc,
+    * eigenvectors)` — unit-norm rows, sign fixed so each vector's
+    * largest-magnitude component is positive (eigenvectors are
+    * sign-ambiguous; the convention makes them deterministic).
+    *
+    * Driver-side by design: the input is [[covarianceMatrix]]'s
+    * dim·(dim+1)/2 rows (BOUNDED — dim², not corpus) and the
+    * eigendecomposition of a dim×dim symmetric matrix is O(dim³)
+    * driver-side noise next to one executor task. This is the tall-skinny
+    * split: the corpus pass is distributed, the dim-sized tail is not
+    * worth distributing.
+    */
+  /** [[covarianceMatrix]] rows → the symmetric dim×dim matrix (driver
+    * side, BOUNDED — dim² doubles, never corpus-sized).
+    */
+  private def covToMatrix(cov: DataFrame): Array[Array[Double]] = {
+    val rows = cov.select("i", "j", "cov").collect()
+    val dim = rows.map(_.getInt(1)).max + 1
+    val m = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    m
+  }
+
+  def pcaComponents(embeddings: DataFrame, k: Int = 8,
+      vecCol: String = "embedding"): (Array[Double], Array[Array[Double]]) = {
+    val m = covToMatrix(covarianceMatrix(embeddings, vecCol))
+    val eig = new org.apache.commons.math3.linear.EigenDecomposition(
+      new org.apache.commons.math3.linear.Array2DRowRealMatrix(m, false))
+    val order = eig.getRealEigenvalues.zipWithIndex
+      .sortBy { case (ev, _) => -ev }.take(k)
+    val values = order.map(_._1)
+    val vectors = order.map { case (_, c) =>
+      val v = eig.getEigenvector(c).toArray
+      val dom = v.maxBy(math.abs)
+      if (dom < 0) v.map(-_) else v
+    }
+    (values, vectors)
+  }
+
+  /** The driver-side half of PCA as an oracle-checkable CONTRACT (the
+    * a15/a16 pattern for computations a SQL oracle cannot replay): one
+    * row per component asserting, as booleans, that the decomposition of
+    * the [[covarianceMatrix]] satisfies its defining identities —
+    * `‖C·v − λ·v‖ ≤ tol` (eigenpair residual), unit norm + pairwise
+    * orthogonality, eigenvalues sorted non-increasing, and
+    * `Σλ = trace(C)`. The identities fully determine correctness up to
+    * rotation in degenerate eigenspaces, which no consumer of a
+    * projection can observe.
+    */
+  def pcaContract(embeddings: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val m = covToMatrix(covarianceMatrix(embeddings, vecCol))
+    val dim = m.length
+    val mat = new org.apache.commons.math3.linear.Array2DRowRealMatrix(m, false)
+    val eig = new org.apache.commons.math3.linear.EigenDecomposition(mat)
+    val order = eig.getRealEigenvalues.zipWithIndex
+      .sortBy { case (ev, _) => -ev }
+    val vecs = order.map { case (_, c) => eig.getEigenvector(c) }
+    val scale = math.max(1.0, m.map(_.map(math.abs).max).max)
+    val trace = (0 until dim).map(i => m(i)(i)).sum
+    val traceOk =
+      math.abs(trace - order.map(_._1).sum) <= 1e-6 * math.max(1.0, math.abs(trace))
+    val out = order.zipWithIndex.map { case ((ev, _), rank) =>
+      val v = vecs(rank)
+      val eigenOk =
+        mat.operate(v).subtract(v.mapMultiply(ev)).getNorm <= 1e-6 * scale
+      val orthoOk = math.abs(v.getNorm - 1.0) <= 1e-9 &&
+        vecs.indices.forall(o =>
+          o == rank || math.abs(v.dotProduct(vecs(o))) <= 1e-8)
+      val orderedOk = rank == 0 || ev <= order(rank - 1)._1 + 1e-12
+      (rank, eigenOk, orthoOk, orderedOk, traceOk)
+    }
+    out.toSeq
+      .toDF("component", "eigen_ok", "ortho_ok", "ordered_ok", "trace_ok")
+  }
+
+  /** Project each embedding onto the top-k principal components:
+    * `(id, pca: array<double>)`. The components broadcast as literals
+    * (k·dim doubles — constant-size); the projection is a narrow
+    * codegen'd fold per row, no shuffle. Pair with [[int8Quantize]] /
+    * [[randomProjection]] as the third footprint lever — this one
+    * variance-optimal for the given corpus where JL is oblivious.
+    */
+  def pcaProject(embeddings: DataFrame, k: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (_, comps) = pcaComponents(embeddings, k, vecCol)
+    val xd = transform(col(vecCol), _.cast("double"))
+    val proj = array(comps.toIndexedSeq.map { c =>
+      dotD(xd, array(c.toIndexedSeq.map(lit): _*))
+    }: _*)
+    embeddings.select(col(idCol), proj.as("pca"))
+  }
+
+  /** Per-vector affinity to its label centroid — the prototypicality
+    * signal of data-pruning curricula (low cosine to the class centroid =
+    * outlier/mislabel candidate, high = redundant prototype; both ends
+    * are pruning targets in the public SSL-pruning literature).
+    *
+    * Centroids derive from 1e-6-quantized integer sums (exact, partition-
+    * invariant — the same statistic the v3 label-centroid query emits)
+    * pivoted back to arrays in-plan; the per-row cosine is a fixed-order
+    * fold. One
+    * label-sized shuffle for the centroids (bounded: labels × dim), one
+    * broadcast join back — the corpus itself never shuffles.
+    */
+  def centroidAffinity(embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val cents = embeddings
+      .select(col(labelCol), posexplode(col(vecCol)))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(sum(floor(col("col") * 1e6).cast("long")).as("sq"),
+        count(lit(1)).as("nv"))
+      .groupBy(col(labelCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("sq"), col("nv")))),
+        s => s.getField("sq").cast("double") /
+          (s.getField("nv").cast("double") * lit(1e6))).as("_cent"))
+    val xd = transform(col(vecCol), _.cast("double"))
+    embeddings.join(broadcast(cents), labelCol)
+      .select(col(idCol), col(labelCol),
+        round(dotD(xd, col("_cent")) /
+          (sqrt(dotD(xd, xd)) * sqrt(dotD(col("_cent"), col("_cent")))),
+          6).as("cos_centroid"))
+  }
 }

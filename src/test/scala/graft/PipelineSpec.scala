@@ -1005,4 +1005,117 @@ class PipelineSpec extends SparkSpec {
     assert(celled.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 2 &&
       r.getLong(0) != r.getLong(1)))
   }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("covariance: GramSumAgg matches driver recompute, partition-invariant") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    def covMap(df: org.apache.spark.sql.DataFrame) =
+      Similarity.covarianceMatrix(df).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+        .toMap
+    val c1 = covMap(emb.repartition(1))
+    val c7 = covMap(emb.repartition(7))
+    assert(c1 === c7)                       // exact integer partials merge
+    // independent driver recompute of the quantized statistic
+    val q = emb.select("embedding").collect().map(
+      _.getSeq[Float](0).toArray.map(x => math.floor(x.toDouble * 1000.0).toLong))
+    val n = q.length
+    val dim = q.head.length
+    for (i <- 0 until dim; j <- i until dim) {
+      val g = q.map(v => v(i) * v(j)).sum
+      val si = q.map(_(i)).sum
+      val sj = q.map(_(j)).sum
+      val cov = round6(
+        (g.toDouble - si.toDouble * sj.toDouble / n) / (n - 1) / 1e6)
+      val (gotN, gotCov) = c1((i, j))
+      assert(gotN === n.toLong && gotCov === cov, s"cov($i,$j)")
+    }
+  }
+
+  test("pca: contract holds; projection variance matches eigenvalues") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val contract = Similarity.pcaContract(emb).collect()
+    assert(contract.length === 64)
+    assert(contract.forall(r => r.getBoolean(1) && r.getBoolean(2) &&
+      r.getBoolean(3) && r.getBoolean(4)))
+    val (evs, comps) = Similarity.pcaComponents(emb, k = 4)
+    comps.foreach { v =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) <= 1e-9) // unit norm
+      assert(v.maxBy(math.abs) > 0)                         // sign convention
+    }
+    // sample variance along each component ≈ its eigenvalue (covariance
+    // is over 1e-3-quantized components; the float projection differs by
+    // quantization noise only)
+    val proj = Similarity.pcaProject(emb, k = 4).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val n = proj.length
+    for (p <- 0 until 4) {
+      val xs = proj.map(_(p))
+      val mean = xs.sum / n
+      val v = xs.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+      assert(math.abs(v - evs(p)) <= 0.01 * math.max(1e-3, evs(p)),
+        s"component $p: var $v vs eigenvalue ${evs(p)}")
+    }
+  }
+
+  test("centroid affinity matches a driver-side fixed-order recompute") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 300)
+    val rows = emb.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val byLabel = rows.groupBy(_._2)
+    val cents = byLabel.map { case (l, rs) =>
+      val nv = rs.length
+      val dim = rs.head._3.length
+      l -> Array.tabulate(dim) { i =>
+        val sq = rs.map(r => math.floor(r._3(i).toDouble * 1e6).toLong).sum
+        sq.toDouble / (nv.toDouble * 1e6)
+      }
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val expected = rows.map { case (id, l, v) =>
+      val x = v.map(_.toDouble)
+      val c = cents(l)
+      id -> round6(dot(x, c) / (math.sqrt(dot(x, x)) * math.sqrt(dot(c, c))))
+    }.toMap
+    val got = Similarity.centroidAffinity(emb).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got === expected)
+  }
+
+  test("source overlap matches a driver-side string-shingle recompute") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def shingleSet(text: String): Set[String] = {
+      val t = text.trim.toLowerCase.split("\\s+").toSeq
+      if (t.length <= 3) Set(t.mkString(" "))
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val vocab = docs.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1)
+      .map { case (s, rs) => s -> rs.map(r => shingleSet(r._2)).reduce(_ ++ _) }
+    val srcs = vocab.keys.toSeq.sorted
+    val expected = (for {
+      a <- srcs; b <- srcs if a < b
+    } yield {
+      val (sa, sb) = (vocab(a), vocab(b))
+      val i = (sa & sb).size
+      (a, b) -> ((i.toLong, round6(i.toDouble / (sa.size + sb.size - i)),
+        round6(i.toDouble / sa.size), round6(i.toDouble / sb.size)))
+    }).toMap
+    val got = Dedup.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got === expected)
+    // zero-overlap pairs are kept: the frame is the full sources² triangle
+    assert(got.size === srcs.size * (srcs.size - 1) / 2)
+  }
 }

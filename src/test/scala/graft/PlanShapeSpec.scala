@@ -548,4 +548,47 @@ class PlanShapeSpec extends SparkSpec {
       scan.contains("ReadSchema: struct<event_id:bigint,event_type:string,user_id:bigint"),
       s"columns not pruned:\n$scan")
   }
+
+  test("covariance: one single-partition exchange of O(dim²) partials, no vector shuffle") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = graft.pipeline.Similarity.covarianceMatrix(emb)
+      .queryExecution.executedPlan.toString
+    // exactly the global-aggregate merge exchange — it carries one
+    // gram_sum buffer per map task, never an embedding row
+    val exchanges = """Exchange [A-Za-z]+""".r.findAllIn(plan).toSeq
+    assert(exchanges === Seq("Exchange SinglePartition"),
+      s"expected exactly the single-partition merge exchange:\n$plan")
+    assert(plan.contains("graft_gram_sum"))
+    // column pruning: the scan reads only the vector column
+    assert(plan.contains("ReadSchema: struct<embedding:array<float>>"),
+      s"scan not pruned to the vector column:\n$plan")
+  }
+
+  test("centroid affinity: corpus joins the label centroids via broadcast") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = graft.pipeline.Similarity.centroidAffinity(emb)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$plan")
+    // the only hash exchanges sit under the (label, pos) centroid agg —
+    // they carry label×dim partial sums, not corpus vectors
+    val exchanges =
+      """Exchange hashpartitioning\([^)]*\)""".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("label")),
+      s"corpus-side shuffle detected:\n$plan")
+  }
+
+  test("source overlap: vocabulary equi-join, no cartesian on corpus rows") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.pipeline.Dedup.sourceOverlap(docs)
+      .queryExecution.executedPlan.toString
+    // the only nested-loop join is the bounded sources² frame (broadcast
+    // of the per-source size relation); corpus-sized rows meet only in
+    // hash joins/aggregates on the shingle-hash key
+    assert(!plan.contains("CartesianProduct"), s"cartesian detected:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), s"no equi-join found:\n$plan")
+    // text is scanned, tokenized, and shingle-hashed — never joined raw
+    assert(!"""Join [^\n]*text""".r.findFirstIn(plan).isDefined,
+      s"raw text in a join key:\n$plan")
+  }
 }
