@@ -79,10 +79,20 @@ object RecallReport {
       s""""assign_$na":$r"""
     }
 
+    // v13: PCA-shortlist recall@5 vs brute across the subspace rank
+    // (shortlist fixed at the default 50; re-rank is exact, so recall is
+    // the only quality axis here too)
+    val pca = Seq(2, 4, 8, 16).map { kp =>
+      val got = pairSet(
+        Similarity.pcaCosineTopK(emb, queries, k = 5, kPca = kp),
+        "query_id", "neighbor_id")
+      s""""kpca_$kp":${(got & exactTopK).size.toDouble / exactTopK.size}"""
+    }
+
     // the curves above sweep the knob explicitly; defaults record which
     // point on each curve a caller gets without choosing (recall target
     // ≥ 0.75: nProbe=16, nAssign=4)
-    println(s"""{"metric":"recall","sf":"$sfDir","defaults":{"nprobe":16,"nassign":4},"ivf_recall_at_5":{${ivf.mkString(",")}},"mips_recall_at_5":{${mips.mkString(",")}},"knn_graph_recall":{${v7.mkString(",")}},"semdedup_pair_recall":{${d11.mkString(",")}},"exact_topk_pairs":${exactTopK.size},"exact_mips_pairs":${exactMips.size},"exact_graph_pairs":${exactGraph.size},"exact_semantic_pairs":${exactPairs.size}}""")
+    println(s"""{"metric":"recall","sf":"$sfDir","defaults":{"nprobe":16,"nassign":4},"ivf_recall_at_5":{${ivf.mkString(",")}},"mips_recall_at_5":{${mips.mkString(",")}},"knn_graph_recall":{${v7.mkString(",")}},"semdedup_pair_recall":{${d11.mkString(",")}},"pca_recall_at_5":{${pca.mkString(",")}},"exact_topk_pairs":${exactTopK.size},"exact_mips_pairs":${exactMips.size},"exact_graph_pairs":${exactGraph.size},"exact_semantic_pairs":${exactPairs.size}}""")
     spark.stop()
   }
 }

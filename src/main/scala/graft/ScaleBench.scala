@@ -78,6 +78,11 @@ object ScaleBench {
     // (O(dim²) partials per task, single merge exchange); v12 is a
     // label-bounded centroid agg + broadcast join back
     "v11_covariance", "v12_centroid_affinity",
+    // PCA consumers: v13 is the two-pass shortlist+re-rank retrieval
+    // (covariance pass + narrow projection folds), v14 the zero-shuffle
+    // residual-energy outlier scan; their full-rank twins are
+    // gate-SF-only exactness checks, not scale rows
+    "v13_pca_topk", "v14_pca_outlier",
     // text (single-pass / bounded-join operators)
     "t1_token_counts", "t2_quality_score", "t3_lang_id", "t8_tfidf",
     "t11_curation_pipeline", "t16_token_rarity", "t19_bigram_lift",

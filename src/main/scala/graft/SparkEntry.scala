@@ -435,6 +435,43 @@ object SparkEntry {
     // from exact integer sums; corpus never shuffles.
     "v12_centroid_affinity" -> ((s, d) =>
       Similarity.centroidAffinity(table(s, d, "embeddings"))),
+    // V13: PCA-shortlisted retrieval — candidates scored in the corpus's
+    // top-8 principal subspace (dim/kPca cheaper per pair than brute),
+    // exact full-dim re-rank of the shortlist, so emitted scores are
+    // always true cosines; approximation affects candidate choice only.
+    // Rows-only by construction; v13b is the exact twin.
+    "v13_pca_topk" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.pcaCosineTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
+    }),
+    // V13b: at kPca = dim the projection is an orthonormal rotation
+    // (cosine-preserving), so shortlist+re-rank must reproduce v1's
+    // brute answer — hash-checking the whole PCA retrieval machinery
+    // (covariance pass, eigendecomposition, projection fold, two-pass
+    // re-rank) against the brute oracle.
+    "v13b_pca_full_rank" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.pcaCosineTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
+        kPca = 64)
+    }),
+    // V14: unsupervised embedding outlier score — energy outside the
+    // top-8 principal subspace (v12 needs labels; this doesn't).
+    // Rows-only by construction; v14b is the contract twin.
+    "v14_pca_outlier" -> ((s, d) =>
+      Similarity.pcaOutlierScore(table(s, d, "embeddings"))),
+    // V14b: with ALL dim components, Parseval forces recon_err ≡ 0 for
+    // every row — a constant-truth oracle that checks the component
+    // basis is genuinely orthonormal and spanning.
+    "v14b_pca_outlier_contract" -> ((s, d) =>
+      Similarity.pcaOutlierContract(table(s, d, "embeddings"))),
+    // V15: covariance from INCREMENTALLY maintained moment state — the
+    // embeddings ingested in three batches through the StreamMoments
+    // monoid fold; exact Long arithmetic makes the result bit-identical
+    // to the one-shot v11 pass, so it rides v11's oracle. This is how
+    // PCA/whitening stays current under continuous ingest: no retrain
+    // pass over the corpus, ever.
+    "v15_incremental_covariance" -> ((s, d) =>
+      graft.streaming.StreamMoments.covarianceFromState(s, momentsIngest(s, d))),
     // ---- D: deduplication ----------------------------------------------
     "d1_dedup_exact" -> ((s, d) => Dedup.exact(table(s, d, "documents"))),
     // D6: benchmark decontamination (train/test leakage guard) — src0
@@ -1226,23 +1263,10 @@ object SparkEntry {
     // v11: same 1e-3 quantized integers via a component self-join; the
     // double arithmetic replays Spark's op order exactly (multiply,
     // divide by n, subtract, divide by n−1, divide by 1e6, round).
-    "v11_covariance" ->
-      """WITH comp AS (
-        |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
-        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT) AS q
-        |  FROM embeddings, generate_series(1, 64) AS g(i)),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
-        |s AS (SELECT i, CAST(sum(q) AS BIGINT) AS sq FROM comp GROUP BY i),
-        |gm AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS gq
-        |       FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
-        |       GROUP BY a.i, b.i)
-        |SELECT gm.i, gm.j, nn.n,
-        |  round((CAST(gq AS DOUBLE)
-        |      - CAST(sa.sq AS DOUBLE) * CAST(sb.sq AS DOUBLE) / nn.n)
-        |    / (nn.n - 1) / 1000000.0, 6) AS cov
-        |FROM gm CROSS JOIN nn
-        |JOIN s sa ON sa.i = gm.i
-        |JOIN s sb ON sb.i = gm.j""".stripMargin,
+    "v11_covariance" -> baseCovOracle,
+    // v15: the monoid fold over three ingest slices is bit-identical to
+    // the one-shot pass — same integers, same oracle
+    "v15_incremental_covariance" -> baseCovOracle,
     // v11b: constant-truth contract (a15/a16 pattern) — the identities
     // hold or the row hash breaks.
     "v11b_pca_contract" ->
@@ -2435,6 +2459,13 @@ object SparkEntry {
   // exhaustive IVF must reproduce the brute-force answer bit-for-bit
   ) + ("v2b_ivf_full_probe" -> baseV1Oracle) +
     ("v8_ivf_indexed" -> baseV1Oracle) +
+    // v13b: full-rank PCA rotation preserves cosine ⇒ must equal brute
+    ("v13b_pca_full_rank" -> baseV1Oracle) +
+    // v14b: Parseval constant-truth contract — all-dim reconstruction
+    // error vanishes for every vector
+    ("v14b_pca_outlier_contract" ->
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id, true AS recon_zero
+        |FROM embeddings""".stripMargin) +
     // v7b: the exact kNN graph over the bounded slice — every vector is a
     // query; brute-force rank with the same round-then-tiebreak contract.
     ("v7b_knn_exact" ->
@@ -2587,6 +2618,23 @@ object SparkEntry {
     dir.toString
   }
 
+  /** Once-per-(source data, session) incremental moment state backing
+    * v15: the embeddings ingested in three deterministic slices through
+    * [[graft.streaming.StreamMoments.ingestBatch]] — the monoid fold
+    * whose result must be bit-identical to the one-shot v11 pass.
+    */
+  private def momentsIngest(s: SparkSession, sfDir: String): String = {
+    val (dir, fs) = layoutDir(s, sfDir, "embeddings", "moments")
+    if (!fs.exists(dir)) {
+      val emb = table(s, sfDir, "embeddings")
+      (0 until 3).foreach { slice =>
+        graft.streaming.StreamMoments.ingestBatch(s,
+          emb.filter(col("vec_id") % 3 === slice), dir.toString)
+      }
+    }
+    dir.toString
+  }
+
   /** Once-per-(source data, session) cluster-representative relation
     * backing t26: the d8 component resolution (minhashPairs →
     * connectedComponents, min-id representative) materialized to parquet,
@@ -2690,6 +2738,24 @@ object SparkEntry {
       |  CAST(sum(d.n) AS BIGINT) AS n_bigrams
       |FROM db d JOIN lp p ON p.x = d.x AND p.y = d.y
       |GROUP BY 1""".stripMargin
+
+  private def baseCovOracle: String =
+    """WITH comp AS (
+      |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT) AS q
+      |  FROM embeddings, generate_series(1, 64) AS g(i)),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+      |s AS (SELECT i, CAST(sum(q) AS BIGINT) AS sq FROM comp GROUP BY i),
+      |gm AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS gq
+      |       FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |       GROUP BY a.i, b.i)
+      |SELECT gm.i, gm.j, nn.n,
+      |  round((CAST(gq AS DOUBLE)
+      |      - CAST(sa.sq AS DOUBLE) * CAST(sb.sq AS DOUBLE) / nn.n)
+      |    / (nn.n - 1) / 1000000.0, 6) AS cov
+      |FROM gm CROSS JOIN nn
+      |JOIN s sa ON sa.i = gm.i
+      |JOIN s sb ON sb.i = gm.j""".stripMargin
 
   private def baseV1Oracle: String =
     """WITH q AS (

@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   *  2. the KSQL PUSH-QUERY path ([[ksql.KsqlStreamingEngine]]): INSERT →
   *     MemoryStream → update-mode aggregation changelog, timed per
   *     insert burst (the reference's interactive `EMIT CHANGES` shape).
+  *  3. the QUALITY-GATE scoring loop ([[graft.streaming.StreamScore]]):
+  *     micro-batches scored against the prebuilt bigram-LM model — the
+  *     train-once/score-many split running in its production position;
+  *     per-batch cost must track the batch, never the model corpus.
   *
   * Prints ONE JSON line:
   * `{"metric":"stream_throughput","ingest":{...},"ksql_push":{...}}`
@@ -104,10 +108,56 @@ object StreamBench {
       }
     } finally h.stop()
 
+    // ---- 3. quality-gate scoring loop -------------------------------
+    // train-once: the LM model materializes from the source table; each
+    // micro-batch is then scored by a vocab-keyed join against it
+    // (StreamScore) — per-batch cost must track the batch, not the model
+    // corpus, and the latency curve must stay flat like the ingest's
+    graft.pipeline.TextAnalysis.buildLmModel(
+      spark.read.parquet(s"$sfDir/documents.parquet"), s"$dir/model")
+    val ginput = MemoryStream[(Long, String)]
+    val gq = graft.streaming.StreamScore.qualityGate(
+      ginput.toDF().toDF("doc_id", "text"), s"$dir/model",
+      s"$dir/accept", s"$dir/reject", s"$dir/gckpt")
+    val gateLat = try {
+      feed.grouped(batchRows).take(nBatches).map { rows =>
+        val t0 = System.nanoTime()
+        ginput.addData(rows.toIndexedSeq: _*)
+        gq.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }.toSeq
+    } finally gq.stop()
+    val acceptRows = spark.read.parquet(s"$dir/accept").count()
+    val rejectRows = spark.read.parquet(s"$dir/reject").count()
+
+    // ---- 4. moment-state maintenance --------------------------------
+    // per batch: one gram_sum reduction of the batch + an O(dim²) state
+    // add — latency must be flat (state never grows, work tracks the batch)
+    val efeed = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy("vec_id")
+      .limit(nBatches * batchRows)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val minput = MemoryStream[(Long, Array[Float])]
+    val mq = graft.streaming.StreamMoments.momentMonitor(
+      minput.toDF().toDF("vec_id", "embedding"),
+      s"$dir/mstate", s"$dir/mdrift", s"$dir/mckpt")
+    val momentLat = try {
+      efeed.grouped(batchRows).take(nBatches).map { rows =>
+        val t0 = System.nanoTime()
+        minput.addData(rows.toIndexedSeq: _*)
+        mq.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }.toSeq
+    } finally mq.stop()
+    val momentN = graft.streaming.StreamMoments
+      .readState(spark, s"$dir/mstate").map(_._1).getOrElse(0L)
+
     def arr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val ingestRps = fed / ingestLat.sum
     val pushRps = nBatches * insertsPerBurst / pushLat.sum
+    val gateRps = fed / gateLat.sum
     // slope proxy for "flat": mean of last 3 batches over mean of first 3
     def trend(xs: Seq[Double]): Double =
       if (xs.size < 6) 1.0
@@ -122,7 +172,16 @@ object StreamBench {
       s""""ksql_push":{"inserts_per_burst":$insertsPerBurst,""" +
       s""""bursts":${pushLat.size},"latency_sec":${arr(pushLat)},""" +
       s""""records_per_sec":${f"$pushRps%.1f"},""" +
-      s""""last3_over_first3":${f"${trend(pushLat)}%.3f"}}}""")
+      s""""last3_over_first3":${f"${trend(pushLat)}%.3f"}},""" +
+      s""""quality_gate":{"batch_rows":$batchRows,"batches":${gateLat.size},""" +
+      s""""latency_sec":${arr(gateLat)},"records_per_sec":${f"$gateRps%.1f"},""" +
+      s""""last3_over_first3":${f"${trend(gateLat)}%.3f"},""" +
+      s""""accepted_rows":$acceptRows,"rejected_rows":$rejectRows},""" +
+      s""""moments":{"batch_rows":$batchRows,"batches":${momentLat.size},""" +
+      s""""latency_sec":${arr(momentLat)},""" +
+      s""""records_per_sec":${f"${momentN / momentLat.sum}%.1f"},""" +
+      s""""last3_over_first3":${f"${trend(momentLat)}%.3f"},""" +
+      s""""vectors_ingested":$momentN}}""")
     spark.stop()
   }
 }

@@ -586,10 +586,16 @@ object Similarity {
     * component² — far below embedding variance).
     */
   def covarianceMatrix(embeddings: DataFrame,
-      vecCol: String = "embedding"): DataFrame = {
-    val g = embeddings
+      vecCol: String = "embedding"): DataFrame =
+    covarianceFromMoments(embeddings
       .agg(graft.functions.GramSumAgg.column(col(vecCol)).as("_g"))
-      .select(col("_g.n").as("n"), col("_g.s").as("s"), col("_g.g").as("gm"))
+      .select(col("_g.n").as("n"), col("_g.s").as("s"), col("_g.g").as("gm")))
+
+  /** Unpack a one-row moment relation `(n, s, gm)` — a live `gram_sum`
+    * result or persisted [[graft.streaming.StreamMoments]] state; the
+    * Long monoid makes the two bit-identical — into (i, j, n, cov) rows.
+    */
+  def covarianceFromMoments(g: DataFrame): DataFrame = {
     // packed upper-triangle index: row i starts at i·dim − i(i−1)/2
     val dim = size(col("s"))
     val idx = col("i") * dim - (col("i") * (col("i") - 1)) / 2 +
@@ -737,5 +743,109 @@ object Similarity {
         round(dotD(xd, col("_cent")) /
           (sqrt(dotD(xd, xd)) * sqrt(dotD(col("_cent"), col("_cent")))),
           6).as("cos_centroid"))
+  }
+
+  /** Literal column for one principal component (k·dim doubles — a
+    * constant broadcast into codegen, never a join side).
+    */
+  private def compLit(c: Array[Double]): Column =
+    array(c.toIndexedSeq.map(lit): _*)
+
+  /** PCA-shortlisted cosine top-k: score candidates in the kPca-dim
+    * projected space (variance-optimal for THIS corpus, vs JL's oblivious
+    * projection), keep a `shortlist`-sized candidate heap per query, then
+    * re-rank ONLY the shortlist with the exact full-dimension kernel — so
+    * emitted scores are always true cosines and approximation affects
+    * candidate CHOICE only (the IVF/int8 contract).
+    *
+    * Scale shape: components come from the one-pass [[covarianceMatrix]]
+    * reduction (driver tail bounded by dim²); pass 1 scans the corpus
+    * once, folding each row over broadcast component literals (narrow,
+    * codegen'd — kPca·dim multiplies vs the brute path's dim per pair,
+    * a dim/kPca candidate-scoring speedup), with `TopKByScore` bounding
+    * every partial to `shortlist` entries before the exchange; pass 2
+    * broadcasts the ≤ |queries|·shortlist candidate ids back against the
+    * corpus for exact re-scoring. The corpus never shuffles in either
+    * pass. At `kPca = dim` the projection is an orthonormal rotation
+    * (cosine-preserving), so the result is [[bruteCosineTopK]] — the
+    * registered exact twin rides v1's oracle.
+    */
+  def pcaCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      kPca: Int = 8, shortlist: Int = 50, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (_, comps) = pcaComponents(corpus, kPca, vecCol)
+    def proj(v: Column): Column = {
+      val xd = transform(v, _.cast("double"))
+      array(comps.toIndexedSeq.map(c => dotD(xd, compLit(c))): _*)
+    }
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("_qv"), proj(col(vecCol)).as("_qp"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      proj(col(vecCol)).as("_cp"))
+    val projCos = dotD(col("_qp"), col("_cp")) /
+      (sqrt(dotD(col("_qp"), col("_qp"))) * sqrt(dotD(col("_cp"), col("_cp"))))
+    val cand = c.crossJoin(broadcast(q.select("query_id", "_qp")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), projCos.as("_pc"))
+      .groupBy("query_id")
+      .agg(gagg.topKByScore(col("_pc"), col("neighbor_id"), shortlist).as("_top"))
+      .select(col("query_id"), explode(col("_top.id")).as("neighbor_id"))
+    val exact = broadcast(cand)
+      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("_cv")), Seq("neighbor_id"))
+      .join(broadcast(q.select("query_id", "_qv")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(gvec.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
+    explodeTopK(
+      exact.groupBy("query_id")
+        .agg(gagg.topKByScore(col("cosine"), col("neighbor_id"), k).as("_top")))
+  }
+
+  /** PCA-reconstruction-error outlier score: how much of each vector's
+    * energy lies OUTSIDE the corpus's top-k principal subspace —
+    * `err = ‖x‖² − Σ_j (v_j·x)²` for orthonormal components v_j
+    * (Parseval), emitted both raw and as the fraction of ‖x‖². High
+    * fraction = the vector is unexplained by the corpus's dominant
+    * structure: the embedding-space novelty/outlier signal of curation
+    * pipelines (complementing [[centroidAffinity]], which needs labels —
+    * this is unsupervised).
+    *
+    * One narrow corpus pass over broadcast component literals — no join,
+    * no shuffle, no UDF. At `kPca = dim` the components span the space
+    * and `err ≡ 0` for EVERY row (Parseval's identity) — the registered
+    * contract twin asserts exactly that, making the driver-side
+    * eigendecomposition oracle-checkable (the a15/a16 pattern).
+    */
+  def pcaOutlierScore(embeddings: DataFrame, kPca: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (_, comps) = pcaComponents(embeddings, kPca, vecCol)
+    val xd = transform(col(vecCol), _.cast("double"))
+    val norm2 = dotD(xd, xd)
+    val projEnergy = comps.toIndexedSeq
+      .map(c => pow(dotD(xd, compLit(c)), 2))
+      .reduce(_ + _)
+    embeddings.select(col(idCol),
+      round(greatest(norm2 - projEnergy, lit(0.0)), 6).as("recon_err"),
+      round(greatest(norm2 - projEnergy, lit(0.0)) /
+        greatest(norm2, lit(1e-12)), 6).as("err_frac"))
+  }
+
+  /** Full-rank Parseval contract for [[pcaOutlierScore]]: with all dim
+    * components the reconstruction error of every vector must vanish
+    * (≤ 1e-6 · ‖x‖² for float inputs). One boolean row per vector vs a
+    * constant-truth oracle.
+    */
+  def pcaOutlierContract(embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    val (_, comps) = pcaComponents(embeddings, dim, vecCol)
+    val xd = transform(col(vecCol), _.cast("double"))
+    val norm2 = dotD(xd, xd)
+    val projEnergy = comps.toIndexedSeq
+      .map(c => pow(dotD(xd, compLit(c)), 2))
+      .reduce(_ + _)
+    embeddings.select(col(idCol).cast("long").as(idCol),
+      (abs(norm2 - projEnergy) <= lit(1e-6) * greatest(norm2, lit(1e-12)))
+        .as("recon_zero"))
   }
 }

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import graft.functions.GramSumAgg
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Streaming maintenance of the corpus moment state behind covariance /
+  * PCA (v11): per batch, one `gram_sum` reduction of the BATCH adds into
+  * a persisted `(n, s, g)` totals row. The buffer is a commutative
+  * monoid over exact Longs, so the persisted state after ANY sequence of
+  * micro-batches is bit-identical to a one-shot pass over the union —
+  * incremental covariance without approximation, and the registered
+  * incremental query rides the same oracle as the one-shot one.
+  *
+  * Scale shape per batch: the only corpus-sized work is the batch's own
+  * narrow scan into map-side `gram_sum` partials; the state is ONE row of
+  * O(dim²) integers (driver-side add is bounded by dim², never data —
+  * the same justification as the capped-centroid reload). This is how a
+  * 100 TB pipeline keeps PCA/whitening current under continuous ingest:
+  * no retrain pass over the corpus, ever.
+  *
+  * The monitor also emits one DRIFT row per batch — the batch's mean
+  * distance from the prior corpus mean (exact integer means, rounded at
+  * emission) — the standard embedding-distribution-shift alarm for a
+  * continuously-fed corpus.
+  */
+object StreamMoments {
+
+  private val stateSchema = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("s", ArrayType(LongType, containsNull = false)),
+    StructField("g", ArrayType(LongType, containsNull = false))))
+
+  /** The persisted totals, if any batch has been ingested. */
+  def readState(spark: SparkSession, statePath: String):
+      Option[(Long, Array[Long], Array[Long])] = {
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else spark.read.schema(stateSchema).parquet(statePath).collect()
+      .headOption.map(r => (r.getLong(0),
+        r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray))
+  }
+
+  /** Fold one batch into the persisted totals (the `foreachBatch` body,
+    * exposed for batch-mode ingest and tests). Returns the new totals.
+    */
+  def ingestBatch(spark: SparkSession, batch: DataFrame, statePath: String,
+      vecCol: String = "embedding"): Option[(Long, Array[Long], Array[Long])] = {
+    val bm = batch.agg(GramSumAgg.column(col(vecCol)).as("_g"))
+      .select(col("_g.n"), col("_g.s"), col("_g.g")).collect().headOption
+      .filter(!_.isNullAt(0))
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray))
+    val next = (readState(spark, statePath), bm) match {
+      case (Some((n0, s0, g0)), Some((n1, s1, g1))) =>
+        Some((n0 + n1,
+          s0.zip(s1).map { case (a, b) => a + b },
+          g0.zip(g1).map { case (a, b) => a + b }))
+      case (st, b) => b.orElse(st)
+    }
+    next.foreach { case (n, s, g) =>
+      spark.createDataFrame(
+        java.util.List.of(Row(n, s.toSeq, g.toSeq)), stateSchema)
+        .coalesce(1).write.mode("overwrite").parquet(statePath)
+    }
+    next
+  }
+
+  /** Covariance rows from the persisted state — [[ingestBatch]] being a
+    * monoid fold, identical to `Similarity.covarianceMatrix` over every
+    * row ever ingested.
+    */
+  def covarianceFromState(spark: SparkSession, statePath: String): DataFrame =
+    graft.pipeline.Similarity.covarianceFromMoments(
+      spark.read.schema(stateSchema).parquet(statePath)
+        .select(col("n"), col("s"), col("g").as("gm")))
+
+  /** Start the standing monitor: each micro-batch folds into the state
+    * and appends a drift row `(batch_id, n_batch, n_total,
+    * mean_shift_c6)` — L2 distance between the batch mean and the PRIOR
+    * corpus mean in 1e-3-quantized component space (null for the
+    * bootstrap batch: no prior to drift from).
+    */
+  def momentMonitor(stream: DataFrame, statePath: String, driftPath: String,
+      checkpointDir: String, vecCol: String = "embedding"): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prior = readState(spark, statePath)
+        val bm = batch.agg(GramSumAgg.column(col(vecCol)).as("_g"))
+          .select(col("_g.n"), col("_g.s"), col("_g.g")).collect().headOption
+          .filter(!_.isNullAt(0))
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray,
+            r.getSeq[Long](2).toArray))
+        bm.foreach { case (nb, sb, gb) =>
+          val shift = prior.map { case (n0, s0, _) =>
+            val d = sb.indices.map { i =>
+              sb(i).toDouble / nb / 1000.0 - s0(i).toDouble / n0 / 1000.0
+            }
+            BigDecimal(math.sqrt(d.map(x => x * x).sum))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+          val next = prior match {
+            case Some((n0, s0, g0)) => (n0 + nb,
+              s0.zip(sb).map { case (a, b) => a + b },
+              g0.zip(gb).map { case (a, b) => a + b })
+            case None => (nb, sb, gb)
+          }
+          spark.createDataFrame(
+            java.util.List.of(Row(next._1, next._2.toSeq, next._3.toSeq)),
+            stateSchema)
+            .coalesce(1).write.mode("overwrite").parquet(statePath)
+          spark.createDataFrame(
+            java.util.List.of(Row(batchId, nb, next._1,
+              shift.map(java.lang.Double.valueOf).orNull)),
+            StructType(Seq(
+              StructField("batch_id", LongType, nullable = false),
+              StructField("n_batch", LongType, nullable = false),
+              StructField("n_total", LongType, nullable = false),
+              StructField("mean_shift_c6", DoubleType, nullable = true))))
+            .coalesce(1).write.mode("append").parquet(driftPath)
+        }
+        ()
+      }
+      .start()
+}

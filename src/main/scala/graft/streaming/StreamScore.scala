@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.pipeline.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming quality gate — the score-many half of the train-once/
+  * score-many model split (t23b/t24b), run where production actually runs
+  * it: inside the continuous-ingest loop. Each micro-batch is scored
+  * against the PREBUILT bigram-LM table
+  * ([[graft.pipeline.TextAnalysis.buildLmModel]]) plus the zero-shuffle
+  * quality heuristics, then routed: accepted docs append to the corpus
+  * path, rejected docs append to a quarantine path WITH their reject
+  * reason (curation pipelines audit the rejects; silently dropping them
+  * loses the signal).
+  *
+  * Scale shape per batch: the heuristic gate is a narrow codegen'd pass;
+  * the LM score is a vocab-keyed join against the stored model (no
+  * corpus-wide training stages in any batch's plan — the whole point of
+  * the split); cost tracks the BATCH, never the corpus. The model table
+  * is read per batch, so a retrain lands on the next micro-batch without
+  * restarting the query.
+  *
+  * Modeled on the reference's persistent-query loop (continuous SQL over
+  * an append stream, `files/ksqldb-cli/all.sql`): the gate is one
+  * standing query whose output tables grow as input arrives.
+  */
+object StreamScore {
+
+  /** The gate DECISION as a batch transform: input rows + `lm_c6` +
+    * `reject_reason` (null = accepted). The streaming loop applies
+    * exactly this, so batch parity is a test, not a hope.
+    *
+    * Reason precedence: heuristic quality failures first (cheapest,
+    * narrow), then `oov` (no bigram of the doc appears in the model —
+    * the score is undefined, and production quarantines rather than
+    * guesses), then `low_lm` (mean bigram log-prob in micro-units below
+    * `minLmC6`).
+    */
+  def gateScores(spark: org.apache.spark.sql.SparkSession, modelPath: String,
+      batch: DataFrame, minLmC6: Long): DataFrame = {
+    val lm = TextAnalysis.ngramLmScoreIndexed(spark, modelPath, batch)
+      .select(col("doc_id"), col("lm_c6"))
+    val q = TextAnalysis.qualityReason(col("text"))
+    batch.join(lm, Seq("doc_id"), "left")
+      .withColumn("reject_reason",
+        when(q =!= "ok", q)
+          .when(col("lm_c6").isNull, lit("oov"))
+          .when(col("lm_c6") < minLmC6, lit("low_lm")))
+  }
+
+  /** Start the standing gate: accepted rows (with their `lm_c6`) append
+    * to `acceptPath`, rejects (with `reject_reason`) to `rejectPath`.
+    */
+  def qualityGate(stream: DataFrame, modelPath: String, acceptPath: String,
+      rejectPath: String, checkpointDir: String,
+      minLmC6: Long = -14000000L): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val scored = gateScores(spark, modelPath, batch, minLmC6)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        scored.filter(col("reject_reason").isNull).drop("reject_reason")
+          .write.mode("append").parquet(acceptPath)
+        scored.filter(col("reject_reason").isNotNull)
+          .write.mode("append").parquet(rejectPath)
+        scored.unpersist(blocking = false)
+        ()
+      }
+      .start()
+}

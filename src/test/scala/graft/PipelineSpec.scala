@@ -1118,4 +1118,48 @@ class PipelineSpec extends SparkSpec {
     // zero-overlap pairs are kept: the frame is the full sources² triangle
     assert(got.size === srcs.size * (srcs.size - 1) / 2)
   }
+
+  test("pca retrieval: full-rank shortlist+re-rank equals brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    // full-rank projection is an orthonormal rotation: candidate order is
+    // cosine order, so the exact re-rank reproduces brute force exactly
+    val brute = rowSet(Similarity.bruteCosineTopK(emb, queries, k = 5))
+    val pca = rowSet(Similarity.pcaCosineTopK(emb, queries, k = 5, kPca = 64))
+    assert(pca === brute)
+    // low-rank path: same shape/contract (true cosines, k rows per query,
+    // no self-pairs), approximation affects candidate choice only
+    val lowRank = Similarity.pcaCosineTopK(emb, queries, k = 5, kPca = 4)
+      .collect()
+    assert(lowRank.length === 5 * 10)
+    assert(lowRank.forall(r => r.getLong(0) != r.getLong(1)))
+    val bruteScores = brute.map(t => (t._1, t._2) -> t._4).toMap
+    lowRank.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      // every emitted score is the TRUE cosine: where a pair also appears
+      // in the brute answer the scores must agree bit-for-bit
+      bruteScores.get(key).foreach(exp => assert(r.getDouble(3) === exp))
+    }
+  }
+
+  test("pca outlier: full-rank error vanishes, low-rank errors nest") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val contract = Similarity.pcaOutlierContract(emb).collect()
+    assert(contract.nonEmpty && contract.forall(_.getBoolean(1)))
+    def errMap(k: Int) = Similarity.pcaOutlierScore(emb, kPca = k).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val e8 = errMap(8)
+    val e16 = errMap(16)
+    assert(e8.nonEmpty && e8.keySet === e16.keySet)
+    e8.foreach { case (id, (err8, frac8)) =>
+      val (err16, frac16) = e16(id)
+      assert(frac8 >= 0.0 && frac8 <= 1.0 && frac16 >= 0.0 && frac16 <= 1.0)
+      // top-16 subspace CONTAINS the top-8 one (same ordered eigenbasis
+      // prefix), so residual energy can only shrink as rank grows
+      assert(err16 <= err8 + 1e-6, s"vec $id: err16 $err16 > err8 $err8")
+    }
+  }
 }

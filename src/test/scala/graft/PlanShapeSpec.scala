@@ -577,6 +577,23 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus-side shuffle detected:\n$plan")
   }
 
+  test("pca retrieval: corpus never shuffles — exchanges carry bounded top-k buffers") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = graft.pipeline.Similarity
+      .pcaCosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .queryExecution.executedPlan.toString
+    // both passes meet the corpus through broadcasts (query set, then the
+    // bounded candidate list); the only hash exchanges sit under the
+    // per-query top-k aggregates and carry ≤ shortlist-sized heap buffers
+    assert(!plan.contains("CartesianProduct"), s"cartesian detected:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-sized join shuffle:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"candidate join must broadcast:\n$plan")
+    val exchanges =
+      """Exchange hashpartitioning\([^)]*\)""".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("query_id")),
+      s"non-top-k shuffle detected:\n$plan")
+  }
+
   test("source overlap: vocabulary equi-join, no cartesian on corpus rows") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = graft.pipeline.Dedup.sourceOverlap(docs)

@@ -635,4 +635,109 @@ class StreamingTutorialSpec extends SparkSpec {
       assert(got("absent") === ((0L, 19L)))
     } finally q.stop()
   }
+
+  test("streaming quality gate: batch parity with gateScores, rejects carry reasons") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_qgate").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    graft.pipeline.TextAnalysis.buildLmModel(docs, s"$dir/model")
+    val real = docs.filter(col("doc_id") < 30)
+    // pick the gate threshold at the median LM score of the clean slice so
+    // the low_lm branch is exercised on real data (deterministic: fixed
+    // corpus, fixed model)
+    val lmOk = graft.streaming.StreamScore
+      .gateScores(spark, s"$dir/model", real, Long.MinValue)
+      .filter(col("reject_reason").isNull)
+      .select("lm_c6").collect().map(_.getLong(0)).sorted
+    assert(lmOk.length >= 4, "need clean docs to derive a threshold")
+    val thr = lmOk(lmOk.length / 2)
+    // crafted probes: enough stopwords + unseen bigrams → oov; tiny → too_short
+    // one stopword then a non-repeating chain: every bigram touches an
+    // unseen zzz token (→ no model row), stopword ratio clears the bar,
+    // no bigram repeats (→ not "repetitive")
+    val oovText = "the " + (1 to 24).map(i => s"zzz$i").mkString(" ")
+    val crafted = Seq((9001L, oovText), (9002L, "short doc")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamScore.qualityGate(
+      input.toDF().toDF("doc_id", "text"), s"$dir/model",
+      s"$dir/accept", s"$dir/reject", s"$dir/ckpt", minLmC6 = thr)
+    val realRows = real.collect().map(r => (r.getLong(0), r.getString(1)))
+    try {
+      input.addData(realRows.take(15).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(realRows.drop(15).toIndexedSeq :+
+        ((9001L, oovText)) :+ ((9002L, "short doc")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // expected: the batch-form decision over the union of all batches
+    val expected = graft.streaming.StreamScore
+      .gateScores(spark, s"$dir/model", real.union(crafted), thr)
+      .select(col("doc_id"), col("reject_reason")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // observer-session reads of stream-written paths: refresh first
+    spark.catalog.refreshByPath(s"$dir/accept")
+    spark.catalog.refreshByPath(s"$dir/reject")
+    val accepted = spark.read.parquet(s"$dir/accept")
+    val rejected = spark.read.parquet(s"$dir/reject")
+    val gotAccept = accepted.select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotReject = rejected.select(col("doc_id"), col("reject_reason"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotAccept === expected.filter(_._2.isEmpty).keySet)
+    assert(gotReject === expected.collect { case (id, Some(r)) => id -> r })
+    // the accepted table carries the score (curation audits it downstream)
+    assert(accepted.columns.contains("lm_c6"))
+    // every gate branch fired on this data
+    val reasons = gotReject.values.toSet
+    assert(reasons.contains("too_short"), s"reasons: $reasons")
+    assert(reasons.contains("oov"), s"reasons: $reasons")
+    assert(reasons.contains("low_lm"), s"reasons: $reasons")
+  }
+
+  test("streaming moment monitor: state bit-identical to one-shot, drift emitted") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_moments").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamMoments.momentMonitor(
+      input.toDF().toDF("vec_id", "embedding"),
+      s"$dir/state", s"$dir/drift", s"$dir/ckpt")
+    try {
+      // deliberately uneven batches: the monoid must not care
+      input.addData(rows.take(100).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.slice(100, 150).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(150).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshByPath(s"$dir/state")
+    val (n, s, g) = graft.streaming.StreamMoments
+      .readState(spark, s"$dir/state").get
+    val one = emb.agg(graft.functions.GramSumAgg.column(col("embedding")).as("_g"))
+      .select("_g.n", "_g.s", "_g.g").head()
+    assert(n === one.getLong(0))
+    assert(s.toSeq === one.getSeq[Long](1))
+    assert(g.toSeq === one.getSeq[Long](2))
+    // the unpacked covariance equals the one-shot operator's rows exactly
+    def covMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(covMap(graft.streaming.StreamMoments
+        .covarianceFromState(spark, s"$dir/state"))
+      === covMap(graft.pipeline.Similarity.covarianceMatrix(emb)))
+    // drift: one row per non-empty batch; the bootstrap batch has no
+    // prior to drift from
+    spark.catalog.refreshByPath(s"$dir/drift")
+    val drift = spark.read.parquet(s"$dir/drift")
+      .orderBy("batch_id").collect()
+    assert(drift.length === 3)
+    assert(drift.head.isNullAt(3))
+    assert(drift.tail.forall(r => !r.isNullAt(3) && r.getDouble(3) >= 0.0))
+    assert(drift.map(_.getLong(2)).last === n)
+  }
 }
