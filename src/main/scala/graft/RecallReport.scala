@@ -51,7 +51,7 @@ object RecallReport {
     val slice = emb.filter(col("vec_id") < 2000)
     val exactGraph = pairSet(
       Similarity.knnGraph(slice, k = 5, singleCell = true), "query_id", "neighbor_id")
-    val v7 = Seq(1, 2, 4).map { na =>
+    val v7 = Seq(1, 2, 4, 8, 16).map { na =>
       val got = pairSet(Similarity.knnGraph(slice, k = 5, nAssign = na),
         "query_id", "neighbor_id")
       s""""assign_$na":${(got & exactGraph).size.toDouble / exactGraph.size}"""
@@ -72,27 +72,32 @@ object RecallReport {
     // nAssign (precision stays 1 — verification is exact cosine)
     val exactPairs = pairSet(
       Dedup.semanticPairs(slice, singleCell = true), "a", "b")
-    val d11 = Seq(1, 2, 4).map { na =>
+    val d11 = Seq(1, 2, 4, 8).map { na =>
       val got = pairSet(Dedup.semanticPairs(slice, nAssign = na), "a", "b")
       val r = if (exactPairs.isEmpty) 1.0
               else (got & exactPairs).size.toDouble / exactPairs.size
       s""""assign_$na":$r"""
     }
 
-    // v13: PCA-shortlist recall@5 vs brute across the subspace rank
-    // (shortlist fixed at the default 50; re-rank is exact, so recall is
-    // the only quality axis here too)
-    val pca = Seq(2, 4, 8, 16).map { kp =>
+    // v13: PCA-shortlist recall@5 vs brute across BOTH knobs (subspace
+    // rank × shortlist size; re-rank is exact, so recall is the only
+    // quality axis here too). NOTE the testdata caveat: these synthetic
+    // embeddings are near-isotropic (flat eigenspectrum), the worst case
+    // for PCA shortlisting — real embedding corpora have decaying
+    // spectra where far smaller shortlists reach the same recall.
+    val pca = for (kp <- Seq(8, 16); m <- Seq(50, 200, 400, 800)) yield {
       val got = pairSet(
-        Similarity.pcaCosineTopK(emb, queries, k = 5, kPca = kp),
+        Similarity.pcaCosineTopK(emb, queries, k = 5, kPca = kp,
+          shortlist = m),
         "query_id", "neighbor_id")
-      s""""kpca_$kp":${(got & exactTopK).size.toDouble / exactTopK.size}"""
+      s""""kpca${kp}_m$m":${(got & exactTopK).size.toDouble / exactTopK.size}"""
     }
 
     // the curves above sweep the knob explicitly; defaults record which
     // point on each curve a caller gets without choosing (recall target
-    // ≥ 0.75: nProbe=16, nAssign=4)
-    println(s"""{"metric":"recall","sf":"$sfDir","defaults":{"nprobe":16,"nassign":4},"ivf_recall_at_5":{${ivf.mkString(",")}},"mips_recall_at_5":{${mips.mkString(",")}},"knn_graph_recall":{${v7.mkString(",")}},"semdedup_pair_recall":{${d11.mkString(",")}},"pca_recall_at_5":{${pca.mkString(",")}},"exact_topk_pairs":${exactTopK.size},"exact_mips_pairs":${exactMips.size},"exact_graph_pairs":${exactGraph.size},"exact_semantic_pairs":${exactPairs.size}}""")
+    // ≥ 0.75 under asymmetric probing: nProbe=16, kNN-graph nAssign=16,
+    // SemDeDup nAssign=8)
+    println(s"""{"metric":"recall","sf":"$sfDir","defaults":{"nprobe":16,"knn_nassign":16,"semdedup_nassign":8,"pca_kpca":16,"pca_shortlist":200},"ivf_recall_at_5":{${ivf.mkString(",")}},"mips_recall_at_5":{${mips.mkString(",")}},"knn_graph_recall":{${v7.mkString(",")}},"semdedup_pair_recall":{${d11.mkString(",")}},"pca_recall_at_5":{${pca.mkString(",")}},"exact_topk_pairs":${exactTopK.size},"exact_mips_pairs":${exactMips.size},"exact_graph_pairs":${exactGraph.size},"exact_semantic_pairs":${exactPairs.size}}""")
     spark.stop()
   }
 }

@@ -770,47 +770,68 @@ object Dedup {
     * verify — cells ≈ corpus/centroidEvery keeps cells bounded below the
     * cap (cell SIZE, the SemDeDup quality knob, stays ~centroidEvery).
     * Recall < 1 (a near-dup pair split across a cell boundary is missed)
-    * — that is SemDeDup's documented trade; `nAssign > 1` multi-assigns
-    * each vector to its top-n cells (a pair is caught when ANY cell is
-    * shared — the recall knob, at ~nAssign× candidate cost); `singleCell
-    * = true` forces one cell, making the output the exact all-pairs
-    * answer the d11b oracle twin hash-checks.
+    * — that is SemDeDup's documented trade; `nAssign > 1` is the recall
+    * knob (asymmetric multi-probe, below); `singleCell = true` forces
+    * one cell, making the output the exact all-pairs answer the d11b
+    * oracle twin hash-checks.
     *
-    * Default `nAssign = 4` targets ≥0.75 pair recall — measured on the
-    * sf0.1 testdata (RECALL_r09.json): 0.18 at nAssign=1 (a dedup that
-    * silently keeps 82% of semantic dups), 0.47 at 2, 0.83 at 4.
+    * Default `nAssign = 8` targets ≥0.75 pair recall — measured on the
+    * near-isotropic sf0.1 testdata (RECALL_r09.json, 0.85 at 8) under
+    * ASYMMETRIC probing: one side of each candidate pair probes its
+    * top-n cells, the other contributes only its primary cell, so
+    * candidate volume is nAssign·N·occupancy — the symmetric
+    * double-assignment this replaces squared it (nAssign²·N·occupancy)
+    * and went superlinear at the 100× sweep. An unordered pair can
+    * surface in both orientations, so the dedup is over ≤ 2 copies, not
+    * nAssign². `maxCells = 65536` keeps cell occupancy ≈ `centroidEvery`
+    * up to ~3M vectors (see [[Similarity.knnGraph]]'s sizing note — same
+    * self-join cost law).
     */
   def semanticPairs(embeddings: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.45,
       centroidEvery: Int = 50, kmeansIters: Int = 2,
       singleCell: Boolean = false, materialize: Boolean = true,
-      maxCells: Int = 4096, nAssign: Int = 4): DataFrame = {
-    // scalar assignment for the default; the explode only exists when
-    // multi-assignment actually emits >1 cell per vector
-    val cellCol: Column =
+      maxCells: Int = 65536, nAssign: Int = 8): DataFrame = {
+    val cents =
+      if (singleCell) Array.empty[(Long, Array[Float])]
+      else Similarity.kmeansCentroids(
+        embeddings, centroidEvery, kmeansIters, idCol, vecCol, maxCells)
+    val primaryCol: Column =
       if (singleCell) lit(0L)
-      else {
-        val cents = Similarity.kmeansCentroids(
-          embeddings, centroidEvery, kmeansIters, idCol, vecCol, maxCells)
-        if (nAssign <= 1) Similarity.cellAssignExpr(cents, col(vecCol))
-        else explode(graft.functions.vector.nearestCells(col(vecCol),
-          cents.map(_._1), cents.map(_._2), nAssign))
-      }
-    // persisted: both sides of the cell self-join read the assignment
+      else Similarity.cellAssignExpr(cents, col(vecCol))
+    // persisted: the probe explode and the primary side both read it
     val assigned = embeddings
       .select(col(idCol).as("_id"), col(vecCol).as("_v"),
-        cellCol.as("_cell"))
+        primaryCol.as("_cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = assigned.select(col("_cell"), col("_id").as("a"), col("_v").as("_va"))
+    // asymmetric multi-probe: the left side probes its nAssign nearest
+    // cells, the right side sits in its one primary cell
+    val l =
+      if (singleCell || nAssign <= 1)
+        assigned.select(col("_cell"), col("_id").as("a"), col("_v").as("_va"))
+      else assigned.select(
+        explode(graft.functions.vector.nearestCells(col("_v"),
+          cents.map(_._1), cents.map(_._2), nAssign)).as("_cell"),
+        col("_id").as("a"), col("_v").as("_va"))
     val r = assigned.select(col("_cell"), col("_id").as("b"), col("_v").as("_vb"))
-    val base = l.join(r, Seq("_cell"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        round(gvec.cosine(col("_va"), col("_vb")), 6).as("cosine"))
-    // multi-assignment (the recall knob) can emit a pair once per shared
-    // cell — dedup the candidate pairs before thresholding
-    val pairs = (if (nAssign <= 1) base else base.distinct())
-      .filter(col("cosine") >= threshold)
+    val joined = l.join(r, Seq("_cell"))
+    // primary-primary join: both orientations arise symmetrically, so
+    // a < b alone emits each unordered pair exactly once (the d11b-exact
+    // path, byte-identical to prior behavior). Asymmetric probing: a
+    // pair is caught when EITHER side's probes cover the other's primary
+    // cell — normalize to a < b and dedup the ≤ 2 orientation copies.
+    val base =
+      if (singleCell || nAssign <= 1)
+        joined.filter(col("a") < col("b"))
+          .select(col("a"), col("b"),
+            round(gvec.cosine(col("_va"), col("_vb")), 6).as("cosine"))
+      else
+        joined.filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"),
+            round(gvec.cosine(col("_va"), col("_vb")), 6).as("cosine"))
+          .distinct()
+    val pairs = base.filter(col("cosine") >= threshold)
     if (materialize) Scratch.materializeThenFree(pairs, assigned) else pairs
   }
 
@@ -821,8 +842,8 @@ object Dedup {
   def semanticSurvivors(embeddings: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.45,
       centroidEvery: Int = 50, kmeansIters: Int = 2,
-      singleCell: Boolean = false, maxCells: Int = 4096,
-      nAssign: Int = 4): DataFrame =
+      singleCell: Boolean = false, maxCells: Int = 65536,
+      nAssign: Int = 8): DataFrame =
     nearDupSurvivors(
       embeddings.select(col(idCol)),
       semanticPairs(embeddings, idCol, vecCol, threshold, centroidEvery,

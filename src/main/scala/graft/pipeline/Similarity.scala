@@ -143,47 +143,58 @@ object Similarity {
     * graph built cell-by-cell with no global shuffle at all.
     *
     * Recall < 1 at cell boundaries (the documented IVF trade);
-    * `nAssign > 1` multi-assigns each vector to its top-n cells (the
-    * multi-probe trick: a neighbor pair is caught when ANY assigned cell
-    * is shared — recall rises at ~nAssign× candidate cost); `singleCell =
-    * true` forces one cell, making the output the exact all-pairs graph
-    * the v7b oracle twin hash-checks.
+    * `nAssign > 1` makes each QUERY probe its top-n cells while the
+    * index side keeps exactly its primary cell — the IVF asymmetric
+    * multi-probe. Candidate volume is nAssign·N·occupancy (symmetric
+    * double-assignment would square it to nAssign²·N·occupancy, which
+    * the 100× sweep showed going superlinear), and each (query,
+    * neighbor) candidate appears AT MOST ONCE (the neighbor has one
+    * primary cell), so no pair-dedup shuffle exists on the path.
+    * `singleCell = true` forces one cell, making the output the exact
+    * all-pairs graph the v7b oracle twin hash-checks.
     *
-    * Default `nAssign = 4` targets ≥0.75 pair recall — measured on the
-    * sf0.1 testdata (RECALL_r09.json): 0.16 at nAssign=1, 0.37 at 2,
-    * 0.75 at 4. Drop to 1 only when candidate cost matters more than
-    * recall (each step roughly doubles candidates).
+    * Default `nAssign = 16` targets ≥0.75 pair recall — measured on the
+    * near-isotropic sf0.1 testdata (RECALL_r09.json) under asymmetric
+    * probing (0.57 at 8, 0.78 at 16; real corpora with decaying spectra
+    * need fewer probes). Cost rises ~linearly in nAssign; drop it when
+    * candidate cost matters more than recall. `maxCells = 65536` keeps
+    * cell OCCUPANCY ≈ `centroidEvery` (constant per-vector candidate
+    * cost) up to ~3M vectors — a self-join's cost is N·occupancy·nAssign,
+    * so letting occupancy grow at a low cap is what turns this operator
+    * superlinear; size `maxCells ≈ N / centroidEvery` beyond that (the
+    * cap bounds driver-resident centroids: 64k cells ≈ 16 MB at dim 64).
     */
   def knnGraph(embeddings: DataFrame, k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding", centroidEvery: Int = 50,
       kmeansIters: Int = 2, singleCell: Boolean = false,
-      materialize: Boolean = true, maxCells: Int = 4096,
-      nAssign: Int = 4): DataFrame = {
-    // scalar assignment for the default; the explode only exists when
-    // multi-assignment actually emits >1 cell per vector
-    val cellCol: Column =
-      if (singleCell) lit(0L)
-      else {
-        val cents = kmeansCentroids(embeddings, centroidEvery, kmeansIters,
-          idCol, vecCol, maxCells)
-        if (nAssign <= 1) cellAssignExpr(cents, col(vecCol))
-        else explode(gvec.nearestCells(col(vecCol), cents.map(_._1),
-          cents.map(_._2), nAssign))
-      }
-    // persisted: both sides of the cell self-join read the assignment
+      materialize: Boolean = true, maxCells: Int = 65536,
+      nAssign: Int = 16): DataFrame = {
+    val cents =
+      if (singleCell) Array.empty[(Long, Array[Float])]
+      else kmeansCentroids(embeddings, centroidEvery, kmeansIters,
+        idCol, vecCol, maxCells)
+    val primaryCol: Column =
+      if (singleCell) lit(0L) else cellAssignExpr(cents, col(vecCol))
+    // persisted: the probe explode and the primary side both read it
     val assigned = embeddings
       .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"),
-        cellCol.as("_cell"))
+        primaryCol.as("_cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = assigned.select(col("_cell"), col("_id").as("query_id"), col("_v").as("_qv"))
+    // query side probes its nAssign nearest cells; index side stays on
+    // its one primary cell (asymmetric multi-probe — see scaladoc)
+    val l =
+      if (singleCell || nAssign <= 1)
+        assigned.select(col("_cell"), col("_id").as("query_id"),
+          col("_v").as("_qv"))
+      else assigned.select(
+        explode(gvec.nearestCells(col("_v"), cents.map(_._1),
+          cents.map(_._2), nAssign)).as("_cell"),
+        col("_id").as("query_id"), col("_v").as("_qv"))
     val r = assigned.select(col("_cell"), col("_id").as("neighbor_id"), col("_v").as("_cv"))
-    val base = l.join(r, Seq("_cell"))
+    val scored = l.join(r, Seq("_cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(gvec.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
-    // multi-assignment can emit a pair once per shared cell — dedup before
-    // the bounded top-k heap (which would otherwise rank duplicates)
-    val scored = if (nAssign <= 1) base else base.distinct()
     val graph = explodeTopK(
       scored.groupBy("query_id")
         .agg(gagg.topKByScore(col("cosine"), col("neighbor_id"), k).as("_top")))
@@ -769,9 +780,15 @@ object Similarity {
     * pass. At `kPca = dim` the projection is an orthonormal rotation
     * (cosine-preserving), so the result is [[bruteCosineTopK]] — the
     * registered exact twin rides v1's oracle.
+    *
+    * Defaults meet the ≥ 0.75 recall target on MEASURED worst-case data
+    * (RECALL_r09: near-isotropic synthetic embeddings — recall@5 = 0.75
+    * at kPca=16/shortlist=200, vs 0.27 at 8/50): real embedding corpora
+    * have decaying spectra where smaller knobs reach the same recall,
+    * so these defaults are conservative, not optimistic.
     */
   def pcaCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      kPca: Int = 8, shortlist: Int = 50, idCol: String = "vec_id",
+      kPca: Int = 16, shortlist: Int = 200, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val (_, comps) = pcaComponents(corpus, kPca, vecCol)
     def proj(v: Column): Column = {
