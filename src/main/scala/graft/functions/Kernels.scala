@@ -414,6 +414,65 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Two-level probe selection: [[nearestCells]] when EVERY corpus row
+    * probes (the kNN-graph / SemDeDup self-join shape), where the flat
+    * kernel's O(cells·dim) per row turns a growing cell budget into a
+    * superlinear scan. Coarse groups are scored first (O(√cells·dim));
+    * groups are taken best-first until their fine cells cover
+    * ≥ 4·nProbe candidates (or all groups), then those fine cells are
+    * scored and the top nProbe win (sim desc, group-gather order on
+    * ties). Approximate in the same sense as two-level ASSIGNMENT — a
+    * near cell under an unprobed coarse group can be missed — which is
+    * the recall trade the probe knob already makes. The gathered set
+    * always contains the best coarse group's cells, so the probe list
+    * covers [[nearestCellTwoLevel]]'s assignment (the cell a two-level-
+    * assigned row itself sits in is always probed).
+    */
+  def nearestCellsTwoLevel(vec: ArrayData, coarse: Array[Array[Float]],
+      groupIds: Array[Array[Long]], groupCents: Array[Array[Array[Float]]],
+      nProbe: Int): ArrayData = {
+    val ng = coarse.length
+    val gsims = new Array[Double](ng)
+    var g = 0
+    while (g < ng) { gsims(g) = simTo(vec, coarse(g)); g += 1 }
+    val gorder = Array.range(0, ng).sortWith { (a, b) =>
+      gsims(a) > gsims(b) || (gsims(a) == gsims(b) && a < b)
+    }
+    // gather best-first coarse groups until enough fine candidates
+    val want = math.max(nProbe, math.min(4 * nProbe, Int.MaxValue))
+    var fine = 0
+    var gTake = 0
+    while (gTake < ng && fine < want) {
+      fine += groupIds(gorder(gTake)).length
+      gTake += 1
+    }
+    val candIds = new Array[Long](fine)
+    val candSims = new Array[Double](fine)
+    var k = 0
+    var t = 0
+    while (t < gTake) {
+      val gi = gorder(t)
+      val ids = groupIds(gi)
+      val cs = groupCents(gi)
+      var i = 0
+      while (i < ids.length) {
+        candIds(k) = ids(i)
+        candSims(k) = simTo(vec, cs(i))
+        k += 1
+        i += 1
+      }
+      t += 1
+    }
+    val take = math.min(math.max(nProbe, 0), fine)
+    val order = Array.range(0, fine).sortWith { (a, b) =>
+      candSims(a) > candSims(b) || (candSims(a) == candSims(b) && a < b)
+    }
+    val out = new Array[Long](take)
+    var j = 0
+    while (j < take) { out(j) = candIds(order(j)); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** [[sortedIntersectCountString]] for sorted distinct long arrays (the
     * [[shingleHashes]] output form).
     */

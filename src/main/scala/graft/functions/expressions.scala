@@ -185,6 +185,32 @@ case class NearestCells(child: Expression, cellIds: Array[Long],
   override def prettyName: String = "graft_nearest_cells"
 }
 
+/** nearest_cells_2l(vec): array<bigint> — two-level probe selection
+  * ([[Kernels.nearestCellsTwoLevel]]): the corpus-side probe form whose
+  * per-row cost is O((√cells + gathered)·dim) instead of the flat
+  * kernel's O(cells·dim) — the difference between linear and quadratic
+  * for self-join ops where EVERY row probes a growing cell budget.
+  */
+case class NearestCellsTwoLevel(child: Expression,
+    coarse: Array[Array[Float]], groupIds: Array[Array[Long]],
+    groupCents: Array[Array[Array[Float]]], nProbe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(vec: Any): Any =
+    Kernels.nearestCellsTwoLevel(vec.asInstanceOf[ArrayData], coarse,
+      groupIds, groupCents, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val co = ctx.addReferenceObj("coarse", coarse, "float[][]")
+    val gi = ctx.addReferenceObj("groupIds", groupIds, "long[][]")
+    val gc = ctx.addReferenceObj("groupCents", groupCents, "float[][][]")
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.Kernels.nearestCellsTwoLevel($v, $co, $gi, $gc, $nProbe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nearest_cells_2l"
+}
+
 /** signed_project(vec): array<bigint> — Rademacher ±1 projection over
   * 1e-6-quantized components ([[Kernels.signedProject]]); the sign matrix
   * rides as a reference object.
@@ -296,6 +322,11 @@ object vector {
   def nearestCells(vec: Column, cellIds: Array[Long],
       centroids: Array[Array[Float]], nProbe: Int): Column =
     Bridge.column(NearestCells(Bridge.expression(vec), cellIds, centroids, nProbe))
+  def nearestCellsTwoLevel(vec: Column, coarse: Array[Array[Float]],
+      groupIds: Array[Array[Long]],
+      groupCents: Array[Array[Array[Float]]], nProbe: Int): Column =
+    Bridge.column(NearestCellsTwoLevel(Bridge.expression(vec), coarse,
+      groupIds, groupCents, nProbe))
   def signedProject(vec: Column, signs: Array[Array[Byte]]): Column =
     Bridge.column(SignedProject(Bridge.expression(vec), signs))
 }

@@ -810,8 +810,8 @@ object Dedup {
       if (singleCell || nAssign <= 1)
         assigned.select(col("_cell"), col("_id").as("a"), col("_v").as("_va"))
       else assigned.select(
-        explode(graft.functions.vector.nearestCells(col("_v"),
-          cents.map(_._1), cents.map(_._2), nAssign)).as("_cell"),
+        explode(Similarity.probeCellsExpr(cents, col("_v"), nAssign))
+          .as("_cell"),
         col("_id").as("a"), col("_v").as("_va"))
     val r = assigned.select(col("_cell"), col("_id").as("b"), col("_v").as("_vb"))
     val joined = l.join(r, Seq("_cell"))

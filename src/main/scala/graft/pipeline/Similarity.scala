@@ -187,8 +187,7 @@ object Similarity {
         assigned.select(col("_cell"), col("_id").as("query_id"),
           col("_v").as("_qv"))
       else assigned.select(
-        explode(gvec.nearestCells(col("_v"), cents.map(_._1),
-          cents.map(_._2), nAssign)).as("_cell"),
+        explode(probeCellsExpr(cents, col("_v"), nAssign)).as("_cell"),
         col("_id").as("query_id"), col("_v").as("_qv"))
     val r = assigned.select(col("_cell"), col("_id").as("neighbor_id"), col("_v").as("_cv"))
     val scored = l.join(r, Seq("_cell"))
@@ -280,6 +279,23 @@ object Similarity {
     else {
       val (coarse, gids, gcents) = coarseGroups(centroids)
       gvec.nearestCentroidTwoLevel(vec, coarse, gids, gcents)
+    }
+
+  /** [[cellAssignExpr]]'s multi-probe sibling: the nProbe nearest cell
+    * ids, flat below [[FlatAssignMax]] cells, two-level coarse→fine
+    * above it. The two-level form is what keeps CORPUS-side probing
+    * (every row probes — the kNN-graph/SemDeDup shape) linear when the
+    * cell budget grows with the corpus; query-side probing (IVF top-k,
+    * index-small query sets) can afford the flat exhaustive scan and
+    * keeps it.
+    */
+  private[graft] def probeCellsExpr(centroids: Array[(Long, Array[Float])],
+      vec: Column, nProbe: Int): Column =
+    if (centroids.length <= FlatAssignMax)
+      gvec.nearestCells(vec, centroids.map(_._1), centroids.map(_._2), nProbe)
+    else {
+      val (coarse, gids, gcents) = coarseGroups(centroids)
+      gvec.nearestCellsTwoLevel(vec, coarse, gids, gcents, nProbe)
     }
 
   /** Distributed k-means centroids for the IVF index: deterministic
