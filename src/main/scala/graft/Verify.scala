@@ -18,6 +18,7 @@ object Verify {
       // testdata parquet carries TIMESTAMP(NANOS) — read as nanos-long
       // (TestdataAdapter converts to µs, matching DuckDB's ns→µs floor)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
 
 /** Source layer: every collection enters the engine as a DataFrame with a
   * declared schema, regardless of physical origin (parquet snapshot, Kafka
@@ -25,9 +25,21 @@ object Sources {
     * Scale note: parquet scans get vectorized reads, column pruning and
     * predicate pushdown from Catalyst for free; at 100 TB the same call
     * reads a partitioned directory and prunes partitions.
+    *
+    * Timestamp columns written without `isAdjustedToUTC` would otherwise
+    * surface as TIMESTAMP_NTZ on Spark 4 (`inferTimestampNTZ`), breaking
+    * every `unix_micros`/watermark call site; the engine runs with a UTC
+    * session timezone, so casting NTZ back to TIMESTAMP preserves the
+    * stored micros exactly. The cast is a no-op when the session already
+    * disables NTZ inference.
     */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val ntz = raw.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) raw
+    else ntz.foldLeft(raw)((df, f) =>
+      df.withColumn(f.name, col(f.name).cast(TimestampType)))
+  }
 
   /** JSON-lines ingest with a DECLARED schema — raw training corpora
     * usually arrive as .jsonl before the first parquet conversion. The
