@@ -35,6 +35,38 @@ object Kernels {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Euclidean norm of a float vector — sqrt of the same fixed-order `na`
+    * accumulator [[cosine]] builds, so for equal-length vectors
+    * `cosinePre(a, b, norm(a), norm(b))` is bit-identical to
+    * `cosine(a, b)`.
+    */
+  def norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var na = 0.0
+    var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
+    math.sqrt(na)
+  }
+
+  /** Cosine with PRE-COMPUTED norms: the pair-scoring hot loop of the
+    * celled self-joins runs nAssign·occupancy candidates per vector, and
+    * [[cosine]] spends 2/3 of its multiply-adds rebuilding the two norms
+    * for every pair. Computing [[norm]] once per ROW (before the probe
+    * explode / join) and passing it here does only the dot product per
+    * PAIR — bit-identical for equal-length vectors (same accumulation
+    * order, same `sqrt(na)*sqrt(nb)` product, same zero-norm guard).
+    */
+  def cosinePre(a: ArrayData, b: ArrayData, normA: Double, normB: Double): Double = {
+    if (normA == 0.0 || normB == 0.0) 0.0
+    else {
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+      dot / (normA * normB)
+    }
+  }
+
   /** Dot product of two float vectors (Double accumulation, fixed order). */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

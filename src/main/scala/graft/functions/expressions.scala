@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -28,6 +28,45 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_cosine"
+}
+
+/** norm(a): Double Euclidean norm of an array<float> column — the
+  * once-per-row half of the [[CosinePre]] split.
+  */
+case class VecNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any =
+    Kernels.norm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.norm($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_vec_norm"
+}
+
+/** cosine_pre(a, b, norm_a, norm_b): cosine with precomputed norms —
+  * bit-identical to [[CosineSimilarity]] for equal-length vectors, but the
+  * per-pair work is a single dot product. Use in celled/probed pair joins
+  * where each side's norm is computed once per row, not once per pair.
+  */
+case class CosinePre(a: Expression, b: Expression,
+    normA: Expression, normB: Expression) extends QuaternaryExpression {
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = normA
+  override def fourth: Expression = normB
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(av: Any, bv: Any, nav: Any, nbv: Any): Any =
+    Kernels.cosinePre(av.asInstanceOf[ArrayData], bv.asInstanceOf[ArrayData],
+      nav.asInstanceOf[Double], nbv.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (av, bv, nav, nbv) =>
+      s"graft.functions.Kernels.cosinePre($av, $bv, $nav, $nbv)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(a = newFirst, b = newSecond, normA = newThird, normB = newFourth)
+  override def prettyName: String = "graft_cosine_pre"
 }
 
 /** dot(a, b): Double over two array<float> columns. */
@@ -311,6 +350,11 @@ object vector {
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def norm(a: Column): Column =
+    Bridge.column(VecNorm(Bridge.expression(a)))
+  def cosinePre(a: Column, b: Column, normA: Column, normB: Column): Column =
+    Bridge.column(CosinePre(Bridge.expression(a), Bridge.expression(b),
+      Bridge.expression(normA), Bridge.expression(normB)))
   def nearestCentroid(vec: Column, cellIds: Array[Long],
       centroids: Array[Array[Float]]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(vec), cellIds, centroids))

@@ -799,22 +799,28 @@ object Dedup {
     val primaryCol: Column =
       if (singleCell) lit(0L)
       else Similarity.cellAssignExpr(cents, col(vecCol))
-    // persisted: the probe explode and the primary side both read it
+    // persisted: the probe explode and the primary side both read it; the
+    // norm rides along so the pair loop is a bare dot product (cosinePre
+    // is bit-identical to the fused kernel)
     val assigned = embeddings
       .select(col(idCol).as("_id"), col(vecCol).as("_v"),
-        primaryCol.as("_cell"))
+        primaryCol.as("_cell"), gvec.norm(col(vecCol)).as("_n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // asymmetric multi-probe: the left side probes its nAssign nearest
     // cells, the right side sits in its one primary cell
     val l =
       if (singleCell || nAssign <= 1)
-        assigned.select(col("_cell"), col("_id").as("a"), col("_v").as("_va"))
+        assigned.select(col("_cell"), col("_id").as("a"),
+          col("_v").as("_va"), col("_n").as("_na"))
       else assigned.select(
         explode(Similarity.probeCellsExpr(cents, col("_v"), nAssign))
           .as("_cell"),
-        col("_id").as("a"), col("_v").as("_va"))
-    val r = assigned.select(col("_cell"), col("_id").as("b"), col("_v").as("_vb"))
+        col("_id").as("a"), col("_v").as("_va"), col("_n").as("_na"))
+    val r = assigned.select(col("_cell"), col("_id").as("b"),
+      col("_v").as("_vb"), col("_n").as("_nb"))
     val joined = l.join(r, Seq("_cell"))
+    val cos = round(
+      gvec.cosinePre(col("_va"), col("_vb"), col("_na"), col("_nb")), 6)
     // primary-primary join: both orientations arise symmetrically, so
     // a < b alone emits each unordered pair exactly once (the d11b-exact
     // path, byte-identical to prior behavior). Asymmetric probing: a
@@ -823,13 +829,12 @@ object Dedup {
     val base =
       if (singleCell || nAssign <= 1)
         joined.filter(col("a") < col("b"))
-          .select(col("a"), col("b"),
-            round(gvec.cosine(col("_va"), col("_vb")), 6).as("cosine"))
+          .select(col("a"), col("b"), cos.as("cosine"))
       else
         joined.filter(col("a") =!= col("b"))
           .select(least(col("a"), col("b")).as("a"),
             greatest(col("a"), col("b")).as("b"),
-            round(gvec.cosine(col("_va"), col("_vb")), 6).as("cosine"))
+            cos.as("cosine"))
           .distinct()
     val pairs = base.filter(col("cosine") >= threshold)
     if (materialize) Scratch.materializeThenFree(pairs, assigned) else pairs
@@ -871,17 +876,22 @@ object Dedup {
       }.reduce(_.bitwiseOR(_))
       struct(lit(t).as("t"), bits.as("h"))
     }
-    // persisted: 48 plane dot-products per vector feed both join sides
+    // persisted: 48 plane dot-products + the norm per vector feed both
+    // join sides; verification pairs then cost one dot product each
     val banded = embeddings
       .select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        gvec.norm(col(vecCol)).as("_n"),
         explode(array(buckets: _*)).as("_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = banded.select(col("_b"), col("_id").as("a"), col("_v").as("_va"))
-    val r = banded.select(col("_b"), col("_id").as("b"), col("_v").as("_vb"))
+    val l = banded.select(col("_b"), col("_id").as("a"),
+      col("_v").as("_va"), col("_n").as("_na"))
+    val r = banded.select(col("_b"), col("_id").as("b"),
+      col("_v").as("_vb"), col("_n").as("_nb"))
     val pairs = l.join(r, Seq("_b"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(gvec.cosine(col("_va"), col("_vb")), 6).as("cosine"))
+        round(gvec.cosinePre(col("_va"), col("_vb"), col("_na"), col("_nb")), 6)
+          .as("cosine"))
       .distinct()
       .filter(col("cosine") >= threshold)
     if (materialize) Scratch.materializeThenFree(pairs, banded) else pairs

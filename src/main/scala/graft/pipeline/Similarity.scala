@@ -52,12 +52,17 @@ object Similarity {
     */
   def bruteCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("_qv"))
-    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_cv"))
+    // norms once per row on each side; the N·|queries| pair loop is a
+    // bare dot product (bit-identical to the fused kernel — see cosinePre)
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("_qv"), gvec.norm(col(vecCol)).as("_qn"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("_cv"), gvec.norm(col(vecCol)).as("_cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(gvec.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
+        round(gvec.cosinePre(col("_qv"), col("_cv"), col("_qn"), col("_cn")), 6)
+          .as("cosine"))
     explodeTopK(
       scored.groupBy("query_id")
         .agg(gagg.topKByScore(col("cosine"), col("neighbor_id"), k).as("_top")))
@@ -123,7 +128,7 @@ object Similarity {
       concat(col(vecCol), array(lit(0.0f))).as("_aug"))
     probeJoin(assigned,
       probedCellsOf(centroids, q, nProbe, idCol, "_aug"), k,
-      gvec.dot, "dot")
+      (qv, cv, _, _) => gvec.dot(qv, cv), "dot")
   }
 
   /** kNN graph: for EVERY corpus vector, its k nearest neighbors by cosine
@@ -175,25 +180,30 @@ object Similarity {
         idCol, vecCol, maxCells)
     val primaryCol: Column =
       if (singleCell) lit(0L) else cellAssignExpr(cents, col(vecCol))
-    // persisted: the probe explode and the primary side both read it
+    // persisted: the probe explode and the primary side both read it.
+    // The vector norm rides along (computed ONCE per row here), so the
+    // pair loop below does only a dot product per candidate — 1/3 the
+    // arithmetic of the fused cosine kernel, bit-identical result.
     val assigned = embeddings
       .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"),
-        primaryCol.as("_cell"))
+        primaryCol.as("_cell"), gvec.norm(col(vecCol)).as("_n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // query side probes its nAssign nearest cells; index side stays on
     // its one primary cell (asymmetric multi-probe — see scaladoc)
     val l =
       if (singleCell || nAssign <= 1)
         assigned.select(col("_cell"), col("_id").as("query_id"),
-          col("_v").as("_qv"))
+          col("_v").as("_qv"), col("_n").as("_qn"))
       else assigned.select(
         explode(probeCellsExpr(cents, col("_v"), nAssign)).as("_cell"),
-        col("_id").as("query_id"), col("_v").as("_qv"))
-    val r = assigned.select(col("_cell"), col("_id").as("neighbor_id"), col("_v").as("_cv"))
+        col("_id").as("query_id"), col("_v").as("_qv"), col("_n").as("_qn"))
+    val r = assigned.select(col("_cell"), col("_id").as("neighbor_id"),
+      col("_v").as("_cv"), col("_n").as("_cn"))
     val scored = l.join(r, Seq("_cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(gvec.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
+        round(gvec.cosinePre(col("_qv"), col("_cv"), col("_qn"), col("_cn")), 6)
+          .as("cosine"))
     val graph = explodeTopK(
       scored.groupBy("query_id")
         .agg(gagg.topKByScore(col("cosine"), col("neighbor_id"), k).as("_top")))
@@ -573,13 +583,23 @@ object Similarity {
     probeJoin(assigned,
       probedCellsOf(centroids, queries, nProbe, idCol, vecCol), k)
 
+  /** Score-and-rank the probed candidate pairs. The score callback gets
+    * (queryVec, corpusVec, queryNorm, corpusNorm); the norm columns are
+    * computed ONCE PER ROW under a Project on each join input (the
+    * streamed Project evaluates before the join's per-match loop), so the
+    * default cosine does a bare dot product per PAIR. A score that
+    * ignores the norms (MIPS' dot) lets Catalyst column-prune the norm
+    * computation away entirely.
+    */
   private def probeJoin(assigned: DataFrame, probed: DataFrame, k: Int,
-      score: (Column, Column) => Column = gvec.cosine,
+      score: (Column, Column, Column, Column) => Column = gvec.cosinePre,
       scoreName: String = "cosine"): DataFrame = {
-    val scored = assigned.join(broadcast(probed), Seq("cell_id"))
+    val a = assigned.withColumn("_cn", gvec.norm(col("_cv")))
+    val p = probed.withColumn("_qn", gvec.norm(col("_qv")))
+    val scored = a.join(broadcast(p), Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(score(col("_qv"), col("_cv")), 6).as(scoreName))
+        round(score(col("_qv"), col("_cv"), col("_qn"), col("_cn")), 6).as(scoreName))
     explodeTopK(
       scored.groupBy("query_id")
         .agg(gagg.topKByScore(col(scoreName), col("neighbor_id"), k).as("_top")),
@@ -825,10 +845,13 @@ object Similarity {
       .select(col("query_id"), explode(col("_top.id")).as("neighbor_id"))
     val exact = broadcast(cand)
       .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
-        col(vecCol).as("_cv")), Seq("neighbor_id"))
-      .join(broadcast(q.select("query_id", "_qv")), Seq("query_id"))
+        col(vecCol).as("_cv"), gvec.norm(col(vecCol)).as("_cn")),
+        Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("_qv"),
+        gvec.norm(col("_qv")).as("_qn"))), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(gvec.cosine(col("_qv"), col("_cv")), 6).as("cosine"))
+        round(gvec.cosinePre(col("_qv"), col("_cv"), col("_qn"), col("_cn")), 6)
+          .as("cosine"))
     explodeTopK(
       exact.groupBy("query_id")
         .agg(gagg.topKByScore(col("cosine"), col("neighbor_id"), k).as("_top")))

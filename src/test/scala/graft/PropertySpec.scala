@@ -426,4 +426,26 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === expected)
   }
+
+  test("cosinePre with precomputed norms is bit-identical to the fused cosine") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.Kernels
+    val rnd = new Random(91)
+    def arr(n: Int): GenericArrayData =
+      new GenericArrayData(Array.fill(n)((rnd.nextDouble() * 4 - 2).toFloat))
+    (1 to 200).foreach { i =>
+      val n = 1 + rnd.nextInt(96)
+      val a = arr(n); val b = arr(n)
+      val fused = Kernels.cosine(a, b)
+      val pre = Kernels.cosinePre(a, b, Kernels.norm(a), Kernels.norm(b))
+      // bit-identical, not just close: the oracle hash-compare depends on it
+      assert(java.lang.Double.doubleToLongBits(fused) ===
+        java.lang.Double.doubleToLongBits(pre), s"iter=$i n=$n")
+    }
+    // zero-norm guard parity
+    val z = new GenericArrayData(Array.fill(8)(0.0f))
+    val v = arr(8)
+    assert(Kernels.cosinePre(z, v, Kernels.norm(z), Kernels.norm(v)) === 0.0)
+    assert(Kernels.cosine(z, v) === 0.0)
+  }
 }
