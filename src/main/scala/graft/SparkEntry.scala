@@ -25,6 +25,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS); ensure this session can scan it
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // timezone-less timestamps must read as TIMESTAMP, not NTZ (the
+    // engine's unix_micros/watermark call sites reject NTZ)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val dir = "/root/testdata/sf0.001"
     Tutorial.playerStats(
       Tutorial.matchEventPlayer(matchEvents(spark, dir)), players(spark, dir))
