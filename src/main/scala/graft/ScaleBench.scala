@@ -169,7 +169,12 @@ object ScaleBench {
     val missing = Headline.filterNot(SparkEntry.queries.contains)
     require(missing.isEmpty, s"unknown headline queries: $missing")
     generate(spark, srcDir, outDir, replicas, cpus.toInt)
-    val qs = Headline.map(n => n -> SparkEntry.queries(n))
+    // SPARK_GRAFT_ONLY=q1,q2 reruns a subset — for isolating one query's
+    // regression without paying the full sweep
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val headline = only.fold(Headline)(o => Headline.filter(o))
+    val qs = headline.map(n => n -> SparkEntry.queries(n))
     qs.foreach { case (_, fn) => // warmup pass (JIT, codegen, listings)
       // NonFatal only: after an OOM/linkage error the JVM is unreliable —
       // fail the run rather than time a broken process
