@@ -113,9 +113,18 @@ object Layout {
     * directories before any I/O — at 100 TB the first and cheapest lever,
     * ahead of row-group statistics and bucketing. Keep partition
     * cardinality in the 10²-10⁴ range; higher explodes file counts.
+    *
+    * Rows are hash-repartitioned on the partition columns FIRST, so each
+    * directory receives exactly one file (from the one task owning that
+    * key) instead of one file per upstream task — without it a P-partition
+    * write under T tasks lands up to P·T small files, and the resulting
+    * listing/open cost dominates every later scan (measured: the 100×
+    * IVF index wrote 51k files for 1.7k cells; scan planning alone ran
+    * tens of seconds per query).
     */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
-    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+    df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
   /** Small-file compaction: rewrite a parquet dataset into `targetFiles`
     * evenly-sized files (per partition directory when `partitionCols` is

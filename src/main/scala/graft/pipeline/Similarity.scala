@@ -422,6 +422,9 @@ object Similarity {
     vectors.select(
         col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_cv"),
         cellAssignExpr(centroids, col(vecCol)).as("cell_id"))
+      // one file per touched cell per append (not one per upstream task)
+      // — file-count accretion is what degrades later probe scans
+      .repartition(col("cell_id"))
       .write.mode("append").partitionBy("cell_id").parquet(indexPath)
 
   /** Streaming freshness path: land each micro-batch of embedding rows
@@ -557,10 +560,19 @@ object Similarity {
     // queries are index-build-small: their probed cell set collects to a
     // literal filter so Catalyst prunes index partitions statically; the
     // persisted probe relation feeds both the filter and the join, and is
-    // freed once the (k-bounded) result is materialized
-    val cells = probed.select("cell_id").distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val topk = probeJoin(assigned.filter(col("cell_id").isin(cells: _*)), probed, k)
+    // freed once the (k-bounded) result is materialized.
+    // Full probe (the v8 exactness twin, nProbe ≥ #cells) skips the
+    // filter outright: a cells-sized isin prunes nothing and its literal
+    // list costs planning + per-row evaluation that grows with the index
+    // (measured 22→? at the 100× sweep's 16k-cell index).
+    val pruned =
+      if (nProbe >= centroids.length) assigned
+      else {
+        val cells = probed.select("cell_id").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        assigned.filter(col("cell_id").isin(cells: _*))
+      }
+    val topk = probeJoin(pruned, probed, k)
     if (materialize) Scratch.materializeThenFree(topk, probed) else topk
   }
 

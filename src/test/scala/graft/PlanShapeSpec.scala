@@ -524,7 +524,10 @@ class PlanShapeSpec extends SparkSpec {
     val dir = root + "/t"
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .repartition(8)
-    graft.engine.Layout.writePartitioned(docs, dir, "source")
+    // fragment DELIBERATELY (raw write, one file per task per directory) —
+    // writePartitioned itself now co-locates by the partition column and
+    // would produce the already-compact layout this test must repair
+    docs.write.mode("overwrite").partitionBy("source").parquet(dir)
     def filesIn(sub: java.io.File): Int =
       sub.listFiles().count(_.getName.endsWith(".parquet"))
     val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
@@ -535,6 +538,24 @@ class PlanShapeSpec extends SparkSpec {
     // one task's output, not targetFiles files per directory
     new java.io.File(dir).listFiles().filter(_.isDirectory)
       .foreach(d => assert(filesIn(d) === 1, s"${d.getName}: ${filesIn(d)}"))
+    assert(spark.read.parquet(dir).count() === docs.count())
+  }
+
+  test("writePartitioned lands one file per partition directory") {
+    val root = java.nio.file.Files.createTempDirectory("graft_wpart").toString
+    val dir = root + "/t"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .repartition(8) // many upstream tasks, each holding every source
+    graft.engine.Layout.writePartitioned(docs, dir, "source")
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+    assert(dirs.nonEmpty)
+    // co-location contract: P directories ⇒ P files, not P·tasks (the
+    // 100× IVF index wrote 51k files for 1.7k cells without it, and scan
+    // LISTING became the dominant probe cost)
+    dirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n === 1, s"${d.getName}: $n files")
+    }
     assert(spark.read.parquet(dir).count() === docs.count())
   }
 
