@@ -60,7 +60,10 @@ object ShuffleReport {
       try {
         val df = fn(spark, sfDir)
         val t0 = System.nanoTime()
-        df.count()
+        // execute THIS DataFrame's own QueryExecution — df.count() would
+        // plan and run a separate aggregate query, leaving every metric
+        // on the inspected plan at zero
+        df.queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
         val nodes = flatten(df.queryExecution.executedPlan)
         // shuffle write is authoritative (one metric per real exchange);
