@@ -495,6 +495,11 @@ object SparkEntry {
         docs.filter(col("source") === "src0")).select("doc_id")
     }),
     "d2_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(table(s, d, "documents"))),
+    // D20: EXACT corpus-wide Jaccard pairs via rare-first prefix filtering
+    // (AllPairs) — no blocking key, no LSH recall loss; the exact join d3
+    // approximates. Oracle is the unblocked quadratic Jaccard.
+    "d20_prefix_jaccard" -> ((s, d) =>
+      Dedup.prefixJaccardPairs(table(s, d, "documents"))),
     "d3_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(table(s, d, "documents"))),
     "d4_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(table(s, d, "documents"))),
     "d5_embedding_neardup" -> ((s, d) =>
@@ -1858,6 +1863,20 @@ object SparkEntry {
         |         CAST(len(a.t) AS DOUBLE) AS da, CAST(len(b.t) AS DOUBLE) AS db
         |  FROM tok a JOIN tok b
         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT a, b, round(i / (da + db - i), 6) AS jaccard
+        |FROM pairs WHERE round(i / (da + db - i), 6) >= 0.8""".stripMargin,
+    // d20: the UNBLOCKED exact Jaccard join — quadratic in SQL (fine at
+    // the gate SF), prefix-filtered in the engine
+    "d20_prefix_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) AS i,
+        |         CAST(len(a.t) AS DOUBLE) AS da, CAST(len(b.t) AS DOUBLE) AS db
+        |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id)
         |SELECT a, b, round(i / (da + db - i), 6) AS jaccard
         |FROM pairs WHERE round(i / (da + db - i), 6) >= 0.8""".stripMargin,
     "t1_token_counts" ->

@@ -616,6 +616,81 @@ object Dedup {
     if (materialize) Scratch.materializeThenFree(pairs, toks) else pairs
   }
 
+  /** EXACT corpus-wide Jaccard pairs via prefix filtering (AllPairs —
+    * Bayardo, Ma & Srikant, WWW'07): every pair of documents with
+    * distinct-token Jaccard ≥ threshold, with NO blocking key and NO
+    * probabilistic recall loss — the exact counterpart of
+    * [[minhashPairs]] (whose LSH bands trade recall for cost) and the
+    * unblocked generalization of [[ngramJaccardPairs]] (whose lang+source
+    * blocking misses cross-block pairs by construction).
+    *
+    * How it stays sub-quadratic: tokens get a GLOBAL rare-first total
+    * order (document frequency asc, token asc); each document keeps only
+    * its first `n − ⌈t·n⌉ + 1` tokens under that order as its PREFIX.
+    * Two documents with J ≥ t must share a prefix token (take the
+    * order-smallest common token w: at most `n − ⌈t·n⌉` tokens of either
+    * doc precede w in its own sorted set, since everything before w is
+    * outside the intersection and J ≥ t bounds the outside count) — so a
+    * token-equi-join of prefixes generates ALL qualifying pairs, and the
+    * rare-first order makes prefix postings short: candidate volume is
+    * Σ_tok prefixDf(tok)², driven by rare tokens, not the corpus square.
+    *
+    * Output: (a, b, jaccard) with a < b, distinct — d2/d3's contract.
+    *
+    * Scale shape: one tokenize scan (persisted); a vocab-keyed df
+    * aggregation (the t23b pattern — at 100 TB the df table is built once
+    * and persisted); one doc-keyed sort to order each set; the prefix
+    * equi-join; exact merge-scan verification on the candidate set only.
+    * No cartesian anywhere (plan-asserted). The candidate stage runs at a
+    * 1e-6-slacked threshold so pairs whose 6dp-ROUNDED Jaccard clears the
+    * threshold are still generated (the final filter applies the exact
+    * contract); the size-ratio prefilter carries [[ngramJaccardPairs]]'
+    * 1e-9 float slack for the same reason.
+    */
+  def prefixJaccardPairs(documents: DataFrame, threshold: Double = 0.8,
+      materialize: Boolean = true): DataFrame = {
+    val tSlack = threshold - 1e-6
+    // persisted: feeds the df count, the per-doc ordering, and both
+    // verification joins — tokenize runs once
+    val toks = documents.select(col("doc_id"),
+        array_sort(array_distinct(TextAnalysis.tokens(col("text")))).as("_t"))
+      .withColumn("_n", size(col("_t")))
+      .filter(col("_n") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfTable = toks.select(explode(col("_t")).as("_tok"))
+      .groupBy("_tok").agg(count(lit(1)).as("_df"))
+    // each doc's tokens sorted under the global (df, token) order;
+    // struct array_sort orders by fields left-to-right, token uniqueness
+    // within a doc makes the result deterministic
+    val ranked = toks
+      .select(col("doc_id"), col("_n"), explode(col("_t")).as("_tok"))
+      .join(dfTable, Seq("_tok"))
+      .groupBy("doc_id", "_n")
+      .agg(array_sort(collect_list(struct(col("_df"), col("_tok")))).as("_r"))
+    val prefix = ranked.select(col("doc_id"), col("_n"),
+        explode(slice(col("_r"), lit(1),
+          (col("_n") - ceil(col("_n") * lit(tSlack)) + 1).cast("int"))).as("_p"))
+      .select(col("doc_id"), col("_n"), col("_p._tok").as("_tok"))
+    val cand = prefix
+      .select(col("_tok"), col("doc_id").as("a"), col("_n").as("_na"))
+      .join(prefix.select(col("_tok"), col("doc_id").as("b"),
+        col("_n").as("_nb")), Seq("_tok"))
+      .filter(col("a") < col("b") &&
+        least(col("_na"), col("_nb")).cast("double") >=
+          greatest(col("_na"), col("_nb")).cast("double") * tSlack - 1e-9)
+      .select("a", "b").distinct()
+    val inter = gtext.sortedIntersectCount(col("_ta"), col("_tb")).cast("double")
+    val pairs = cand
+      .join(toks.select(col("doc_id").as("a"), col("_t").as("_ta"),
+        col("_n").as("_na")), Seq("a"))
+      .join(toks.select(col("doc_id").as("b"), col("_t").as("_tb"),
+        col("_n").as("_nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(inter / (col("_na") + col("_nb") - inter), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    if (materialize) Scratch.materializeThenFree(pairs, toks) else pairs
+  }
+
   /** SimHash near-dup pairs (Charikar '02; Manku et al. WWW'07 table
     * construction): 64-bit fingerprint, split into 4 16-bit bands; pairs
     * sharing any band verify hamming distance ≤ maxHamming.

@@ -52,6 +52,33 @@ class PipelineSpec extends SparkSpec {
     assert(rows === Map((1L, 2L) -> 0.6))
   }
 
+  test("prefix jaccard equals unblocked brute force on random corpora") {
+    import spark.implicits._
+    // random docs over a small vocab (forces near-threshold ties and
+    // shared rare tokens), plus exact dup and disjoint controls
+    val rnd = new scala.util.Random(23)
+    val vocab = Array.tabulate(30)(i => s"w$i")
+    val body = (1L to 60L).map { id =>
+      (id, rnd.shuffle(vocab.toSeq).take(4 + rnd.nextInt(8)).mkString(" "))
+    }
+    val d = (body :+ (100L -> body.head._2) :+ (101L -> "zz1 zz2 zz3"))
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8)) {
+      val got = graft.pipeline.Dedup.prefixJaccardPairs(d, threshold = t)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      // brute force: every unordered pair, exact distinct-token jaccard
+      val sets = d.collect().map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").toSet).toMap
+      val expect = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        i = (sets(a) & sets(b)).size.toDouble
+        j = math.rint(1e6 * i / (sets(a).size + sets(b).size - i)) / 1e6
+        if j >= t
+      } yield (a, b) -> j).toMap
+      assert(got === expect, s"threshold $t")
+    }
+  }
+
   test("cluster resolution: transitive chain collapses to one survivor") {
     import spark.implicits._
     // a~b, b~c but a!~c: transitive closure must still produce ONE cluster

@@ -181,7 +181,9 @@ class PlanShapeSpec extends SparkSpec {
       "d12_incremental_dedup" ->
         graft.pipeline.Dedup.incrementalMinhashPairs(
           docs.filter(col("doc_id") % 20 =!= 0),
-          docs.filter(col("doc_id") % 20 === 0), materialize = false))
+          docs.filter(col("doc_id") % 20 === 0), materialize = false),
+      "d20_prefix_jaccard" ->
+        graft.pipeline.Dedup.prefixJaccardPairs(docs, materialize = false))
     for ((q, df) <- lazyPairs) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q went cartesian:\n$plan")
