@@ -308,6 +308,14 @@ class PipelineSpec extends SparkSpec {
     // the appended twin must be probed (same cell as its near-copy) and
     // outrank every build-time vector
     assert(top.toSeq === Seq((999L, 1)))
+    // file-count contract under streaming appends: the build landed one
+    // file per cell and the append one file in the single touched cell —
+    // no per-task fan-out (the metadata-wall failure mode)
+    new java.io.File(s"$dir/index").listFiles()
+      .filter(_.getName.startsWith("cell_id=")).foreach { d =>
+        val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+        assert(n <= 2, s"${d.getName}: $n files after one append")
+      }
   }
 
   test("bigramLift: a fixed collocation scores above independent pairs") {
