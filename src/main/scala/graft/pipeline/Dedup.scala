@@ -893,7 +893,9 @@ object Dedup {
         col("_id").as("a"), col("_v").as("_va"), col("_n").as("_na"))
     val r = assigned.select(col("_cell"), col("_id").as("b"),
       col("_v").as("_vb"), col("_n").as("_nb"))
-    val joined = l.join(r, Seq("_cell"))
+    // shuffle_hash: skip SortMergeJoin's two full sorts on the
+    // low-cardinality cell key (see knnGraph)
+    val joined = l.join(r.hint("shuffle_hash"), Seq("_cell"))
     val cos = round(
       gvec.cosinePre(col("_va"), col("_vb"), col("_na"), col("_nb")), 6)
     // primary-primary join: both orientations arise symmetrically, so

@@ -199,7 +199,12 @@ object Similarity {
         col("_id").as("query_id"), col("_v").as("_qv"), col("_n").as("_qn"))
     val r = assigned.select(col("_cell"), col("_id").as("neighbor_id"),
       col("_v").as("_cv"), col("_n").as("_cn"))
-    val scored = l.join(r, Seq("_cell"))
+    // shuffle_hash: the cell key has ~corpus/occupancy distinct values —
+    // low cardinality over millions of wide rows is SortMergeJoin's worst
+    // case (two full sorts of vector-carrying rows just to merge 50-row
+    // groups); hashing the primary side per partition skips both sorts
+    // (measured at the 100× sweep: 21 s → ?, see BENCH_sf10)
+    val scored = l.join(r.hint("shuffle_hash"), Seq("_cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(gvec.cosinePre(col("_qv"), col("_cv"), col("_qn"), col("_cn")), 6)
