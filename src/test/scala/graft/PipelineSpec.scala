@@ -61,7 +61,11 @@ class PipelineSpec extends SparkSpec {
     val body = (1L to 60L).map { id =>
       (id, rnd.shuffle(vocab.toSeq).take(4 + rnd.nextInt(8)).mkString(" "))
     }
-    val d = (body :+ (100L -> body.head._2) :+ (101L -> "zz1 zz2 zz3"))
+    // 200/201: J = 4/5 = 0.8 EXACTLY — exercises the float-slack path
+    // (0.8*5 rounds above 4.0 in binary; the 1e-9 slack must keep the
+    // size prefilter and the prefix length from dropping the pair)
+    val d = (body :+ (100L -> body.head._2) :+ (101L -> "zz1 zz2 zz3")
+      :+ (200L -> "p0 p1 p2 p3") :+ (201L -> "p0 p1 p2 p3 p4"))
       .toDF("doc_id", "text")
     for (t <- Seq(0.5, 0.8)) {
       val got = graft.pipeline.Dedup.prefixJaccardPairs(d, threshold = t)
