@@ -33,6 +33,22 @@ object PlanOf {
     val sec = (System.nanoTime() - t0) / 1e9
     println(s"== $name: $sec s ==")
     println(df.queryExecution.executedPlan.toString)
+    // per-node nonzero metrics: where the rows and the time actually went
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      val ms = p.metrics.filter(_._2.value > 0)
+      if (ms.nonEmpty)
+        println(f"-- ${p.nodeName}%-28s " + ms.map { case (k, m) =>
+          s"$k=${m.value}" }.mkString(" "))
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      kids.foreach(walk)
+    }
+    println("== node metrics (nonzero) ==")
+    walk(df.queryExecution.executedPlan)
     spark.stop()
   }
 }

@@ -115,8 +115,15 @@ object Ops {
       dimKey: String, salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
     val saltedFact = fact.withColumn("_salt", saltExpr(fact, factKey, salts))
+    // shuffle_hash: pin the SHUFFLE regime this operator exists for. A
+    // dim small enough to broadcast needs no salting at all — but when
+    // the planner can't see that (explode defeats its size estimate), it
+    // happily broadcasts the salts-times-replicated dim (measured 1.9 GB
+    // at the 100× sweep: a driver-memory hazard that also makes the salt
+    // explode pure overhead). Per-partition hash build of the salted dim
+    // is what the (key, salt) spread is FOR.
     val saltedDim = dim.withColumn("_salt",
-      explode(sequence(lit(0), lit(salts - 1))))
+      explode(sequence(lit(0), lit(salts - 1)))).hint("shuffle_hash")
     saltedFact
       .join(saltedDim,
         saltedFact(factKey) === saltedDim(dimKey) &&
