@@ -434,11 +434,12 @@ object Similarity {
 
   /** Streaming freshness path: land each micro-batch of embedding rows
     * into the materialized index via `foreachBatch` +
-    * [[appendToIvfIndex]]. The checkpoint gives at-least-once landing
-    * (a batch replayed after a crash between append and commit appends
-    * twice — plain parquet has no transactional dedup; exactly-once
-    * needs a batchId-keyed table format underneath, same boundary as
-    * any parquet `foreachBatch` sink).
+    * [[appendToIvfIndex]]. The checkpoint gives at-least-once landing;
+    * the [[graft.engine.BatchLedger]] marker makes a clean replay a
+    * no-op, leaving only a crash between append and marker as the
+    * duplicate window (true exactly-once still needs a transactional
+    * table format underneath, same boundary as any parquet
+    * `foreachBatch` sink).
     */
   def streamIntoIvfIndex(vectors: DataFrame, indexPath: String,
       centroids: Array[(Long, Array[Float])], checkpointDir: String,
@@ -447,8 +448,12 @@ object Similarity {
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendToIvfIndex(indexPath, centroids, batch, idCol, vecCol)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.engine.BatchLedger.runOnce(batch.sparkSession,
+          s"$checkpointDir/graft_ledger", batchId) {
+          appendToIvfIndex(indexPath, centroids, batch, idCol, vecCol)
+        }
+        ()
       }
       .start()
 

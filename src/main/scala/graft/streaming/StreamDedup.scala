@@ -38,9 +38,10 @@ object StreamDedup {
     * never lives in the state store and restart resumes from whatever the
     * corpus already holds; the checkpoint gives at-least-once appends (a
     * crash between append and commit replays the batch — the same
-    * boundary as any parquet `foreachBatch` sink, and harmless here
-    * beyond re-appended rows, which the next batch's band join would
-    * catch as exact dups of the corpus).
+    * boundary as any parquet `foreachBatch` sink; the
+    * [[graft.engine.BatchLedger]] marker narrows the duplicate window
+    * to a crash BETWEEN the append and the marker write, and a clean
+    * replay is a no-op).
     *
     * At 100 TB the `corpusPath` side of the band join is the
     * materialized banded-signature table described in
@@ -56,8 +57,10 @@ object StreamDedup {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        graft.engine.BatchLedger.runOnce(spark,
+            s"$checkpointDir/graft_ledger", batchId) {
         val path = new org.apache.hadoop.fs.Path(corpusPath)
         val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val keptIds =
@@ -72,6 +75,8 @@ object StreamDedup {
           else batch.select(col(idCol))
         batch.join(keptIds, Seq(idCol), "left_semi")
           .write.mode("append").parquet(corpusPath)
+        }
+        ()
       }
       .start()
 
@@ -90,9 +95,11 @@ object StreamDedup {
     * two can leave accepted docs in the corpus but not the index; the
     * checkpoint then replays the batch, whose docs no longer self-block
     * (the index lacks them) and re-append — duplicate corpus rows and
-    * index rows for those docs. Downstream dedup semantics are unchanged
-    * (a doc duplicated in the index blocks exactly as one copy would);
-    * only corpus storage carries the extra rows.
+    * index rows for those docs. The [[graft.engine.BatchLedger]] marker
+    * (written after ALL of the batch's side effects) narrows that window
+    * to a crash inside the body itself: a replay of a fully-landed batch
+    * is a no-op. Downstream dedup semantics are unchanged either way
+    * (a doc duplicated in the index blocks exactly as one copy would).
     *
     * `compactEvery` > 0 folds the band table back to one file per bucket
     * every that-many batches ([[graft.engine.Layout.compactBucketed]]) —
@@ -126,6 +133,8 @@ object StreamDedup {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        graft.engine.BatchLedger.runOnce(spark,
+            s"$checkpointDir/graft_ledger", batchId) {
         val bootstrapped = spark.catalog.tableExists(indexTable) &&
           new org.apache.hadoop.fs.Path(shPath)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -186,6 +195,7 @@ object StreamDedup {
           containTable.foreach(ct =>
             if (spark.catalog.tableExists(ct))
               graft.engine.Layout.compactBucketed(spark, ct, "_s", sp.buckets))
+        }
         }
         ()
       }

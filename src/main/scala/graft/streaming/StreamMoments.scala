@@ -90,6 +90,10 @@ object StreamMoments {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // ledger BEFORE the fold: a replayed batch would DOUBLE-ADD into
+        // the totals — here the guard is correctness, not storage
+        graft.engine.BatchLedger.runOnce(spark,
+            s"$checkpointDir/graft_ledger", batchId) {
         val prior = readState(spark, statePath)
         val bm = batch.agg(GramSumAgg.column(col(vecCol)).as("_g"))
           .select(col("_g.n"), col("_g.s"), col("_g.g")).collect().headOption
@@ -123,6 +127,7 @@ object StreamMoments {
               StructField("n_total", LongType, nullable = false),
               StructField("mean_shift_c6", DoubleType, nullable = true))))
             .coalesce(1).write.mode("append").parquet(driftPath)
+        }
         }
         ()
       }

@@ -59,15 +59,18 @@ object StreamScore {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val scored = gateScores(spark, modelPath, batch, minLmC6)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        scored.filter(col("reject_reason").isNull).drop("reject_reason")
-          .write.mode("append").parquet(acceptPath)
-        scored.filter(col("reject_reason").isNotNull)
-          .write.mode("append").parquet(rejectPath)
-        scored.unpersist(blocking = false)
+        graft.engine.BatchLedger.runOnce(spark,
+            s"$checkpointDir/graft_ledger", batchId) {
+          val scored = gateScores(spark, modelPath, batch, minLmC6)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          scored.filter(col("reject_reason").isNull).drop("reject_reason")
+            .write.mode("append").parquet(acceptPath)
+          scored.filter(col("reject_reason").isNotNull)
+            .write.mode("append").parquet(rejectPath)
+          scored.unpersist(blocking = false)
+        }
         ()
       }
       .start()

@@ -740,4 +740,53 @@ class StreamingTutorialSpec extends SparkSpec {
     assert(drift.tail.forall(r => !r.isNullAt(3) && r.getDouble(3) >= 0.0))
     assert(drift.map(_.getLong(2)).last === n)
   }
+
+  test("batch ledger: a replayed batchId is skipped, a new checkpoint starts clean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ledger").toString
+    var runs = 0
+    // first landing runs the work
+    assert(graft.engine.BatchLedger.runOnce(spark, s"$dir/l", 0L) { runs += 1 })
+    // the crash-replay of the SAME batchId is a no-op
+    assert(!graft.engine.BatchLedger.runOnce(spark, s"$dir/l", 0L) { runs += 1 })
+    assert(runs === 1)
+    // later batches land normally
+    assert(graft.engine.BatchLedger.runOnce(spark, s"$dir/l", 1L) { runs += 1 })
+    assert(runs === 2)
+    // a DIFFERENT ledger (new checkpoint ⇒ batchIds restart at 0) is clean
+    assert(graft.engine.BatchLedger.runOnce(spark, s"$dir/l2", 0L) { runs += 1 })
+    assert(runs === 3)
+    // work that throws does NOT mark the batch as landed — the replay runs
+    intercept[RuntimeException] {
+      graft.engine.BatchLedger.runOnce(spark, s"$dir/l", 2L) {
+        throw new RuntimeException("mid-batch crash")
+      }
+    }
+    assert(graft.engine.BatchLedger.runOnce(spark, s"$dir/l", 2L) { runs += 1 })
+    assert(runs === 4)
+  }
+
+  test("moment monitor state survives a replayed batch unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_mreplay").toString
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.tabulate(50)(i => (i.toLong, Array.fill(8)(rnd.nextFloat())))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamMoments.momentMonitor(
+      input.toDF().toDF("vec_id", "embedding"),
+      s"$dir/state", s"$dir/drift", s"$dir/ckpt")
+    input.addData(vecs)
+    q.processAllAvailable(); q.stop()
+    val n1 = spark.read.parquet(s"$dir/state").collect().head.getLong(0)
+    assert(n1 === 50L)
+    // simulate the crash-replay: drive the foreachBatch body again with an
+    // ALREADY-LANDED batchId — the ledger must make it a no-op instead of
+    // double-adding into the totals
+    graft.engine.BatchLedger.runOnce(spark, s"$dir/ckpt/graft_ledger", 0L) {
+      fail("replayed batch 0 must not re-run")
+    }
+    val n2 = spark.read.parquet(s"$dir/state").collect().head.getLong(0)
+    assert(n2 === 50L)
+  }
 }
