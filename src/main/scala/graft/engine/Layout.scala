@@ -115,16 +115,43 @@ object Layout {
     * cardinality in the 10²-10⁴ range; higher explodes file counts.
     *
     * Rows are hash-repartitioned on the partition columns FIRST, so each
-    * directory receives exactly one file (from the one task owning that
-    * key) instead of one file per upstream task — without it a P-partition
-    * write under T tasks lands up to P·T small files, and the resulting
-    * listing/open cost dominates every later scan (measured: the 100×
-    * IVF index wrote 51k files for 1.7k cells; scan planning alone ran
-    * tens of seconds per query).
+    * directory receives its rows from a bounded number of tasks instead of
+    * one file per upstream task — without it a P-partition write under T
+    * tasks lands up to P·T small files, and the resulting listing/open
+    * cost dominates every later scan (measured: the 100× IVF index wrote
+    * 51k files for 1.7k cells; scan planning alone ran tens of seconds per
+    * query).
+    *
+    * `filesPerDir` caps the OTHER failure mode: with a pure key
+    * repartition every partition key flows through exactly one task, so a
+    * skewed or low-cardinality key serializes its whole directory into one
+    * task and one arbitrarily large file. Values > 1 add a deterministic
+    * salt (hash of the non-partition columns, mod `filesPerDir`) to the
+    * repartition key, splitting each directory across up to `filesPerDir`
+    * tasks/files. The default of 1 keeps the exact one-file-per-directory
+    * layout the IVF index wants (its cells are size-capped by
+    * construction); callers partitioning on organic keys (date, source)
+    * should pass the parallelism they want per directory.
     */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
-    df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+    writePartitionedN(df, path, 1, cols: _*)
+
+  def writePartitionedN(df: DataFrame, path: String, filesPerDir: Int,
+      cols: String*): Unit = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val keys = cols.map(col)
+    val rep =
+      if (filesPerDir <= 1) df.repartition(keys: _*)
+      else {
+        // salt on the data columns (deterministic — a rand() salt can
+        // duplicate/drop rows under stage retry), never on the partition
+        // columns alone (constant within a key, so it would not split)
+        val dataCols = df.columns.filterNot(cols.contains).map(col)
+        val salt = pmod(hash(dataCols: _*), lit(filesPerDir))
+        df.repartition(keys :+ salt: _*)
+      }
+    rep.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+  }
 
   /** Small-file compaction: rewrite a parquet dataset into `targetFiles`
     * evenly-sized files (per partition directory when `partitionCols` is

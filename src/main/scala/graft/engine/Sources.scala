@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType, TimestampNTZType, TimestampType}
 
 /** Source layer: every collection enters the engine as a DataFrame with a
   * declared schema, regardless of physical origin (parquet snapshot, Kafka
@@ -35,10 +35,35 @@ object Sources {
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    val ntz = raw.schema.fields.filter(_.dataType == TimestampNTZType)
+    val ntz = raw.schema.fields.filter(f => hasNtz(f.dataType))
     if (ntz.isEmpty) raw
     else ntz.foldLeft(raw)((df, f) =>
-      df.withColumn(f.name, col(f.name).cast(TimestampType)))
+      df.withColumn(f.name, col(f.name).cast(dentz(f.dataType))))
+  }
+
+  /** NTZ can hide inside struct/array/map element types, not just at the
+    * top level; a partial rewrite would leave `unix_micros`/watermark call
+    * sites to fail later and far from the cause. Rewrite the whole type
+    * tree (struct→struct casts are field-wise, so the stored micros are
+    * preserved exactly under the UTC session timezone, same as the
+    * top-level case).
+    */
+  private def hasNtz(dt: DataType): Boolean = dt match {
+    case TimestampNTZType => true
+    case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
+    case a: ArrayType => hasNtz(a.elementType)
+    case m: MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
+    case _ => false
+  }
+
+  private def dentz(dt: DataType): DataType = dt match {
+    case TimestampNTZType => TimestampType
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = dentz(f.dataType))))
+    case a: ArrayType => a.copy(elementType = dentz(a.elementType))
+    case m: MapType =>
+      m.copy(keyType = dentz(m.keyType), valueType = dentz(m.valueType))
+    case other => other
   }
 
   /** JSON-lines ingest with a DECLARED schema — raw training corpora

@@ -203,7 +203,16 @@ object Similarity {
     // low cardinality over millions of wide rows is SortMergeJoin's worst
     // case (two full sorts of vector-carrying rows just to merge 50-row
     // groups); hashing the primary side per partition skips both sorts
-    // (measured at the 100× sweep: 21 s → ?, see BENCH_sf10)
+    // (measured at the 100× sweep: 111.6 s → 16.2 s, BENCH_sf10).
+    // MEMORY ENVELOPE: unlike SMJ, the per-partition hash build (side `r`)
+    // does not spill on inner joins. Build bytes/partition ≈
+    // (rows / spark.sql.shuffle.partitions) × (4·dim + ~60 B overhead);
+    // cell occupancy is capped at ~centroidEvery by construction and cells
+    // hash-spread across partitions, so there is no hot-cell blowup beyond
+    // that ratio. Size shuffle.partitions so this stays well under
+    // executor task memory (e.g. 100M×dim-64 rows on 2000 partitions ≈
+    // 16 MB/partition). If rows/partitions cannot be kept small, drop the
+    // hint and take SMJ's sort cost instead of an OOM.
     val scored = l.join(r.hint("shuffle_hash"), Seq("_cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
