@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  private val Stride = 10000000L
+  private[graft] val Stride = 10000000L
 
   /** Key columns offset per replica — PK and FK get the same stride so
     * join cardinalities scale linearly, never quadratically.
@@ -103,7 +103,10 @@ object ScaleBench {
     // d15s probes the MATERIALIZED banded index (built once per session
     // over the scaled corpus) with the same pinned batch — the recurring
     // per-ingest cost vs d12s's recompute-everything baseline
-    "d12_incremental_scale", "d15_incremental_scale")
+    "d12_incremental_scale", "d15_incremental_scale",
+    // scoped AllPairs: replica-bucketed form — bucket count scales, bucket
+    // size constant, output exactly N× base (see the d21s registration)
+    "d21_scoped_scale")
 
   /** Max mtime over the source tables — regenerated source data must
     * invalidate a previously scaled copy (same contract as

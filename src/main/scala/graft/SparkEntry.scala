@@ -500,6 +500,27 @@ object SparkEntry {
     // approximates. Oracle is the unblocked quadratic Jaccard.
     "d20_prefix_jaccard" -> ((s, d) =>
       Dedup.prefixJaccardPairs(table(s, d, "documents"))),
+    // D21: AllPairs in its PRODUCTION role — exact prefix-filtered Jaccard
+    // within (lang, source) buckets. Same contract as d2, but the
+    // within-block quadratic is replaced by the global-df prefix join, so
+    // the stage stays input-regime on a dup-heavy corpus (d20 is the
+    // unblocked, output-bounded form).
+    "d21_scoped_prefix_jaccard" -> ((s, d) =>
+      Dedup.prefixJaccardPairsScoped(table(s, d, "documents"))),
+    // D21s: the sweep twin. ScaleBench replication turns every doc into an
+    // N-way exact duplicate, so (lang, source)-scoped AllPairs would go
+    // output-regime (N² pair blowup) — the d2-family exclusion. Scoping
+    // additionally by the replica id (doc_id div the replicator's key
+    // stride) makes each replica its own bucket: bucket COUNT scales with
+    // the corpus, bucket size stays constant, output is exactly N× the
+    // base answer — the linear input-regime form (same device as
+    // d12_incremental_scale's pinned batch). At the gate SF there is one
+    // replica, so this is d21/d2's exact answer and shares their oracle.
+    "d21_scoped_scale" -> ((s, d) =>
+      Dedup.prefixJaccardPairsScoped(
+        table(s, d, "documents").withColumn("_rep",
+          floor(col("doc_id") / lit(ScaleBench.Stride)).cast("long")),
+        scopeCols = Seq("_rep", "lang", "source"))),
     "d3_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(table(s, d, "documents"))),
     "d4_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(table(s, d, "documents"))),
     "d5_embedding_neardup" -> ((s, d) =>
@@ -1853,6 +1874,35 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.99""".stripMargin,
     "d2_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) AS i,
+        |         CAST(len(a.t) AS DOUBLE) AS da, CAST(len(b.t) AS DOUBLE) AS db
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT a, b, round(i / (da + db - i), 6) AS jaccard
+        |FROM pairs WHERE round(i / (da + db - i), 6) >= 0.8""".stripMargin,
+    // d21/d21s compute d2's exact answer at the gate SF (scoped AllPairs ≡
+    // blocked quadratic on the same buckets; one replica → the _rep scope
+    // is constant), so they share d2's oracle
+    "d21_scoped_scale" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) AS i,
+        |         CAST(len(a.t) AS DOUBLE) AS da, CAST(len(b.t) AS DOUBLE) AS db
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT a, b, round(i / (da + db - i), 6) AS jaccard
+        |FROM pairs WHERE round(i / (da + db - i), 6) >= 0.8""".stripMargin,
+    "d21_scoped_prefix_jaccard" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, source,
         |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS t

@@ -691,6 +691,79 @@ object Dedup {
     if (materialize) Scratch.materializeThenFree(pairs, toks) else pairs
   }
 
+  /** [[prefixJaccardPairs]] over a BUCKETED scope — the production
+    * composition of AllPairs. Corpus-wide exact Jaccard (d20) is
+    * output-bounded: on a dup-heavy corpus the answer itself is huge, so
+    * its cost scales with the duplicate mass regardless of algorithm.
+    * Real pipelines instead run the exact verification stage *within*
+    * candidate cells — LSH band clusters, SemDeDup cells, or (here)
+    * per-(lang, source) buckets — where membership already bounds the
+    * candidate volume, keeping the stage input-regime.
+    *
+    * Same algorithm as [[prefixJaccardPairs]] with two changes:
+    *  - the rare-first token order comes from the GLOBAL document
+    *    frequency table (built once, shared by every scope — at 100 TB
+    *    this is a persisted artifact, not a per-bucket pass);
+    *  - the prefix equi-join keys on (scope, token), so candidates only
+    *    form inside a bucket and posting lists shrink to per-bucket
+    *    length: candidate volume is Σ_{scope,tok} prefixDf², bounded by
+    *    the largest bucket, not the corpus.
+    *
+    * With `scopeCols = lang, source` this computes exactly
+    * [[ngramJaccardPairs]]' answer (d2) — the same contract, with the
+    * within-block quadratic replaced by the prefix-filtered join that
+    * survives a bucket too large to square. Passing a cluster-id column
+    * (e.g. d8's component representative joined onto the docs) makes the
+    * same operator the exact closure-verification stage for LSH cluster
+    * output.
+    */
+  def prefixJaccardPairsScoped(documents: DataFrame, threshold: Double = 0.8,
+      scopeCols: Seq[String] = Seq("lang", "source"),
+      materialize: Boolean = true): DataFrame = {
+    val tSlack = threshold - 1e-6
+    val scope = scopeCols.map(col)
+    val toks = documents.select(col("doc_id") +: scope :+
+        array_sort(array_distinct(TextAnalysis.tokens(col("text")))).as("_t"): _*)
+      .withColumn("_n", size(col("_t")))
+      .filter(col("_n") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // GLOBAL df — the total order must only be consistent, not
+    // per-bucket-optimal, and one corpus-wide table amortizes across
+    // every scope
+    val dfTable = toks.select(explode(col("_t")).as("_tok"))
+      .groupBy("_tok").agg(count(lit(1)).as("_df"))
+    val ranked = toks
+      .select(col("doc_id") +: scope :+ col("_n") :+
+        explode(col("_t")).as("_tok"): _*)
+      .join(dfTable, Seq("_tok"))
+      .groupBy(col("doc_id") +: scope :+ col("_n"): _*)
+      .agg(array_sort(collect_list(struct(col("_df"), col("_tok")))).as("_r"))
+    val prefix = ranked.select(col("doc_id") +: scope :+ col("_n") :+
+        explode(slice(col("_r"), lit(1),
+          (col("_n") - ceil(col("_n") * lit(tSlack)) + 1).cast("int"))).as("_p"): _*)
+      .select(col("doc_id") +: scope :+ col("_n") :+
+        col("_p._tok").as("_tok"): _*)
+    val cand = prefix
+      .select(col("_tok") +: scope :+ col("doc_id").as("a") :+
+        col("_n").as("_na"): _*)
+      .join(prefix.select(col("_tok") +: scope :+ col("doc_id").as("b") :+
+        col("_n").as("_nb"): _*), "_tok" +: scopeCols)
+      .filter(col("a") < col("b") &&
+        least(col("_na"), col("_nb")).cast("double") >=
+          greatest(col("_na"), col("_nb")).cast("double") * tSlack - 1e-9)
+      .select("a", "b").distinct()
+    val inter = gtext.sortedIntersectCount(col("_ta"), col("_tb")).cast("double")
+    val pairs = cand
+      .join(toks.select(col("doc_id").as("a"), col("_t").as("_ta"),
+        col("_n").as("_na")), Seq("a"))
+      .join(toks.select(col("doc_id").as("b"), col("_t").as("_tb"),
+        col("_n").as("_nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(inter / (col("_na") + col("_nb") - inter), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    if (materialize) Scratch.materializeThenFree(pairs, toks) else pairs
+  }
+
   /** SimHash near-dup pairs (Charikar '02; Manku et al. WWW'07 table
     * construction): 64-bit fingerprint, split into 4 16-bit bands; pairs
     * sharing any band verify hamming distance ≤ maxHamming.
@@ -894,7 +967,9 @@ object Dedup {
     val r = assigned.select(col("_cell"), col("_id").as("b"),
       col("_v").as("_vb"), col("_n").as("_nb"))
     // shuffle_hash: skip SortMergeJoin's two full sorts on the
-    // low-cardinality cell key (see knnGraph)
+    // low-cardinality cell key; non-spilling build side — see the memory
+    // envelope note at [[Similarity.knnGraph]]'s hint site (same law:
+    // build bytes/partition ≈ rows/shuffle.partitions × row width)
     val joined = l.join(r.hint("shuffle_hash"), Seq("_cell"))
     val cos = round(
       gvec.cosinePre(col("_va"), col("_vb"), col("_na"), col("_nb")), 6)

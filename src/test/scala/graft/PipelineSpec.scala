@@ -83,6 +83,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("scoped prefix jaccard equals per-bucket brute force, never crosses buckets") {
+    import spark.implicits._
+    // two buckets sharing identical texts: cross-bucket twins (J = 1.0)
+    // must NOT pair; within-bucket answers must equal brute force
+    val rnd = new scala.util.Random(31)
+    val vocab = Array.tabulate(25)(i => s"w$i")
+    val rows = (1L to 50L).map { id =>
+      val scope = if (id % 2 == 0) "en" else "de"
+      (id, scope, "src" + (id % 3),
+        rnd.shuffle(vocab.toSeq).take(4 + rnd.nextInt(6)).mkString(" "))
+    } :+ ((100L, "en", "src0", "q1 q2 q3 q4")) :+
+      ((101L, "de", "src0", "q1 q2 q3 q4")) :+ // cross-lang twin of 100
+      ((102L, "en", "src0", "q1 q2 q3 q4"))    // same-bucket twin of 100
+    val d = rows.toDF("doc_id", "lang", "source", "text")
+    val got = graft.pipeline.Dedup.prefixJaccardPairsScoped(d, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val info = d.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getString(2)),
+        r.getString(3).trim.toLowerCase.split("\\s+").toSet)).toMap
+    val expect = (for {
+      a <- info.keys; b <- info.keys
+      if a < b && info(a)._1 == info(b)._1
+      i = (info(a)._2 & info(b)._2).size.toDouble
+      j = math.rint(1e6 * i / (info(a)._2.size + info(b)._2.size - i)) / 1e6
+      if j >= 0.5
+    } yield (a, b) -> j).toMap
+    assert(got === expect)
+    assert(got.contains((100L, 102L)) && !got.contains((100L, 101L)))
+  }
+
   test("cluster resolution: transitive chain collapses to one survivor") {
     import spark.implicits._
     // a~b, b~c but a!~c: transitive closure must still produce ONE cluster

@@ -183,7 +183,9 @@ class PlanShapeSpec extends SparkSpec {
           docs.filter(col("doc_id") % 20 =!= 0),
           docs.filter(col("doc_id") % 20 === 0), materialize = false),
       "d20_prefix_jaccard" ->
-        graft.pipeline.Dedup.prefixJaccardPairs(docs, materialize = false))
+        graft.pipeline.Dedup.prefixJaccardPairs(docs, materialize = false),
+      "d21_scoped_prefix_jaccard" ->
+        graft.pipeline.Dedup.prefixJaccardPairsScoped(docs, materialize = false))
     for ((q, df) <- lazyPairs) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q went cartesian:\n$plan")
