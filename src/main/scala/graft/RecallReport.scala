@@ -36,49 +36,63 @@ object RecallReport {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // v2: IVF recall@5 vs brute force over nProbe (100 query vectors)
+    // every sweep point reports recall AND wall seconds — the cost curve
+    // the spill-vs-probe trade is judged on (spill=2 at nProbe=16 buys
+    // ~nProbe=32's recall for ~nProbe=24's candidate volume)
+    def timed(f: => Set[(Long, Long)]): (Set[(Long, Long)], Double) = {
+      val t0 = System.nanoTime()
+      val s = f
+      (s, math.rint((System.nanoTime() - t0) / 1e6) / 1e3)
+    }
+
+    // v2: IVF recall@5 vs brute force over nProbe × index spill
     val queries = emb.filter(col("vec_id") < 100)
     val exactTopK = pairSet(
       Similarity.bruteCosineTopK(emb, queries, k = 5), "query_id", "neighbor_id")
-    val ivf = Seq(1, 2, 4, 8, 16).map { np =>
-      val got = pairSet(
-        Similarity.ivfCosineTopK(emb, queries, k = 5, nProbe = np),
-        "query_id", "neighbor_id")
-      s""""nprobe_$np":${(got & exactTopK).size.toDouble / exactTopK.size}"""
+    val ivf = for (sp <- Seq(1, 2); np <- Seq(1, 2, 4, 8, 16)) yield {
+      val (got, sec) = timed(pairSet(
+        Similarity.ivfCosineTopK(emb, queries, k = 5, nProbe = np, spill = sp),
+        "query_id", "neighbor_id"))
+      s""""nprobe_${np}_spill_$sp":{"recall":${
+        (got & exactTopK).size.toDouble / exactTopK.size},"sec":$sec}"""
     }
 
     // v7: cell-bounded kNN graph recall vs the exact graph (singleCell on
     // the full relation is quadratic — bound to 2000 vectors, v7b's slice),
-    // across the nAssign multi-assignment recall knob
+    // across query-side nAssign × index-side spill
     val slice = emb.filter(col("vec_id") < 2000)
     val exactGraph = pairSet(
       Similarity.knnGraph(slice, k = 5, singleCell = true), "query_id", "neighbor_id")
-    val v7 = Seq(1, 2, 4, 8, 16).map { na =>
-      val got = pairSet(Similarity.knnGraph(slice, k = 5, nAssign = na),
-        "query_id", "neighbor_id")
-      s""""assign_$na":${(got & exactGraph).size.toDouble / exactGraph.size}"""
+    val v7 = for (sp <- Seq(1, 2); na <- Seq(1, 2, 4, 8, 16)) yield {
+      val (got, sec) = timed(pairSet(
+        Similarity.knnGraph(slice, k = 5, nAssign = na, spill = sp),
+        "query_id", "neighbor_id"))
+      s""""assign_${na}_spill_$sp":{"recall":${
+        (got & exactGraph).size.toDouble / exactGraph.size},"sec":$sec}"""
     }
 
     // v10b: norm-augmented IVF MIPS recall@5 vs brute dot-product,
-    // across nProbe (full probe is exact by construction — v10b's oracle)
+    // across nProbe × spill (full probe is exact by construction)
     val exactMips = pairSet(
       Similarity.bruteMipsTopK(emb, queries, k = 5), "query_id", "neighbor_id")
-    val mips = Seq(1, 2, 4, 8, 16).map { np =>
-      val got = pairSet(
-        Similarity.ivfMipsTopK(emb, queries, k = 5, nProbe = np),
-        "query_id", "neighbor_id")
-      s""""nprobe_$np":${(got & exactMips).size.toDouble / exactMips.size}"""
+    val mips = for (sp <- Seq(1, 2); np <- Seq(1, 2, 4, 8, 16)) yield {
+      val (got, sec) = timed(pairSet(
+        Similarity.ivfMipsTopK(emb, queries, k = 5, nProbe = np, spill = sp),
+        "query_id", "neighbor_id"))
+      s""""nprobe_${np}_spill_$sp":{"recall":${
+        (got & exactMips).size.toDouble / exactMips.size},"sec":$sec}"""
     }
 
     // d11: SemDeDup celled pair recall vs exact threshold pairs, across
-    // nAssign (precision stays 1 — verification is exact cosine)
+    // nAssign × spill (precision stays 1 — verification is exact cosine)
     val exactPairs = pairSet(
       Dedup.semanticPairs(slice, singleCell = true), "a", "b")
-    val d11 = Seq(1, 2, 4, 8).map { na =>
-      val got = pairSet(Dedup.semanticPairs(slice, nAssign = na), "a", "b")
+    val d11 = for (sp <- Seq(1, 2); na <- Seq(1, 2, 4, 8)) yield {
+      val (got, sec) = timed(pairSet(
+        Dedup.semanticPairs(slice, nAssign = na, spill = sp), "a", "b"))
       val r = if (exactPairs.isEmpty) 1.0
               else (got & exactPairs).size.toDouble / exactPairs.size
-      s""""assign_$na":$r"""
+      s""""assign_${na}_spill_$sp":{"recall":$r,"sec":$sec}"""
     }
 
     // v13: PCA-shortlist recall@5 vs brute across BOTH knobs (subspace
@@ -95,11 +109,17 @@ object RecallReport {
       s""""kpca${kp}_m$m":${(got & exactTopK).size.toDouble / exactTopK.size}"""
     }
 
-    // the curves above sweep the knob explicitly; defaults record which
+    // the curves above sweep the knobs explicitly; defaults record which
     // point on each curve a caller gets without choosing (recall target
-    // ≥ 0.75 under asymmetric probing: nProbe=16, kNN-graph nAssign=16,
-    // SemDeDup nAssign=8)
-    println(s"""{"metric":"recall","sf":"$sfDir","defaults":{"nprobe":16,"knn_nassign":16,"semdedup_nassign":8,"pca_kpca":16,"pca_shortlist":200},"ivf_recall_at_5":{${ivf.mkString(",")}},"mips_recall_at_5":{${mips.mkString(",")}},"knn_graph_recall":{${v7.mkString(",")}},"semdedup_pair_recall":{${d11.mkString(",")}},"pca_recall_at_5":{${pca.mkString(",")}},"exact_topk_pairs":${exactTopK.size},"exact_mips_pairs":${exactMips.size},"exact_graph_pairs":${exactGraph.size},"exact_semantic_pairs":${exactPairs.size}}""")
+    // ≥ 0.9 under asymmetric probing over a spill-2 index: nProbe=16,
+    // kNN-graph nAssign=16, SemDeDup nAssign=8, all at spill=2). The
+    // r9→r10 lever was INDEX-side spill, chosen by measurement: centroid
+    // refinement (more Lloyd iters) and angular-radius-bounded probe
+    // ranking both measured flat on this corpus's isotropic geometry
+    // (recall@5 moved ≤ 0.01 at fixed nProbe), while spill=2 moved
+    // 0.78 → ≈0.94 — border vectors, not unprobed-cell distance, dominate
+    // the loss when cells barely cluster.
+    println(s"""{"metric":"recall","sf":"$sfDir","defaults":{"nprobe":16,"knn_nassign":16,"semdedup_nassign":8,"spill":2,"pca_kpca":16,"pca_shortlist":200},"ivf_recall_at_5":{${ivf.mkString(",")}},"mips_recall_at_5":{${mips.mkString(",")}},"knn_graph_recall":{${v7.mkString(",")}},"semdedup_pair_recall":{${d11.mkString(",")}},"pca_recall_at_5":{${pca.mkString(",")}},"exact_topk_pairs":${exactTopK.size},"exact_mips_pairs":${exactMips.size},"exact_graph_pairs":${exactGraph.size},"exact_semantic_pairs":${exactPairs.size}}""")
     spark.stop()
   }
 }

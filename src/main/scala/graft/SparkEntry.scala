@@ -2733,7 +2733,9 @@ object SparkEntry {
   private def ivfIngest(s: SparkSession,
       sfDir: String): (String, Array[(Long, Array[Float])]) = {
     import s.implicits._
-    val (dir, fs) = layoutDir(s, sfDir, "embeddings", "ivf")
+    // tag carries the build's spill arity: a layout left by a session
+    // built at a different spill must regenerate, not silently serve
+    val (dir, fs) = layoutDir(s, sfDir, "embeddings", "ivf_s2")
     val cellsDir = new org.apache.hadoop.fs.Path(dir, "cells").toString
     val centDir = new org.apache.hadoop.fs.Path(dir, "centroids")
     if (!fs.exists(centDir)) {

@@ -15,8 +15,18 @@ import org.apache.spark.sql.types._
   * A binary min-heap rooted at the current WORST kept element, so an
   * incoming candidate is one O(1) compare against the root and only
   * O(log k) when it actually displaces something.
+  *
+  * `dedup = true` gives SET semantics over (score, id): an entry
+  * identical to one already kept is skipped (an O(k) scan, paid only
+  * when the candidate would otherwise be inserted). This makes the
+  * aggregate idempotent under candidate duplication — the contract the
+  * spilled-assignment IVF paths rely on, where a neighbor reached
+  * through two probed cells arrives as two identical scored rows and
+  * must occupy one slot, not two. A duplicate whose twin was already
+  * EVICTED is strictly worse than the root and skips via the ordinary
+  * compare, so set semantics hold globally, not just per-buffer.
   */
-final class TopKBuffer(val k: Int) {
+final class TopKBuffer(val k: Int, val dedup: Boolean = false) {
   // heap of up to k elements; root = worst kept (lowest score, highest id)
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
@@ -26,8 +36,18 @@ final class TopKBuffer(val k: Int) {
   @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
     sa < sb || (sa == sb && ia > ib)
 
+  @inline private def contains(score: Double, id: Long): Boolean = {
+    var i = 0
+    while (i < size) {
+      if (scores(i) == score && ids(i) == id) return true
+      i += 1
+    }
+    false
+  }
+
   def add(score: Double, id: Long): Unit = {
     if (size < k) {
+      if (dedup && contains(score, id)) return
       var i = size
       scores(i) = score; ids(i) = id; size += 1
       // sift up toward the worst-at-root
@@ -36,6 +56,7 @@ final class TopKBuffer(val k: Int) {
         swap(i, p); i = p
       }
     } else if (worse(scores(0), ids(0), score, id)) {
+      if (dedup && contains(score, id)) return
       scores(0) = score; ids(0) = id
       siftDown()
     }
@@ -84,6 +105,7 @@ case class TopKByScore(
     score: Expression,
     id: Expression,
     k: Int,
+    dedup: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression] {
@@ -100,7 +122,7 @@ case class TopKByScore(
     containsNull = false)
   override def nullable: Boolean = false
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, dedup)
 
   override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
@@ -132,7 +154,7 @@ case class TopKByScore(
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val bb = ByteBuffer.wrap(bytes)
     val bk = bb.getInt(); val n = bb.getInt()
-    val buf = new TopKBuffer(bk)
+    val buf = new TopKBuffer(bk, dedup)
     var i = 0
     while (i < n) { buf.add(bb.getDouble(), bb.getLong()); i += 1 }
     buf
@@ -149,9 +171,14 @@ case class TopKByScore(
 }
 
 object agg {
-  /** Bounded top-k aggregate Column: array of `struct<id, score>` best-first. */
-  def topKByScore(score: Column, id: Column, k: Int): Column =
+  /** Bounded top-k aggregate Column: array of `struct<id, score>` best-first.
+    * `dedup = true` gives set semantics over identical (score, id) entries —
+    * see [[TopKBuffer]]; required by any candidate generator that can emit
+    * the same (group, id, score) row more than once (spilled IVF probes).
+    */
+  def topKByScore(score: Column, id: Column, k: Int,
+      dedup: Boolean = false): Column =
     Bridge.column(
-      TopKByScore(Bridge.expression(score), Bridge.expression(id), k)
+      TopKByScore(Bridge.expression(score), Bridge.expression(id), k, dedup)
         .toAggregateExpression())
 }

@@ -38,6 +38,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedup TopKBuffer has set semantics under duplication and splits") {
+    val rnd = new Random(11)
+    (1 to 50).foreach { _ =>
+      val k = 1 + rnd.nextInt(8)
+      // coarse score grid + small id range force many exact duplicates,
+      // then each item is fed 1-3 times (the spilled-probe arrival shape)
+      val base = Seq.fill(rnd.nextInt(60))(
+        (math.floor(rnd.nextDouble() * 8) / 8.0, rnd.nextInt(12).toLong))
+      val stream = rnd.shuffle(base.flatMap(x => Seq.fill(1 + rnd.nextInt(3))(x)))
+      val expect = base.distinct.sortBy { case (s, id) => (-s, id) }.take(k)
+      val buf = new TopKBuffer(k, dedup = true)
+      stream.foreach { case (s, id) => buf.add(s, id) }
+      assert(buf.sortedPairs.toSeq === expect, s"k=$k")
+      if (stream.size > 1) {
+        val cut = 1 + rnd.nextInt(stream.size - 1)
+        val (l, r) = stream.splitAt(cut)
+        val b1 = new TopKBuffer(k, dedup = true)
+        l.foreach { case (s, id) => b1.add(s, id) }
+        val b2 = new TopKBuffer(k, dedup = true)
+        r.foreach { case (s, id) => b2.add(s, id) }
+        b1.merge(b2)
+        assert(b1.sortedPairs.toSeq === expect, s"merge k=$k cut=$cut")
+      }
+    }
+  }
+
   test("sortedIntersectCount equals set-intersection size on random sets") {
     import spark.implicits._
     val rnd = new Random(13)
