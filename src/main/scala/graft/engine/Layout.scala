@@ -34,15 +34,22 @@ object Layout {
     * target database's URI, and a silently wrong path would defeat the
     * cleanup this method exists for.
     */
+  /** A managed table's on-disk location in the session's CURRENT
+    * database (where `saveAsTable` puts an unqualified name).
+    */
+  private[graft] def tableLocation(spark: SparkSession,
+      table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.catalog.getDatabase(spark.catalog.currentDatabase).locationUri,
+      table.toLowerCase)
+
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, sorted: Boolean = true): Unit = {
     require(!table.contains("."),
       s"writeBucketed: unqualified table name required, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.catalog.getDatabase(spark.catalog.currentDatabase).locationUri,
-      table.toLowerCase)
+    val loc = tableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")
@@ -60,6 +67,36 @@ object Layout {
       buckets: Int, sorted: Boolean = true): Unit = {
     val w = df.write.mode("append").format("parquet").bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+  }
+
+  /** STAGED twin of [[appendBucketed]] for exactly-once landings
+    * ([[BatchLedger.stagedLanding]]): bucket files can only be produced
+    * through `saveAsTable`, so the append is written to a scratch table
+    * `<table>__stage` (same key/buckets/sorted spec — its files carry the
+    * same bucket-suffix names the live table's scan decodes) and
+    * registered as an external append: the files become visible in the
+    * live table's directory only at install, after the ledger marker.
+    * The scratch CATALOG entry is dropped immediately — its directory
+    * must survive until install, so the drop is catalog-only (external-
+    * ize first); recovery in a fresh session needs no catalog at all,
+    * just the manifest's paths.
+    */
+  def stageBucketedAppend(df: DataFrame, table: String, key: String,
+      buckets: Int, st: BatchLedger.Staging, sorted: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    val stage = table + "__stage"
+    writeBucketed(df, stage, key, buckets, sorted)
+    val src = tableLocation(spark, stage)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // move the scratch table's directory UNDER the staging root (so a
+    // crashed batch's cleanup wipes it with everything else), then drop
+    // the now-dirless catalog entry — DROP tolerates a missing location
+    // (verified against the in-memory catalog); Spark forbids flipping
+    // the entry to EXTERNAL, so the move must come first
+    val staged = new org.apache.hadoop.fs.Path(
+      st.appendInto(tableLocation(spark, table).toString))
+    require(fs.rename(src, staged), s"cannot stage $src")
+    spark.sql(s"DROP TABLE IF EXISTS `$stage`")
   }
 
   /** Compact a bucketed table back to ONE file per bucket. Each

@@ -400,6 +400,38 @@ object Dedup {
     sh.unpersist()
   }
 
+  /** STAGED twin of [[appendToBandedIndex]] for exactly-once ingest
+    * ([[graft.engine.BatchLedger.stagedLanding]]): shingle sets and band
+    * rows are staged invisibly and land atomically with the batch's
+    * ledger marker, so the write-ordering defense above (shingles first)
+    * is unnecessary here — the index can never hold band rows whose
+    * verification sets are missing.
+    */
+  def stageBandedIndexAppend(accepted: DataFrame, table: String,
+      shPath: String, st: graft.engine.BatchLedger.Staging,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 64, bands: Int = 16, shingleW: Int = 3, seed: Int = 42,
+      buckets: Int = 8): Unit = {
+    val sh = shingledSet(accepted, idCol, textCol, shingleW, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.write.mode("overwrite").parquet(st.appendInto(shPath))
+    graft.engine.Layout.stageBucketedAppend(
+      bandedKeys(sh, k, bands, seed), table, "_bb", buckets, st)
+    sh.unpersist()
+  }
+
+  /** STAGED twin of [[appendToContainmentIndex]] — same contract as
+    * [[stageBandedIndexAppend]].
+    */
+  def stageContainmentIndexAppend(accepted: DataFrame, table: String,
+      st: graft.engine.BatchLedger.Staging,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleW: Int = 3, seed: Int = 42, buckets: Int = 8): Unit =
+    graft.engine.Layout.stageBucketedAppend(
+      shingledSet(accepted, idCol, textCol, shingleW, seed)
+        .select(explode(col("_sh")).as("_s"), col("_id")),
+      table, "_s", buckets, st)
+
   /** Materialize the containment posting index beside a banded index: one
     * bucketed table of shingle postings `(_s, _id)` — EVERY shingle of
     * every indexed doc, bucketed by the shingle hash — derived from the

@@ -442,20 +442,24 @@ object Similarity {
       centroids: Array[(Long, Array[Float])], vectors: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       spill: Int = 2): Unit =
+    assignedForIndex(vectors, centroids, idCol, vecCol, spill)
+      .write.mode("append").partitionBy("cell_id").parquet(indexPath)
+
+  private def assignedForIndex(vectors: DataFrame,
+      centroids: Array[(Long, Array[Float])], idCol: String, vecCol: String,
+      spill: Int): DataFrame =
     assignCells(vectors, centroids, idCol, vecCol, spill)
       // one file per touched cell per append (not one per upstream task)
       // — file-count accretion is what degrades later probe scans
       .repartition(col("cell_id"))
-      .write.mode("append").partitionBy("cell_id").parquet(indexPath)
 
   /** Streaming freshness path: land each micro-batch of embedding rows
-    * into the materialized index via `foreachBatch` +
-    * [[appendToIvfIndex]]. The checkpoint gives at-least-once landing;
-    * the [[graft.engine.BatchLedger]] marker makes a clean replay a
-    * no-op, leaving only a crash between append and marker as the
-    * duplicate window (true exactly-once still needs a transactional
-    * table format underneath, same boundary as any parquet
-    * `foreachBatch` sink).
+    * into the materialized index exactly once — cell files stage
+    * invisibly and install atomically with the batch's ledger marker
+    * ([[graft.engine.BatchLedger.stagedLanding]]; the recursive install
+    * preserves the `cell_id=` directory layout), so a crash anywhere in
+    * the body either replays the whole batch or completes the pending
+    * install, never duplicating appended rows.
     */
   def streamIntoIvfIndex(vectors: DataFrame, indexPath: String,
       centroids: Array[(Long, Array[Float])], checkpointDir: String,
@@ -465,9 +469,11 @@ object Similarity {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.engine.BatchLedger.runOnce(batch.sparkSession,
-          s"$checkpointDir/graft_ledger", batchId) {
-          appendToIvfIndex(indexPath, centroids, batch, idCol, vecCol)
+        graft.engine.BatchLedger.stagedLanding(batch.sparkSession,
+          s"$checkpointDir/graft_ledger", batchId) { st =>
+          assignedForIndex(batch, centroids, idCol, vecCol, spill = 2)
+            .write.mode("overwrite").partitionBy("cell_id")
+            .parquet(st.appendInto(indexPath))
         }
         ()
       }

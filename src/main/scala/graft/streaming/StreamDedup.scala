@@ -36,12 +36,11 @@ object StreamDedup {
     * `dedupWithinBatch`), and appends ONLY the accepted docs to
     * `corpusPath`. The corpus parquet is the dedup state itself, so state
     * never lives in the state store and restart resumes from whatever the
-    * corpus already holds; the checkpoint gives at-least-once appends (a
-    * crash between append and commit replays the batch — the same
-    * boundary as any parquet `foreachBatch` sink; the
-    * [[graft.engine.BatchLedger]] marker narrows the duplicate window
-    * to a crash BETWEEN the append and the marker write, and a clean
-    * replay is a no-op).
+    * corpus already holds; the append lands EXACTLY ONCE through
+    * [[graft.engine.BatchLedger.stagedLanding]] — accepted rows are
+    * staged invisibly, the ledger marker is the single commit point, and
+    * a crash on either side of it replays the whole batch or completes
+    * the pending install, never both.
     *
     * At 100 TB the `corpusPath` side of the band join is the
     * materialized banded-signature table described in
@@ -49,6 +48,31 @@ object StreamDedup {
     * the signatures derive in-plan from the corpus parquet, which is the
     * same join shape minus the one-time persist.
     */
+  /** The per-batch body of [[incrementalNearDup]], exposed for the
+    * crash-injection specs: every side effect goes through `st`, so a
+    * caller (or crash) abandoning the staging leaves nothing visible.
+    */
+  private[graft] def ingestOnce(batch: DataFrame, corpusPath: String,
+      idCol: String, textCol: String, threshold: Double,
+      dedupWithinBatch: Boolean)(
+      st: graft.engine.BatchLedger.Staging): Unit = {
+    val spark = batch.sparkSession
+    val path = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keptIds =
+      if (fs.exists(path))
+        Dedup.incrementalSurvivors(spark.read.parquet(corpusPath), batch,
+          idCol, textCol, threshold, dedupWithinBatch)
+      else if (dedupWithinBatch) // first batch: corpus empty, only the
+        Dedup.nearDupSurvivors(  // intra-batch election applies
+          batch.select(col(idCol)),
+          Dedup.minhashPairs(batch, idCol, textCol, threshold = threshold),
+          idCol)
+      else batch.select(col(idCol))
+    batch.join(keptIds, Seq(idCol), "left_semi")
+      .write.mode("overwrite").parquet(st.appendInto(corpusPath))
+  }
+
   def incrementalNearDup(stream: DataFrame, corpusPath: String,
       checkpointDir: String, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.8,
@@ -58,24 +82,10 @@ object StreamDedup {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        graft.engine.BatchLedger.runOnce(spark,
-            s"$checkpointDir/graft_ledger", batchId) {
-        val path = new org.apache.hadoop.fs.Path(corpusPath)
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val keptIds =
-          if (fs.exists(path))
-            Dedup.incrementalSurvivors(spark.read.parquet(corpusPath), batch,
-              idCol, textCol, threshold, dedupWithinBatch)
-          else if (dedupWithinBatch) // first batch: corpus empty, only the
-            Dedup.nearDupSurvivors(  // intra-batch election applies
-              batch.select(col(idCol)),
-              Dedup.minhashPairs(batch, idCol, textCol, threshold = threshold),
-              idCol)
-          else batch.select(col(idCol))
-        batch.join(keptIds, Seq(idCol), "left_semi")
-          .write.mode("append").parquet(corpusPath)
-        }
+        graft.engine.BatchLedger.stagedLanding(batch.sparkSession,
+            s"$checkpointDir/graft_ledger", batchId)(
+          ingestOnce(batch, corpusPath, idCol, textCol, threshold,
+            dedupWithinBatch))
         ()
       }
       .start()
@@ -90,16 +100,21 @@ object StreamDedup {
     * own survivors; pass a pre-built index to start from an existing
     * corpus.
     *
-    * Crash boundary (at-least-once, same as [[incrementalNearDup]]): the
-    * corpus append lands before the index append, so a crash between the
-    * two can leave accepted docs in the corpus but not the index; the
-    * checkpoint then replays the batch, whose docs no longer self-block
-    * (the index lacks them) and re-append — duplicate corpus rows and
-    * index rows for those docs. The [[graft.engine.BatchLedger]] marker
-    * (written after ALL of the batch's side effects) narrows that window
-    * to a crash inside the body itself: a replay of a fully-landed batch
-    * is a no-op. Downstream dedup semantics are unchanged either way
-    * (a doc duplicated in the index blocks exactly as one copy would).
+    * Crash boundary — EXACTLY ONCE in steady state: corpus append, band
+    * rows, shingle sets, and containment postings all stage invisibly
+    * ([[graft.engine.BatchLedger.stagedLanding]];
+    * [[graft.engine.Layout.stageBucketedAppend]] for the bucketed
+    * tables), the ledger marker is the single commit point, and install
+    * is completed on replay if a crash interrupts it — accepted docs
+    * become visible in ALL the batch's destinations or none
+    * (crash-injection-tested in StreamingTutorialSpec). Only the
+    * BOOTSTRAP batch is at-least-once: it lands with direct writes in a
+    * loss-proof order (see the body) because a table build cannot stage
+    * against a table that does not exist; its worst crash outcome is
+    * duplicate corpus rows for that one batch, never loss. A PRE-BUILT
+    * index (the "start from an existing corpus" mode) skips the
+    * bootstrap entirely, so those loops are exactly-once from their
+    * first batch.
     *
     * `compactEvery` > 0 folds the band table back to one file per bucket
     * every that-many batches ([[graft.engine.Layout.compactBucketed]]) —
@@ -133,12 +148,57 @@ object StreamDedup {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        graft.engine.BatchLedger.runOnce(spark,
-            s"$checkpointDir/graft_ledger", batchId) {
+        val landed = graft.engine.BatchLedger.stagedLanding(spark,
+            s"$checkpointDir/graft_ledger", batchId)(
+          indexedIngestOnce(batch, indexTable, shPath, corpusPath, idCol,
+            textCol, threshold, dedupWithinBatch, spec, containTable,
+            containThreshold, containMaxDf))
+        // install lands table files by RENAME, which no Spark write path
+        // invalidates: without an explicit table refresh the next probe —
+        // and worse, the compaction below — reads a STALE listing, and
+        // compaction's drop-and-rewrite would destroy the just-installed
+        // rows it never saw (path-level refresh does not reach catalog
+        // tables)
+        if (landed) {
+          if (spark.catalog.tableExists(indexTable))
+            spark.catalog.refreshTable(indexTable)
+          containTable.foreach(ct =>
+            if (spark.catalog.tableExists(ct)) spark.catalog.refreshTable(ct))
+        }
+        // every append adds up to one file per bucket; at micro-batch
+        // frequency that accretion degrades the bucketed scan — fold it
+        // back down every `compactEvery` batches (0 = caller compacts).
+        // AFTER the landing, outside the staged body: compaction has its
+        // own crash-safe swap protocol, must see the installed files, and
+        // skipping it on a clean replay costs nothing (the next cycle
+        // compacts the same accretion)
+        if (landed && compactEvery > 0 &&
+            batchId % compactEvery == compactEvery - 1) {
+          val buckets = Dedup.readBandSpec(spark, shPath)
+            .map(_.buckets).getOrElse(spec.buckets)
+          graft.engine.Layout.compactBucketed(spark, indexTable, "_bb",
+            buckets)
+          containTable.foreach(ct =>
+            if (spark.catalog.tableExists(ct))
+              graft.engine.Layout.compactBucketed(spark, ct, "_s", buckets))
+        }
+        ()
+      }
+      .start()
+
+  /** The per-batch body of [[incrementalNearDupIndexed]] (everything but
+    * the post-landing compaction), exposed for the crash-injection specs.
+    */
+  private[graft] def indexedIngestOnce(batch: DataFrame, indexTable: String,
+      shPath: String, corpusPath: String, idCol: String, textCol: String,
+      threshold: Double, dedupWithinBatch: Boolean, spec: Dedup.BandSpec,
+      containTable: Option[String], containThreshold: Double,
+      containMaxDf: Int)(st: graft.engine.BatchLedger.Staging): Unit = {
+        val spark = batch.sparkSession
+        val hfs = new org.apache.hadoop.fs.Path(shPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val bootstrapped = spark.catalog.tableExists(indexTable) &&
-          new org.apache.hadoop.fs.Path(shPath)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .exists(new org.apache.hadoop.fs.Path(shPath))
+          hfs.exists(new org.apache.hadoop.fs.Path(shPath))
         // the stored spec wins over the caller's: band keys from any other
         // parameters never match the table's, which silently kills recall
         val sp =
@@ -171,33 +231,39 @@ object StreamDedup {
         }
         val accepted = batch.join(kept2, Seq(idCol), "left_semi")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        accepted.write.mode("append").parquet(corpusPath)
-        if (bootstrapped)
-          Dedup.appendToBandedIndex(accepted, indexTable, shPath,
+        if (bootstrapped) {
+          // steady state: every landing staged — corpus rows, band rows,
+          // shingle sets, containment postings become visible atomically
+          // with the ledger marker, exactly once
+          accepted.write.mode("overwrite").parquet(st.appendInto(corpusPath))
+          Dedup.stageBandedIndexAppend(accepted, indexTable, shPath, st,
             idCol, textCol, sp.k, sp.bands, sp.shingleW, sp.seed, sp.buckets)
-        else
+          containTable.foreach { ct =>
+            if (!spark.catalog.tableExists(ct)) // late enable: postings for
+              // the corpus-so-far come from the store; the current batch's
+              // are staged below (its shingle append is not yet visible)
+              Dedup.buildContainmentIndex(spark, shPath, ct, sp.buckets)
+            Dedup.stageContainmentIndexAppend(accepted, ct, st, idCol,
+              textCol, sp.shingleW, sp.seed, sp.buckets)
+          }
+        } else {
+          // BOOTSTRAP: a table build cannot stage against a table that
+          // does not exist, so this one batch lands with direct writes in
+          // loss-proof order — corpus FIRST, then the index build (spec +
+          // shingle store last inside it). A crash mid-build replays with
+          // `bootstrapped` still false (no shingle store) and rebuilds; a
+          // crash after the build replays with the batch's docs already in
+          // the corpus, so the self-blocking probe drops nothing that
+          // isn't landed. At-least-once for this batch only (a crash
+          // between the corpus append and the marker can duplicate its
+          // corpus rows); every later batch is exactly-once.
+          accepted.write.mode("append").parquet(corpusPath)
           Dedup.buildBandedIndex(accepted, indexTable, shPath, idCol,
             textCol, sp.k, sp.bands, sp.shingleW, sp.seed, sp.buckets)
-        containTable.foreach { ct =>
-          if (spark.catalog.tableExists(ct))
-            Dedup.appendToContainmentIndex(accepted, ct, idCol, textCol,
-              sp.shingleW, sp.seed, sp.buckets)
-          else // bootstrap from the shingle store the band build just wrote
-            Dedup.buildContainmentIndex(spark, shPath, ct, sp.buckets)
+          containTable.foreach(ct => // the build above already put this
+            // batch's shingles in the store, so the postings cover them
+            Dedup.buildContainmentIndex(spark, shPath, ct, sp.buckets))
         }
         accepted.unpersist(blocking = false)
-        // every append adds up to one file per bucket; at micro-batch
-        // frequency that accretion degrades the bucketed scan — fold it
-        // back down every `compactEvery` batches (0 = caller compacts)
-        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
-          graft.engine.Layout.compactBucketed(spark, indexTable, "_bb",
-            sp.buckets)
-          containTable.foreach(ct =>
-            if (spark.catalog.tableExists(ct))
-              graft.engine.Layout.compactBucketed(spark, ct, "_s", sp.buckets))
-        }
-        }
-        ()
-      }
-      .start()
+  }
 }

@@ -89,11 +89,26 @@ object StreamMoments {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // staged landing: a replayed batch would DOUBLE-ADD into the
+        // totals, so the fold is read-modify-REPLACE — the next state is
+        // staged invisibly and swaps in atomically with the ledger
+        // marker (the drift row installs with the same commit)
+        graft.engine.BatchLedger.stagedLanding(batch.sparkSession,
+            s"$checkpointDir/graft_ledger", batchId)(
+          foldOnce(batch, statePath, driftPath, batchId, vecCol))
+        ()
+      }
+      .start()
+
+  /** The per-batch body of [[momentMonitor]], exposed for the
+    * crash-injection specs: the state replace and the drift append both
+    * go through `st`, so an abandoned staging leaves the totals
+    * untouched.
+    */
+  private[graft] def foldOnce(batch: DataFrame, statePath: String,
+      driftPath: String, batchId: Long, vecCol: String)(
+      st: graft.engine.BatchLedger.Staging): Unit = {
         val spark = batch.sparkSession
-        // ledger BEFORE the fold: a replayed batch would DOUBLE-ADD into
-        // the totals — here the guard is correctness, not storage
-        graft.engine.BatchLedger.runOnce(spark,
-            s"$checkpointDir/graft_ledger", batchId) {
         val prior = readState(spark, statePath)
         val bm = batch.agg(GramSumAgg.column(col(vecCol)).as("_g"))
           .select(col("_g.n"), col("_g.s"), col("_g.g")).collect().headOption
@@ -117,7 +132,8 @@ object StreamMoments {
           spark.createDataFrame(
             java.util.List.of(Row(next._1, next._2.toSeq, next._3.toSeq)),
             stateSchema)
-            .coalesce(1).write.mode("overwrite").parquet(statePath)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(st.replaceInto(statePath))
           spark.createDataFrame(
             java.util.List.of(Row(batchId, nb, next._1,
               shift.map(java.lang.Double.valueOf).orNull)),
@@ -126,10 +142,8 @@ object StreamMoments {
               StructField("n_batch", LongType, nullable = false),
               StructField("n_total", LongType, nullable = false),
               StructField("mean_shift_c6", DoubleType, nullable = true))))
-            .coalesce(1).write.mode("append").parquet(driftPath)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(st.appendInto(driftPath))
         }
-        }
-        ()
-      }
-      .start()
+  }
 }

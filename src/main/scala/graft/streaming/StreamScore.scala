@@ -61,14 +61,17 @@ object StreamScore {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        graft.engine.BatchLedger.runOnce(spark,
-            s"$checkpointDir/graft_ledger", batchId) {
+        // staged landing: both splits become visible atomically with the
+        // ledger marker — a crash can never land a batch's accepts
+        // without its rejects (or twice)
+        graft.engine.BatchLedger.stagedLanding(spark,
+            s"$checkpointDir/graft_ledger", batchId) { st =>
           val scored = gateScores(spark, modelPath, batch, minLmC6)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           scored.filter(col("reject_reason").isNull).drop("reject_reason")
-            .write.mode("append").parquet(acceptPath)
+            .write.mode("overwrite").parquet(st.appendInto(acceptPath))
           scored.filter(col("reject_reason").isNotNull)
-            .write.mode("append").parquet(rejectPath)
+            .write.mode("overwrite").parquet(st.appendInto(rejectPath))
           scored.unpersist(blocking = false)
         }
         ()

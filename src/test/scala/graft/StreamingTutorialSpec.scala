@@ -765,6 +765,182 @@ class StreamingTutorialSpec extends SparkSpec {
     assert(runs === 4)
   }
 
+  test("staged landing: crash between side effects and marker leaves nothing visible") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage1").toString
+    val dest = s"$dir/data"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the adversarial point the round-9 verdict named: ALL side effects
+    // done, marker not yet written — under staging the side effects are
+    // invisible, so the replay cannot double-append
+    intercept[RuntimeException] {
+      graft.engine.BatchLedger.stagedLanding(spark, s"$dir/l", 0L) { st =>
+        Seq(1L, 2L).toDF("v").write.parquet(st.appendInto(dest))
+        throw new RuntimeException("crash after side effect, before marker")
+      }
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dest)),
+      "abandoned staging leaked into the destination")
+    // the replay lands the batch exactly once
+    assert(graft.engine.BatchLedger.stagedLanding(spark, s"$dir/l", 0L) { st =>
+      Seq(1L, 2L).toDF("v").write.parquet(st.appendInto(dest))
+    })
+    assert(spark.read.parquet(dest).count() === 2)
+    // a second replay of the committed batch is a no-op
+    assert(!graft.engine.BatchLedger.stagedLanding(spark, s"$dir/l", 0L) { _ =>
+      fail("replayed committed batch must not re-run")
+    })
+    assert(spark.read.parquet(dest).count() === 2)
+  }
+
+  test("staged landing: crash after the marker completes the install on replay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage2").toString
+    val dest = s"$dir/data"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // hand-build the post-commit, pre-install crash state: staged files +
+    // manifest + marker, with nothing at the destination yet
+    val root = new org.apache.hadoop.fs.Path(s"$dir/l/staging-000000000000")
+    val staged = new org.apache.hadoop.fs.Path(root, "a0")
+    Seq(7L, 8L, 9L).toDF("v").write.parquet(staged.toString)
+    val mf = fs.create(new org.apache.hadoop.fs.Path(root, "_MANIFEST"), true)
+    mf.write(s"A\t$staged\t$dest".getBytes("UTF-8")); mf.close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/l"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/l/batch-000000000000"),
+      false).close()
+    // the replay must complete the pending install WITHOUT re-running the
+    // body, then clean the staging away
+    assert(!graft.engine.BatchLedger.stagedLanding(spark, s"$dir/l", 0L) { _ =>
+      fail("committed batch must not re-run during install recovery")
+    })
+    assert(spark.read.parquet(dest).count() === 3)
+    assert(!fs.exists(root), "staging not cleaned after recovered install")
+    // and the recovery itself is idempotent
+    assert(!graft.engine.BatchLedger.stagedLanding(spark, s"$dir/l", 0L) { _ =>
+      fail("committed batch must not re-run")
+    })
+    assert(spark.read.parquet(dest).count() === 3)
+  }
+
+  test("dedup ingest: injected crash before the marker cannot double-append") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_crashdedup").toString
+    val ledger = s"$dir/ckpt/graft_ledger"
+    val corpus = s"$dir/corpus"
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val b0 = Seq((1L, base),
+      (3L, (100 to 140).map(i => s"word$i").mkString(" "))).toDF("doc_id", "text")
+    // batch 0 lands cleanly through the REAL loop body
+    assert(graft.engine.BatchLedger.stagedLanding(spark, ledger, 0L)(
+      graft.streaming.StreamDedup.ingestOnce(b0, corpus, "doc_id", "text",
+        0.7, dedupWithinBatch = true)))
+    assert(spark.read.parquet(corpus).count() === 2)
+    // batch 1: the body runs to completion (corpus survivors computed,
+    // rows written) and the crash hits just before the marker
+    val b1 = Seq((10L, base), // near-dup of corpus doc 1 → must drop
+      (11L, (200 to 240).map(i => s"new$i").mkString(" "))).toDF("doc_id", "text")
+    intercept[RuntimeException] {
+      graft.engine.BatchLedger.stagedLanding(spark, ledger, 1L) { st =>
+        graft.streaming.StreamDedup.ingestOnce(b1, corpus, "doc_id", "text",
+          0.7, dedupWithinBatch = true)(st)
+        throw new RuntimeException("crash after all side effects")
+      }
+    }
+    spark.catalog.refreshByPath(corpus)
+    assert(spark.read.parquet(corpus).collect().map(_.getLong(0)).toSet
+      === Set(1L, 3L), "crashed batch leaked rows into the corpus")
+    // the restart replays batch 1: exactly one copy of doc 11, doc 10
+    // still dropped, docs 1/3 not duplicated
+    assert(graft.engine.BatchLedger.stagedLanding(spark, ledger, 1L)(
+      graft.streaming.StreamDedup.ingestOnce(b1, corpus, "doc_id", "text",
+        0.7, dedupWithinBatch = true)))
+    spark.catalog.refreshByPath(corpus)
+    val landed = spark.read.parquet(corpus).collect().map(_.getLong(0))
+    assert(landed.sorted.toSeq === Seq(1L, 3L, 11L),
+      s"double-append or loss after crash-replay: ${landed.toSeq}")
+  }
+
+  test("indexed dedup ingest: injected crash lands corpus and index atomically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_crashidx").toString
+    val ledger = s"$dir/ckpt/graft_ledger"
+    val tbl = "band_crash_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val spec = graft.pipeline.Dedup.BandSpec()
+    def body(batch: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamDedup.indexedIngestOnce(batch, tbl, s"$dir/sh",
+        s"$dir/corpus", "doc_id", "text", 0.7, true, spec, None, 0.9, 5) _
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val b0 = Seq((1L, base),
+      (3L, (100 to 140).map(i => s"word$i").mkString(" "))).toDF("doc_id", "text")
+    assert(graft.engine.BatchLedger.stagedLanding(spark, ledger, 0L)(body(b0)))
+    // batch 1 (steady state: corpus append + band rows + shingles all
+    // staged): crash after the whole body
+    val b1 = Seq((10L, base),
+      (11L, (200 to 240).map(i => s"new$i").mkString(" "))).toDF("doc_id", "text")
+    intercept[RuntimeException] {
+      graft.engine.BatchLedger.stagedLanding(spark, ledger, 1L) { st =>
+        body(b1)(st)
+        throw new RuntimeException("crash after all side effects")
+      }
+    }
+    spark.catalog.refreshByPath(s"$dir/corpus")
+    spark.catalog.refreshTable(tbl)
+    assert(spark.read.parquet(s"$dir/corpus").collect().map(_.getLong(0)).toSet
+      === Set(1L, 3L), "crashed batch leaked corpus rows")
+    assert(spark.table(tbl).select("_id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(1L, 3L), "crashed batch leaked band rows")
+    // replay: doc 11 lands EXACTLY once everywhere — corpus row, band
+    // rows (exactly `bands` of them, not 2×), shingle set
+    assert(graft.engine.BatchLedger.stagedLanding(spark, ledger, 1L)(body(b1)))
+    spark.catalog.refreshByPath(s"$dir/corpus")
+    spark.catalog.refreshByPath(s"$dir/sh")
+    spark.catalog.refreshTable(tbl)
+    assert(spark.read.parquet(s"$dir/corpus").collect().map(_.getLong(0))
+      .sorted.toSeq === Seq(1L, 3L, 11L))
+    val bandRows = spark.table(tbl).filter(col("_id") === 11L).count()
+    assert(bandRows === spec.bands,
+      s"expected exactly ${spec.bands} band rows for doc 11, got $bandRows")
+    assert(spark.read.parquet(s"$dir/sh").filter(col("_id") === 11L).count() === 1)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("moment fold: injected crash before the marker cannot double-add") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_crashfold").toString
+    val ledger = s"$dir/ckpt/graft_ledger"
+    val rnd = new scala.util.Random(19)
+    val v0 = Seq.tabulate(30)(i => (i.toLong, Array.fill(8)(rnd.nextFloat())))
+    val v1 = Seq.tabulate(20)(i => (100L + i, Array.fill(8)(rnd.nextFloat())))
+    def fold(rows: Seq[(Long, Array[Float])], id: Long) =
+      graft.streaming.StreamMoments.foldOnce(
+        rows.toDF("vec_id", "embedding"), s"$dir/state", s"$dir/drift",
+        id, "embedding") _
+    assert(graft.engine.BatchLedger.stagedLanding(spark, ledger, 0L)(fold(v0, 0L)))
+    val n0 = graft.streaming.StreamMoments.readState(spark, s"$dir/state").get._1
+    assert(n0 === 30L)
+    // batch 1 folds fully (next state staged, drift staged), then crashes
+    intercept[RuntimeException] {
+      graft.engine.BatchLedger.stagedLanding(spark, ledger, 1L) { st =>
+        fold(v1, 1L)(st)
+        throw new RuntimeException("crash after the fold, before the marker")
+      }
+    }
+    spark.catalog.refreshByPath(s"$dir/state")
+    assert(graft.streaming.StreamMoments.readState(spark, s"$dir/state").get._1
+      === 30L, "crashed fold leaked into the totals")
+    // replay: totals add batch 1 exactly once (50, not 70), one drift row
+    // per batch
+    assert(graft.engine.BatchLedger.stagedLanding(spark, ledger, 1L)(fold(v1, 1L)))
+    spark.catalog.refreshByPath(s"$dir/state")
+    spark.catalog.refreshByPath(s"$dir/drift")
+    assert(graft.streaming.StreamMoments.readState(spark, s"$dir/state").get._1
+      === 50L)
+    assert(spark.read.parquet(s"$dir/drift").count() === 2)
+  }
+
   test("moment monitor state survives a replayed batch unchanged") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
