@@ -32,6 +32,101 @@ import org.apache.spark.sql.functions._
   */
 object StreamBench {
 
+  /** Word-salted replica of the documents table: every 4th word of each
+    * text is replaced by a replica-unique token, which destroys ~3/4 of
+    * the w=3 shingles — cross-replica Jaccard lands near 1/7, far below
+    * both the near-dup (0.8) and containment (0.9) gates, so replicas
+    * are DISTINCT documents to the dedup engine (unlike [[ScaleBench]]'s
+    * raw replication, which makes every doc an exact N-way dup — right
+    * for batch-dedup sweeps, wrong for growing a real corpus). doc_ids
+    * offset by the ScaleBench stride so ids never collide.
+    */
+  private def saltedReplicas(spark: SparkSession, sfDir: String,
+      replicas: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+    val rep = broadcast(spark.createDataset(replicas)(
+      org.apache.spark.sql.Encoders.scalaInt).toDF("_r"))
+    docs.crossJoin(rep).select(
+      (col("doc_id") + col("_r") * ScaleBench.Stride).as("doc_id"),
+      array_join(
+        transform(split(col("text"), " "),
+          (w, i) => when(pmod(i, lit(4)) === 0,
+            concat(lit("xq"), col("_r"), lit("q"), i)).otherwise(w)),
+        " ").as("text"))
+  }
+
+  /** Scaled-ingest benchmark (run with SPARK_GRAFT_STREAM_SCALED_REPLICAS
+    * = N > 0): pre-build a corpus of N salted replicas (~N×5k docs at
+    * sf0.1) plus its band + containment indexes, then stream the same
+    * fresh-doc feed through [[graft.streaming.StreamDedup.incrementalNearDupIndexed]]
+    * against (a) that corpus and (b) a 1-replica control — the O(batch)
+    * claim measured where it matters: per-batch latency must not track
+    * corpus size, so `big_over_small` must stay near 1 and each run's
+    * own latency curve flat.
+    */
+  private def scaledIngest(spark: SparkSession, sfDir: String,
+      replicas: Int, nBatches: Int, batchRows: Int): Unit = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feedRep = replicas + 1 // held-out replica: new docs to every corpus
+    val feed = saltedReplicas(spark, sfDir, Seq(feedRep))
+      .orderBy("doc_id").limit(nBatches * batchRows)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+    def run(tag: String, nRep: Int): (Long, Double, Seq[Double]) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_scaled_$tag").toString
+      val tbl = s"graft_scaledbench_band_$tag"
+      val ctbl = s"graft_scaledbench_post_$tag"
+      Seq(tbl, ctbl).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val corpus = saltedReplicas(spark, sfDir, 0 until nRep)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t0 = System.nanoTime()
+      corpus.write.mode("overwrite").parquet(s"$dir/corpus")
+      graft.pipeline.Dedup.buildBandedIndex(corpus, tbl, s"$dir/sh")
+      graft.pipeline.Dedup.buildContainmentIndex(spark, s"$dir/sh", ctbl)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val corpusRows = corpus.count()
+      corpus.unpersist()
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamDedup.incrementalNearDupIndexed(
+        input.toDF().toDF("doc_id", "text"), tbl, s"$dir/sh",
+        s"$dir/corpus", s"$dir/ckpt", compactEvery = 4,
+        containTable = Some(ctbl))
+      val lat = try {
+        feed.grouped(batchRows).take(nBatches).map { rows =>
+          val b0 = System.nanoTime()
+          input.addData(rows.toIndexedSeq: _*)
+          q.processAllAvailable()
+          (System.nanoTime() - b0) / 1e9
+        }.toSeq
+      } finally q.stop()
+      (corpusRows, buildSec, lat)
+    }
+
+    val (smallRows, smallBuild, smallLat) = run("small", 1)
+    val (bigRows, bigBuild, bigLat) = run("big", replicas)
+    def arr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    def trend(xs: Seq[Double]): Double =
+      if (xs.size < 6) 1.0
+      else (xs.takeRight(3).sum / 3.0) / (xs.take(3).sum / 3.0)
+    val fed = math.min(feed.length, nBatches * batchRows)
+    println(
+      s"""{"metric":"stream_throughput_scaled","sf":"$sfDir",""" +
+      s""""batch_rows":$batchRows,"batches":$nBatches,""" +
+      s""""big":{"corpus_rows":$bigRows,"index_build_sec":${f"$bigBuild%.1f"},""" +
+      s""""latency_sec":${arr(bigLat)},""" +
+      s""""records_per_sec":${f"${fed / bigLat.sum}%.1f"},""" +
+      s""""last3_over_first3":${f"${trend(bigLat)}%.3f"}},""" +
+      s""""small":{"corpus_rows":$smallRows,"index_build_sec":${f"$smallBuild%.1f"},""" +
+      s""""latency_sec":${arr(smallLat)},""" +
+      s""""records_per_sec":${f"${fed / smallLat.sum}%.1f"},""" +
+      s""""last3_over_first3":${f"${trend(smallLat)}%.3f"}},""" +
+      s""""big_over_small":${f"${bigLat.sum / smallLat.sum}%.3f"}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
@@ -49,6 +144,16 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // scaled-ingest mode: prove O(batch) against a pre-built >=100k-doc
+    // corpus, then exit (its own one-line JSON contract)
+    val scaledReplicas =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALED_REPLICAS", "0").toInt
+    if (scaledReplicas > 0) {
+      scaledIngest(spark, sfDir, scaledReplicas, nBatches, batchRows)
+      spark.stop()
+      return
+    }
 
     // ---- 1. indexed dedup ingest ------------------------------------
     // feed = real documents in doc_id order, constant batch size; most
