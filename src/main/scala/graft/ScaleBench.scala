@@ -88,6 +88,10 @@ object ScaleBench {
     "t11_curation_pipeline", "t16_token_rarity", "t19_bigram_lift",
     "t20_boilerplate", "t21_passage_dedup", "t22_domain_mixture",
     "t23_bm25", "t24_lm_score",
+    // mixture materialization + greedy packing: t27 is a zero-exchange
+    // explode (output-linear), t28 one exchange + a serial walk per
+    // (source, shard) group — group count is the parallelism lever
+    "t27_mixture_resample", "t28_greedy_pack",
     // train-once/score-many: the stats/model ingests build their tables
     // once per session; the timed rows are the recurring score-a-batch
     // cost (vs t23/t24's retrain-every-invocation baselines)

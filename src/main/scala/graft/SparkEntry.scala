@@ -769,6 +769,13 @@ object SparkEntry {
       TextAnalysis.weightedSample(table(s, d, "documents"),
         Map("src1" -> 0.25, "src2" -> 0.5, "src3" -> 0.0),
         defaultRate = 0.75)),
+    // T27: mixture resampling with UPSAMPLING (weights > 1 replicate
+    // epochs; the fraction is an epoch-salted hash sample) — exact binary
+    // fractions chosen so Spark and DuckDB floor identical doubles.
+    "t27_mixture_resample" -> ((s, d) =>
+      TextAnalysis.mixtureResample(table(s, d, "documents"),
+        Map("src1" -> 2.5, "src2" -> 0.25, "src3" -> 3.0, "src4" -> 0.0),
+        defaultWeight = 1.0)),
     // T18: per-source corpus report ("data card" summary table).
     "t18_corpus_stats" -> ((s, d) =>
       TextAnalysis.corpusStats(table(s, d, "documents"))),
@@ -789,6 +796,11 @@ object SparkEntry {
     // per-source running token offsets (parallel across sources).
     "t14_sequence_pack" -> ((s, d) =>
       TextAnalysis.sequencePack(table(s, d, "documents"))),
+    // T28: greedy NON-STRADDLING packing (t14's padding-style twin):
+    // packs never exceed the budget, docs never split; serial greedy
+    // recurrence scoped to (source, md5-shard) for parallelism.
+    "t28_greedy_pack" -> ((s, d) =>
+      TextAnalysis.greedyPack(table(s, d, "documents"))),
     // T11: the capstone composition — quality gate → exact dedup →
     // decontamination (src0 = benchmark) → deterministic split, one plan.
     "t11_curation_pipeline" -> ((s, d) => {
@@ -2174,6 +2186,29 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
         |  < CASE source WHEN 'src1' THEN 16384 WHEN 'src2' THEN 32768
         |      WHEN 'src3' THEN 0 ELSE 49152 END""".stripMargin,
+    // t27: full-epoch thresholds and 1/65536 fractional gates precomputed
+    // as integer literals (2.5 -> 2 full + 32768; 0.25 -> 16384; 3.0 ->
+    // 3 full + 0; default 1.0 -> 1 full + 0), so no engine-specific
+    // decimal arithmetic is in play; the salt is doc_id:epoch.
+    "t27_mixture_resample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src1' THEN 2 WHEN 'src2' THEN 0
+        |      WHEN 'src3' THEN 3 WHEN 'src4' THEN 0 ELSE 1 END AS n_full,
+        |    CASE source WHEN 'src1' THEN 32768 WHEN 'src2' THEN 16384
+        |      WHEN 'src3' THEN 0 WHEN 'src4' THEN 0 ELSE 0 END AS thr
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, source, n_full, thr,
+        |    unnest(generate_series(0, n_full)) AS epoch
+        |  FROM w)
+        |SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch,
+        |  ('0x' || substr(md5(doc_id || ':' || epoch), 1, 8))::BIGINT
+        |    AS order_key
+        |FROM e
+        |WHERE epoch < n_full
+        |  OR ('0x' || substr(md5(doc_id || ':' || epoch), 1, 4))::BIGINT
+        |     < thr""".stripMargin,
     "t18_corpus_stats" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
@@ -2249,6 +2284,37 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, token_offset,
         |  CAST(token_offset // 512 AS BIGINT) AS pack_id
         |FROM off""".stripMargin,
+    // t28: the greedy recurrence (remaining-space feedback) replayed as a
+    // recursive CTE walking each (source, shard) group in doc_id order —
+    // the exact serial semantics the mapPartitions pass implements.
+    "t28_greedy_pack" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |      % 4 AS INTEGER) AS shard,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER)
+        |      AS n_tokens
+        |  FROM documents),
+        |ord AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY source, shard ORDER BY doc_id) AS rn
+        |  FROM tok),
+        |pack AS (
+        |  SELECT doc_id, source, shard, n_tokens, rn,
+        |    0 AS pack_seq, 512 - n_tokens AS rem
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.source, o.shard, o.n_tokens, o.rn,
+        |    CASE WHEN o.n_tokens > p.rem THEN p.pack_seq + 1
+        |         ELSE p.pack_seq END,
+        |    CASE WHEN o.n_tokens > p.rem THEN 512 - o.n_tokens
+        |         ELSE p.rem - o.n_tokens END
+        |  FROM ord o
+        |  JOIN pack p ON o.source = p.source AND o.shard = p.shard
+        |    AND o.rn = p.rn + 1)
+        |SELECT doc_id, source, shard, n_tokens,
+        |  CAST(pack_seq AS INTEGER) AS pack_seq
+        |FROM pack""".stripMargin,
     "t6_dataset_split" ->
       """SELECT doc_id,
         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80 THEN 'train'

@@ -737,6 +737,59 @@ object TextAnalysis {
     documents.filter(bucket < thr).select("doc_id", "source")
   }
 
+  /** Mixture resampling with UPSAMPLING — the training-mixture
+    * materializer: each source replicates `weight` epochs, where weight
+    * may exceed 1 (e.g. 2.5 = two full copies plus a half-rate sampled
+    * third epoch — the DoReMi/"data mixing law" shape: rare high-quality
+    * sources repeat, bulk sources thin). [[weightedSample]] is the
+    * weight ≤ 1 special case.
+    *
+    * Fully deterministic, pure function of (doc_id, epoch): full epochs
+    * explode in-plan; the one fractional epoch keeps a doc iff its
+    * epoch-salted md5 bucket clears the fractional threshold (1/65536
+    * resolution, same gate family as [[weightedSample]] but salted so
+    * the fractional epoch's sample is independent of any weight ≤ 1
+    * sampling of the same corpus). `order_key` — the epoch-salted hash
+    * itself — gives a reproducible global training order: sorting by it
+    * interleaves sources and epochs uniformly, with no rand() anywhere
+    * (stage retries and engine reruns agree row-for-row).
+    *
+    * Scale: ZERO exchanges — a narrow explode whose output is exactly
+    * the resampled corpus size (Σ weight·|source|, the op's own output
+    * regime); weights land as literals in one codegen'd projection. The
+    * global-order sort is the CONSUMER's (usually the final
+    * write-partitioned-by-shard step), not baked in here.
+    */
+  def mixtureResample(documents: DataFrame, weights: Map[String, Double],
+      defaultWeight: Double = 1.0): DataFrame = {
+    def fullEpochs(w: Double): Int = {
+      require(w >= 0, s"negative mixture weight: $w")
+      math.floor(w).toInt
+    }
+    def fracThreshold(w: Double): Int =
+      math.floor((w - math.floor(w)) * 65536).toInt
+    val full = weights.foldLeft(lit(fullEpochs(defaultWeight))) {
+      case (acc, (src, w)) =>
+        when(col("source") === src, fullEpochs(w)).otherwise(acc)
+    }
+    val thr = weights.foldLeft(lit(fracThreshold(defaultWeight))) {
+      case (acc, (src, w)) =>
+        when(col("source") === src, fracThreshold(w)).otherwise(acc)
+    }
+    val saltedHex = md5(concat(col("doc_id").cast("string"), lit(":"),
+      col("epoch").cast("string")))
+    documents
+      .select(col("doc_id"), col("source"),
+        full.as("_full"), thr.as("_thr"))
+      // epochs 0.._full inclusive: the last is the fractional candidate
+      .withColumn("epoch", explode(sequence(lit(0), col("_full"))))
+      .filter(col("epoch") < col("_full") ||
+        conv(substring(saltedHex, 1, 4), 16, 10).cast("int") < col("_thr"))
+      .select(col("doc_id"), col("source"),
+        col("epoch").cast("int").as("epoch"),
+        conv(substring(saltedHex, 1, 8), 16, 10).cast("long").as("order_key"))
+  }
+
   /** Per-source corpus report ("data card"): document/token totals and
     * quality aggregates per source — the summary table every corpus
     * release ships with. One hash-agg exchange carrying |sources| rows
@@ -825,5 +878,62 @@ object TextAnalysis {
             org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
           lit(0)).cast("long"))
       .withColumn("pack_id", (col("token_offset") / budget).cast("long"))
+  }
+
+  /** GREEDY sequence packing — the padding-style twin of
+    * [[sequencePack]]: documents never straddle packs and no pack
+    * exceeds `budget` tokens (a doc longer than the budget gets a
+    * singleton pack). Greedy first-fit in doc_id order: a doc joins the
+    * current pack if it fits, else opens the next — the packing used
+    * when examples must stay contiguous (instruction tuning, contrastive
+    * pairs) rather than flow across context windows.
+    *
+    * Packing scope is (source, shard): `shards` splits each source by a
+    * deterministic md5 gate on doc_id (same 1/65536 hash family as
+    * [[weightedSample]]), because a greedy pack sequence is inherently
+    * serial — per-source-only scope caps parallelism at |sources| and
+    * makes one task walk a whole source. Shards multiply the parallelism
+    * `shards`× at the cost of at most one under-filled pack per extra
+    * shard (bounded, documented waste). Pack ids are LOCAL to their
+    * (source, shard) group.
+    *
+    * Scale: ONE exchange on the (source, shard) grouping key, then a
+    * streaming per-partition scan carrying only (id, source, shard,
+    * n_tokens) — text never shuffles, state is three scalars. The greedy
+    * recurrence (remaining-space feedback) is not expressible as a
+    * window aggregate, which is why this is the engine's one sanctioned
+    * `mapPartitions` outside codec IO.
+    */
+  def greedyPack(documents: DataFrame, budget: Int = 512,
+      shards: Int = 4): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val shard =
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % shards).as("shard")
+    documents
+      .select(col("doc_id").cast("long"), col("source"), shard,
+        size(tokens(col("text"))).cast("int").as("n_tokens"))
+      .as[(Long, String, Int, Int)]
+      .repartition(col("source"), col("shard"))
+      .sortWithinPartitions("source", "shard", "doc_id")
+      .mapPartitions { it =>
+        // partitions hold whole (source, shard) groups, sorted — groups
+        // are contiguous, so three scalars of running state suffice
+        var curSrc: String = null
+        var curShard = -1
+        var packSeq = -1
+        var rem = 0
+        it.map { case (id, src, sh, n) =>
+          if (src != curSrc || sh != curShard) {
+            curSrc = src; curShard = sh; packSeq = -1; rem = 0
+          }
+          if (packSeq < 0 || n > rem) { packSeq += 1; rem = budget }
+          rem -= n
+          (id, src, sh, n, packSeq)
+        }
+      }
+      .toDF("doc_id", "source", "shard", "n_tokens", "pack_seq")
   }
 }

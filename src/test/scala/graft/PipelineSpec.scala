@@ -408,6 +408,76 @@ class PipelineSpec extends SparkSpec {
     assert(keep.toSet === again.toSet)
   }
 
+  test("mixtureResample: integer weights replicate exactly, fractions gate " +
+      "the last epoch, deterministic") {
+    import spark.implicits._
+    val d = (1L to 400L).map(i => (i, "text", "en", s"src${i % 4}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val weights = Map("src0" -> 0.0, "src1" -> 3.0, "src2" -> 2.5)
+    val out = TextAnalysis.mixtureResample(d, weights, defaultWeight = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val bySrc = out.groupBy(_._2)
+    // weight 0 → gone; integer weight w → exactly w epochs of EVERY doc
+    assert(!bySrc.contains("src0"))
+    assert(bySrc("src1").length === 300)
+    assert(bySrc("src1").groupBy(_._1).forall(_._2.map(_._3).sorted.toSeq
+      == Seq(0, 1, 2)))
+    assert(bySrc("src3").length === 100) // default 1.0: one epoch each
+    assert(bySrc("src3").forall(_._3 == 0))
+    // 2.5: epochs 0,1 complete (200 rows), epoch 2 is a ~0.5 hash sample
+    val src2 = bySrc("src2")
+    assert(src2.count(_._3 < 2) === 200)
+    val frac = src2.count(_._3 == 2)
+    assert(frac > 25 && frac < 75)
+    // deterministic: same call, same multiset
+    val again = TextAnalysis.mixtureResample(d, weights, defaultWeight = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.sorted.toSeq === again.sorted.toSeq)
+    // order_key is a pure function of (doc_id, epoch): the two epochs of
+    // one doc get different keys (epoch salt), reruns agree
+    val keys = TextAnalysis.mixtureResample(d, weights)
+      .select("doc_id", "epoch", "order_key").collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(keys((5L, 0)) !== keys((5L, 1)))
+  }
+
+  test("greedyPack: packs respect the budget, oversized docs get " +
+      "singletons, greedy within (source, shard)") {
+    import spark.implicits._
+    // token counts: doc i has i tokens (1..30) in one source, one shard
+    val d = (1L to 30L)
+      .map(i => (i, (1L to i).map(t => s"w$t").mkString(" "), "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.greedyPack(d, budget = 20, shards = 1)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(3), r.getInt(4))).sortBy(_._1)
+    assert(out.map(_._1).toSeq === (1L to 30L))
+    val byPack = out.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    // every multi-doc pack within budget; oversized docs (n > 20) alone
+    out.groupBy(_._3).foreach { case (p, docs) =>
+      if (docs.length > 1) assert(byPack(p) <= 20,
+        s"pack $p overflows: ${docs.mkString(",")}")
+      else if (docs.head._2 > 20) assert(docs.length === 1)
+    }
+    // greedy: doc_id order is preserved into nondecreasing pack ids, and
+    // a new pack only opens when the doc did not fit the previous one
+    val seqs = out.map(_._3)
+    assert(seqs.zip(seqs.tail).forall { case (a, b) => b == a || b == a + 1 })
+    out.zip(out.tail).foreach { case ((_, _, p1), (_, n2, p2)) =>
+      if (p2 == p1 + 1 && n2 <= 20)
+        assert(byPack(p1) + n2 > 20, s"pack $p1 had room for next doc")
+    }
+    // sharded run: pack ids are local per shard, all docs still assigned
+    val sharded = TextAnalysis.greedyPack(d, budget = 20, shards = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(4)))
+    assert(sharded.map(_._1).sorted.toSeq === (1L to 30L))
+    assert(sharded.map(_._2).distinct.sorted.toSeq.forall(s => s >= 0 && s < 3))
+    // deterministic
+    val again = TextAnalysis.greedyPack(d, budget = 20, shards = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(4)))
+    assert(sharded.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("tokenRarity: common-token docs score high, rare-token docs low") {
     val d = docs(
       1L -> "the the the the", // 'the' freq 5 → mean 5

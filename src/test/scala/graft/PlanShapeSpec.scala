@@ -79,6 +79,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("graft_term_counts"), s"native TF missing:\n$plan")
   }
 
+  test("mixture resample (t27): zero exchanges — a narrow explode") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.pipeline.TextAnalysis.mixtureResample(docs,
+      Map("src1" -> 2.5, "src2" -> 0.25)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"t27 must be a pure projection+explode, no shuffle:\n$plan")
+    assert(plan.contains("Generate explode"), s"epoch explode missing:\n$plan")
+  }
+
   test("token rarity (t16): occurrences pre-aggregate per doc, never shuffle raw") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = graft.pipeline.TextAnalysis.tokenRarity(docs)
