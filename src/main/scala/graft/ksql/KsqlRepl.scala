@@ -59,7 +59,15 @@ object KsqlRepl {
     * statements executed.
     */
   def run(engine: KsqlEngine, in: BufferedReader, out: PrintStream,
-      interactive: Boolean): Int = {
+      interactive: Boolean): Int =
+    run(stmt => engine.execute(stmt), in, out, interactive)
+
+  /** Engine-agnostic loop: `exec` is the batch engine's converged-state
+    * evaluation or the streaming engine's changelog drain — the REPL only
+    * owns statement framing and rendering.
+    */
+  def run(exec: KsqlStatement => Option[DataFrame], in: BufferedReader,
+      out: PrintStream, interactive: Boolean): Int = {
     var executed = 0
     val buf = new StringBuilder
     var done = false
@@ -82,7 +90,7 @@ object KsqlRepl {
             buf.clear(); buf.append(rest)
             stmts.foreach { s =>
               try {
-                engine.execute(KsqlParser.parse(s)) match {
+                exec(KsqlParser.parse(s)) match {
                   case Some(df) => out.println(formatTable(df))
                   case None => // DDL/INSERT: silent success, like the CLI's
                                // terse acks — keeps piped output golden-clean
@@ -136,12 +144,24 @@ object KsqlRepl {
         KsqlEngine.jdbcConnectorProvider _
       else (s: SparkSession, _: Map[String, String]) =>
         graft.streaming.Tutorial.playersSeed(s)
-    val engine = new KsqlEngine(spark, connectorProvider = provider)
     val interactive = System.console() != null
     if (interactive)
       println("graft ksql — statements end with ';', 'exit' leaves")
-    run(engine, new BufferedReader(new InputStreamReader(System.in)),
-      System.out, interactive)
+    val in = new BufferedReader(new InputStreamReader(System.in))
+    // GRAFT_REPL_ENGINE=streaming runs push queries as live Structured
+    // Streaming jobs and prints the emitted CHANGELOG (every update since
+    // the query started) instead of the batch engine's converged state
+    if (sys.env.get("GRAFT_REPL_ENGINE").contains("streaming")) {
+      val engine = new KsqlStreamingEngine(spark,
+        connectorProvider = provider)
+      try run(stmt => engine.execute(stmt).map { h =>
+          h.processAllAvailable(); h.emissions
+        }, in, System.out, interactive)
+      finally engine.stopAll()
+    } else {
+      val engine = new KsqlEngine(spark, connectorProvider = provider)
+      run(engine, in, System.out, interactive)
+    }
     spark.stop()
   }
 }

@@ -71,6 +71,34 @@ class KsqlReplSpec extends SparkSpec {
     }
   }
 
+  test("streaming mode prints the emitted changelog, not just state") {
+    val e = new graft.ksql.KsqlStreamingEngine(spark,
+      connectorProvider = (s, _) => Tutorial.playersSeed(s))
+    val outBuf = new ByteArrayOutputStream()
+    val out = new PrintStream(outBuf, true, "UTF-8")
+    val script =
+      """CREATE STREAM repl_ev (id VARCHAR KEY, event_type VARCHAR,
+        |  player_id VARCHAR, home boolean) WITH (KAFKA_TOPIC='repl_ev');
+        |INSERT INTO repl_ev VALUES ('1', 'GOAL', '1', true);
+        |INSERT INTO repl_ev VALUES ('1', 'GOAL', '2', false);
+        |SELECT id, count(id) AS n FROM repl_ev GROUP BY id EMIT CHANGES;
+        |INSERT INTO repl_ev VALUES ('1', 'SAVE', '3', true);
+        |SELECT id, count(id) AS n FROM repl_ev GROUP BY id EMIT CHANGES;
+        |""".stripMargin
+    val n = try KsqlRepl.run(
+      stmt => e.execute(stmt).map { h => h.processAllAvailable(); h.emissions },
+      new BufferedReader(new StringReader(script)), out, interactive = false)
+    finally e.stopAll()
+    assert(n === 6)
+    val txt = new String(outBuf.toByteArray, StandardCharsets.UTF_8)
+    // first query's changelog converges at 2; the second (fresh stream
+    // replay, all three inserts in its first batch) at 3
+    assert(txt.contains(
+      "|1                           |2                           |"))
+    assert(txt.contains(
+      "|1                           |3                           |"))
+  }
+
   test("multi-line statements complete only at the semicolon") {
     val (n1, _) = replay("SHOW\n") // unterminated: never executes
     assert(n1 === 0)
