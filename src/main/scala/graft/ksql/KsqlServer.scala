@@ -1,0 +1,172 @@
+package graft.ksql
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** The REST plane: a minimal HTTP listener over [[KsqlEngine]] — the
+  * engine's analogue of the ksqlDB server the reference's CLI connects to
+  * (`ksql http://ksqldb-server:8088`, reference README.md:30-33;
+  * `files/ksqldb-server/ksql-server.properties:1` `listeners=...8088`).
+  * Built on the JDK's own `com.sun.net.httpserver` — no dependencies.
+  *
+  * Endpoints (ksqlDB-shaped, simplified):
+  *  - `POST /ksql` with body `{"ksql": "<statements>"}` → a JSON array,
+  *    one object per `;`-terminated statement: `{"statement": …,
+  *    "columns": […], "rows": [[…]]}` for queries/SHOW, `{"statement":…,
+  *    "status": "SUCCESS"}` for DDL/INSERT, `{"statement":…, "error":…}`
+  *    for rejections (the session continues — same contract as the CLI).
+  *  - `GET /info` → engine identification, like ksqlDB's server info.
+  *
+  * Statements execute against ONE engine instance (the server IS the
+  * session, as in ksqlDB): handlers serialize on it, so concurrent
+  * clients see a consistent catalog. Execution semantics are the batch
+  * engine's converged states; the live-changelog plane is
+  * [[KsqlStreamingEngine]] / the streaming REPL mode.
+  */
+object KsqlServer {
+
+  // ---- minimal JSON (no deps) ---------------------------------------
+
+  private[graft] def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < 0x20 => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def jsonValue(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => b.toString
+    case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
+    case d: Double => if (d.isNaN || d.isInfinite) s""""$d"""" else d.toString
+    case f: Float => jsonValue(f.toDouble)
+    case bd: java.math.BigDecimal => bd.toPlainString
+    case other => s""""${jsonEscape(other.toString)}""""
+  }
+
+  /** Extract the string value of `"ksql"` from a JSON object body —
+    * a real tokenizer for the one field we need (quotes and escapes in
+    * the statement text must survive; a regex would not).
+    */
+  private[graft] def extractKsqlField(body: String): Option[String] = {
+    val keyIdx = body.indexOf("\"ksql\"")
+    if (keyIdx < 0) return None
+    var i = body.indexOf(':', keyIdx + 6)
+    if (i < 0) return None
+    i += 1
+    while (i < body.length && body.charAt(i).isWhitespace) i += 1
+    if (i >= body.length || body.charAt(i) != '"') return None
+    i += 1
+    val sb = new StringBuilder
+    while (i < body.length && body.charAt(i) != '"') {
+      body.charAt(i) match {
+        case '\\' if i + 1 < body.length =>
+          body.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 'u' if i + 5 < body.length =>
+              sb.append(Integer.parseInt(body.substring(i + 2, i + 6), 16)
+                .toChar); i += 6
+            case c => sb.append(c); i += 2
+          }
+        case c => sb.append(c); i += 1
+      }
+    }
+    if (i >= body.length) None else Some(sb.result())
+  }
+
+  private def resultJson(statement: String, df: Option[DataFrame]): String =
+    df match {
+      case Some(d) =>
+        val cols = d.columns.map(c => s""""${jsonEscape(c.toUpperCase)}"""")
+          .mkString("[", ",", "]")
+        val rows = d.collect().map(_.toSeq.map(jsonValue)
+            .mkString("[", ",", "]"))
+          .mkString("[", ",", "]")
+        s"""{"statement":${jsonValue(statement)},"columns":$cols,"rows":$rows}"""
+      case None =>
+        s"""{"statement":${jsonValue(statement)},"status":"SUCCESS"}"""
+    }
+
+  /** Start a server bound to `port` (0 = ephemeral; read the bound port
+    * off the returned server). The caller owns the engine's lifecycle.
+    */
+  def start(engine: KsqlEngine, port: Int): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type",
+        "application/json; charset=utf-8")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+
+    server.createContext("/ksql", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        if (ex.getRequestMethod != "POST") {
+          respond(ex, 405, """{"error":"use POST"}"""); return
+        }
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        extractKsqlField(body) match {
+          case None =>
+            respond(ex, 400, """{"error":"body must be {\"ksql\": \"...\"}"}""")
+          case Some(script) =>
+            // one engine = one session; serialize statement execution so
+            // concurrent clients observe a consistent catalog
+            val results = engine.synchronized {
+              KsqlParser.splitStatements(script).map { s =>
+                try resultJson(s, engine.execute(KsqlParser.parse(s)))
+                catch { case e: Exception =>
+                  s"""{"statement":${jsonValue(s)},""" +
+                    s""""error":${jsonValue(e.getMessage)}}"""
+                }
+              }
+            }
+            respond(ex, 200, results.mkString("[", ",", "]"))
+        }
+      } catch { case e: Exception =>
+        respond(ex, 500, s"""{"error":${jsonValue(e.getMessage)}}""")
+      } finally ex.close()
+    })
+
+    server.createContext("/info", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        respond(ex, 200,
+          """{"KsqlServerInfo":{"version":"graft","kafkaClusterId":"n/a",""" +
+            """"ksqlServiceId":"graft_spark_"}}""")
+      } finally ex.close()
+    })
+
+    server.start()
+    server
+  }
+
+  def main(args: Array[String]): Unit = {
+    val port = sys.env.getOrElse("GRAFT_KSQL_PORT", "8088").toInt
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .appName("graft-ksql-server")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val provider =
+      if (sys.env.get("GRAFT_REPL_JDBC").contains("1"))
+        KsqlEngine.jdbcConnectorProvider _
+      else (s: SparkSession, _: Map[String, String]) =>
+        graft.streaming.Tutorial.playersSeed(s)
+    val engine = new KsqlEngine(spark, connectorProvider = provider)
+    val server = start(engine, port)
+    println(s"graft ksql server listening on " +
+      s"http://localhost:${server.getAddress.getPort} (POST /ksql)")
+    Thread.currentThread().join() // serve until killed
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.ksql.{KsqlEngine, KsqlServer}
+import graft.streaming.Tutorial
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+/** The REST plane (reference README.md:30-33: the CLI connects to the
+  * ksqlDB server over HTTP): the tutorial must be drivable with nothing
+  * but POSTs to /ksql, and the server must survive the script's
+  * intentionally-invalid statement the way the real server does.
+  */
+class KsqlServerSpec extends SparkSpec {
+
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val conn = new URI(s"http://localhost:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/json")
+    val os = conn.getOutputStream
+    try os.write(body.getBytes(StandardCharsets.UTF_8)) finally os.close()
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val text = try new String(is.readAllBytes(), StandardCharsets.UTF_8)
+      finally is.close()
+    (code, text)
+  }
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val conn = new URI(s"http://localhost:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    val code = conn.getResponseCode
+    val text = new String(conn.getInputStream.readAllBytes(),
+      StandardCharsets.UTF_8)
+    (code, text)
+  }
+
+  private def jsonBody(script: String): String =
+    s"""{"ksql": "${KsqlServer.jsonEscape(script)}"}"""
+
+  test("the tutorial drives end-to-end over POST /ksql") {
+    val engine = new KsqlEngine(spark,
+      connectorProvider = (s, _) => Tutorial.playersSeed(s))
+    val server = KsqlServer.start(engine, 0)
+    val port = server.getAddress.getPort
+    try {
+      val (c0, info) = get(port, "/info")
+      assert(c0 === 200 && info.contains("KsqlServerInfo"))
+
+      val script = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/reference/files/ksqldb-cli/all.sql")),
+        "UTF-8")
+      val (c1, out1) = post(port, "/ksql", jsonBody(script))
+      assert(c1 === 200)
+      // the script's invalid aggregation errors inline, execution continues
+      assert(out1.contains("MISSING_AGGREGATION"))
+      assert(out1.contains(""""status":"SUCCESS""""))
+
+      // query the converged state built by the script (README.md:413-420)
+      val (c2, out2) = post(port, "/ksql",
+        jsonBody("SELECT * FROM player_stats EMIT CHANGES;"))
+      assert(c2 === 200)
+      assert(out2.contains(""""columns":["PLAYER_ID","PLAYER_NAME","NATIONALITY","GOALS","AVG_GOALS","ASSISTS"]"""))
+      assert(out2.contains("""["1","Lionel Messi","Argentinian",1,0.5,2]"""))
+      assert(out2.contains("""["2","Cristiano Ronaldo","Portuguese",1,1.0,0]"""))
+
+      // malformed body → 400, wrong method → 405; server stays up
+      assert(post(port, "/ksql", """{"nope": 1}""")._1 === 400)
+      val (c3, _) = get(port, "/info")
+      assert(c3 === 200)
+    } finally server.stop(0)
+  }
+
+  test("json escaping survives quotes, backslashes, and control chars") {
+    import spark.implicits._
+    val engine = new KsqlEngine(spark,
+      connectorProvider = (s, _) => Tutorial.playersSeed(s))
+    val server = KsqlServer.start(engine, 0)
+    val port = server.getAddress.getPort
+    try {
+      val (c, out) = post(port, "/ksql",
+        jsonBody("""SET 'a' = 'quote " and tab	here';""" + "\n" +
+          "SHOW TOPICS;"))
+      assert(c === 200)
+      assert(out.contains(""""status":"SUCCESS""""))
+    } finally server.stop(0)
+  }
+}
