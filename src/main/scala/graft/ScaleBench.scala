@@ -183,12 +183,6 @@ object ScaleBench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val headline = only.fold(Headline)(o => Headline.filter(o))
     val qs = headline.map(n => n -> SparkEntry.queries(n))
-    qs.foreach { case (_, fn) => // warmup pass (JIT, codegen, listings)
-      // NonFatal only: after an OOM/linkage error the JVM is unreliable —
-      // fail the run rather than time a broken process
-      try fn(spark, outDir).count()
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -196,9 +190,28 @@ object ScaleBench {
     // min of `passes` timed runs per query: single-JVM sf10 timings carry
     // multi-second GC spread (observed ±2-3× on identical binaries); the
     // min is the standard allocation-noise-suppressed estimator and is
-    // what the cross-SF ratios are judged on
+    // what the cross-SF ratios are judged on.
+    //
+    // Warmup is PER QUERY, immediately before its timed runs, with a
+    // cache/persist/GC reset between queries — a single global warmup
+    // pass left the JVM carrying every query's checkpoint blocks,
+    // broadcasts, and cache entries before the first timing, and that
+    // pollution inflated unrelated trivial queries ~2-3× in-sweep vs
+    // isolated reruns (measured r10: a1_count_group 1.66 s in-sweep,
+    // 0.40 s isolated on the identical binary). The reset bounds
+    // carry-over so in-sweep ≈ isolated; per-session materialized state
+    // (bucketed tables, IVF index) lives on disk and survives it.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val results = qs.map { case (name, fn) =>
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc() // lets ContextCleaner reap dead broadcasts/checkpoints
+      // warmup (JIT, codegen, listings, per-session ingest builds).
+      // NonFatal only: after an OOM/linkage error the JVM is unreliable —
+      // fail the run rather than time a broken process
+      try fn(spark, outDir).count()
+      catch { case scala.util.control.NonFatal(_) => () }
       val runs = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         val err = try { fn(spark, outDir).count(); None }

@@ -976,16 +976,6 @@ object Dedup {
       if (singleCell) Array.empty[(Long, Array[Float])]
       else Similarity.kmeansCentroids(
         embeddings, centroidEvery, kmeansIters, idCol, vecCol, maxCells)
-    val primaryCol: Column =
-      if (singleCell) lit(0L)
-      else Similarity.cellAssignExpr(cents, col(vecCol))
-    // persisted: the probe explode and the primary side both read it; the
-    // norm rides along so the pair loop is a bare dot product (cosinePre
-    // is bit-identical to the fused kernel)
-    val assigned = embeddings
-      .select(col(idCol).as("_id"), col(vecCol).as("_v"),
-        primaryCol.as("_cell"), gvec.norm(col(vecCol)).as("_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // asymmetric multi-probe over a lightly spilled index: the left side
     // probes its nAssign nearest cells, the right side sits in its spill
     // nearest cells (border vectors dominate the recall loss on isotropic
@@ -994,10 +984,27 @@ object Dedup {
     // absorbs the ≤ 2·spill candidate copies). The exact path
     // (singleCell / nAssign ≤ 1) keeps primary-only on both sides.
     val spilled = !(singleCell || nAssign <= 1) && spill > 1
+    // persisted: both join sides read it; the norm rides along so the
+    // pair loop is a bare dot product (cosinePre is bit-identical to the
+    // fused kernel). When spilled, ONE persisted probe ranking serves
+    // both sides (spill cells = its prefix) — one assignment pass per
+    // row instead of three (see [[Similarity.knnGraph]]).
+    val assigned = embeddings
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        (if (spilled)
+           Similarity.probeCellsExpr(cents, col(vecCol),
+             math.max(nAssign, math.min(spill, cents.length))).as("_probe")
+         else if (singleCell) lit(0L).as("_cell")
+         else Similarity.cellAssignExpr(cents, col(vecCol)).as("_cell")),
+        gvec.norm(col(vecCol)).as("_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l =
       if (singleCell || nAssign <= 1)
         assigned.select(col("_cell"), col("_id").as("a"),
           col("_v").as("_va"), col("_n").as("_na"))
+      else if (spilled) assigned.select(
+        explode(slice(col("_probe"), 1, nAssign)).as("_cell"),
+        col("_id").as("a"), col("_v").as("_va"), col("_n").as("_na"))
       else assigned.select(
         explode(Similarity.probeCellsExpr(cents, col("_v"), nAssign))
           .as("_cell"),
@@ -1007,8 +1014,8 @@ object Dedup {
         assigned.select(col("_cell"), col("_id").as("b"),
           col("_v").as("_vb"), col("_n").as("_nb"))
       else assigned.select(
-        explode(Similarity.probeCellsExpr(cents, col("_v"),
-          math.min(spill, cents.length))).as("_cell"),
+        explode(slice(col("_probe"), 1, math.min(spill, cents.length)))
+          .as("_cell"),
         col("_id").as("b"), col("_v").as("_vb"), col("_n").as("_nb"))
     // shuffle_hash: skip SortMergeJoin's two full sorts on the
     // low-cardinality cell key; non-spilling build side — see the memory

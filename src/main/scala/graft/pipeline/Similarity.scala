@@ -179,24 +179,34 @@ object Similarity {
       if (singleCell) Array.empty[(Long, Array[Float])]
       else kmeansCentroids(embeddings, centroidEvery, kmeansIters,
         idCol, vecCol, maxCells)
-    val primaryCol: Column =
-      if (singleCell) lit(0L) else cellAssignExpr(cents, col(vecCol))
-    // persisted: the probe explode and the primary side both read it.
-    // The vector norm rides along (computed ONCE per row here), so the
-    // pair loop below does only a dot product per candidate — 1/3 the
-    // arithmetic of the fused cosine kernel, bit-identical result.
-    val assigned = embeddings
-      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"),
-        primaryCol.as("_cell"), gvec.norm(col(vecCol)).as("_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // query side probes its nAssign nearest cells; index side sits in its
     // spill nearest cells (asymmetric multi-probe — see scaladoc). The
     // exact path (singleCell / nAssign ≤ 1) keeps primary-only both sides.
     val spilled = !(singleCell || nAssign <= 1) && spill > 1
+    // persisted: both join sides read it. The vector norm rides along
+    // (computed ONCE per row here), so the pair loop below does only a
+    // dot product per candidate — 1/3 the arithmetic of the fused cosine
+    // kernel, bit-identical result. When spilled, the ONE persisted
+    // probe ranking serves both sides (the spill cells are its prefix —
+    // same ranking, searched at least as widely as a direct spill-sized
+    // probe), replacing three per-row assignment passes (unused primary
+    // + l probe + r probe) with one.
+    val assigned = embeddings
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"),
+        (if (spilled)
+           probeCellsExpr(cents, col(vecCol),
+             math.max(nAssign, math.min(spill, cents.length))).as("_probe")
+         else if (singleCell) lit(0L).as("_cell")
+         else cellAssignExpr(cents, col(vecCol)).as("_cell")),
+        gvec.norm(col(vecCol)).as("_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l =
       if (singleCell || nAssign <= 1)
         assigned.select(col("_cell"), col("_id").as("query_id"),
           col("_v").as("_qv"), col("_n").as("_qn"))
+      else if (spilled) assigned.select(
+        explode(slice(col("_probe"), 1, nAssign)).as("_cell"),
+        col("_id").as("query_id"), col("_v").as("_qv"), col("_n").as("_qn"))
       else assigned.select(
         explode(probeCellsExpr(cents, col("_v"), nAssign)).as("_cell"),
         col("_id").as("query_id"), col("_v").as("_qv"), col("_n").as("_qn"))
@@ -205,8 +215,8 @@ object Similarity {
         assigned.select(col("_cell"), col("_id").as("neighbor_id"),
           col("_v").as("_cv"), col("_n").as("_cn"))
       else assigned.select(
-        explode(probeCellsExpr(cents, col("_v"),
-          math.min(spill, cents.length))).as("_cell"),
+        explode(slice(col("_probe"), 1, math.min(spill, cents.length)))
+          .as("_cell"),
         col("_id").as("neighbor_id"), col("_v").as("_cv"), col("_n").as("_cn"))
     // shuffle_hash: the cell key has ~corpus/occupancy distinct values —
     // low cardinality over millions of wide rows is SortMergeJoin's worst
