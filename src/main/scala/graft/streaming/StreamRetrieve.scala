@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.pipeline.Similarity
+import org.apache.spark.sql.DataFrame
+
+/** Continuous retrieval — the SERVING shape of the materialized IVF
+  * index: a stream of query vectors probes the index per micro-batch and
+  * each query's top-k lands exactly once. This closes the index's
+  * lifecycle triangle: [[graft.pipeline.Similarity.buildIvfIndex]] builds,
+  * [[graft.pipeline.Similarity.streamIntoIvfIndex]] keeps it growing, and
+  * this loop serves it — all three runnable CONCURRENTLY (each batch
+  * re-reads the index path, so ingested vectors become retrievable at the
+  * next batch boundary; a probe overlapping an ingest install sees the
+  * loud-or-correct boundary documented in SCALE.md, and the ledger
+  * replays the batch).
+  *
+  * Per batch: the probed cell set prunes index partitions before any I/O
+  * (the [[graft.pipeline.Similarity.ivfCosineTopKIndexed]] plan — only
+  * ~nProbe/nCells of the index files are read per batch, independent of
+  * corpus size), so per-batch cost tracks the BATCH times the probe
+  * fan-out, never the index. Results append exactly once via
+  * [[graft.engine.BatchLedger.stagedLanding]] — a crash on either side of
+  * the marker replays the batch or completes the pending install.
+  */
+object StreamRetrieve {
+
+  def retrievalLoop(queries: DataFrame, indexPath: String,
+      centroids: Array[(Long, Array[Float])], outPath: String,
+      checkpointDir: String, k: Int = 5, nProbe: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.engine.BatchLedger.stagedLanding(batch.sparkSession,
+          s"$checkpointDir/graft_ledger", batchId) { st =>
+          // materialize=true: the probe relation persists inside the
+          // indexed query and is freed once the k-bounded result lands —
+          // without it each batch would leak one cached relation
+          Similarity.ivfCosineTopKIndexed(batch.sparkSession, indexPath,
+            centroids, batch, k, nProbe, idCol, vecCol)
+            .write.mode("overwrite").parquet(st.appendInto(outPath))
+        }
+        ()
+      }
+      .start()
+}

@@ -352,6 +352,51 @@ class PipelineSpec extends SparkSpec {
       }
   }
 
+  test("streaming retrieval: per-batch top-k matches the batch probe, " +
+      "exactly once, and sees mid-stream ingest") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val corpus = base.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_serve").toString
+    val centroids = Similarity.buildIvfIndex(corpus, s"$dir/index",
+      centroidEvery = 10)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamRetrieve.retrievalLoop(
+      input.toDF().toDF("vec_id", "embedding"), s"$dir/index", centroids,
+      s"$dir/out", s"$dir/ckpt", k = 3)
+    try {
+      // batch 1: two of the corpus's own vectors as queries
+      val qs1 = Seq(base(5), base(17))
+      input.addData(qs1: _*)
+      q.processAllAvailable()
+      val got1 = spark.read.parquet(s"$dir/out")
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want1 = Similarity.ivfCosineTopKIndexed(spark, s"$dir/index",
+        centroids, qs1.toDF("vec_id", "embedding"), k = 3)
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got1 === want1)
+      // mid-stream ingest: a near-twin of query 5 lands in the index …
+      Similarity.appendToIvfIndex(s"$dir/index", centroids,
+        Seq((999L, base(5)._2.map(_ * 1.001f))).toDF("vec_id", "embedding"))
+      // … and the NEXT batch's probe retrieves it at rank 1
+      input.addData(base(5))
+      q.processAllAvailable()
+      val afterIngest = spark.read.parquet(s"$dir/out")
+        .filter(col("neighbor_id") === 999L).collect()
+      assert(afterIngest.nonEmpty)
+      // exactly once: draining with no new data appends nothing
+      val n = spark.read.parquet(s"$dir/out").count()
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/out").count() === n)
+    } finally q.stop()
+  }
+
   test("bigramLift: a fixed collocation scores above independent pairs") {
     // 'new york' always adjacent (collocation); 'a b' co-occur by chance
     val collocated = Seq.fill(10)("new york").mkString(" filler ")
