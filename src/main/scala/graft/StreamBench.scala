@@ -127,6 +127,104 @@ object StreamBench {
       s""""big_over_small":${f"${bigLat.sum / smallLat.sum}%.3f"}}""")
   }
 
+  /** Replicated embeddings corpus: vec_ids offset by the ScaleBench
+    * stride; every 16th coordinate (rotating per replica) bumped by a
+    * replica-scaled constant so replicas are DISTINCT directions to
+    * cosine — exact copies would collapse onto duplicate k-means
+    * centroids and make the grown index's cell structure degenerate
+    * rather than 21× wider.
+    */
+  private def replicatedEmbeddings(spark: SparkSession, sfDir: String,
+      replicas: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding"))
+    val rep = broadcast(spark.createDataset(replicas)(
+      org.apache.spark.sql.Encoders.scalaInt).toDF("_r"))
+    emb.crossJoin(rep).select(
+      (col("vec_id") + col("_r") * ScaleBench.Stride).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(pmod(i + col("_r"), lit(16)) === 0,
+          x + col("_r").cast("float") * lit(0.003f)).otherwise(x))
+        .as("embedding"))
+  }
+
+  /** Scaled-retrieval benchmark (runs with the scaled-ingest mode): serve
+    * the SAME query feed from (a) an IVF index over `replicas`× the
+    * embeddings corpus and (b) a 1× control, each under two snapshot
+    * policies — `refresh` (re-resolve the index every batch: maximum
+    * freshness, pays the directory listing per batch) and `pinned`
+    * (resolve once: the steady-state serving position). The index's
+    * occupancy cap (`centroidEvery`) makes cell COUNT, not cell size,
+    * absorb corpus growth, and each batch's probed-cell filter prunes
+    * partitions before any I/O — so the PINNED ratio isolates the
+    * data-plane claim (per-batch cost tracks batch × probe fan-out, not
+    * index size: `pinned_big_over_small` near 1) while the refresh ratio
+    * measures what per-batch freshness costs: a metadata term linear in
+    * cell count, amortized 1/N by `refreshEvery = N`.
+    */
+  private def scaledRetrieval(spark: SparkSession, sfDir: String,
+      replicas: Int, nBatches: Int, batchRows: Int): Unit = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feed = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy("vec_id").limit(nBatches * batchRows)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    // (indexRows, cells, buildSec, refreshLat, pinnedLat)
+    def run(tag: String, nRep: Int):
+        (Long, Int, Double, Seq[Double], Seq[Double]) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_scaledretr_$tag").toString
+      val corpus = replicatedEmbeddings(spark, sfDir, 0 until nRep)
+      val t0 = System.nanoTime()
+      val centroids = graft.pipeline.Similarity
+        .buildIvfIndex(corpus, s"$dir/ivfindex")
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val indexRows = spark.read.parquet(s"$dir/ivfindex").count()
+      def serve(policy: String, refreshEvery: Int): Seq[Double] = {
+        val input = MemoryStream[(Long, Array[Float])]
+        val q = graft.streaming.StreamRetrieve.retrievalLoop(
+          input.toDF().toDF("vec_id", "embedding"), s"$dir/ivfindex",
+          centroids, s"$dir/topk_$policy", s"$dir/ckpt_$policy",
+          refreshEvery = refreshEvery)
+        try {
+          feed.grouped(batchRows).take(nBatches).map { rows =>
+            val b0 = System.nanoTime()
+            input.addData(rows.toIndexedSeq: _*)
+            q.processAllAvailable()
+            (System.nanoTime() - b0) / 1e9
+          }.toSeq
+        } finally q.stop()
+      }
+      (indexRows, centroids.length, buildSec,
+        serve("refresh", 1), serve("pinned", Int.MaxValue))
+    }
+
+    val (smallRows, smallCells, smallBuild, smallRef, smallPin) =
+      run("small", 1)
+    val (bigRows, bigCells, bigBuild, bigRef, bigPin) =
+      run("big", replicas)
+    def arr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val fed = math.min(feed.length, nBatches * batchRows)
+    def side(rows: Long, cells: Int, build: Double, ref: Seq[Double],
+        pin: Seq[Double]): String =
+      s"""{"index_rows":$rows,"cells":$cells,""" +
+      s""""index_build_sec":${f"$build%.1f"},""" +
+      s""""refresh_latency_sec":${arr(ref)},""" +
+      s""""refresh_records_per_sec":${f"${fed / ref.sum}%.1f"},""" +
+      s""""pinned_latency_sec":${arr(pin)},""" +
+      s""""pinned_records_per_sec":${f"${fed / pin.sum}%.1f"}}"""
+    println(
+      s"""{"metric":"stream_retrieval_scaled","sf":"$sfDir",""" +
+      s""""batch_rows":$batchRows,"batches":${bigRef.size},""" +
+      s""""big":${side(bigRows, bigCells, bigBuild, bigRef, bigPin)},""" +
+      s""""small":${side(smallRows, smallCells, smallBuild, smallRef, smallPin)},""" +
+      s""""refresh_big_over_small":${f"${bigRef.sum / smallRef.sum}%.3f"},""" +
+      s""""pinned_big_over_small":${f"${bigPin.sum / smallPin.sum}%.3f"}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
@@ -150,7 +248,14 @@ object StreamBench {
     val scaledReplicas =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALED_REPLICAS", "0").toInt
     if (scaledReplicas > 0) {
-      scaledIngest(spark, sfDir, scaledReplicas, nBatches, batchRows)
+      // _SCALED_MODE selects a subset (ingest|retrieval|both) so each
+      // section can be regenerated without re-running the other
+      val mode =
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALED_MODE", "both")
+      if (mode != "retrieval")
+        scaledIngest(spark, sfDir, scaledReplicas, nBatches, batchRows)
+      if (mode != "ingest")
+        scaledRetrieval(spark, sfDir, scaledReplicas, nBatches, batchRows)
       spark.stop()
       return
     }
@@ -260,6 +365,26 @@ object StreamBench {
     val momentN = graft.streaming.StreamMoments
       .readState(spark, s"$dir/mstate").map(_._1).getOrElse(0L)
 
+    // ---- 5. continuous retrieval ------------------------------------
+    // serving position: query batches probe the materialized IVF index
+    // (partition-pruned), top-k lands exactly once; latency must track
+    // the batch × probe fan-out, never the index
+    val centroids = graft.pipeline.Similarity.buildIvfIndex(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), s"$dir/ivfindex")
+    val rinput = MemoryStream[(Long, Array[Float])]
+    val rq = graft.streaming.StreamRetrieve.retrievalLoop(
+      rinput.toDF().toDF("vec_id", "embedding"), s"$dir/ivfindex",
+      centroids, s"$dir/topk", s"$dir/rckpt")
+    val retrLat = try {
+      efeed.grouped(batchRows).take(nBatches).map { rows =>
+        val t0 = System.nanoTime()
+        rinput.addData(rows.toIndexedSeq: _*)
+        rq.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }.toSeq
+    } finally rq.stop()
+    val topkRows = spark.read.parquet(s"$dir/topk").count()
+
     def arr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val ingestRps = fed / ingestLat.sum
@@ -288,7 +413,12 @@ object StreamBench {
       s""""latency_sec":${arr(momentLat)},""" +
       s""""records_per_sec":${f"${momentN / momentLat.sum}%.1f"},""" +
       s""""last3_over_first3":${f"${trend(momentLat)}%.3f"},""" +
-      s""""vectors_ingested":$momentN}}""")
+      s""""vectors_ingested":$momentN},""" +
+      s""""retrieval":{"batch_rows":$batchRows,"batches":${retrLat.size},""" +
+      s""""latency_sec":${arr(retrLat)},""" +
+      s""""records_per_sec":${f"${math.min(efeed.length, nBatches * batchRows) / retrLat.sum}%.1f"},""" +
+      s""""last3_over_first3":${f"${trend(retrLat)}%.3f"},""" +
+      s""""topk_rows":$topkRows}}""")
     spark.stop()
   }
 }

@@ -595,8 +595,27 @@ object Similarity {
       indexPath: String, centroids: Array[(Long, Array[Float])],
       queries: DataFrame, k: Int = 5, nProbe: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
+      materialize: Boolean = true): DataFrame =
+    ivfCosineTopKSnapshot(spark.read.parquet(indexPath), centroids,
+      queries, k, nProbe, idCol, vecCol, materialize)
+
+  /** [[ivfCosineTopKIndexed]] against an already-RESOLVED index relation.
+    * Resolving `spark.read.parquet(indexPath)` lists every `cell_id=`
+    * directory, and that listing is the one per-query cost that grows
+    * with the index's CELL COUNT rather than the probe fan-out (measured:
+    * the dominant term of the 21×-index serving slope in
+    * STREAMBENCH_r10's `scaled_retrieval`). A caller that serves many
+    * query batches resolves once and passes the snapshot here — new
+    * appends stay invisible until the next resolve (snapshot semantics;
+    * compaction under a pinned snapshot hits the loud-or-correct
+    * missing-file boundary, see SCALE.md) — making the steady-state
+    * per-batch cost pure probe work, independent of index size.
+    */
+  def ivfCosineTopKSnapshot(assigned: DataFrame,
+      centroids: Array[(Long, Array[Float])],
+      queries: DataFrame, k: Int = 5, nProbe: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
       materialize: Boolean = true): DataFrame = {
-    val assigned = spark.read.parquet(indexPath)
     val probed = probedCellsOf(centroids, queries, nProbe, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // queries are index-build-small: their probed cell set collects to a

@@ -17,32 +17,58 @@ import org.apache.spark.sql.DataFrame
   * Per batch: the probed cell set prunes index partitions before any I/O
   * (the [[graft.pipeline.Similarity.ivfCosineTopKIndexed]] plan — only
   * ~nProbe/nCells of the index files are read per batch, independent of
-  * corpus size), so per-batch cost tracks the BATCH times the probe
-  * fan-out, never the index. Results append exactly once via
-  * [[graft.engine.BatchLedger.stagedLanding]] — a crash on either side of
-  * the marker replays the batch or completes the pending install.
+  * corpus size), so the DATA-plane cost per batch tracks the BATCH times
+  * the probe fan-out, never the index. The METADATA plane — re-listing
+  * the index's `cell_id=` directories to resolve the scan — grows with
+  * cell count, and `refreshEvery` is its amortization lever: the index
+  * snapshot is re-resolved every `refreshEvery` batches (1 = every batch,
+  * the maximum-freshness default; N = ingested vectors become retrievable
+  * within N batches, listing cost paid 1/N as often — the serving-SLA
+  * trade measured in STREAMBENCH_r10 `scaled_retrieval`). Results append
+  * exactly once via [[graft.engine.BatchLedger.stagedLanding]] — a crash
+  * on either side of the marker replays the batch or completes the
+  * pending install (the snapshot var resets on restart: first batch
+  * after recovery always re-resolves).
   */
 object StreamRetrieve {
 
   def retrievalLoop(queries: DataFrame, indexPath: String,
       centroids: Array[(Long, Array[Float])], outPath: String,
       checkpointDir: String, k: Int = 5, nProbe: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"):
-      org.apache.spark.sql.streaming.StreamingQuery =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      refreshEvery: Int = 1):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    require(refreshEvery >= 1, s"refreshEvery must be >= 1: $refreshEvery")
+    var snapshot: DataFrame = null
+    var sinceRefresh = 0
     queries.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.engine.BatchLedger.stagedLanding(batch.sparkSession,
-          s"$checkpointDir/graft_ledger", batchId) { st =>
-          // materialize=true: the probe relation persists inside the
-          // indexed query and is freed once the k-bounded result lands —
-          // without it each batch would leak one cached relation
-          Similarity.ivfCosineTopKIndexed(batch.sparkSession, indexPath,
-            centroids, batch, k, nProbe, idCol, vecCol)
-            .write.mode("overwrite").parquet(st.appendInto(outPath))
+        if (snapshot == null || sinceRefresh >= refreshEvery) {
+          snapshot = batch.sparkSession.read.parquet(indexPath)
+          sinceRefresh = 0
+        }
+        sinceRefresh += 1
+        try {
+          graft.engine.BatchLedger.stagedLanding(batch.sparkSession,
+            s"$checkpointDir/graft_ledger", batchId) { st =>
+            // materialize=true: the probe relation persists inside the
+            // indexed query and is freed once the k-bounded result lands —
+            // without it each batch would leak one cached relation
+            Similarity.ivfCosineTopKSnapshot(snapshot,
+              centroids, batch, k, nProbe, idCol, vecCol)
+              .write.mode("overwrite").parquet(st.appendInto(outPath))
+          }
+        } catch { case e: Throwable =>
+          // a compaction swap under a pinned snapshot surfaces as a loud
+          // missing-file error (SCALE.md boundary); drop the snapshot so
+          // the stream's batch retry re-resolves instead of re-failing
+          snapshot = null
+          throw e
         }
         ()
       }
       .start()
+  }
 }

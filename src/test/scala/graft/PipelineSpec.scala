@@ -397,6 +397,43 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming retrieval: a pinned snapshot serves steady-state and " +
+      "hides appends until refresh") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(12)
+    val base = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val corpus = base.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pin").toString
+    val centroids = Similarity.buildIvfIndex(corpus, s"$dir/index",
+      centroidEvery = 10)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamRetrieve.retrievalLoop(
+      input.toDF().toDF("vec_id", "embedding"), s"$dir/index", centroids,
+      s"$dir/out", s"$dir/ckpt", k = 3, refreshEvery = Int.MaxValue)
+    try {
+      input.addData(base(7))
+      q.processAllAvailable()
+      // an append lands in the index AFTER the snapshot resolved …
+      Similarity.appendToIvfIndex(s"$dir/index", centroids,
+        Seq((999L, base(7)._2.map(_ * 1.001f))).toDF("vec_id", "embedding"))
+      input.addData(base(7))
+      q.processAllAvailable()
+      // … and the pinned loop must NOT see it (snapshot semantics): the
+      // twin would be rank 1 under refresh, absent under pin
+      val pinned = spark.read.parquet(s"$dir/out")
+        .filter(col("neighbor_id") === 999L).count()
+      assert(pinned === 0L, "pinned snapshot leaked a post-resolve append")
+      // the same query through a fresh resolve DOES see it
+      val fresh = Similarity.ivfCosineTopKIndexed(spark, s"$dir/index",
+        centroids, Seq(base(7)).toDF("vec_id", "embedding"), k = 3)
+        .filter(col("neighbor_id") === 999L).count()
+      assert(fresh === 1L)
+    } finally q.stop()
+  }
+
   test("bigramLift: a fixed collocation scores above independent pairs") {
     // 'new york' always adjacent (collocation); 'a b' co-occur by chance
     val collocated = Seq.fill(10)("new york").mkString(" filler ")

@@ -474,4 +474,46 @@ class PropertySpec extends SparkSpec {
     assert(Kernels.cosinePre(z, v, Kernels.norm(z), Kernels.norm(v)) === 0.0)
     assert(Kernels.cosine(z, v) === 0.0)
   }
+
+  test("greedyPack matches the serial greedy reference on random corpora") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    (1 to 5).foreach { iter =>
+      val nDocs = 30 + rnd.nextInt(120)
+      val budget = 8 + rnd.nextInt(40)
+      val shards = 1 + rnd.nextInt(3)
+      val docs = (1L to nDocs.toLong).map { i =>
+        // token counts spanning under- and over-budget docs
+        val n = 1 + rnd.nextInt(budget * 2)
+        (i, (1 to n).map(t => s"w$t").mkString(" "), "en",
+          s"src${rnd.nextInt(3)}")
+      }
+      val df = docs.toDF("doc_id", "text", "lang", "source")
+      val got = graft.pipeline.TextAnalysis.greedyPack(df, budget, shards)
+        .collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getInt(2), r.getInt(3),
+          r.getInt(4)))).toMap
+      // serial reference: same md5 shard gate, greedy walk per group in
+      // doc_id order
+      def shardOf(id: Long): Int = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(4)
+        (java.lang.Long.parseLong(hex, 16) % shards).toInt
+      }
+      val expected = docs
+        .map { case (id, text, _, src) =>
+          (id, src, shardOf(id), text.split("\\s+").length) }
+        .groupBy { case (_, src, sh, _) => (src, sh) }
+        .flatMap { case (_, group) =>
+          var packSeq = -1; var rem = 0
+          group.sortBy(_._1).map { case (id, src, sh, n) =>
+            if (packSeq < 0 || n > rem) { packSeq += 1; rem = budget }
+            rem -= n
+            (id, (src, sh, n, packSeq))
+          }
+        }.toMap
+      assert(got === expected, s"iter=$iter budget=$budget shards=$shards")
+    }
+  }
 }
