@@ -152,8 +152,18 @@ object KsqlRepl {
     // Streaming jobs and prints the emitted CHANGELOG (every update since
     // the query started) instead of the batch engine's converged state
     if (sys.env.get("GRAFT_REPL_ENGINE").contains("streaming")) {
+      // GRAFT_CONNECTOR_POLL_MS=<n> makes `mode=incrementing` connectors
+      // POLL continuously (a rate-source tick every n ms) — database
+      // inserts reach running push queries, the reference's live-Connect
+      // behavior. Unset = snapshot connectors, as before.
+      val live = sys.env.get("GRAFT_CONNECTOR_POLL_MS").map { ms =>
+        LivePolling(
+          () => spark.readStream.format("rate")
+            .option("rowsPerSecond", math.max(1, 1000 / ms.toInt)).load(),
+          java.nio.file.Files.createTempDirectory("graft_repl_live").toString)
+      }
       val engine = new KsqlStreamingEngine(spark,
-        connectorProvider = provider)
+        connectorProvider = provider, livePolling = live)
       try run(stmt => engine.execute(stmt).map { h =>
           h.processAllAvailable(); h.emissions
         }, in, System.out, interactive)

@@ -1,6 +1,7 @@
 package graft.ksql
 
 import graft.engine.TableOps
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -43,10 +44,21 @@ final case class PushHandle(spark: SparkSession, name: String,
   * EXPLAIN, DROP, TERMINATE) live on [[KsqlEngine]]; submitting one here
   * fails with a clear unsupported-statement error.
   */
+/** Enables LIVE `CREATE SOURCE CONNECTOR` execution: a connector declared
+  * with `mode=incrementing` starts a real [[graft.engine.Sources.jdbcPollingSource]]
+  * loop instead of taking a one-shot snapshot. `ticks` is a factory for
+  * the pacing stream — one fresh streaming DataFrame per connector
+  * (production: `spark.readStream.format("rate")` at the poll interval;
+  * tests: a MemoryStream advanced deterministically); `root` is where
+  * each connector's topic landing + checkpoint live.
+  */
+final case class LivePolling(ticks: () => DataFrame, root: String)
+
 class KsqlStreamingEngine(
     val spark: SparkSession,
     connectorProvider: (SparkSession, Map[String, String]) => DataFrame =
-      KsqlEngine.jdbcConnectorProvider) extends KsqlTranslator {
+      KsqlEngine.jdbcConnectorProvider,
+    livePolling: Option[LivePolling] = None) extends KsqlTranslator {
 
   graft.functions.GraftFunctions.registerAll(spark)
   spark.udf.register("graft_exact_count_distinct",
@@ -81,6 +93,18 @@ class KsqlStreamingEngine(
     * collected to the driver; a 100 TB snapshot stays distributed.
     */
   private val topics = mutable.LinkedHashMap.empty[String, DataFrame]
+  /** Live connector-fed topics: topic → landing dir (appended by the
+    * connector's polling loop, consumed as a file-streaming source).
+    */
+  private val liveTopics = mutable.LinkedHashMap.empty[String, String]
+  private val pollers = mutable.ArrayBuffer.empty[StreamingQuery]
+  /** Stream decls bound to live topics: no MemoryStream, no INSERT —
+    * records arrive from the database through the polling loop only.
+    */
+  private case class LiveStreamDecl(name: String, cols: Seq[ColumnDef],
+      topic: String)
+  private val liveStreamDecls =
+    mutable.LinkedHashMap.empty[String, LiveStreamDecl]
   private val streamDecls = mutable.LinkedHashMap.empty[String, StreamDecl]
   private val tableDecls = mutable.LinkedHashMap.empty[String, TableDecl]
   private val derivedKinds = mutable.LinkedHashMap.empty[String, String]
@@ -132,11 +156,13 @@ class KsqlStreamingEngine(
 
   protected def kindOf(name: String): Option[String] =
     streamDecls.get(name.toLowerCase).map(_ => "STREAM")
+      .orElse(liveStreamDecls.get(name.toLowerCase).map(_ => "STREAM"))
       .orElse(tableDecls.get(name.toLowerCase).map(_ => "TABLE"))
       .orElse(derivedKinds.get(name.toLowerCase))
 
   protected def viewColumns(name: String): Seq[String] =
     streamDecls.get(name.toLowerCase).map(_.cols.map(_.name))
+      .orElse(liveStreamDecls.get(name.toLowerCase).map(_.cols.map(_.name)))
       .orElse(tableDecls.get(name.toLowerCase).map(_.cols.map(_.name)))
       .getOrElse(spark.table(name).columns.toSeq
         .filterNot(c => c == "_offset" || c == "_rowtime"))
@@ -162,16 +188,62 @@ class KsqlStreamingEngine(
     case SetProperty(_, _) => None
 
     case CreateConnector(_, props) =>
-      val df = connectorProvider(spark, props)
       val topic = props.getOrElse("topic.prefix", "") +
         props.getOrElse("table.whitelist",
           throw new IllegalArgumentException("connector needs table.whitelist"))
-      val schema = StructType(df.schema.fields.toSeq :+
-        StructField("_offset", LongType, nullable = false))
-      val indexed = df.rdd.zipWithIndex().map { case (r, i) =>
-        Row.fromSeq(r.toSeq :+ i)
+      livePolling match {
+        case Some(lp) if props.get("mode").contains("incrementing") =>
+          // LIVE connector: start the real polling loop; the topic is its
+          // landing directory, consumed below as a file-streaming source.
+          // Matches the reference's running Connect worker — new database
+          // rows keep arriving while queries run (all.sql:10-12).
+          val landing = s"${lp.root}/$topic/landing"
+          val fs = new Path(landing)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.mkdirs(new Path(landing)) // file source needs the dir to exist
+          val opts = Seq(
+            "user" -> props.get("connection.user"),
+            "password" -> props.get("connection.password"),
+            "driver" -> props.get("connection.driver.class"))
+            .collect { case (k, Some(v)) => k -> v }.toMap
+          pollers += graft.engine.Sources.jdbcPollingSource(
+            lp.ticks(), props("connection.url"), props("table.whitelist"),
+            props.getOrElse("incrementing.column.name",
+              throw new IllegalArgumentException(
+                "mode=incrementing needs incrementing.column.name")),
+            landing, s"${lp.root}/$topic/ckpt", opts)
+          liveTopics(topic) = landing
+        case _ =>
+          val df = connectorProvider(spark, props)
+          val schema = StructType(df.schema.fields.toSeq :+
+            StructField("_offset", LongType, nullable = false))
+          val indexed = df.rdd.zipWithIndex().map { case (r, i) =>
+            Row.fromSeq(r.toSeq :+ i)
+          }
+          topics(topic) = spark.createDataFrame(indexed, schema)
       }
-      topics(topic) = spark.createDataFrame(indexed, schema)
+      None
+
+    case CreateCollection("STREAM", name, cols, props)
+        if liveTopics.contains(
+          props.getOrElse("KAFKA_TOPIC", props.getOrElse("kafka_topic", ""))) =>
+      // stream over a LIVE topic: the view reads the landing as a file
+      // stream through the same wire decode as a MemoryStream topic —
+      // rows INSERTed into the database surface here continuously
+      val topic =
+        props.getOrElse("KAFKA_TOPIC", props.getOrElse("kafka_topic", ""))
+      val wire = spark.readStream
+        .schema(StructType(Seq(StructField("value", StringType),
+          StructField("_offset", LongType))))
+        .parquet(liveTopics(topic))
+      val valueSchema =
+        StructType(cols.map(c => StructField(c.name, c.dataType)))
+      withRowtime(wire
+        .select(from_json(col("value"), valueSchema).as("_v"), col("_offset"))
+        .select(cols.map(c => col(s"_v.${c.name}").as(c.name)) :+
+          col("_offset"): _*))
+        .createOrReplaceTempView(name)
+      liveStreamDecls(name.toLowerCase) = LiveStreamDecl(name, cols, topic)
       None
 
     case CreateCollection("STREAM", name, cols, _) =>
@@ -203,6 +275,9 @@ class KsqlStreamingEngine(
       None
 
     case InsertValues(target, columns, values) =>
+      require(!liveStreamDecls.contains(target.toLowerCase),
+        s"$target is connector-fed: rows arrive from the database " +
+          "through the polling loop, not INSERT")
       val d = streamDecls.getOrElse(target.toLowerCase,
         throw new NoSuchElementException(s"unknown stream $target"))
       val order = columns.getOrElse(d.cols.map(_.name))
@@ -280,8 +355,14 @@ class KsqlStreamingEngine(
 
   def stopAll(): Unit = {
     handles.foreach(h => if (h.query.isActive) h.stop())
+    pollers.foreach(p => if (p.isActive) p.stop())
     streamDecls.values.foreach(pruneDead)
   }
+
+  /** Block until every live connector has polled all pending ticks —
+    * deterministic test synchronization (production loops just run).
+    */
+  def drainConnectors(): Unit = pollers.foreach(_.processAllAvailable())
 
   /** Live MemoryStream attachments backing `stream` — operational
     * introspection. Bounded by the number of ACTIVE push queries (+1 for
