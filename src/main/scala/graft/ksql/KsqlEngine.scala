@@ -153,7 +153,9 @@ class KsqlEngine(
       topic.rows += Row.fromSeq(converted :+ off :+ rowtime(off))
       None
 
-    case PushQuery(select) =>
+    case PushQuery(select, _) =>
+      // batch re-evaluation sees the complete log, so every window is
+      // already final — EMIT FINAL and EMIT CHANGES converge here
       refreshViews()
       Some(upperCased(spark.sql(translateSelect(select))))
 

@@ -20,7 +20,12 @@ final case class CreateAsSelect(kind: String, name: String,
   extends KsqlStatement
 final case class InsertValues(target: String, columns: Option[Seq[String]],
     values: Seq[String]) extends KsqlStatement
-final case class PushQuery(select: String) extends KsqlStatement
+/** A bare SELECT. `emitFinal` = the query ended in `EMIT FINAL`
+  * (windowed final results — each window emitted once, on close) rather
+  * than `EMIT CHANGES` / nothing.
+  */
+final case class PushQuery(select: String, emitFinal: Boolean = false)
+  extends KsqlStatement
 final case class ShowCommand(what: String) extends KsqlStatement
 final case class DescribeCommand(name: String) extends KsqlStatement
 final case class ExplainCommand(select: String) extends KsqlStatement
@@ -104,7 +109,8 @@ object KsqlParser {
       case e if e.toUpperCase.matches("(?s)EXPLAIN\\s.*") =>
         ExplainCommand(e.substring(7).trim)
       case sel if sel.toUpperCase.startsWith("SELECT") =>
-        PushQuery(sel.replaceAll("(?is)\\s+EMIT\\s+CHANGES\\s*$", ""))
+        PushQuery(sel.replaceAll("(?is)\\s+EMIT\\s+(CHANGES|FINAL)\\s*$", ""),
+          sel.matches("(?is).*\\sEMIT\\s+FINAL\\s*$"))
       case other =>
         throw new IllegalArgumentException(
           s"unsupported KSQL statement: ${other.take(80)}")

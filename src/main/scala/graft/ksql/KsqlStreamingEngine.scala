@@ -144,6 +144,29 @@ class KsqlStreamingEngine(
   private def pruneDead(d: StreamDecl): Unit =
     d.attached.filterInPlace(_.owner.forall(_.isActive))
 
+  /** (Re-)register a live-topic stream view: the landing consumed as a
+    * file-streaming source through the same wire decode as a MemoryStream
+    * topic. Unlike MemoryStream attachments, a file source is freely
+    * shared — each push query tracks its own file offsets — so re-attach
+    * isolation is unnecessary; re-registration only toggles the watermark
+    * (same zero-delay exactness argument as [[attachStream]]).
+    */
+  private def registerLiveView(d: LiveStreamDecl,
+      watermarked: Boolean = false): Unit = {
+    val wire = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType),
+        StructField("_offset", LongType))))
+      .parquet(liveTopics(d.topic))
+    val valueSchema =
+      StructType(d.cols.map(c => StructField(c.name, c.dataType)))
+    val base = withRowtime(wire
+      .select(from_json(col("value"), valueSchema).as("_v"), col("_offset"))
+      .select(d.cols.map(c => col(s"_v.${c.name}").as(c.name)) :+
+        col("_offset"): _*))
+    (if (watermarked) base.withWatermark("_rowtime", "0 seconds") else base)
+      .createOrReplaceTempView(d.name)
+  }
+
   /** Re-register derived (CSAS/CTAS) views against the current stream
     * views, in declaration order.
     */
@@ -232,18 +255,9 @@ class KsqlStreamingEngine(
       // rows INSERTed into the database surface here continuously
       val topic =
         props.getOrElse("KAFKA_TOPIC", props.getOrElse("kafka_topic", ""))
-      val wire = spark.readStream
-        .schema(StructType(Seq(StructField("value", StringType),
-          StructField("_offset", LongType))))
-        .parquet(liveTopics(topic))
-      val valueSchema =
-        StructType(cols.map(c => StructField(c.name, c.dataType)))
-      withRowtime(wire
-        .select(from_json(col("value"), valueSchema).as("_v"), col("_offset"))
-        .select(cols.map(c => col(s"_v.${c.name}").as(c.name)) :+
-          col("_offset"): _*))
-        .createOrReplaceTempView(name)
-      liveStreamDecls(name.toLowerCase) = LiveStreamDecl(name, cols, topic)
+      val d = LiveStreamDecl(name, cols, topic)
+      liveStreamDecls(name.toLowerCase) = d
+      registerLiveView(d)
       None
 
     case CreateCollection("STREAM", name, cols, _) =>
@@ -298,7 +312,7 @@ class KsqlStreamingEngine(
       d.attached.foreach(_.input.addData((json, off)))
       None
 
-    case PushQuery(select) =>
+    case PushQuery(select, emitFinal) =>
       // isolate this query: fresh source streams (buffer replayed) so
       // concurrent queries never share a MemoryStream's commit state.
       // Drop dead AND stale-unowned attachments first — only streams
@@ -308,13 +322,23 @@ class KsqlStreamingEngine(
       // (+ watermark): sessions have no static bounds, so the changelog
       // form ksqlDB emits per update is undefined until the watermark
       // closes the session — closed sessions ARE the append rows.
-      // derived from the translator's structural (literal-masked) WINDOW
-      // parse — the flag and the translation can never disagree
+      // EMIT FINAL asks for exactly that contract on ANY window shape —
+      // each window once, when the watermark closes it — so it routes
+      // through the same append+watermark path; on an unwindowed
+      // aggregation there is no close event, so it is refused (as in
+      // ksqlDB). windowKind comes from the translator's structural
+      // (literal-masked) WINDOW parse — the flag and the translation can
+      // never disagree
       val sessionWindowed = windowKind(select).contains("SESSION")
+      require(!emitFinal || windowKind(select).isDefined,
+        "EMIT FINAL requires a WINDOW clause (finals exist per window)")
+      val appendFinals = sessionWindowed || emitFinal
       streamDecls.values.foreach { d =>
         d.attached.filterInPlace(a => a.owner.exists(_.isActive))
-        attachStream(d, watermarked = sessionWindowed)
+        attachStream(d, watermarked = appendFinals)
       }
+      liveStreamDecls.values
+        .foreach(registerLiveView(_, watermarked = appendFinals))
       refreshDerived()
       val df = spark.sql(translate(select))
       val aggregated = select.toUpperCase.contains("GROUP BY")
@@ -323,7 +347,7 @@ class KsqlStreamingEngine(
       val upper = df.toDF(df.columns.map(_.toUpperCase).toIndexedSeq: _*)
       val q = upper.writeStream.format("memory").queryName(name)
         .outputMode(
-          if (aggregated && !sessionWindowed) OutputMode.Update()
+          if (aggregated && !appendFinals) OutputMode.Update()
           else OutputMode.Append())
         .start()
       // the fresh attachments (the only unowned ones left) belong to this

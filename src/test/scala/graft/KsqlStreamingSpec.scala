@@ -165,6 +165,50 @@ class KsqlStreamingSpec extends SparkSpec {
     } finally h.stop()
   }
 
+  test("EMIT FINAL: each tumbling window emitted once, on close") {
+    val e = freshEngine
+    ddl(e)
+    val base = 1577836800000L // the engines' rowtime epoch, millis
+    val h = e.execute(
+      """SELECT id, WINDOWSTART ws, COUNT(id) n FROM match_event
+        WINDOW TUMBLING (SIZE 2 SECONDS) GROUP BY id EMIT FINAL;""").get
+    try {
+      def closed = h.emissions.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // canonical events: ids 1,1,1,1,2,2,2 at rowtimes 0..6 s →
+      // windows [0,2) id1 n=2, [2,4) id1 n=2, [4,6) id2 n=2, [6,8) id2
+      // n=1 (open: watermark is 6)
+      insert(e, Tutorial.canonicalEvents)
+      h.processAllAvailable()
+      val afterSeven = closed
+      assert(afterSeven.toSet.subsetOf(Set(
+        ("1", base, 2L), ("1", base + 2000, 2L), ("2", base + 4000, 2L))))
+      assert(afterSeven.toSet.contains(("1", base, 2L)))
+      assert(afterSeven.toSet.contains(("1", base + 2000, 2L)))
+      // two later events (rowtimes 7,8 s) advance the watermark to 8:
+      // [4,6) and [6,8) close; [8,10) (id 9's second event) stays open
+      insert(e, Seq(Tutorial.MatchEvent("9", "GOAL", "1", true),
+        Tutorial.MatchEvent("9", "GOAL", "1", true)))
+      h.processAllAvailable()
+      assert(closed.toSet === Set(
+        ("1", base, 2L), ("1", base + 2000, 2L), ("2", base + 4000, 2L),
+        ("2", base + 6000, 1L), ("9", base + 6000, 1L)))
+      // ONCE: finals never re-emit — no duplicate (id, window) rows
+      val perWindow = closed.groupBy(r => (r._1, r._2)).values.map(_.length)
+      assert(perWindow.forall(_ === 1))
+    } finally h.stop()
+  }
+
+  test("EMIT FINAL without a WINDOW clause is refused") {
+    val e = freshEngine
+    ddl(e)
+    val err = intercept[IllegalArgumentException] {
+      e.execute(
+        "SELECT id, COUNT(id) n FROM match_event GROUP BY id EMIT FINAL;")
+    }
+    assert(err.getMessage.contains("WINDOW"))
+  }
+
   test("'WINDOW SESSION' inside a string literal does not switch emission mode") {
     val e = freshEngine
     ddl(e)

@@ -20,7 +20,7 @@ class KsqlTutorialSpec extends SparkSpec {
     val e = engine
     val results = e.executeScript(script)
     val queries = results.collect {
-      case StatementResult(PushQuery(_), Some(df), None) => df
+      case StatementResult(PushQuery(_, _), Some(df), None) => df
     }
     // all.sql contains 5 push queries; the 5th (all.sql:100-125) selects
     // p.name while grouping only by p.id — invalid in ksqlDB too (the
