@@ -222,8 +222,11 @@ object Sources {
       landingPath: String,
       checkpointDir: String,
       options: Map[String, String] = Map.empty,
-      startFrom: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery =
-    ticks.writeStream
+      // first start polls EVERY existing row (Connect's incrementing-mode
+      // contract) — ids at or below an assumed floor must not be skipped
+      startFrom: Long = Long.MinValue,
+      pollEveryMs: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = ticks.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (tick: DataFrame, batchId: Long) =>
@@ -244,12 +247,24 @@ object Sources {
           col(incrementingCol).cast("long").as("_offset"))
         graft.engine.BatchLedger.stagedLanding(spark,
           s"$checkpointDir/graft_ledger", batchId) { st =>
-          // empty polls write no files (the common idle tick must not
-          // accrete empty parquet parts in the landing)
-          if (!wire.isEmpty)
-            wire.write.mode("overwrite").parquet(st.appendInto(landingPath))
+          // ONE database query per poll: stage unconditionally, then drop
+          // the staging dir if the poll was empty — installAppend skips a
+          // missing source, so idle ticks land nothing and the common
+          // caught-up case never accretes empty parquet parts
+          val staged = st.appendInto(landingPath)
+          wire.write.mode("overwrite").parquet(staged)
+          if (spark.read.parquet(staged).isEmpty) {
+            val p = new org.apache.hadoop.fs.Path(staged)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          }
         }
         ()
       }
+    pollEveryMs
+      .map(ms => writer.trigger(
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(ms)))
+      .getOrElse(writer)
       .start()
+  }
 }

@@ -153,9 +153,14 @@ class KsqlEngine(
       topic.rows += Row.fromSeq(converted :+ off :+ rowtime(off))
       None
 
-    case PushQuery(select, _) =>
+    case PushQuery(select, emitFinal) =>
       // batch re-evaluation sees the complete log, so every window is
-      // already final — EMIT FINAL and EMIT CHANGES converge here
+      // already final — EMIT FINAL and EMIT CHANGES converge here; the
+      // validity rule still applies (finals exist per window), so the
+      // same statement never succeeds here and fails on the streaming
+      // engine
+      require(!emitFinal || windowKind(select).isDefined,
+        "EMIT FINAL requires a WINDOW clause (finals exist per window)")
       refreshViews()
       Some(upperCased(spark.sql(translateSelect(select))))
 

@@ -88,9 +88,12 @@ object KsqlParser {
       case SetRe(k, v) => SetProperty(k, v)
       case ConnectorRe(name, props) => CreateConnector(name, parseProps(props))
       case CreateAsRe(kind, name, props, select0) =>
-        // strip EMIT CHANGES (the reference's last CTAS carries it) and a
-        // trailing PARTITION BY re-key (CSAS form, all.sql:45-51)
-        var select = select0.replaceAll("(?is)\\s+EMIT\\s+CHANGES\\s*$", "").trim
+        // strip EMIT CHANGES/FINAL (the reference's last CTAS carries
+        // CHANGES; a CTAS is re-derived on read, so its windows converge
+        // to finals either way) and a trailing PARTITION BY re-key
+        // (CSAS form, all.sql:45-51)
+        var select = select0
+          .replaceAll("(?is)\\s+EMIT\\s+(CHANGES|FINAL)\\s*$", "").trim
         val pby = PartitionByRe.r.findFirstMatchIn(select).map(_.group(1))
         if (pby.isDefined) select = select.replaceAll(PartitionByRe, "")
         CreateAsSelect(kind.toUpperCase, name, parseProps(props), select, pby)

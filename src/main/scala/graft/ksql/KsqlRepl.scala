@@ -156,11 +156,16 @@ object KsqlRepl {
       // POLL continuously (a rate-source tick every n ms) — database
       // inserts reach running push queries, the reference's live-Connect
       // behavior. Unset = snapshot connectors, as before.
-      val live = sys.env.get("GRAFT_CONNECTOR_POLL_MS").map { ms =>
+      val live = sys.env.get("GRAFT_CONNECTOR_POLL_MS").map { msStr =>
+        val ms = msStr.toLong
+        require(ms > 0, s"GRAFT_CONNECTOR_POLL_MS must be positive: $msStr")
+        // cadence comes from the TRIGGER (pollEveryMs), not the tick row
+        // rate — one poll per micro-batch regardless of rows per batch
         LivePolling(
           () => spark.readStream.format("rate")
-            .option("rowsPerSecond", math.max(1, 1000 / ms.toInt)).load(),
-          java.nio.file.Files.createTempDirectory("graft_repl_live").toString)
+            .option("rowsPerSecond", 1).load(),
+          java.nio.file.Files.createTempDirectory("graft_repl_live").toString,
+          pollEveryMs = Some(ms))
       }
       val engine = new KsqlStreamingEngine(spark,
         connectorProvider = provider, livePolling = live)

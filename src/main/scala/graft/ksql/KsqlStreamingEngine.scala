@@ -50,9 +50,14 @@ final case class PushHandle(spark: SparkSession, name: String,
   * the pacing stream — one fresh streaming DataFrame per connector
   * (production: `spark.readStream.format("rate")` at the poll interval;
   * tests: a MemoryStream advanced deterministically); `root` is where
-  * each connector's topic landing + checkpoint live.
+  * each connector's topic landing + checkpoint live. `pollEveryMs` caps
+  * the poll cadence via the query trigger — the correct lever for "poll
+  * the database every N ms" (a slower tick ROW rate still polls once per
+  * micro-batch, so rate-source row counts alone cannot slow polling
+  * below one per batch).
   */
-final case class LivePolling(ticks: () => DataFrame, root: String)
+final case class LivePolling(ticks: () => DataFrame, root: String,
+    pollEveryMs: Option[Long] = None)
 
 class KsqlStreamingEngine(
     val spark: SparkSession,
@@ -82,6 +87,7 @@ class KsqlStreamingEngine(
   private case class Attachment(input: MemoryStream[(String, Long)],
       var owner: Option[StreamingQuery])
   private case class StreamDecl(name: String, cols: Seq[ColumnDef],
+      topic: String,
       buffer: mutable.ArrayBuffer[(String, Long)],
       attached: mutable.ArrayBuffer[Attachment])
   private case class TableDecl(name: String, cols: Seq[ColumnDef],
@@ -124,15 +130,30 @@ class KsqlStreamingEngine(
     * from the topic offset, so event time is monotone by construction —
     * nothing is ever late.
     */
+  /** Decode a `(value json, _offset)` wire DataFrame — the one topic
+    * shape shared by MemoryStream logs, live polling landings, and the
+    * Kafka path — into the declared columns + `_rowtime`. `jsonKey` maps
+    * a declared column name to its JSON key: identity for INSERT-fed
+    * topics (INSERT writes keys in declared case), `toLowerCase` for
+    * JDBC-polled topics (the poller lower-cases the folded-upper
+    * identifiers JDBC engines return).
+    */
+  private def wireDecode(wire: DataFrame, cols: Seq[ColumnDef],
+      jsonKey: String => String = identity): DataFrame = {
+    val valueSchema =
+      StructType(cols.map(c => StructField(jsonKey(c.name), c.dataType)))
+    withRowtime(wire
+      .select(from_json(col("value"), valueSchema).as("_v"), col("_offset"))
+      .select(cols.map(c => col(s"_v.${jsonKey(c.name)}").as(c.name)) :+
+        col("_offset"): _*))
+  }
+
   private def attachStream(d: StreamDecl, watermarked: Boolean = false): Unit = {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(String, Long)]
     if (d.buffer.nonEmpty) input.addData(d.buffer.toSeq: _*)
-    val valueSchema = StructType(d.cols.map(c => StructField(c.name, c.dataType)))
-    val base = withRowtime(input.toDF().toDF("value", "_offset")
-      .select(from_json(col("value"), valueSchema).as("_v"), col("_offset"))
-      .select(d.cols.map(c => col(s"_v.${c.name}").as(c.name)) :+ col("_offset"): _*))
+    val base = wireDecode(input.toDF().toDF("value", "_offset"), d.cols)
     (if (watermarked) base.withWatermark("_rowtime", "0 seconds") else base)
       .createOrReplaceTempView(d.name)
     d.attached += Attachment(input, None)
@@ -144,6 +165,9 @@ class KsqlStreamingEngine(
   private def pruneDead(d: StreamDecl): Unit =
     d.attached.filterInPlace(_.owner.forall(_.isActive))
 
+  private val WireSchema = StructType(Seq(StructField("value", StringType),
+    StructField("_offset", LongType)))
+
   /** (Re-)register a live-topic stream view: the landing consumed as a
     * file-streaming source through the same wire decode as a MemoryStream
     * topic. Unlike MemoryStream attachments, a file source is freely
@@ -153,18 +177,36 @@ class KsqlStreamingEngine(
     */
   private def registerLiveView(d: LiveStreamDecl,
       watermarked: Boolean = false): Unit = {
-    val wire = spark.readStream
-      .schema(StructType(Seq(StructField("value", StringType),
-        StructField("_offset", LongType))))
+    val wire = spark.readStream.schema(WireSchema)
       .parquet(liveTopics(d.topic))
-    val valueSchema =
-      StructType(d.cols.map(c => StructField(c.name, c.dataType)))
-    val base = withRowtime(wire
-      .select(from_json(col("value"), valueSchema).as("_v"), col("_offset"))
-      .select(d.cols.map(c => col(s"_v.${c.name}").as(c.name)) :+
-        col("_offset"): _*))
+    val base = wireDecode(wire, d.cols, _.toLowerCase)
     (if (watermarked) base.withWatermark("_rowtime", "0 seconds") else base)
       .createOrReplaceTempView(d.name)
+  }
+
+  /** (Re-)register a TABLE view. Over a static connector snapshot the
+    * base is the captured topic; over a LIVE topic it is a fresh BATCH
+    * read of the polling landing — the dimension reflects every row
+    * polled so far each time it re-registers (at CREATE and before each
+    * push query), so a database insert reaches the next query's
+    * stream–table join without restart. A RUNNING query keeps its
+    * resolve-time snapshot (stream–static join semantics, same contract
+    * as the snapshot path).
+    */
+  private def registerTableView(td: TableDecl): Unit = {
+    val projected = liveTopics.get(td.topic) match {
+      case Some(landing) =>
+        wireDecode(spark.read.schema(WireSchema).parquet(landing),
+          td.cols, _.toLowerCase)
+      case None =>
+        val base = topics.getOrElse(td.topic,
+          throw new NoSuchElementException(s"topic ${td.topic} has no " +
+            "data; streaming tables must be connector-fed"))
+        withRowtime(
+          base.select(td.cols.map(c => col(c.name)) :+ col("_offset"): _*))
+    }
+    TableOps.latestByKey(projected, td.keyCols, "_offset")
+      .createOrReplaceTempView(td.name)
   }
 
   /** Re-register derived (CSAS/CTAS) views against the current stream
@@ -234,8 +276,28 @@ class KsqlStreamingEngine(
             props.getOrElse("incrementing.column.name",
               throw new IllegalArgumentException(
                 "mode=incrementing needs incrementing.column.name")),
-            landing, s"${lp.root}/$topic/ckpt", opts)
+            landing, s"${lp.root}/$topic/ckpt", opts,
+            pollEveryMs = lp.pollEveryMs)
           liveTopics(topic) = landing
+          // a STREAM may legally be declared before its connector (ksqlDB
+          // binds by topic name): rebind any empty pre-declared stream on
+          // this topic to the live landing; one that already holds
+          // INSERTed rows cannot be silently re-sourced — refuse loudly
+          streamDecls.filterInPlace { case (_, d) =>
+            if (d.topic != topic) true
+            else {
+              require(d.buffer.isEmpty && d.attached.forall(_.owner.isEmpty),
+                s"stream ${d.name} already carries INSERTed rows or live " +
+                  s"queries; cannot rebind it to live topic $topic")
+              val live = LiveStreamDecl(d.name, d.cols, topic)
+              liveStreamDecls(d.name.toLowerCase) = live
+              registerLiveView(live)
+              false
+            }
+          }
+          // pre-declared TABLEs on this topic re-point at the landing
+          tableDecls.values.filter(_.topic == topic)
+            .foreach(registerTableView)
         case _ =>
           val df = connectorProvider(spark, props)
           val schema = StructType(df.schema.fields.toSeq :+
@@ -260,8 +322,9 @@ class KsqlStreamingEngine(
       registerLiveView(d)
       None
 
-    case CreateCollection("STREAM", name, cols, _) =>
+    case CreateCollection("STREAM", name, cols, props) =>
       val d = StreamDecl(name, cols,
+        props.getOrElse("KAFKA_TOPIC", props.getOrElse("kafka_topic", name)),
         mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty)
       streamDecls(name.toLowerCase) = d
       attachStream(d) // initial view: CSAS validation + metadata queries
@@ -269,15 +332,9 @@ class KsqlStreamingEngine(
 
     case CreateCollection("TABLE", name, cols, props) =>
       val topic = props.getOrElse("KAFKA_TOPIC", props.getOrElse("kafka_topic", name))
-      val base = topics.getOrElse(topic,
-        throw new NoSuchElementException(s"topic $topic has no data; " +
-          "streaming tables must be connector-fed (static dimension)"))
-      val projected = withRowtime(
-        base.select(cols.map(c => col(c.name)) :+ col("_offset"): _*))
-      val keyCols = cols.filter(_.isKey).map(_.name)
-      TableOps.latestByKey(projected, keyCols, "_offset")
-        .createOrReplaceTempView(name)
-      tableDecls(name.toLowerCase) = TableDecl(name, cols, keyCols, topic)
+      val td = TableDecl(name, cols, cols.filter(_.isKey).map(_.name), topic)
+      registerTableView(td) // throws if no connector (live or snapshot) feeds it
+      tableDecls(name.toLowerCase) = td
       None
 
     case CreateAsSelect(kind, name, _, select, pby) =>
@@ -339,6 +396,10 @@ class KsqlStreamingEngine(
       }
       liveStreamDecls.values
         .foreach(registerLiveView(_, watermarked = appendFinals))
+      // live-topic dimensions re-resolve so rows polled since the last
+      // query join in (stream-static semantics, fresh static side)
+      tableDecls.values.filter(t => liveTopics.contains(t.topic))
+        .foreach(registerTableView)
       refreshDerived()
       val df = spark.sql(translate(select))
       val aggregated = select.toUpperCase.contains("GROUP BY")

@@ -195,4 +195,123 @@ class JdbcSourceSpec extends SparkSpec {
       }
     } finally e.stopAll()
   }
+
+  test("live connector: upper-case declarations decode (JDBC engines " +
+      "fold identifiers up; the wire lower-cases)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    exec(
+      "CREATE TABLE live_up(id INT PRIMARY KEY, name VARCHAR(50))",
+      "INSERT INTO live_up VALUES (1,'jorge'),(2,'fabio')")
+    val root = java.nio.file.Files.createTempDirectory("graft_liveup").toString
+    val ticks = MemoryStream[Int]
+    val e = new graft.ksql.KsqlStreamingEngine(spark,
+      livePolling = Some(graft.ksql.LivePolling(() => ticks.toDF(), root)))
+    try {
+      e.execute(s"""CREATE SOURCE CONNECTOR up_conn WITH (
+        'connection.url' = '$url',
+        'connection.driver.class' = 'org.apache.derby.jdbc.EmbeddedDriver',
+        'mode' = 'incrementing', 'incrementing.column.name' = 'id',
+        'table.whitelist' = 'live_up');""")
+      // ksqlDB-style upper-case declaration must still decode the
+      // lower-cased wire keys — a silent all-NULL decode is the bug
+      e.execute("""CREATE STREAM up_stream (ID INT, NAME VARCHAR)
+        WITH (KAFKA_TOPIC = 'live_up');""")
+      ticks.addData(1); e.drainConnectors()
+      val h = e.execute("SELECT ID, NAME FROM up_stream EMIT CHANGES;").get
+      try {
+        h.processAllAvailable()
+        val got = h.emissions.collect()
+          .map(r => (r.getInt(0), r.getString(1))).toSet
+        assert(got === Set((1, "jorge"), (2, "fabio")))
+      } finally h.stop()
+    } finally e.stopAll()
+  }
+
+  test("live connector: CREATE TABLE over the live topic serves the " +
+      "tutorial's stream-table join, fresh per query") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    exec(
+      "CREATE TABLE live_dim(id INT PRIMARY KEY, name VARCHAR(50), team VARCHAR(50))",
+      "INSERT INTO live_dim VALUES (1,'jorge','valencia'),(2,'fabio','valencia')")
+    val root = java.nio.file.Files.createTempDirectory("graft_livet").toString
+    val ticks = MemoryStream[Int]
+    val e = new graft.ksql.KsqlStreamingEngine(spark,
+      livePolling = Some(graft.ksql.LivePolling(() => ticks.toDF(), root)))
+    try {
+      e.execute(s"""CREATE SOURCE CONNECTOR dim_conn WITH (
+        'connection.url' = '$url',
+        'connection.driver.class' = 'org.apache.derby.jdbc.EmbeddedDriver',
+        'mode' = 'incrementing', 'incrementing.column.name' = 'id',
+        'table.whitelist' = 'live_dim');""")
+      // the all.sql shape: a TABLE over the connector topic (KTable)
+      e.execute("""CREATE TABLE players_dim (
+        id INT PRIMARY KEY, name VARCHAR, team VARCHAR)
+        WITH (KAFKA_TOPIC = 'live_dim');""")
+      e.execute("""CREATE STREAM goals (player_id INT, kind VARCHAR)
+        WITH (KAFKA_TOPIC = 'goals');""")
+      ticks.addData(1); e.drainConnectors()
+      val h1 = e.execute("""SELECT g.kind kind, p.name name FROM goals g
+        JOIN players_dim p ON p.id = g.player_id EMIT CHANGES;""").get
+      try {
+        e.execute("INSERT INTO goals VALUES (1, 'GOAL');")
+        h1.processAllAvailable()
+        assert(h1.emissions.collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet ===
+          Set(("GOAL", "jorge")))
+      } finally h1.stop()
+      // a database insert lands on the next poll and the NEXT query's
+      // dimension resolves it (fresh static side per query)
+      exec("INSERT INTO live_dim VALUES (3,'pedro','sevilla')")
+      ticks.addData(2); e.drainConnectors()
+      val h2 = e.execute("""SELECT g.kind kind, p.name name FROM goals g
+        JOIN players_dim p ON p.id = g.player_id EMIT CHANGES;""").get
+      try {
+        e.execute("INSERT INTO goals VALUES (3, 'ASSIST');")
+        h2.processAllAvailable()
+        assert(h2.emissions.collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet ===
+          Set(("GOAL", "jorge"), ("ASSIST", "pedro")))
+      } finally h2.stop()
+    } finally e.stopAll()
+  }
+
+  test("live connector: a stream declared BEFORE its connector rebinds " +
+      "to the live topic") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    exec(
+      "CREATE TABLE live_pre(id INT PRIMARY KEY, v VARCHAR(10))",
+      "INSERT INTO live_pre VALUES (1,'a'),(2,'b')")
+    val root = java.nio.file.Files.createTempDirectory("graft_livep").toString
+    val ticks = MemoryStream[Int]
+    val e = new graft.ksql.KsqlStreamingEngine(spark,
+      livePolling = Some(graft.ksql.LivePolling(() => ticks.toDF(), root)))
+    try {
+      // ksqlDB binds streams to topics by name: declaration order is free
+      e.execute("""CREATE STREAM pre_stream (id INT, v VARCHAR)
+        WITH (KAFKA_TOPIC = 'live_pre');""")
+      e.execute(s"""CREATE SOURCE CONNECTOR pre_conn WITH (
+        'connection.url' = '$url',
+        'connection.driver.class' = 'org.apache.derby.jdbc.EmbeddedDriver',
+        'mode' = 'incrementing', 'incrementing.column.name' = 'id',
+        'table.whitelist' = 'live_pre');""")
+      ticks.addData(1); e.drainConnectors()
+      val h = e.execute("SELECT id, v FROM pre_stream EMIT CHANGES;").get
+      try {
+        h.processAllAvailable()
+        assert(h.emissions.collect()
+          .map(r => (r.getInt(0), r.getString(1))).toSet ===
+          Set((1, "a"), (2, "b")))
+      } finally h.stop()
+      // and the rebind made it connector-fed: INSERT refused
+      intercept[IllegalArgumentException] {
+        e.execute("INSERT INTO pre_stream VALUES (9, 'x');")
+      }
+    } finally e.stopAll()
+  }
 }

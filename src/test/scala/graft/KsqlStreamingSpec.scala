@@ -207,6 +207,18 @@ class KsqlStreamingSpec extends SparkSpec {
         "SELECT id, COUNT(id) n FROM match_event GROUP BY id EMIT FINAL;")
     }
     assert(err.getMessage.contains("WINDOW"))
+    // the BATCH engine applies the same validity rule — one statement,
+    // one verdict across both planes
+    val be = new graft.ksql.KsqlEngine(spark,
+      connectorProvider = (s, _) => Tutorial.playersSeed(s))
+    be.execute("""CREATE STREAM match_event (
+      id VARCHAR KEY, event_type VARCHAR, player_id VARCHAR, home boolean)
+      WITH (KAFKA_TOPIC='match_event');""")
+    val berr = intercept[IllegalArgumentException] {
+      be.execute(
+        "SELECT id, COUNT(id) n FROM match_event GROUP BY id EMIT FINAL;")
+    }
+    assert(berr.getMessage.contains("WINDOW"))
   }
 
   test("'WINDOW SESSION' inside a string literal does not switch emission mode") {
