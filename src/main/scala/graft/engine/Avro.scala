@@ -28,10 +28,10 @@ import scala.jdk.CollectionConverters._
   */
 object Avro {
 
-  /** The Spark StructType for `path`'s writer schema (read from the first
-    * container file's header — Avro files are self-describing).
+  /** The Avro writer schema of `path`'s first container file (Avro files
+    * are self-describing); the READER schema for [[read]].
     */
-  def schemaOf(spark: SparkSession, path: String): StructType = {
+  private def avroSchemaOf(spark: SparkSession, path: String): Schema = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val first = fs.listStatus(p).map(_.getPath)
@@ -41,19 +41,34 @@ object Avro {
     try {
       val r = new org.apache.avro.file.DataFileStream[GenericRecord](
         in, new GenericDatumReader[GenericRecord]())
-      try toStructType(r.getSchema) finally r.close()
+      try r.getSchema finally r.close()
     } finally in.close()
   }
 
+  /** The Spark StructType for `path`'s writer schema (read from the first
+    * container file's header — Avro files are self-describing).
+    */
+  def schemaOf(spark: SparkSession, path: String): StructType =
+    toStructType(avroSchemaOf(spark, path))
+
   /** Distributed read of an Avro container-file directory. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val struct = schemaOf(spark, path)
+    val avroSchema = avroSchemaOf(spark, path)
+    val struct = toStructType(avroSchema)
     val n = struct.length
+    // set the READER schema on the job: each split resolves its own
+    // file's writer schema against it BY FIELD NAME (Avro schema
+    // resolution), so files whose fields were written in a different
+    // order — schema evolution across a connector-fed directory — decode
+    // into the right columns instead of silently misaligning positionally
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setInputKeySchema(job, avroSchema)
     val rdd = spark.sparkContext.newAPIHadoopFile(
         path,
         classOf[AvroKeyInputFormat[GenericRecord]],
         classOf[AvroKey[GenericRecord]],
-        classOf[NullWritable])
+        classOf[NullWritable],
+        job.getConfiguration)
       // convert straight out of the (reused) Hadoop record before the
       // reader advances — copies live in the Row, never the Avro datum
       .map { case (k, _) =>

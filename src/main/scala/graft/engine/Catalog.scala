@@ -84,5 +84,16 @@ final class Catalog {
       .toDF("name", "kind", "key_columns", "topic")
   }
 
-  private def register(d: CollectionDef): CollectionDef = { defs.put(d.name, d); d }
+  /** Re-registering the SAME KIND under a name is legal (idempotent
+    * re-runs, `createOrReplaceTempView` semantics); silently turning a
+    * STREAM into a TABLE (or back) is not — every reader's semantics
+    * (append vs upsert) would flip under them. ksqlDB rejects the
+    * duplicate outright; the kind flip is the dangerous half.
+    */
+  private def register(d: CollectionDef): CollectionDef = {
+    defs.get(d.name).foreach(prev => require(prev.kind == d.kind,
+      s"collection '${d.name}' already registered as ${prev.kind}; " +
+        s"cannot re-register as ${d.kind} — DROP it first"))
+    defs.put(d.name, d); d
+  }
 }

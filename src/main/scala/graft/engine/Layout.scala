@@ -131,12 +131,16 @@ object Layout {
       tmp.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    // repartition on the BUCKET ID (pmod(murmur3, buckets) — the same
-    // function the bucket writer assigns files by), so every bucket lands
-    // wholly in one task and the writer emits exactly one file per bucket
+    // RANGE-repartition on the BUCKET ID (pmod(murmur3, buckets) — the
+    // same function the bucket writer assigns files by): contiguous id
+    // ranges keep every bucket wholly in one task (one file per bucket)
+    // with a near-1:1 bucket→task spread. A hash repartition of the id
+    // would re-hash it (task = murmur3(id) mod n): ~1/e of tasks empty,
+    // others holding 2-3 whole buckets — lost parallelism at exactly the
+    // scale compaction targets.
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val w = spark.table(table)
-      .repartition(buckets, pmod(hash(col(key)), lit(buckets)))
+      .repartitionByRange(buckets, pmod(hash(col(key)), lit(buckets)))
       .write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(tmp)
     spark.sql(s"DROP TABLE `$table`")
@@ -221,6 +225,15 @@ object Layout {
         fs.delete(old, true)
     }
     if (fs.exists(tmp)) fs.delete(tmp, true) // incomplete rewrite, discard
+    // a FileStreamSink output is read through its _spark_metadata commit
+    // log; a directory swap would orphan every logged file (readers see
+    // only post-compact appends) — sink compaction needs a log rewrite,
+    // which is table-format territory. Refuse loudly.
+    require(
+      !fs.exists(new org.apache.hadoop.fs.Path(hadoopPath, "_spark_metadata")),
+      s"compact: $path is a FileStreamSink output (_spark_metadata); " +
+        "swapping directories would orphan the logged files — compact the " +
+        "downstream copy, not the sink")
     // a partitioned dataset rewritten without partitionBy silently loses
     // its directory layout (and with it, partition pruning) — refuse
     // unless the caller re-declares the partitioning
@@ -228,15 +241,26 @@ object Layout {
       .exists(st => st.isDirectory && st.getPath.getName.contains("="))
     require(!looksPartitioned || partitionCols.nonEmpty,
       s"compact: $path is partitioned; pass partitionCols to preserve layout")
-    // partitioned: repartition BY the partition columns so each directory
-    // gets its rows from few tasks (bounded files per dir) — a random
-    // repartition would write up to targetFiles files into EVERY directory
+    // partitioned: RANGE-repartition by (partition cols, data-column salt
+    // mod targetFiles) with an explicit task count. Ranges keep each
+    // directory's rows contiguous (bounded files per dir — at most
+    // targetFiles distinct salts) while splitting tasks by ROW COUNT, so
+    // a skewed directory spreads across tasks proportionally to its size
+    // — even output files, which is the point of compacting. Partition
+    // cols alone would serialize each directory into one task producing
+    // one arbitrarily large file; an un-sized repartition would let AQE
+    // coalesce the salt split away below the advisory partition size.
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val in = spark.read.parquet(path)
     val rep =
-      if (partitionCols.nonEmpty)
-        in.repartition(targetFiles,
-          partitionCols.map(org.apache.spark.sql.functions.col): _*)
-      else in.repartition(targetFiles)
+      if (partitionCols.nonEmpty) {
+        val dataCols = in.columns.filterNot(partitionCols.contains).map(col)
+        val keys = partitionCols.map(col)
+        val n = spark.sessionState.conf.numShufflePartitions
+        if (dataCols.isEmpty) in.repartition(keys: _*)
+        else in.repartitionByRange(n,
+          keys :+ pmod(hash(dataCols: _*), lit(targetFiles)): _*)
+      } else in.repartition(targetFiles)
     val w = rep.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)

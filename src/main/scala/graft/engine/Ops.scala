@@ -80,8 +80,12 @@ object Ops {
     val d = dim.select(
       col(key).as("_dk") +: col(dimTs).as("_dts") +:
         dimValueCols.map(c => col(c).as(s"_d_$c")): _*)
-    fact.join(d, fact(key) === col("_dk") && col("_dts") <= fact(factTs))
-      .groupBy(factCols.map(fact(_)): _*)
+    // _fid keeps the join row-preserving: two fact rows identical in
+    // EVERY column (at-least-once ingestion, genuinely repeated events)
+    // must stay two output rows, not collapse into one group
+    val f = fact.withColumn("_fid", monotonically_increasing_id())
+    f.join(d, f(key) === col("_dk") && col("_dts") <= f(factTs))
+      .groupBy(col("_fid") +: factCols.map(f(_)): _*)
       .agg(
         graft.functions.LatestByOffsetAgg.column(
           struct(dimValueCols.map(c => col(s"_d_$c").as(c)): _*),
@@ -107,13 +111,30 @@ object Ops {
     * constant is exact-duplicate data; dedup it instead of salting.
     * Public so tests/operators can measure the spread it produces.
     */
-  def saltExpr(fact: DataFrame, factKey: String, salts: Int): Column =
-    pmod(xxhash64(fact.columns.filterNot(_ == factKey).map(col).toIndexedSeq: _*),
+  def saltExpr(fact: DataFrame, factKey: String, salts: Int): Column = {
+    val payload = fact.columns.filterNot(_ == factKey).map(col).toIndexedSeq
+    // a keys-only fact has no payload to hash (xxhash64 needs ≥ 1 arg);
+    // fall back to the row's stable position id so a hot key's rows still
+    // spread — deterministic for a fixed input partitioning, which is the
+    // same stability the payload hash gives on retries
+    pmod(xxhash64(
+      (if (payload.nonEmpty) payload
+       else Seq(monotonically_increasing_id())): _*),
       lit(salts)).cast("int")
+  }
+
+  private val SaltSafeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
 
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    // the dim side is replicated `salts` times, so any join type that
+    // PRESERVES unmatched dim rows (right/full outer) would emit each
+    // unmatched dim row once per replica — refuse rather than corrupt
+    require(SaltSafeJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports fact-preserving join types only, got $joinType")
     val saltedFact = fact.withColumn("_salt", saltExpr(fact, factKey, salts))
     // shuffle_hash: pin the SHUFFLE regime this operator exists for. A
     // dim small enough to broadcast needs no salting at all — but when

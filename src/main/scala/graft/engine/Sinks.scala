@@ -65,8 +65,12 @@ object Sinks {
   /** Streaming parquet sink — the lakehouse landing path for a persistent
     * query. Append-mode with a checkpoint: the file-sink commit log gives
     * exactly-once file visibility across restarts (readers see only files
-    * recorded in `_spark_metadata`). Use [[graft.engine.Layout.compact]]
-    * periodically — micro-batch appends accrete small files.
+    * recorded in `_spark_metadata`). That same log means
+    * [[graft.engine.Layout.compact]] must NOT run on this path (it
+    * refuses): a directory swap would orphan every logged file and
+    * readers would see only post-compact appends. Small-file control here
+    * is downstream's job — periodically rewrite into a separate compacted
+    * copy (or a table format whose commit protocol subsumes the log).
     */
   def streamToParquet(df: DataFrame, path: String,
       checkpoint: String): StreamingQuery =

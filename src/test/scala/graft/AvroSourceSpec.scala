@@ -38,6 +38,31 @@ class AvroSourceSpec extends SparkSpec {
       (3L, "gamma", Some(-0.25), true, Some(Seq.empty[Byte]))))
   }
 
+  test("avro read resolves mixed field orders by NAME (schema evolution)") {
+    import spark.implicits._
+    // two writers, same field names, different field ORDER — the
+    // connector-fed directory shape after a schema evolution. The reader
+    // must align by name; a positional decode would swap the columns of
+    // every reordered file silently.
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_mix")
+      .toString
+    Avro.write(Seq((1L, "a1", "b1")).toDF("id", "a", "b"), s"$dir/w1")
+    Avro.write(Seq(("b2", 2L, "a2")).toDF("b", "id", "a"), s"$dir/w2")
+    val mixed = new java.io.File(s"$dir/mixed"); mixed.mkdirs()
+    Seq("w1", "w2").foreach { w =>
+      new java.io.File(s"$dir/$w").listFiles()
+        .filter(_.getName.endsWith(".avro")).zipWithIndex.foreach {
+          case (f, i) =>
+            java.nio.file.Files.copy(f.toPath,
+              new java.io.File(mixed, s"$w-$i.avro").toPath)
+        }
+    }
+    val back = Avro.read(spark, s"$dir/mixed")
+      .select("id", "a", "b").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(back === Set((1L, "a1", "b1"), (2L, "a2", "b2")))
+  }
+
   test("read rejects a directory without avro files; write rejects nested types") {
     val empty = java.nio.file.Files.createTempDirectory("graft_avro_e").toString
     intercept[IllegalArgumentException] { Avro.read(spark, empty) }

@@ -254,6 +254,77 @@ class PropertySpec extends SparkSpec {
     assert(got === Map(1L -> "v0", 2L -> "v1"))
   }
 
+  test("asofJoin is row-preserving: exact-duplicate fact rows stay distinct") {
+    import spark.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // two IDENTICAL fact rows (at-least-once ingestion shape) must both
+    // survive the enrich — a groupBy over fact columns alone merges them
+    val fact = Seq((1L, 10L, ts(10)), (1L, 10L, ts(10)), (2L, 10L, ts(30)))
+      .toDF("event_id", "user_id", "ts")
+    val dim = Seq((10L, ts(0), "v0"), (10L, ts(20), "v1"))
+      .toDF("user_id", "ts", "version")
+    val got = Ops.asofJoin(fact, dim, "user_id", "ts", "ts")
+      .select("event_id", "version").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.count(_ == (1L, "v0")) === 2, s"duplicate fact collapsed: $got")
+    assert(got.count(_ == (2L, "v1")) === 1)
+    assert(got.length === 3)
+  }
+
+  test("saltedJoin refuses dim-preserving join types; keys-only fact works") {
+    import spark.implicits._
+    val fact = Seq((1, 1), (1, 2)).toDF("fk", "payload")
+    val dim = Seq((1, "a"), (2, "b")).toDF("dk", "label")
+    // right/full outer would emit each unmatched dim row once per replica
+    for (bad <- Seq("right", "right_outer", "full", "full_outer"))
+      intercept[IllegalArgumentException] {
+        Ops.saltedJoin(fact, dim, "fk", "dk", salts = 4, bad)
+      }
+    // a keys-only fact side has no payload to derive the salt from; the
+    // positional fallback must still join correctly
+    val keysOnly = Seq.fill(20)(1).toDF("fk")
+    val got = Ops.saltedJoin(keysOnly, dim, "fk", "dk", salts = 4)
+      .select("fk", "label").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.length === 20 && got.forall(_ == ((1, "a"))))
+  }
+
+  test("compact keeps multiple files for a skewed partition directory " +
+      "and refuses FileStreamSink outputs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpart").toString
+    // one hot partition key: 4000 rows of k=hot, 10 of k=cold
+    val df = ((1 to 4000).map(i => ("hot", i)) ++
+      (1 to 10).map(i => ("cold", i))).toDF("k", "v")
+    graft.engine.Layout.writePartitionedN(df, s"$dir/data", 4, "k")
+    graft.engine.Layout.compact(spark, s"$dir/data", targetFiles = 4,
+      partitionCols = Seq("k"))
+    val hotFiles = new java.io.File(s"$dir/data/k=hot")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(hotFiles > 1 && hotFiles <= 4,
+      s"hot directory collapsed to $hotFiles file(s)")
+    assert(spark.read.parquet(s"$dir/data").count() === 4010L)
+    // a FileStreamSink landing must be refused: swapping directories
+    // orphans the _spark_metadata log's file list
+    val sink = new java.io.File(s"$dir/sink"); sink.mkdirs()
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$dir/sink/ignored")
+    new java.io.File(s"$dir/sink/_spark_metadata").mkdirs()
+    val err = intercept[IllegalArgumentException] {
+      graft.engine.Layout.compact(spark, s"$dir/sink", 1)
+    }
+    assert(err.getMessage.contains("_spark_metadata"))
+  }
+
+  test("catalog refuses silently flipping a collection's kind") {
+    val cat = new graft.engine.Catalog
+    import spark.implicits._
+    val df = Seq((1, "a")).toDF("id", "v")
+    cat.registerStream("clicks", df, Seq("id"))
+    cat.registerStream("clicks", df, Seq("id")) // same kind: idempotent
+    intercept[IllegalArgumentException] {
+      cat.registerTable("clicks", df, Seq("id"))
+    }
+  }
+
   test("minhash signature agreement estimates Jaccard similarity") {
     import spark.implicits._
     val rnd = new Random(17)
