@@ -146,8 +146,23 @@ class KsqlEngine(
       require(order.length == values.length,
         s"INSERT arity ${values.length} != ${order.length}")
       val byName = order.zip(values).map { case (c, v) => c.toLowerCase -> v }.toMap
-      val converted = d.cols.map { c =>
-        byName.get(c.name.toLowerCase).map(v => convert(v, c.dataType)).orNull
+      val declByName = d.cols.map(c => c.name.toLowerCase -> c).toMap
+      // the appended Row unions POSITIONALLY against the TOPIC schema —
+      // align by name, not by declaration order (a decl over a
+      // connector-fed topic may list columns in a different order, or a
+      // subset; positional append would corrupt silently)
+      val valueFields = topic.schema.fields.toSeq
+        .filterNot(f => f.name == "_offset" || f.name == "_rowtime")
+      val unknown = d.cols.map(_.name.toLowerCase)
+        .filterNot(n => valueFields.exists(_.name.toLowerCase == n))
+      require(unknown.isEmpty,
+        s"decl ${d.name} columns ${unknown.mkString(",")} not in topic " +
+          s"${d.topic}'s schema — INSERTed values would have nowhere to land")
+      val converted = valueFields.map { f =>
+        declByName.get(f.name.toLowerCase)
+          .flatMap(c => byName.get(c.name.toLowerCase)
+            .map(v => convert(v, c.dataType)))
+          .orNull
       }
       val off = topic.baseCount + topic.rows.length
       topic.rows += Row.fromSeq(converted :+ off :+ rowtime(off))
@@ -296,18 +311,31 @@ class KsqlEngine(
   /** ksqlDB literal → Spark row value, including the complex constructors
     * `ARRAY[...]`, `MAP('k' := v, ...)`, `STRUCT(f := v, ...)`.
     */
-  private def convert(literal: String, dt: DataType): Any = {
+  private def convert(literal: String, dt: DataType): Any =
+    KsqlEngine.convertLiteral(literal, dt)
+}
+
+object KsqlEngine {
+
+  /** Parse a ksqlDB VALUES literal into the Scala value for `dt` —
+    * primitives (outer quotes stripped, SQL `''` un-doubled), `ARRAY[…]`,
+    * `MAP(k := v, …)`, `STRUCT(f := v, …)`. Shared by the batch engine's
+    * topic-row append and the streaming engine's JSON wire encode, so one
+    * INSERT parses identically on both planes.
+    */
+  private[ksql] def convertLiteral(literal: String, dt: DataType): Any = {
     val v = literal.trim
     val up = v.toUpperCase
     if (v.equalsIgnoreCase("null")) null
     else (dt, up) match {
       case (at: ArrayType, u) if u.startsWith("ARRAY[") && u.endsWith("]") =>
         KsqlParser.splitTopLevel(v.substring(6, v.length - 1))
-          .map(convert(_, at.elementType))
+          .map(convertLiteral(_, at.elementType))
       case (mt: MapType, u) if u.startsWith("MAP(") && u.endsWith(")") =>
         KsqlParser.splitTopLevel(v.substring(4, v.length - 1)).map { kv =>
           val Array(k, value) = kv.split(":=", 2)
-          convert(k.trim, mt.keyType) -> convert(value.trim, mt.valueType)
+          convertLiteral(k.trim, mt.keyType) ->
+            convertLiteral(value.trim, mt.valueType)
         }.toMap
       case (st: StructType, u) if u.startsWith("STRUCT(") && u.endsWith(")") =>
         val byName = KsqlParser.splitTopLevel(v.substring(7, v.length - 1))
@@ -316,11 +344,12 @@ class KsqlEngine(
             f.trim.toLowerCase -> value.trim
           }.toMap
         Row.fromSeq(st.fields.toSeq.map(f =>
-          byName.get(f.name.toLowerCase).map(convert(_, f.dataType)).orNull))
+          byName.get(f.name.toLowerCase)
+            .map(convertLiteral(_, f.dataType)).orNull))
       case _ =>
         val s =
           if (v.length >= 2 && v.head == '\'' && v.last == '\'')
-            v.substring(1, v.length - 1)
+            v.substring(1, v.length - 1).replace("''", "'")
           else v
         dt match {
           case StringType => s
@@ -333,9 +362,32 @@ class KsqlEngine(
         }
     }
   }
-}
 
-object KsqlEngine {
+  /** JSON-encode a [[convertLiteral]] value of type `dt` — the streaming
+    * wire form; `from_json` with the declared schema decodes it back
+    * losslessly (nested types included).
+    */
+  private[ksql] def jsonEncode(x: Any, dt: DataType): String = {
+    def quote(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+    (x, dt) match {
+      case (null, _) => "null"
+      case (s: String, _) => quote(s)
+      case (seq: Seq[_], at: ArrayType) =>
+        seq.map(jsonEncode(_, at.elementType)).mkString("[", ",", "]")
+      case (m: Map[_, _], mt: MapType) =>
+        m.map { case (k, value) =>
+          quote(String.valueOf(k)) + ":" + jsonEncode(value, mt.valueType)
+        }.mkString("{", ",", "}")
+      case (r: Row, st: StructType) =>
+        st.fields.zipWithIndex.map { case (f, i) =>
+          quote(f.name) + ":" + jsonEncode(r.get(i), f.dataType)
+        }.mkString("{", ",", "}")
+      case (other, _) => String.valueOf(other)
+    }
+  }
+
   /** Append the topic-log columns to a connector snapshot WITHOUT
     * collecting it: `_offset` via a distributed `zipWithIndex` (stable
     * partition-order indices — the arrival-order analogue; one partition-

@@ -67,8 +67,9 @@ object KsqlParser {
   private val SetRe = "(?is)^SET\\s+'([^']+)'\\s*=\\s*'([^']*)'$".r
   private val ConnectorRe =
     "(?is)^CREATE\\s+SOURCE\\s+CONNECTOR\\s+(\\w+)\\s+WITH\\s*\\((.*)\\)$".r
+  // WITH is optional (ksqlDB defaults the topic to the collection name)
   private val CreateAsRe =
-    "(?is)^CREATE\\s+(TABLE|STREAM)\\s+(\\w+)\\s+WITH\\s*\\((.*?)\\)\\s+AS\\s+(SELECT\\b.*)$".r
+    "(?is)^CREATE\\s+(TABLE|STREAM)\\s+(\\w+)\\s+(?:WITH\\s*\\((.*?)\\)\\s+)?AS\\s+(SELECT\\b.*)$".r
   private val CreateDeclRe =
     "(?is)^CREATE\\s+(TABLE|STREAM)\\s+(\\w+)\\s*\\((.*)\\)\\s*WITH\\s*\\((.*)\\)$".r
   private val InsertRe =
@@ -122,7 +123,8 @@ object KsqlParser {
 
   /** `'k' = 'v'` property lists (values may be bare numbers/booleans). */
   private[ksql] def parseProps(body: String): Map[String, String] =
-    splitTopLevel(body).map { kv =>
+    if (body == null) Map.empty // optional WITH clause: no properties
+    else splitTopLevel(body).map { kv =>
       val Array(k, v) = kv.split("=", 2).map(_.trim)
       unquote(k) -> unquote(v)
     }.toMap

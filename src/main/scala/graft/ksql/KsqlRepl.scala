@@ -72,8 +72,10 @@ object KsqlRepl {
     val buf = new StringBuilder
     var done = false
     while (!done) {
-      if (interactive)
+      if (interactive) {
         out.print(if (buf.isEmpty) "ksql> " else "    > ")
+        out.flush() // no trailing newline — autoflush won't fire
+      }
       val lineIn = in.readLine()
       if (lineIn == null) done = true
       else {
@@ -170,7 +172,14 @@ object KsqlRepl {
       val engine = new KsqlStreamingEngine(spark,
         connectorProvider = provider, livePolling = live)
       try run(stmt => engine.execute(stmt).map { h =>
-          h.processAllAvailable(); h.emissions
+          // drain, snapshot, STOP: the memory-sink table outlives the
+          // query, and a leaked active query would pin its MemoryStream
+          // attachments so every later INSERT pays dead fan-out and the
+          // buffers are never pruned (O(queries × records) growth)
+          h.processAllAvailable()
+          val snapshot = h.emissions
+          h.stop()
+          snapshot
         }, in, System.out, interactive)
       finally engine.stopAll()
     } else {

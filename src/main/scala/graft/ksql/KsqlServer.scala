@@ -44,6 +44,21 @@ object KsqlServer {
     case d: Double => if (d.isNaN || d.isInfinite) s""""$d"""" else d.toString
     case f: Float => jsonValue(f.toDouble)
     case bd: java.math.BigDecimal => bd.toPlainString
+    // structured column values render as JSON structures, not Scala
+    // debug strings — a ksqlDB-shaped client must be able to parse them
+    case seq: scala.collection.Seq[_] =>
+      seq.map(jsonValue).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, value) =>
+        s""""${jsonEscape(String.valueOf(k))}":${jsonValue(value)}"""
+      }.mkString("{", ",", "}")
+    case r: org.apache.spark.sql.Row =>
+      r.schema match {
+        case null => r.toSeq.map(jsonValue).mkString("[", ",", "]")
+        case s => s.fieldNames.zip(r.toSeq).map { case (n, value) =>
+          s""""${jsonEscape(n)}":${jsonValue(value)}"""
+        }.mkString("{", ",", "}")
+      }
     case other => s""""${jsonEscape(other.toString)}""""
   }
 

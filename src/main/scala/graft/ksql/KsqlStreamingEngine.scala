@@ -209,6 +209,21 @@ class KsqlStreamingEngine(
       .createOrReplaceTempView(td.name)
   }
 
+  /** The WINDOW kind a push query effectively runs under: its own
+    * clause, or one inherited from a derived (CSAS/CTAS) view it reads —
+    * `CREATE TABLE s AS SELECT … WINDOW SESSION(…) …; SELECT * FROM s`
+    * is a session-windowed aggregation even though the outer text has no
+    * WINDOW. Recurses through derived-of-derived; cycles cut by `seen`.
+    */
+  private def effectiveWindowKind(select: String,
+      seen: Set[String] = Set.empty): Option[String] =
+    windowKind(select).orElse(
+      fromSources(select).iterator
+        .map(_._1.toLowerCase).filterNot(seen)
+        .flatMap(n => derivedDefs.get(n)
+          .flatMap(dd => effectiveWindowKind(dd.select, seen + n)))
+        .nextOption())
+
   /** Re-register derived (CSAS/CTAS) views against the current stream
     * views, in declaration order.
     */
@@ -299,13 +314,10 @@ class KsqlStreamingEngine(
           tableDecls.values.filter(_.topic == topic)
             .foreach(registerTableView)
         case _ =>
-          val df = connectorProvider(spark, props)
-          val schema = StructType(df.schema.fields.toSeq :+
-            StructField("_offset", LongType, nullable = false))
-          val indexed = df.rdd.zipWithIndex().map { case (r, i) =>
-            Row.fromSeq(r.toSeq :+ i)
-          }
-          topics(topic) = spark.createDataFrame(indexed, schema)
+          // shared log-column derivation with the batch engine (the
+          // extra _rowtime is dropped by the TABLE projection)
+          topics(topic) = KsqlEngine.withLogColumns(spark,
+            connectorProvider(spark, props), RowtimeBaseSec)
       }
       None
 
@@ -354,16 +366,25 @@ class KsqlStreamingEngine(
       val order = columns.getOrElse(d.cols.map(_.name))
       require(order.length == values.length,
         s"INSERT arity ${values.length} != ${order.length}")
+      // parse each literal with the BATCH engine's converter (one INSERT
+      // grammar across both planes — arrays/maps/structs, SQL '' escapes)
+      // and JSON-encode it for the wire; from_json decodes it back with
+      // the declared schema. The previous inline encoder emitted complex
+      // literals verbatim — invalid JSON that from_json PERMISSIVEly
+      // turned into silent all-null rows.
+      val declByName = d.cols.map(c => c.name.toLowerCase -> c).toMap
       val json = order.zip(values).map { case (c, v) =>
-        val lit = v.trim
-        val jsonV =
-          if (lit.equalsIgnoreCase("null")) "null"
-          else if (lit.startsWith("'") && lit.endsWith("'"))
-            "\"" + lit.substring(1, lit.length - 1).replace("\"", "\\\"") + "\""
-          else lit
-        "\"" + c + "\":" + jsonV
+        val cd = declByName.getOrElse(c.toLowerCase,
+          throw new IllegalArgumentException(
+            s"unknown column $c in ${d.name}"))
+        "\"" + cd.name + "\":" + KsqlEngine.jsonEncode(
+          KsqlEngine.convertLiteral(v, cd.dataType), cd.dataType)
       }.mkString("{", ",", "}")
-      val off = offsets(target); offsets(target) = off + 1
+      // offsets key must match the decl key (lowercase): a mixed-case
+      // INSERT target would otherwise get its own counter and mint
+      // duplicate offsets into one log
+      val off = offsets(target.toLowerCase)
+      offsets(target.toLowerCase) = off + 1
       d.buffer += ((json, off))
       pruneDead(d)
       d.attached.foreach(_.input.addData((json, off)))
@@ -386,8 +407,12 @@ class KsqlStreamingEngine(
       // ksqlDB). windowKind comes from the translator's structural
       // (literal-masked) WINDOW parse — the flag and the translation can
       // never disagree
-      val sessionWindowed = windowKind(select).contains("SESSION")
-      require(!emitFinal || windowKind(select).isDefined,
+      // the window may live in a DERIVED view the query reads (CTAS over
+      // a session window, then SELECT * FROM it) — resolve through
+      // derivedDefs, not just this select's text
+      val winKind = effectiveWindowKind(select)
+      val sessionWindowed = winKind.contains("SESSION")
+      require(!emitFinal || winKind.isDefined,
         "EMIT FINAL requires a WINDOW clause (finals exist per window)")
       val appendFinals = sessionWindowed || emitFinal
       streamDecls.values.foreach { d =>
@@ -402,7 +427,16 @@ class KsqlStreamingEngine(
         .foreach(registerTableView)
       refreshDerived()
       val df = spark.sql(translate(select))
-      val aggregated = select.toUpperCase.contains("GROUP BY")
+      // output mode from the RESOLVED plan, not the select text: a push
+      // query over a derived CSAS/CTAS aggregate contains no GROUP BY of
+      // its own but still IS a streaming aggregation (Update mode), and
+      // a static dimension's latest-by-key Aggregate must NOT count
+      // (its child is not streaming)
+      val aggregated = df.isStreaming &&
+        df.queryExecution.analyzed.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+              if a.child.isStreaming => a
+        }.isDefined
       queryId += 1
       val name = s"ksql_push_$queryId"
       val upper = df.toDF(df.columns.map(_.toUpperCase).toIndexedSeq: _*)

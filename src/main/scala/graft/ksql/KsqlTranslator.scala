@@ -35,15 +35,20 @@ trait KsqlTranslator {
 
   private val FromRe =
     ("(?is)\\bFROM\\s+(\\w+)" +
-      "(?:\\s+(?!JOIN\\b|LEFT\\b|RIGHT\\b|FULL\\b|INNER\\b|OUTER\\b|ON\\b|WHERE\\b|GROUP\\b|PARTITION\\b|EMIT\\b|HAVING\\b|ORDER\\b|LIMIT\\b|WINDOW\\b)(\\w+))?").r
+      "(?:\\s+(?:AS\\s+)?(?!AS\\b|JOIN\\b|LEFT\\b|RIGHT\\b|FULL\\b|INNER\\b|OUTER\\b|ON\\b|WHERE\\b|GROUP\\b|PARTITION\\b|EMIT\\b|HAVING\\b|ORDER\\b|LIMIT\\b|WINDOW\\b)(\\w+))?").r
   private val JoinRe =
-    "(?is)\\bJOIN\\s+(\\w+)(?:\\s+(?!ON\\b)(\\w+))?\\s+ON\\b".r
+    "(?is)\\bJOIN\\s+(\\w+)(?:\\s+(?:AS\\s+)?(?!AS\\b|ON\\b)(\\w+))?\\s+ON\\b".r
 
-  /** (collection name, reference-in-query) pairs from the FROM clause. */
+  /** (collection name, reference-in-query) pairs from the FROM clause.
+    * Parsed over the literal-masked text — `WHERE note = 'copied FROM
+    * players'` must not surface a phantom source — and `AS` aliases
+    * resolve to the alias, never the keyword.
+    */
   private[ksql] def fromSources(select: String): Seq[(String, String)] = {
-    val from = FromRe.findFirstMatchIn(select).map(m =>
+    val masked = KsqlTranslator.maskLiterals(select)
+    val from = FromRe.findFirstMatchIn(masked).map(m =>
       (m.group(1), Option(m.group(2)).getOrElse(m.group(1))))
-    val joins = JoinRe.findAllMatchIn(select).map(m =>
+    val joins = JoinRe.findAllMatchIn(masked).map(m =>
       (m.group(1), Option(m.group(2)).getOrElse(m.group(1)))).toSeq
     from.toSeq ++ joins
   }
@@ -108,13 +113,18 @@ trait KsqlTranslator {
           (s"session_window($ref._rowtime, '${dur(gm.group(1), gm.group(2))}')",
             "session_window")
       }
-      require(s.toUpperCase.contains("GROUP BY"),
-        s"WINDOW clauses require GROUP BY (windowed aggregation): $select0")
       // positional splice (mask is length-preserving): a literal
       // containing 'WINDOW …' earlier in the text must not be the one cut
       s = s.substring(0, m.start) + " " + s.substring(m.end)
-      s = s.replaceFirst("(?i)\\bGROUP\\s+BY\\b",
-        java.util.regex.Matcher.quoteReplacement(s"GROUP BY $winExpr,"))
+      // find GROUP BY on the RE-masked text (a literal containing
+      // 'group by' before the real clause must not take the splice),
+      // then splice positionally into the original
+      val gbm = "(?i)\\bGROUP\\s+BY\\b".r
+        .findFirstMatchIn(KsqlTranslator.maskLiterals(s))
+        .getOrElse(throw new IllegalArgumentException(
+          s"WINDOW clauses require GROUP BY (windowed aggregation): $select0"))
+      s = s.substring(0, gbm.start) + s"GROUP BY $winExpr," +
+        s.substring(gbm.end)
       s = replaceOutsideQuotes(s, "(?i)(?<![\\w])WINDOWSTART(?![\\w])",
         s"unix_millis($winCol.start)")
       s = replaceOutsideQuotes(s, "(?i)(?<![\\w])WINDOWEND(?![\\w])",

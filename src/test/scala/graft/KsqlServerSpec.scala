@@ -73,6 +73,25 @@ class KsqlServerSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("array/map/struct column values render as JSON structures") {
+    val engine = new KsqlEngine(spark,
+      connectorProvider = (s, _) => Tutorial.playersSeed(s))
+    val server = KsqlServer.start(engine, 0)
+    val port = server.getAddress.getPort
+    try {
+      post(port, "/ksql", jsonBody(
+        """CREATE STREAM tagged (id INT KEY, tags ARRAY<VARCHAR>)
+          WITH (KAFKA_TOPIC='tagged');"""))
+      post(port, "/ksql", jsonBody(
+        "INSERT INTO tagged VALUES (1, ARRAY['a','b']);"))
+      val (c, out) = post(port, "/ksql",
+        jsonBody("SELECT id, tags FROM tagged EMIT CHANGES;"))
+      assert(c === 200)
+      // a JSON array, not the Scala debug string "WrappedArray(a, b)"
+      assert(out.contains("""[1,["a","b"]]"""), out)
+    } finally server.stop(0)
+  }
+
   test("json escaping survives quotes, backslashes, and control chars") {
     import spark.implicits._
     val engine = new KsqlEngine(spark,

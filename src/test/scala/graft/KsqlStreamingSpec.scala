@@ -221,6 +221,83 @@ class KsqlStreamingSpec extends SparkSpec {
     assert(berr.getMessage.contains("WINDOW"))
   }
 
+  test("push query over a derived aggregate runs update-mode (plan-based " +
+      "output choice) and mixed-case INSERT targets share one offset log") {
+    val e = freshEngine
+    ddl(e)
+    // the outer select has no GROUP BY of its own — the aggregation
+    // lives in the CTAS view; a textual mode choice would pick Append
+    // and Spark would reject the streaming aggregation
+    e.execute("""CREATE TABLE goal_counts AS
+      SELECT id, COUNT(id) AS goals FROM match_event
+      WHERE event_type = 'GOAL' GROUP BY id;""")
+    val h = e.execute("SELECT id, goals FROM goal_counts EMIT CHANGES;").get
+    try {
+      // mixed-case target: the same stream, the same offset counter —
+      // split counters would mint duplicate offsets (ties in rowtime)
+      e.execute("INSERT INTO match_event VALUES ('1','GOAL','1',true);")
+      e.execute("INSERT INTO MATCH_EVENT VALUES ('1','GOAL','2',true);")
+      e.execute("INSERT INTO Match_Event VALUES ('2','GOAL','3',false);")
+      h.processAllAvailable()
+      val latest = h.emissions.collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(latest === Map("1" -> 2L, "2" -> 1L))
+    } finally h.stop()
+  }
+
+  test("a session window inside a DERIVED view still gets its watermark " +
+      "through the outer push query") {
+    val e = freshEngine
+    ddl(e)
+    e.execute("""CREATE TABLE sessions AS
+      SELECT id, COUNT(id) n FROM match_event
+      WINDOW SESSION (2 SECONDS) GROUP BY id;""")
+    // outer text has no WINDOW — the session lives in the derived view;
+    // without the inherited watermark Spark rejects the plan outright
+    val h = e.execute("SELECT id, n FROM sessions EMIT CHANGES;").get
+    try {
+      insert(e, Tutorial.canonicalEvents)
+      h.processAllAvailable()
+      val closed = h.emissions.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(closed === Set(("1", 4L)))
+    } finally h.stop()
+  }
+
+  test("FROM ... AS alias resolves to the alias, not the keyword") {
+    val e = freshEngine
+    ddl(e)
+    val h = e.execute(
+      """SELECT m.id, COUNT(m.id) n FROM match_event AS m
+        GROUP BY m.id EMIT CHANGES;""").get
+    try {
+      insert(e, Tutorial.canonicalEvents.take(4))
+      h.processAllAvailable()
+      val latest = h.emissions.collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(latest === Map("1" -> 4L))
+    } finally h.stop()
+  }
+
+  test("streaming INSERT carries array literals and SQL '' escapes " +
+      "through the JSON wire") {
+    val e = freshEngine
+    e.execute("""CREATE STREAM tagged (
+      id INT KEY, name VARCHAR, tags ARRAY<VARCHAR>)
+      WITH (KAFKA_TOPIC='tagged');""")
+    val h = e.execute("SELECT id, name, tags FROM tagged EMIT CHANGES;").get
+    try {
+      e.execute(
+        "INSERT INTO tagged VALUES (1, 'it''s', ARRAY['a','b''c']);")
+      h.processAllAvailable()
+      val got = h.emissions.collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getSeq[String](2).toList))
+      assert(got.toSeq === Seq((1, "it's", List("a", "b'c"))))
+    } finally h.stop()
+  }
+
   test("'WINDOW SESSION' inside a string literal does not switch emission mode") {
     val e = freshEngine
     ddl(e)
@@ -240,6 +317,27 @@ class KsqlStreamingSpec extends SparkSpec {
         .groupBy(_._1).map(_._2.last).toSet
       assert(state === Set(("1", 4L), ("2", 3L)))
     } finally h.stop()
+  }
+
+  test("batch INSERT aligns values to the topic schema by NAME when the " +
+      "declaration's column order differs") {
+    import spark.implicits._
+    // connector feeds topic columns in (id, name, score) order; the decl
+    // lists them re-ordered — a positional append would land 'bob' in id
+    val be = new graft.ksql.KsqlEngine(spark,
+      connectorProvider = (s, _) => {
+        import s.implicits._
+        Seq(("p1", "ana", 10)).toDF("id", "name", "score")
+      })
+    be.execute("CREATE SOURCE CONNECTOR c WITH ('table.whitelist' = 'ppl');")
+    be.execute("""CREATE TABLE people (
+      name VARCHAR, id VARCHAR PRIMARY KEY, score INT)
+      WITH (KAFKA_TOPIC = 'ppl');""")
+    be.execute("INSERT INTO people VALUES ('bob', 'p2', 7);")
+    val got = be.execute("SELECT id, name, score FROM people EMIT CHANGES;")
+      .get.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(got === Set(("p1", "ana", 10), ("p2", "bob", 7)))
   }
 
   test("batch and streaming engines converge to the same query state") {
