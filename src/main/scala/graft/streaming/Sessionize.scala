@@ -81,7 +81,13 @@ object Sessionize {
                   out += ClosedSession(user, s.start_us, s.last_us, s.n)
                   cur = Some(SessionState(t, t, 1))
                 case Some(s) =>
-                  cur = Some(SessionState(s.start_us, t, s.n + 1))
+                  // a LATE but within-watermark event from a later
+                  // micro-batch may precede the stored bounds — extend,
+                  // never regress (last_us = t would move the session end
+                  // backwards and re-arm the gap timeout early, closing
+                  // sessions the batch twin keeps open)
+                  cur = Some(SessionState(math.min(s.start_us, t),
+                    math.max(s.last_us, t), s.n + 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
               }

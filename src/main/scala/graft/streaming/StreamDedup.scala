@@ -27,27 +27,6 @@ object StreamDedup {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
-  /** Streaming NEAR-dup dedup — the continuous-ingest twin of
-    * [[graft.pipeline.Dedup.incrementalMinhashPairs]]: each micro-batch
-    * runs the batch×corpus band join against the accumulated corpus
-    * (never corpus×corpus — re-pairing what previous batches already
-    * deduplicated), resolves intra-batch near-dup elections
-    * ([[graft.pipeline.Dedup.incrementalSurvivors]] with
-    * `dedupWithinBatch`), and appends ONLY the accepted docs to
-    * `corpusPath`. The corpus parquet is the dedup state itself, so state
-    * never lives in the state store and restart resumes from whatever the
-    * corpus already holds; the append lands EXACTLY ONCE through
-    * [[graft.engine.BatchLedger.stagedLanding]] — accepted rows are
-    * staged invisibly, the ledger marker is the single commit point, and
-    * a crash on either side of it replays the whole batch or completes
-    * the pending install, never both.
-    *
-    * At 100 TB the `corpusPath` side of the band join is the
-    * materialized banded-signature table described in
-    * [[graft.pipeline.Dedup.incrementalMinhashPairs]]'s Scale note; here
-    * the signatures derive in-plan from the corpus parquet, which is the
-    * same join shape minus the one-time persist.
-    */
   /** The per-batch body of [[incrementalNearDup]], exposed for the
     * crash-injection specs: every side effect goes through `st`, so a
     * caller (or crash) abandoning the staging leaves nothing visible.
@@ -73,6 +52,27 @@ object StreamDedup {
       .write.mode("overwrite").parquet(st.appendInto(corpusPath))
   }
 
+  /** Streaming NEAR-dup dedup — the continuous-ingest twin of
+    * [[graft.pipeline.Dedup.incrementalMinhashPairs]]: each micro-batch
+    * runs the batch×corpus band join against the accumulated corpus
+    * (never corpus×corpus — re-pairing what previous batches already
+    * deduplicated), resolves intra-batch near-dup elections
+    * ([[graft.pipeline.Dedup.incrementalSurvivors]] with
+    * `dedupWithinBatch`), and appends ONLY the accepted docs to
+    * `corpusPath`. The corpus parquet is the dedup state itself, so state
+    * never lives in the state store and restart resumes from whatever the
+    * corpus already holds; the append lands EXACTLY ONCE through
+    * [[graft.engine.BatchLedger.stagedLanding]] — accepted rows are
+    * staged invisibly, the ledger marker is the single commit point, and
+    * a crash on either side of it replays the whole batch or completes
+    * the pending install, never both.
+    *
+    * At 100 TB the `corpusPath` side of the band join is the
+    * materialized banded-signature table described in
+    * [[graft.pipeline.Dedup.incrementalMinhashPairs]]'s Scale note; here
+    * the signatures derive in-plan from the corpus parquet, which is the
+    * same join shape minus the one-time persist.
+    */
   def incrementalNearDup(stream: DataFrame, corpusPath: String,
       checkpointDir: String, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.8,
@@ -231,6 +231,9 @@ object StreamDedup {
         }
         val accepted = batch.join(kept2, Seq(idCol), "left_semi")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // finally below: a failed staged write must not strand the cached
+        // relation (each supervised retry would persist another copy)
+        try {
         if (bootstrapped) {
           // steady state: every landing staged — corpus rows, band rows,
           // shingle sets, containment postings become visible atomically
@@ -264,6 +267,6 @@ object StreamDedup {
             // batch's shingles in the store, so the postings cover them
             Dedup.buildContainmentIndex(spark, shPath, ct, sp.buckets))
         }
-        accepted.unpersist(blocking = false)
+        } finally accepted.unpersist(blocking = false)
   }
 }

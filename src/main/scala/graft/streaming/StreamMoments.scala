@@ -44,20 +44,41 @@ object StreamMoments {
         r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray))
   }
 
+  /** The batch's moments `(n, Σx, Σxxᵀ)`, or None for an empty batch —
+    * the one aggregation both fold paths share.
+    */
+  private def batchMoments(batch: DataFrame,
+      vecCol: String): Option[(Long, Array[Long], Array[Long])] =
+    batch.agg(GramSumAgg.column(col(vecCol)).as("_g"))
+      .select(col("_g.n"), col("_g.s"), col("_g.g")).collect().headOption
+      .filter(!_.isNullAt(0))
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray,
+        r.getSeq[Long](2).toArray))
+
+  /** Monoid add with a LOUD dimension guard: `zip` would silently
+    * truncate mismatched arrays, permanently corrupting the persisted
+    * totals (n counts all rows, s/g only the shorter prefix) — a batch
+    * whose embedding dimension disagrees with the state must fail the
+    * batch, not poison every later covariance.
+    */
+  private def addMoments(a: (Long, Array[Long], Array[Long]),
+      b: (Long, Array[Long], Array[Long])): (Long, Array[Long], Array[Long]) = {
+    require(a._2.length == b._2.length,
+      s"embedding dimension changed mid-stream: state dim ${a._2.length} " +
+        s"vs batch dim ${b._2.length} — refusing to fold")
+    (a._1 + b._1,
+      a._2.zip(b._2).map { case (x, y) => x + y },
+      a._3.zip(b._3).map { case (x, y) => x + y })
+  }
+
   /** Fold one batch into the persisted totals (the `foreachBatch` body,
     * exposed for batch-mode ingest and tests). Returns the new totals.
     */
   def ingestBatch(spark: SparkSession, batch: DataFrame, statePath: String,
       vecCol: String = "embedding"): Option[(Long, Array[Long], Array[Long])] = {
-    val bm = batch.agg(GramSumAgg.column(col(vecCol)).as("_g"))
-      .select(col("_g.n"), col("_g.s"), col("_g.g")).collect().headOption
-      .filter(!_.isNullAt(0))
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray))
+    val bm = batchMoments(batch, vecCol)
     val next = (readState(spark, statePath), bm) match {
-      case (Some((n0, s0, g0)), Some((n1, s1, g1))) =>
-        Some((n0 + n1,
-          s0.zip(s1).map { case (a, b) => a + b },
-          g0.zip(g1).map { case (a, b) => a + b }))
+      case (Some(st), Some(b)) => Some(addMoments(st, b))
       case (st, b) => b.orElse(st)
     }
     next.foreach { case (n, s, g) =>
@@ -110,11 +131,7 @@ object StreamMoments {
       st: graft.engine.BatchLedger.Staging): Unit = {
         val spark = batch.sparkSession
         val prior = readState(spark, statePath)
-        val bm = batch.agg(GramSumAgg.column(col(vecCol)).as("_g"))
-          .select(col("_g.n"), col("_g.s"), col("_g.g")).collect().headOption
-          .filter(!_.isNullAt(0))
-          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray,
-            r.getSeq[Long](2).toArray))
+        val bm = batchMoments(batch, vecCol)
         bm.foreach { case (nb, sb, gb) =>
           val shift = prior.map { case (n0, s0, _) =>
             val d = sb.indices.map { i =>
@@ -124,9 +141,7 @@ object StreamMoments {
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
           }
           val next = prior match {
-            case Some((n0, s0, g0)) => (n0 + nb,
-              s0.zip(sb).map { case (a, b) => a + b },
-              g0.zip(gb).map { case (a, b) => a + b })
+            case Some(st0) => addMoments(st0, (nb, sb, gb))
             case None => (nb, sb, gb)
           }
           spark.createDataFrame(

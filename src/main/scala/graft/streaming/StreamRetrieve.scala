@@ -45,12 +45,13 @@ object StreamRetrieve {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (snapshot == null || sinceRefresh >= refreshEvery) {
+        def resolve(): Unit = {
           snapshot = batch.sparkSession.read.parquet(indexPath)
           sinceRefresh = 0
         }
+        if (snapshot == null || sinceRefresh >= refreshEvery) resolve()
         sinceRefresh += 1
-        try {
+        def land(): Unit =
           graft.engine.BatchLedger.stagedLanding(batch.sparkSession,
             s"$checkpointDir/graft_ledger", batchId) { st =>
             // materialize=true: the probe relation persists inside the
@@ -60,12 +61,18 @@ object StreamRetrieve {
               centroids, batch, k, nProbe, idCol, vecCol)
               .write.mode("overwrite").parquet(st.appendInto(outPath))
           }
-        } catch { case e: Throwable =>
+        try land()
+        catch { case _: Throwable =>
           // a compaction swap under a pinned snapshot surfaces as a loud
-          // missing-file error (SCALE.md boundary); drop the snapshot so
-          // the stream's batch retry re-resolves instead of re-failing
-          snapshot = null
-          throw e
+          // missing-file error (SCALE.md boundary). A foreachBatch
+          // exception would TERMINATE the query (Spark has no in-run
+          // batch retry), so self-heal here: re-resolve the snapshot and
+          // retry the batch once in place — stagedLanding discards the
+          // failed attempt's staging, so the landing stays exactly-once.
+          // A second failure is a real error and fails the query loudly.
+          resolve()
+          sinceRefresh = 1
+          land()
         }
         ()
       }

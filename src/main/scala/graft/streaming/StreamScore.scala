@@ -68,11 +68,14 @@ object StreamScore {
             s"$checkpointDir/graft_ledger", batchId) { st =>
           val scored = gateScores(spark, modelPath, batch, minLmC6)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          scored.filter(col("reject_reason").isNull).drop("reject_reason")
-            .write.mode("overwrite").parquet(st.appendInto(acceptPath))
-          scored.filter(col("reject_reason").isNotNull)
-            .write.mode("overwrite").parquet(st.appendInto(rejectPath))
-          scored.unpersist(blocking = false)
+          // finally: a failed write must not strand the cached relation
+          // (each supervised retry would persist another copy)
+          try {
+            scored.filter(col("reject_reason").isNull).drop("reject_reason")
+              .write.mode("overwrite").parquet(st.appendInto(acceptPath))
+            scored.filter(col("reject_reason").isNotNull)
+              .write.mode("overwrite").parquet(st.appendInto(rejectPath))
+          } finally scored.unpersist(blocking = false)
         }
         ()
       }

@@ -138,6 +138,53 @@ class StreamingTutorialSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization: a late-but-admitted event extends the " +
+      "session, never regresses its bounds") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val baseSec = 1700000000L
+    def ts(minute: Int) = new java.sql.Timestamp((baseSec + minute * 60L) * 1000)
+    def us(minute: Int) = (baseSec + minute * 60L) * 1000000L
+    // 10-minute watermark delay ADMITS cross-batch out-of-order events;
+    // the state fold must not move last_us backwards when one arrives
+    val sessions = graft.streaming.Sessionize.stream(
+      input.toDF().toDF("user_id", "ts"), gapMinutes = 30,
+      watermarkDelay = "10 minutes")
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("late_sessions").outputMode("append").start()
+    try {
+      input.addData((1L, ts(0)), (1L, ts(12)))   // batch 1: last = 12
+      q.processAllAvailable()
+      input.addData((1L, ts(4)))                 // batch 2: LATE (admitted)
+      q.processAllAvailable()
+      // 12 + 33 = 45min gap from the TRUE last event: > 30min gap closes
+      // the session. A regressed last_us (= 4) would have closed it as
+      // (0..4) and dropped the 12-minute event from the emitted bounds.
+      input.addData((1L, ts(45)))
+      q.processAllAvailable()
+      val closed = spark.table("late_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(closed.toSet === Set((1L, us(0), us(12), 3L)))
+    } finally q.stop()
+  }
+
+  test("moment fold refuses a batch whose embedding dimension differs " +
+      "from the state (silent truncation would corrupt the totals)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mdim").toString
+    val d4 = Seq((1L, Array(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    graft.streaming.StreamMoments.ingestBatch(spark, d4, s"$dir/state")
+    val d3 = Seq((2L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.StreamMoments.ingestBatch(spark, d3, s"$dir/state")
+    }
+    assert(err.getMessage.contains("dimension"))
+    // the state survived untouched
+    val st = graft.streaming.StreamMoments.readState(spark, s"$dir/state").get
+    assert(st._1 === 1L && st._2.length === 4)
+  }
+
   test("streaming parquet sink lands exactly-once files with a commit log") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
