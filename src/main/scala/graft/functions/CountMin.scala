@@ -41,13 +41,23 @@ final class CountMinBuffer(val depth: Int, val width: Int) {
   val counters = new Array[Long](depth * width)
   var n = 0L // total arrivals (for the eps·n error bound)
 
-  @inline private def slot(item: UTF8String, row: Int): Int =
-    row * width + (java.lang.Math.floorMod(
-      Kernels.hash64(item, 0x5eed + row), width.toLong)).toInt
+  // bit-identical to Kernels.hash64(item, 0x5eed + row), but the item's
+  // byte copy is made ONCE per arrival instead of once per depth row —
+  // the aggregate's hot path pays depth murmur passes, not depth
+  // allocations (the hash VALUES must not change: the sketch is
+  // hash-checkable against an oracle replaying the same derivation)
+  @inline private def slotFromBytes(bytes: Array[Byte], row: Int): Int = {
+    val seed = 0x5eed + row
+    val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, seed)
+    val h2 = scala.util.hashing.MurmurHash3.bytesHash(bytes, seed ^ 0x5bd1e995)
+    val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+    row * width + java.lang.Math.floorMod(h, width.toLong).toInt
+  }
 
   def add(item: UTF8String, by: Long = 1L): Unit = {
+    val bytes = item.getBytes
     var r = 0
-    while (r < depth) { counters(slot(item, r)) += by; r += 1 }
+    while (r < depth) { counters(slotFromBytes(bytes, r)) += by; r += 1 }
     n += by
   }
 
@@ -58,10 +68,11 @@ final class CountMinBuffer(val depth: Int, val width: Int) {
   }
 
   def estimate(item: UTF8String): Long = {
+    val bytes = item.getBytes
     var est = Long.MaxValue
     var r = 0
     while (r < depth) {
-      val c = counters(slot(item, r))
+      val c = counters(slotFromBytes(bytes, r))
       if (c < est) est = c
       r += 1
     }

@@ -37,6 +37,13 @@ final class GramSumBuffer {
       s = new Array[Long](d)
       g = new Array[Long](d * (d + 1) / 2)
     }
+    // a row whose dimension disagrees with the buffer would silently
+    // drop components (and a triangle packed at another dim misaligns
+    // every row past the first) — corrupt moments are worse than a
+    // failed task
+    require(d == dim,
+      s"gram_sum: embedding dimension changed mid-aggregation " +
+        s"($dim then $d) — mixed-dimension input is not foldable")
     val m = math.min(d, dim)
     val q = new Array[Long](m)
     var i = 0
@@ -60,11 +67,17 @@ final class GramSumBuffer {
     if (o.s != null) {
       if (s == null) { n = o.n; dim = o.dim; s = o.s; g = o.g }
       else {
+        // two triangles packed at different dims have different (row,col)
+        // offsets — element-wise addition would silently corrupt every
+        // entry past the first row
+        require(dim == o.dim,
+          s"gram_sum: merging buffers of different dimensions " +
+            s"($dim vs ${o.dim}) — mixed-dimension input is not foldable")
         n += o.n
         var i = 0
-        while (i < math.min(s.length, o.s.length)) { s(i) += o.s(i); i += 1 }
+        while (i < s.length) { s(i) += o.s(i); i += 1 }
         i = 0
-        while (i < math.min(g.length, o.g.length)) { g(i) += o.g(i); i += 1 }
+        while (i < g.length) { g(i) += o.g(i); i += 1 }
       }
     }
 }

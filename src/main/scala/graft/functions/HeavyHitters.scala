@@ -38,6 +38,13 @@ final class SpaceSavingBuffer(val capacity: Int) {
   val counts = mutable.HashMap.empty[UTF8String, Long]
   val errs = mutable.HashMap.empty[UTF8String, Long]
 
+  /** O(capacity) scan per eviction — in the saturated regime (distinct
+    * items ≫ capacity) that is O(arrivals × capacity) per partition. The
+    * classic Stream-Summary linked-counter structure (or a lazy min-heap)
+    * makes eviction O(1)/O(log c); kept simple here because the engine's
+    * registered uses run capacities ≤ 100 where the scan is noise. Revisit
+    * before pointing a 10⁴+-capacity sketch at a high-cardinality stream.
+    */
   private def minEntry(): (UTF8String, Long) = {
     var mk: UTF8String = null; var mv = Long.MaxValue
     counts.foreach { case (k, v) =>

@@ -99,8 +99,12 @@ object Kernels {
     * permutations h_i(x) = a_i*x + b_i over the 64-bit token hashes
     * (Broder '97 resemblance sketch). Empty input → Long.MaxValue fills.
     */
-  def minhash(tokens: ArrayData, k: Int, seed: Int): ArrayData = {
-    val sig = Array.fill(k)(Long.MaxValue)
+  /** The affine-permutation constants both minhash entry points share —
+    * ONE derivation, so `graft_minhash` and `graft_minhash_hashes` can
+    * never drift apart (their signatures must stay bit-identical for the
+    * [[shingleHashes]] pairing to be cross-checkable).
+    */
+  private def minhashConstants(k: Int, seed: Int): (Array[Long], Array[Long]) = {
     val as = new Array[Long](k); val bs = new Array[Long](k)
     var j = 0
     while (j < k) {
@@ -108,18 +112,27 @@ object Kernels {
       bs(j) = splitmix64(seed.toLong * 0x85ebL + j * 2L + 1L)
       j += 1
     }
+    (as, bs)
+  }
+
+  private def minhashFold(sig: Array[Long], as: Array[Long], bs: Array[Long],
+      h: Long): Unit = {
+    var t = 0
+    while (t < sig.length) {
+      val v = h * as(t) + bs(t)
+      if (v < sig(t)) sig(t) = v
+      t += 1
+    }
+  }
+
+  def minhash(tokens: ArrayData, k: Int, seed: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val (as, bs) = minhashConstants(k, seed)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      if (!tokens.isNullAt(i)) {
-        val h = hash64(tokens.getUTF8String(i), seed)
-        var t = 0
-        while (t < k) {
-          val v = h * as(t) + bs(t)
-          if (v < sig(t)) sig(t) = v
-          t += 1
-        }
-      }
+      if (!tokens.isNullAt(i))
+        minhashFold(sig, as, bs, hash64(tokens.getUTF8String(i), seed))
       i += 1
     }
     new GenericArrayData(sig)
@@ -193,23 +206,11 @@ object Kernels {
     */
   def minhashFromHashes(hashes: ArrayData, k: Int, seed: Int): ArrayData = {
     val sig = Array.fill(k)(Long.MaxValue)
-    val as = new Array[Long](k); val bs = new Array[Long](k)
-    var j = 0
-    while (j < k) {
-      as(j) = splitmix64(seed.toLong * 0x9e37L + j * 2L) | 1L
-      bs(j) = splitmix64(seed.toLong * 0x85ebL + j * 2L + 1L)
-      j += 1
-    }
+    val (as, bs) = minhashConstants(k, seed)
     val n = hashes.numElements()
     var i = 0
     while (i < n) {
-      val h = hashes.getLong(i)
-      var t = 0
-      while (t < k) {
-        val v = h * as(t) + bs(t)
-        if (v < sig(t)) sig(t) = v
-        t += 1
-      }
+      minhashFold(sig, as, bs, hashes.getLong(i))
       i += 1
     }
     new GenericArrayData(sig)
@@ -301,10 +302,16 @@ object Kernels {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < na && j < nb) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+      // null elements are members of no set: skip, don't NPE (sort_array
+      // places nulls first, so skipping here keeps the merge ordered)
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -384,6 +391,7 @@ object Kernels {
   def nearestCellTwoLevel(vec: ArrayData, coarse: Array[Array[Float]],
       groupIds: Array[Array[Long]],
       groupCents: Array[Array[Array[Float]]]): Long = {
+    if (coarse.length == 0) return -1L // same sentinel as flat nearestCell
     var best = -2.0
     var bg = 0
     var g = 0
@@ -512,10 +520,16 @@ object Kernels {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < na && j < nb) {
-      val x = a.getLong(i); val y = b.getLong(j)
-      if (x == y) { c += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+      // a null element would read as 0 and falsely match a real 0 hash —
+      // skip it (null is a member of no set)
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
     }
     c
   }

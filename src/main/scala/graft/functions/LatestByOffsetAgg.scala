@@ -41,6 +41,22 @@ case class LatestByOffsetAgg(
   override def left: Expression = value
   override def right: Expression = order
 
+  // update() narrows the order value through java.lang.Number — a string
+  // or decimal order column must fail ANALYSIS, not CCE on the first row
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    order.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_latest_by_offset requires an integral order column " +
+            s"(the offset), got ${other.sql}")
+    }
+
   override def dataType: DataType = value.dataType
   override def nullable: Boolean = true
 

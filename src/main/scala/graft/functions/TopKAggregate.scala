@@ -115,6 +115,20 @@ case class TopKByScore(
   override def left: Expression = score
   override def right: Expression = id
 
+  // analysis-time failure beats the runtime ClassCastException update()'s
+  // hard casts would throw mid-job (a FLOAT score or INT id passes
+  // analysis without this and dies on the first row)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (score.dataType, id.dataType) match {
+      case (DoubleType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (s, i) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_top_k_by_score requires (double score, bigint id), got " +
+            s"(${s.sql}, ${i.sql}) — add explicit CASTs")
+    }
+
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("id", LongType, nullable = false),

@@ -16,9 +16,36 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scala UDF would — the hot path of dedup / similarity scans at 100 TB.
   */
 
+/** Analysis-time gate shared by the vector kernels: every vector operand
+  * must be `array<float>` — the kernels read element bytes as floats, so
+  * an `array<double>` operand (the natural type of a SQL `array(0.1,…)`
+  * literal) would return silent GARBAGE on unsafe rows or a runtime
+  * ClassCastException on generic ones. Failing analysis is the only
+  * correct outcome.
+  */
+private[functions] trait FloatVectorInputs {
+  self: Expression =>
+  protected def vectorOperands: Seq[Expression]
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    vectorOperands.find(e => e.dataType match {
+      case ArrayType(FloatType, _) => false
+      case _ => true
+    }) match {
+      case Some(bad) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> vectors, got " +
+            s"${bad.dataType.sql} (cast with CAST(x AS ARRAY<FLOAT>))")
+      case None =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+  }
+}
+
 /** cosine(a, b): Double over two array<float> columns. */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with FloatVectorInputs {
+  override protected def vectorOperands: Seq[Expression] = Seq(left, right)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -33,7 +60,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** norm(a): Double Euclidean norm of an array<float> column — the
   * once-per-row half of the [[CosinePre]] split.
   */
-case class VecNorm(child: Expression) extends UnaryExpression {
+case class VecNorm(child: Expression) extends UnaryExpression
+    with FloatVectorInputs {
+  override protected def vectorOperands: Seq[Expression] = Seq(child)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any): Any =
     Kernels.norm(a.asInstanceOf[ArrayData])
@@ -50,7 +79,9 @@ case class VecNorm(child: Expression) extends UnaryExpression {
   * where each side's norm is computed once per row, not once per pair.
   */
 case class CosinePre(a: Expression, b: Expression,
-    normA: Expression, normB: Expression) extends QuaternaryExpression {
+    normA: Expression, normB: Expression) extends QuaternaryExpression
+    with FloatVectorInputs {
+  override protected def vectorOperands: Seq[Expression] = Seq(a, b)
   override def first: Expression = a
   override def second: Expression = b
   override def third: Expression = normA
@@ -71,7 +102,8 @@ case class CosinePre(a: Expression, b: Expression,
 
 /** dot(a, b): Double over two array<float> columns. */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with FloatVectorInputs {
+  override protected def vectorOperands: Seq[Expression] = Seq(left, right)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     Kernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -86,6 +118,7 @@ case class DotProduct(left: Expression, right: Expression)
 /** minhash(tokens, k, seed): array<bigint> MinHash signature (Broder '97). */
 case class MinHashSignature(child: Expression, k: Int, seed: Int)
     extends UnaryExpression {
+  require(k > 0, s"graft_minhash: k must be positive, got $k")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(tokens: Any): Any =
     Kernels.minhash(tokens.asInstanceOf[ArrayData], k, seed)
@@ -131,6 +164,7 @@ case class ShingleStrings(child: Expression, w: Int)
   */
 case class MinHashFromHashes(child: Expression, k: Int, seed: Int)
     extends UnaryExpression {
+  require(k > 0, s"graft_minhash_hashes: k must be positive, got $k")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(hashes: Any): Any =
     Kernels.minhashFromHashes(hashes.asInstanceOf[ArrayData], k, seed)
@@ -299,6 +333,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
+      // containsNull=true is accepted (most built-up arrays carry it in
+      // the schema whether or not values are ever null); the kernels
+      // SKIP null elements — null is a member of no set
       case (ArrayType(le, _), ArrayType(re, _))
           if le == re && (le == StringType || le == LongType) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -333,6 +370,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 /** rolling_fingerprint(text, window): Long min-rolling-hash fingerprint. */
 case class RollingFingerprint(child: Expression, window: Int)
     extends UnaryExpression {
+  require(window > 0,
+    s"graft_rolling_fingerprint: window must be positive, got $window")
   override def dataType: DataType = LongType
   override def nullSafeEval(s: Any): Any =
     Kernels.rollingFingerprint(s.asInstanceOf[UTF8String], window)

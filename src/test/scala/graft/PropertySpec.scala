@@ -325,6 +325,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("vector kernels fail ANALYSIS on array<double> instead of " +
+      "returning silent garbage") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.registerAll(spark)
+    // array(0.1, 0.2) is array<double> — the kernels read float bytes, so
+    // without the gate this returns garbage on unsafe rows, not an error
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT graft_cosine(array(0.1d, 0.2d), array(0.1d, 0.2d))")
+        .collect()
+    }
+    assert(e.getMessage.contains("array<float>"))
+    // the cast form works and returns exactly 1.0
+    val ok = spark.sql(
+      """SELECT graft_cosine(CAST(array(0.1, 0.2) AS ARRAY<FLOAT>),
+                             CAST(array(0.1, 0.2) AS ARRAY<FLOAT>))""")
+      .collect()(0).getDouble(0)
+    assert(math.abs(ok - 1.0) < 1e-9)
+  }
+
+  test("sorted intersect skips null elements instead of NPE/false-match") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.registerAll(spark)
+    val s = spark.sql(
+      """SELECT graft_sorted_intersect_count(
+           sort_array(array('a', CAST(NULL AS STRING), 'b')),
+           sort_array(array('a', 'c')))""").collect()(0).getInt(0)
+    assert(s === 1)
+    val l = spark.sql(
+      """SELECT graft_sorted_intersect_count(
+           sort_array(array(CAST(NULL AS BIGINT), 0L, 7L)),
+           sort_array(array(0L, 9L)))""").collect()(0).getInt(0)
+    assert(l === 1) // the null must not read as 0 and match the real 0
+  }
+
   test("minhash signature agreement estimates Jaccard similarity") {
     import spark.implicits._
     val rnd = new Random(17)
