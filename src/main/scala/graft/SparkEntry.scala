@@ -2409,9 +2409,12 @@ object SparkEntry {
         |      ELSE strlen(text) * 31 % 1024 + 1 END AS INTEGER) AS height
         |  FROM documents)
         |SELECT doc_id, width, height,
-        |  CAST(least(256, width) AS INTEGER) AS out_width,
-        |  CAST(greatest(1, CAST(floor(
-        |    height * least(256, width) / width) AS BIGINT)) AS INTEGER) AS out_height
+        |  CAST(greatest(1, least(width, CAST(floor(
+        |    width * 256.0 / greatest(width, height)) AS BIGINT)))
+        |    AS INTEGER) AS out_width,
+        |  CAST(greatest(1, least(height, CAST(floor(
+        |    height * 256.0 / greatest(width, height)) AS BIGINT)))
+        |    AS INTEGER) AS out_height
         |FROM m""".stripMargin,
     "m3_frame_sample" ->
       """SELECT doc_id,

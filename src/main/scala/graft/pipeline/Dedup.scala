@@ -517,6 +517,10 @@ object Dedup {
         round(inter / size(col("_shb")), 6).as("containment_corpus"))
       .filter(col("containment_batch") >= threshold ||
         col("containment_corpus") >= threshold)
+      // same replay tolerance as incrementalMinhashPairsIndexed: a doc
+      // whose (_id, _sh) row landed twice (at-least-once append crash)
+      // must not double its pairs in the output
+      .dropDuplicates("batch_id", "corpus_id")
     if (materialize) Scratch.materializeThenFree(pairs, shB) else pairs
   }
 
@@ -553,6 +557,12 @@ object Dedup {
         round(inter / (size(col("_sha")) + size(col("_shb")) - inter), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      // an at-least-once replay of appendToBandedIndex can leave a doc's
+      // (_id, _sh) row in the shingle store twice (identical rows); the
+      // join would then emit the pair twice — dedup the OUTPUT (pairs are
+      // bounded; the store itself stays append-only) to keep the
+      // distinct-pairs contract the in-plan twin guarantees
+      .dropDuplicates("batch_id", "corpus_id")
     if (materialize) Scratch.materializeThenFree(pairs, shB) else pairs
   }
 
@@ -1071,6 +1081,8 @@ object Dedup {
       vecCol: String = "embedding", dim: Int = 64, threshold: Double = 0.99,
       nPlanes: Int = 12, nTables: Int = 4, seed: Int = 7,
       materialize: Boolean = true): DataFrame = {
+    Similarity.requireVectorDim(embeddings, vecCol, dim,
+      "embeddingNearDupPairs")
     val planes = Similarity.randomPlanes(nTables * nPlanes, dim, seed)
     val buckets = (0 until nTables).map { t =>
       val bits = (0 until nPlanes).map { p =>
@@ -1121,11 +1133,16 @@ object Dedup {
     */
   def sourceOverlap(documents: DataFrame, textCol: String = "text",
       srcCol: String = "source", shingleW: Int = 3,
-      seed: Int = 42): DataFrame = {
+      seed: Int = 42, materialize: Boolean = true): DataFrame = {
+    // persisted: the DISTINCT vocab relation — whose construction is the
+    // only corpus-sized work — feeds the sizes aggregate AND both sides
+    // of the intersection self-join; without the persist the corpus is
+    // tokenized+shingled three times
     val vocab = documents.select(col(srcCol).as("_src"),
         explode(gtext.shingleHashes(
           TextAnalysis.tokens(col(textCol)), shingleW, seed)).as("_h"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = vocab.groupBy("_src").agg(count(lit(1)).as("_n"))
     val inter = vocab.select(col("_src").as("src_a"), col("_h"))
       .join(vocab.select(col("_src").as("src_b"), col("_h")), Seq("_h"))
@@ -1133,7 +1150,7 @@ object Dedup {
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("_i"))
     // the all-pairs frame is sources² rows (bounded analytics output);
     // both the size relation and the intersection counts broadcast
-    sizes.select(col("_src").as("src_a"), col("_n").as("_na"))
+    val out = sizes.select(col("_src").as("src_a"), col("_n").as("_na"))
       .join(broadcast(sizes.select(col("_src").as("src_b"), col("_n").as("_nb"))))
       .filter(col("src_a") < col("src_b"))
       .join(broadcast(inter), Seq("src_a", "src_b"), "left")
@@ -1146,5 +1163,6 @@ object Dedup {
           col("_na").cast("double"), 6).as("containment_a"),
         round(coalesce(col("_i"), lit(0L)).cast("double") /
           col("_nb").cast("double"), 6).as("containment_b"))
+    if (materialize) Scratch.materializeThenFree(out, vocab) else out
   }
 }

@@ -152,6 +152,10 @@ object Multimodal {
       var dataSize = -1
       while (off + 8 <= bytes.length && (fmt.isEmpty || dataSize < 0)) {
         val id = tag(off); val sz = le32(off + 4)
+        // a corrupt size field decoding negative would stall the cursor
+        // (8 + sz + pad can be ≤ 0) — an executor task hanging forever on
+        // one bad blob is worse than the decode_ok=false fallback
+        if (sz < 0) return None
         if (id == "fmt " && off + 24 <= bytes.length)
           fmt = Some((le16(off + 10), le32(off + 12), le16(off + 20)))
         else if (id == "data") dataSize = sz
@@ -218,17 +222,23 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))
 
-  /** Resize plan: target dimensions preserving aspect ratio (the metadata
-    * half of a resize; the pixel half runs in [[resizePixels]]).
+  /** Resize plan: target dimensions fitting `maxDim` on the LONGER side,
+    * aspect preserved — the same `scale = min(1, maxDim / max(w, h))`
+    * rule [[resizePixels]] applies to actual pixels, so the metadata half
+    * and the pixel half of a resize always agree (a width-only cap let a
+    * portrait image's height escape the bound while the pixels shrank).
     */
-  def resize(decoded: Dataset[DecodedMedia], maxDim: Int = 256): DataFrame =
+  def resize(decoded: Dataset[DecodedMedia], maxDim: Int = 256): DataFrame = {
+    val longSide = greatest(col("width"), col("height"))
+    def fit(side: org.apache.spark.sql.Column) =
+      greatest(lit(1),
+        least(side, (side * lit(maxDim) / longSide).cast("int")))
     decoded.toDF().select(
       col("doc_id"),
       col("width"), col("height"),
-      least(lit(maxDim), col("width")).as("out_width"),
-      greatest(lit(1),
-        (col("height") * least(lit(maxDim), col("width")) / col("width"))
-          .cast("int")).as("out_height"))
+      fit(col("width")).as("out_width"),
+      fit(col("height")).as("out_height"))
+  }
 
   /** Real pixel resize for decodable images: scale to fit `maxDim`
     * (aspect-preserving) with AWT, re-encode as PNG. Non-image or

@@ -521,12 +521,30 @@ object Similarity {
     * kernel pass — no shuffle, no UDF.
     */
   def randomProjection(embeddings: DataFrame, k: Int = 16, dim: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireVectorDim(embeddings, vecCol, dim, "randomProjection")
     embeddings
       .select(col(idCol), posexplode(
         graft.functions.vector.signedProject(col(vecCol), rpSigns(k, dim))))
       .select(col(idCol), col("pos").cast("int").as("proj"),
         col("col").as("y_c6"))
+  }
+
+  /** Loud guard for operators whose sign/plane matrices are built at
+    * `dim`: the kernels fold over `min(vector length, dim)`, so a `dim`
+    * SMALLER than the real vectors would silently ignore the tail
+    * components — a wrong projection for every row with no error. One
+    * tiny first-row probe per operator call; empty input passes (nothing
+    * to project).
+    */
+  private[pipeline] def requireVectorDim(df: DataFrame, vecCol: String,
+      dim: Int, op: String): Unit =
+    df.select(size(col(vecCol))).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == dim,
+        s"$op: dim=$dim but '$vecCol' vectors have ${r.getInt(0)} " +
+          "components — pass the data's true dimension (a smaller dim " +
+          "silently truncates every vector)")
+    }
 
   /** Symmetric per-vector int8 quantization: `scale = max|x| / 127`,
     * `q_i = floor(x_i / scale + 0.5)` (zero vectors stay zero). The

@@ -169,11 +169,16 @@ object TextAnalysis {
         .select(col("a").as("doc_id"), col("rep_id")),
       trainPct, valPct)
 
-  /** Corpus-wide top-k bigram counts (data-quality / boilerplate
-    * detection). `orderBy + limit` plans as TakeOrderedAndProject —
-    * per-partition bounded top-k before the single-partition merge, so
-    * only k rows per partition move. Docs with fewer than 2 tokens are
-    * excluded (no bigram exists).
+  /** Corpus-wide top-k bigrams by DOCUMENT FREQUENCY — each bigram counts
+    * once per document containing it (the shingle set dedups within a
+    * doc), not once per occurrence. That is the boilerplate-detection
+    * semantics this exists for (a phrase repeated 10,000× inside ONE doc
+    * is that doc's repetition problem — see [[repetitionScore]] — not
+    * corpus boilerplate); occurrence-weighted collocations are
+    * [[bigramLift]]'s pair stream. `orderBy + limit` plans as
+    * TakeOrderedAndProject — per-partition bounded top-k before the
+    * single-partition merge, so only k rows per partition move. Docs with
+    * fewer than 2 tokens are excluded (no bigram exists).
     */
   def topBigrams(documents: DataFrame, k: Int = 100): DataFrame = {
     val ts = tokens(col("text"))
@@ -325,13 +330,19 @@ object TextAnalysis {
   }
 
   def bm25TopTerms(documents: DataFrame, k: Int = 3, k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75, materialize: Boolean = true): DataFrame = {
     val base = documents.select(col("doc_id"), tokens(col("text")).as("_t"))
+    // persisted: the tokenize+termCounts front feeds BOTH the df
+    // aggregate and the scoring join (the ngramLmScore pattern); the
+    // (N, avgdl) stats keep their own cheap narrow pass so empty-token
+    // docs still count toward N
     val tf = bm25Tf(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = base.agg(count(lit(1)).cast("double").as("_nd"),
       avg(size(col("_t"))).as("_avgdl"))
-    bm25Score(tf, dfreq, stats, k, k1, b)
+    val out = bm25Score(tf, dfreq, stats, k, k1, b)
+    if (materialize) Scratch.materializeThenFree(out, tf) else out
   }
 
   /** Train-once half of BM25 scoring: materialize the corpus term
@@ -625,8 +636,12 @@ object TextAnalysis {
     */
   def boilerplateCoverage(documents: DataFrame, w: Int = 3,
       dfFrac: Double = 0.01): DataFrame = {
+    // the tokenize+shingle front feeds the hot-gram aggregate AND the
+    // per-doc probe — persisted so documents are scanned once, not per
+    // consumer (the ngramLmScore pattern)
     val grams = documents
       .select(col("doc_id"), explode(Dedup.shingles(col("text"), w)).as("_g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = documents.select(count(lit(1)).cast("double").as("_nd"))
     val hot = grams.groupBy("_g").agg(count(lit(1)).as("_df"))
       .crossJoin(broadcast(nDocs))
@@ -634,7 +649,9 @@ object TextAnalysis {
       .select("_g")
     val perDoc = grams.join(broadcast(hot), Seq("_g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
-    documents
+    // n_grams stays a separate NARROW projection (not a grams rollup):
+    // zero-shingle docs must keep their row, and explode drops them
+    val out = documents
       .select(col("doc_id"),
         size(Dedup.shingles(col("text"), w)).cast("long").as("n_grams"))
       .join(perDoc, Seq("doc_id"), "left")
@@ -642,6 +659,7 @@ object TextAnalysis {
         coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
         floor(lit(1000000.0d) * coalesce(col("n_boiler"), lit(0L))
           / col("n_grams")).cast("long").as("boiler_c6"))
+    Scratch.materializeThenFree(out, grams)
   }
 
   /** Passage-level cross-document duplication (Dolma/RefinedWeb-style

@@ -70,7 +70,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("bm25 (t23): narrow termCounts TF, bounded exchanges, no occurrence shuffle") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val plan = graft.pipeline.TextAnalysis.bm25TopTerms(docs)
+    val plan = graft.pipeline.TextAnalysis.bm25TopTerms(docs, materialize = false)
       .queryExecution.executedPlan.toString
     // same budget as t8: the df agg + the per-doc rank window — dl and the
     // (N, avgdl) stats must NOT add exchanges (broadcast 1-row aggregate)
@@ -630,7 +630,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("source overlap: vocabulary equi-join, no cartesian on corpus rows") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val plan = graft.pipeline.Dedup.sourceOverlap(docs)
+    val plan = graft.pipeline.Dedup.sourceOverlap(docs, materialize = false)
       .queryExecution.executedPlan.toString
     // the only nested-loop join is the bounded sources² frame (broadcast
     // of the per-source size relation); corpus-sized rows meet only in
