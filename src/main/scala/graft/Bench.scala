@@ -25,7 +25,11 @@ object Bench {
     // instead of charging first-query session costs to whichever query
     // sorts first alphabetically
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      // NonFatal only: after an OOM/linkage error the JVM is unreliable —
+      // fail the run rather than time every later query in a broken
+      // process and ship those numbers for cross-round comparison
+      try fn(spark, sfDir).count()
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     def esc(s: String): String =
       s.flatMap {
@@ -35,7 +39,8 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
-                catch { case e: Throwable => Some(e.toString.take(200)) }
+                catch { case scala.util.control.NonFatal(e) =>
+                  Some(e.toString.take(200)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val qs = results.map {

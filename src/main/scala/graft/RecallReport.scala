@@ -45,6 +45,13 @@ object RecallReport {
       (s, math.rint((System.nanoTime() - t0) / 1e6) / 1e3)
     }
 
+    // an empty exact set yields recall 1.0 by convention (nothing to
+    // find), never 0/0 = NaN — NaN is invalid JSON and breaks the
+    // artifact's consumers
+    def recallOf(got: Set[(Long, Long)], exact: Set[(Long, Long)]): Double =
+      if (exact.isEmpty) 1.0
+      else (got & exact).size.toDouble / exact.size
+
     // v2: IVF recall@5 vs brute force over nProbe × index spill
     val queries = emb.filter(col("vec_id") < 100)
     val exactTopK = pairSet(
@@ -54,7 +61,7 @@ object RecallReport {
         Similarity.ivfCosineTopK(emb, queries, k = 5, nProbe = np, spill = sp),
         "query_id", "neighbor_id"))
       s""""nprobe_${np}_spill_$sp":{"recall":${
-        (got & exactTopK).size.toDouble / exactTopK.size},"sec":$sec}"""
+        recallOf(got, exactTopK)},"sec":$sec}"""
     }
 
     // v7: cell-bounded kNN graph recall vs the exact graph (singleCell on
@@ -68,7 +75,7 @@ object RecallReport {
         Similarity.knnGraph(slice, k = 5, nAssign = na, spill = sp),
         "query_id", "neighbor_id"))
       s""""assign_${na}_spill_$sp":{"recall":${
-        (got & exactGraph).size.toDouble / exactGraph.size},"sec":$sec}"""
+        recallOf(got, exactGraph)},"sec":$sec}"""
     }
 
     // v10b: norm-augmented IVF MIPS recall@5 vs brute dot-product,
@@ -80,7 +87,7 @@ object RecallReport {
         Similarity.ivfMipsTopK(emb, queries, k = 5, nProbe = np, spill = sp),
         "query_id", "neighbor_id"))
       s""""nprobe_${np}_spill_$sp":{"recall":${
-        (got & exactMips).size.toDouble / exactMips.size},"sec":$sec}"""
+        recallOf(got, exactMips)},"sec":$sec}"""
     }
 
     // d11: SemDeDup celled pair recall vs exact threshold pairs, across
@@ -90,8 +97,7 @@ object RecallReport {
     val d11 = for (sp <- Seq(1, 2); na <- Seq(1, 2, 4, 8)) yield {
       val (got, sec) = timed(pairSet(
         Dedup.semanticPairs(slice, nAssign = na, spill = sp), "a", "b"))
-      val r = if (exactPairs.isEmpty) 1.0
-              else (got & exactPairs).size.toDouble / exactPairs.size
+      val r = recallOf(got, exactPairs)
       s""""assign_${na}_spill_$sp":{"recall":$r,"sec":$sec}"""
     }
 
@@ -106,7 +112,7 @@ object RecallReport {
         Similarity.pcaCosineTopK(emb, queries, k = 5, kPca = kp,
           shortlist = m),
         "query_id", "neighbor_id")
-      s""""kpca${kp}_m$m":${(got & exactTopK).size.toDouble / exactTopK.size}"""
+      s""""kpca${kp}_m$m":${recallOf(got, exactTopK)}"""
     }
 
     // the curves above sweep the knobs explicitly; defaults record which

@@ -148,6 +148,14 @@ object ScaleBench {
       val df = spark.read.parquet(s"$srcDir/$t.parquet")
       val out = ScaledKeys.get(t) match {
         case Some(keys) =>
+          // the replica offset is only collision-free while every source
+          // key is under the stride — a bigger source corpus would make
+          // replica key ranges overlap and silently corrupt every FK join
+          val maxKey = df.agg(
+            greatest(keys.map(k => max(col(k).cast("long"))): _*)).head()
+          require(maxKey.isNullAt(0) || maxKey.getLong(0) < Stride,
+            s"$t: max key ${maxKey.get(0)} >= stride $Stride — replica " +
+              "key ranges would overlap; raise Stride for this source")
           df.crossJoin(rep).select(df.columns.map { c =>
             if (keys.contains(c)) (col(c) + col("_r") * Stride).as(c)
             else col(c)
@@ -181,6 +189,9 @@ object ScaleBench {
     // regression without paying the full sweep
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd ONLY name must fail loudly, not print an empty green sweep
+    only.foreach(o => require(o.forall(Headline.contains),
+      s"SPARK_GRAFT_ONLY names not in Headline: ${o.filterNot(Headline.contains)}"))
     val headline = only.fold(Headline)(o => Headline.filter(o))
     val qs = headline.map(n => n -> SparkEntry.queries(n))
     def esc(s: String): String = s.flatMap {
@@ -219,7 +230,11 @@ object ScaleBench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val err = runs.flatMap(_._2).headOption
-      (name, runs.map(_._1).min, err)
+      // min over SUCCESSFUL passes only: a fast-failing pass's wall clock
+      // is not a measurement (fall back to all runs when none succeeded,
+      // so the err row still carries a time)
+      val good = runs.collect { case (t, None) => t }
+      (name, (if (good.nonEmpty) good else runs.map(_._1)).min, err)
     }
     val js = results.map {
       case (k, v, None) => s""""$k":$v"""

@@ -110,8 +110,11 @@ object ShuffleReport {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       }
-    // optional args: restrict to the named queries (spot-check mode)
+    // optional args: restrict to the named queries (spot-check mode) — a
+    // typo'd name must fail loudly, not produce an empty "green" report
     val wanted = args.toSet
+    require(wanted.forall(SparkEntry.queries.contains),
+      s"unknown queries: ${wanted.filterNot(SparkEntry.queries.contains)}")
     val selected =
       if (wanted.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => wanted(n) }
@@ -125,6 +128,17 @@ object ShuffleReport {
         // execute THIS DataFrame's own QueryExecution — df.count() would
         // plan and run a separate aggregate query
         df.queryExecution.toRdd.count()
+        // toRdd bypasses Dataset.withAction, so the QueryExecutionListener
+        // never fires for THIS (top-level) plan — its broadcast exchanges
+        // would report 0 (a BroadcastHashJoin final plan, e.g. j1, showed
+        // broadcast:0). Sum them from the executed plan's own metrics,
+        // which the just-finished run populated; the listener still
+        // covers internal sub-executions (materializing constructors).
+        totals.broadcast.addAndGet(flatten(df.queryExecution.executedPlan)
+          .collect {
+            case e if e.nodeName.contains("BroadcastExchange") =>
+              e.metrics.get("dataSize").map(_.value).getOrElse(0L)
+          }.filter(_ > 0).sum)
         val sec = (System.nanoTime() - t0) / 1e9
         val after = drained
         val sw = after._1 - before._1

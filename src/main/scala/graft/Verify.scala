@@ -8,8 +8,14 @@ object Verify {
     // optional 3rd arg: comma-separated query-name filter (local iteration;
     // the driver always passes exactly two)
     val Array(sfDir, outDir) = args.take(2)
+    // trim + drop empties: "a1, a5" or a trailing comma must not silently
+    // match nothing; unknown names fail loudly
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2)
+        Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else None
+    only.foreach(names => require(names.forall(SparkEntry.queries.contains),
+      s"unknown queries: ${names.filterNot(SparkEntry.queries.contains)}"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,12 +30,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+        // pre-delete: a failed query must not leave a STALE result from a
+        // previous run of the same outDir for the compare to grade
+        val out = new java.io.File(s"$outDir/$name")
+        if (out.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(out)
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          failed ::= name
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -49,5 +62,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size} queries failed: " +
+        failed.sorted.mkString(", "))
+      sys.exit(1) // a crashing query must fail the run, like Bench does
+    }
   }
 }
