@@ -33,7 +33,10 @@ object SparkEntry {
       Tutorial.matchEventPlayer(matchEvents(spark, dir)), players(spark, dir))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // lazy val, not def: immutable data that Verify/Bench/ShuffleReport
+  // each touch several times — rebuilding ~140 entries (and
+  // re-concatenating the multi-KB oracle strings) per access is waste
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- S: sources / DDL / serde -------------------------------------
     // S2/Q3: KTable upsert view = latest row per key by arrival order.
     "s2_table_upsert" -> ((s, d) =>
@@ -1019,12 +1022,14 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL per query (same column names and types as the Spark
-    * result). Only two queries are absent (rows-only): the HLL sketch
-    * (a3_approx — algorithm-specific; its exact twin a3 is hash-checked)
-    * and the approximate IVF search (v2 — recall < 1 by construction; its
-    * exhaustive form v2b shares the brute-force v1 oracle).
+    * result). Six queries are absent (rows-only), each approximate by
+    * construction with a hash-checked exact twin: a3_approx (HLL sketch;
+    * exact twin a3), v2 (IVF recall < 1; full-probe v2b shares v1's
+    * brute-force oracle), v7 (celled kNN graph; exact twin v7b), v13
+    * (PCA-shortlisted top-k; full-rank v13b), v14 (PCA outlier score;
+    * contract twin v14b), d11 (SemDeDup celled pairs; exact twin d11b).
     */
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     "s2_table_upsert" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT user_id, event_id, event_type, value,
@@ -1194,8 +1199,10 @@ object SparkEntry {
         |GROUP BY n_name, p_brand""".stripMargin,
     "x3_asof_join" ->
       """WITH signups AS (
-        |  SELECT user_id, ts, value AS signup_value FROM events
-        |  WHERE event_type = 'signup'),
+        |  -- tie rule mirrored from Ops.asofJoin: among versions sharing
+        |  -- (user_id, ts), the greatest payload wins
+        |  SELECT user_id, ts, max(value) AS signup_value FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id, ts),
         |purchases AS (
         |  SELECT event_id, user_id, ts, value FROM events
         |  WHERE event_type = 'purchase')
@@ -1431,26 +1438,10 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM sh b
         |              WHERE b.source = 'src0' AND b.g = a.g)
         |GROUP BY a.doc_id""".stripMargin,
-    "d6_decontaminate" ->
-      """WITH fp AS (
-        |  SELECT doc_id, source,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
-        |  FROM documents)
-        |SELECT c.doc_id FROM fp c
-        |WHERE c.source <> 'src0'
-        |  AND NOT EXISTS (SELECT 1 FROM fp b
-        |                  WHERE b.source = 'src0' AND b.f = c.f)""".stripMargin,
+    "d6_decontaminate" -> baseDecontaminateOracle,
     // d10: the bloom prefilter must not change the answer — same oracle
     // as the exact anti-join.
-    "d10_bloom_decontaminate" ->
-      """WITH fp AS (
-        |  SELECT doc_id, source,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
-        |  FROM documents)
-        |SELECT c.doc_id FROM fp c
-        |WHERE c.source <> 'src0'
-        |  AND NOT EXISTS (SELECT 1 FROM fp b
-        |                  WHERE b.source = 'src0' AND b.f = c.f)""".stripMargin,
+    "d10_bloom_decontaminate" -> baseDecontaminateOracle,
     "t8_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, tk AS term, CAST(count(*) AS BIGINT) AS tf
@@ -1518,101 +1509,18 @@ object SparkEntry {
     // d12: exact cross-pair Jaccard between the batch (doc_id % 20 = 0)
     // and the corpus — the same exhaustive twin d3 uses, restricted to the
     // batch×corpus cross.
-    "d12_incremental_dedup" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
-        |      ELSE list_transform(generate_series(1, len(t) - 2),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
-        |  FROM tok)
-        |SELECT batch_id, corpus_id, jaccard FROM (
-        |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
-        |    round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
-        |      CAST(len(b.s) + len(c.s) - len(list_intersect(b.s, c.s)) AS DOUBLE),
-        |      6) AS jaccard
-        |  FROM sh b JOIN sh c ON b.doc_id % 20 = 0 AND c.doc_id % 20 <> 0)
-        |WHERE jaccard >= 0.8""".stripMargin,
+    "d12_incremental_dedup" -> baseIncrementalOracle(replica0Only = false),
     // d15: the indexed path must produce EXACTLY d12's pairs (same LSH
     // seed; composite band keys only add candidates that exact
     // verification rejects), so its oracle is d12's exhaustive twin.
-    "d15_incremental_indexed" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
-        |      ELSE list_transform(generate_series(1, len(t) - 2),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
-        |  FROM tok)
-        |SELECT batch_id, corpus_id, jaccard FROM (
-        |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
-        |    round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
-        |      CAST(len(b.s) + len(c.s) - len(list_intersect(b.s, c.s)) AS DOUBLE),
-        |      6) AS jaccard
-        |  FROM sh b JOIN sh c ON b.doc_id % 20 = 0 AND c.doc_id % 20 <> 0)
-        |WHERE jaccard >= 0.8""".stripMargin,
+    "d15_incremental_indexed" -> baseIncrementalOracle(replica0Only = false),
     // d12s: d12 plus the replica-0 batch restriction (no-op at gate SF,
     // where every doc_id < 10M).
-    "d12_incremental_scale" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
-        |      ELSE list_transform(generate_series(1, len(t) - 2),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
-        |  FROM tok)
-        |SELECT batch_id, corpus_id, jaccard FROM (
-        |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
-        |    round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
-        |      CAST(len(b.s) + len(c.s) - len(list_intersect(b.s, c.s)) AS DOUBLE),
-        |      6) AS jaccard
-        |  FROM sh b JOIN sh c
-        |    ON b.doc_id % 20 = 0 AND b.doc_id < 10000000 AND c.doc_id % 20 <> 0)
-        |WHERE jaccard >= 0.8""".stripMargin,
+    "d12_incremental_scale" -> baseIncrementalOracle(replica0Only = true),
     // d15s: indexed probe ≡ d12s (same seed ⇒ same buckets), so it shares
     // d12s's exhaustive replica-0-batch oracle.
-    "d15_incremental_scale" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
-        |      ELSE list_transform(generate_series(1, len(t) - 2),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
-        |  FROM tok)
-        |SELECT batch_id, corpus_id, jaccard FROM (
-        |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
-        |    round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
-        |      CAST(len(b.s) + len(c.s) - len(list_intersect(b.s, c.s)) AS DOUBLE),
-        |      6) AS jaccard
-        |  FROM sh b JOIN sh c
-        |    ON b.doc_id % 20 = 0 AND b.doc_id < 10000000 AND c.doc_id % 20 <> 0)
-        |WHERE jaccard >= 0.8""".stripMargin,
-    "d13_incremental_survivors" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
-        |      ELSE list_transform(generate_series(1, len(t) - 2),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
-        |  FROM tok),
-        |hits AS (
-        |  SELECT DISTINCT b.doc_id AS bid
-        |  FROM sh b JOIN sh c ON b.doc_id % 20 = 0 AND c.doc_id % 20 <> 0
-        |  WHERE round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
-        |      CAST(len(b.s) + len(c.s) - len(list_intersect(b.s, c.s)) AS DOUBLE),
-        |      6) >= 0.8)
-        |SELECT doc_id FROM documents
-        |WHERE doc_id % 20 = 0 AND doc_id NOT IN (SELECT bid FROM hits)""".stripMargin,
+    "d15_incremental_scale" -> baseIncrementalOracle(replica0Only = true),
+    "d13_incremental_survivors" -> baseSurvivorsOracle,
     // d17: hashed-shingle containment equals string-shingle containment
     // absent 64-bit collisions (d3's argument), and the rare-shingle
     // candidate rule is mirrored verbatim — both engines compute the same
@@ -1707,24 +1615,7 @@ object SparkEntry {
         |  AND inter.src_b = sb.source""".stripMargin,
     // d16: the indexed accept gate ≡ d13 (d15 ≡ d12 pairs ⇒ identical
     // anti-join), so it shares d13's exhaustive oracle.
-    "d16_survivors_indexed" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
-        |      ELSE list_transform(generate_series(1, len(t) - 2),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
-        |  FROM tok),
-        |hits AS (
-        |  SELECT DISTINCT b.doc_id AS bid
-        |  FROM sh b JOIN sh c ON b.doc_id % 20 = 0 AND c.doc_id % 20 <> 0
-        |  WHERE round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
-        |      CAST(len(b.s) + len(c.s) - len(list_intersect(b.s, c.s)) AS DOUBLE),
-        |      6) >= 0.8)
-        |SELECT doc_id FROM documents
-        |WHERE doc_id % 20 = 0 AND doc_id NOT IN (SELECT bid FROM hits)""".stripMargin,
+    "d16_survivors_indexed" -> baseSurvivorsOracle,
     // d14: d13's cross-hit filter composed with intra-batch components —
     // exhaustive exact pairs within the batch, recursive reachability
     // (d8's closure pattern), min-id representative election.
@@ -1885,48 +1776,12 @@ object SparkEntry {
         |      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.99""".stripMargin,
-    "d2_ngram_jaccard" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang, source,
-        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS t
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b,
-        |         CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) AS i,
-        |         CAST(len(a.t) AS DOUBLE) AS da, CAST(len(b.t) AS DOUBLE) AS db
-        |  FROM tok a JOIN tok b
-        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
-        |SELECT a, b, round(i / (da + db - i), 6) AS jaccard
-        |FROM pairs WHERE round(i / (da + db - i), 6) >= 0.8""".stripMargin,
+    "d2_ngram_jaccard" -> baseBucketedJaccardOracle,
     // d21/d21s compute d2's exact answer at the gate SF (scoped AllPairs ≡
     // blocked quadratic on the same buckets; one replica → the _rep scope
     // is constant), so they share d2's oracle
-    "d21_scoped_scale" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang, source,
-        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS t
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b,
-        |         CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) AS i,
-        |         CAST(len(a.t) AS DOUBLE) AS da, CAST(len(b.t) AS DOUBLE) AS db
-        |  FROM tok a JOIN tok b
-        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
-        |SELECT a, b, round(i / (da + db - i), 6) AS jaccard
-        |FROM pairs WHERE round(i / (da + db - i), 6) >= 0.8""".stripMargin,
-    "d21_scoped_prefix_jaccard" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang, source,
-        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS t
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b,
-        |         CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) AS i,
-        |         CAST(len(a.t) AS DOUBLE) AS da, CAST(len(b.t) AS DOUBLE) AS db
-        |  FROM tok a JOIN tok b
-        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
-        |SELECT a, b, round(i / (da + db - i), 6) AS jaccard
-        |FROM pairs WHERE round(i / (da + db - i), 6) >= 0.8""".stripMargin,
+    "d21_scoped_scale" -> baseBucketedJaccardOracle,
+    "d21_scoped_prefix_jaccard" -> baseBucketedJaccardOracle,
     // d20: the UNBLOCKED exact Jaccard join — quadratic in SQL (fine at
     // the gate SF), prefix-filtered in the engine
     "d20_prefix_jaccard" ->
@@ -2541,37 +2396,9 @@ object SparkEntry {
     "v1_brute_cosine_topk" -> baseV1Oracle,
     // v10: v1's oracle with raw dot ranking (list_dot_product over the
     // same DOUBLE[] cast — identical fixed-order double accumulation).
-    "v10_brute_mips_topk" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id < 20),
-        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-        |      FROM embeddings),
-        |s AS (
-        |  SELECT query_id, neighbor_id,
-        |         round(list_dot_product(qv, cv), 6) AS dot
-        |  FROM c, q WHERE neighbor_id <> query_id)
-        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, dot
-        |FROM (SELECT *, row_number() OVER (
-        |        PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
-        |      FROM s)
-        |WHERE rank <= 5""".stripMargin,
+    "v10_brute_mips_topk" -> baseMipsOracle,
     // v10b: full-probe augmented IVF ≡ brute MIPS (see the queries comment)
-    "v10b_ivf_mips_full_probe" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id < 20),
-        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-        |      FROM embeddings),
-        |s AS (
-        |  SELECT query_id, neighbor_id,
-        |         round(list_dot_product(qv, cv), 6) AS dot
-        |  FROM c, q WHERE neighbor_id <> query_id)
-        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, dot
-        |FROM (SELECT *, row_number() OVER (
-        |        PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
-        |      FROM s)
-        |WHERE rank <= 5""".stripMargin,
+    "v10b_ivf_mips_full_probe" -> baseMipsOracle,
     // v6: the v1 ranking recomputed over SQL-requantized vectors — the
     // scales cancel in cosine, so quantized retrieval is exactly checkable.
     "v6_int8_topk" ->
@@ -2676,6 +2503,24 @@ object SparkEntry {
     (dir, dir.getFileSystem(s.sparkContext.hadoopConfiguration))
   }
 
+  /** Crash-safe once-per-layout gate: `build` runs only when the marker
+    * file — written AFTER the build completes — is absent. Gating on the
+    * directory itself would let a crash mid-build (the dir exists the
+    * moment the first write starts) permanently serve a partial layout:
+    * the stamp is path+mtime, so nothing would ever self-heal. A partial
+    * dir without the marker is deleted and rebuilt. The `_` prefix keeps
+    * the marker invisible to Spark's file index, like `_SUCCESS`.
+    */
+  private def gatedBuild(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path)(build: => Unit): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(dir, "_GRAFT_COMPLETE")
+    if (!fs.exists(marker)) {
+      if (fs.exists(dir)) fs.delete(dir, true)
+      build
+      fs.create(marker, true).close()
+    }
+  }
+
   /** Once-per-(source data, session) directory-partitioned ingest backing
     * x9 (the [[Layout.writePartitioned]] contract: pay the layout write
     * once, every later scan with a partition predicate prunes directories).
@@ -2683,8 +2528,9 @@ object SparkEntry {
   private def partitionedIngest(s: SparkSession, sfDir: String, src: String,
       partCol: String): String = {
     val (dir, fs) = layoutDir(s, sfDir, src, "part")
-    if (!fs.exists(dir))
+    gatedBuild(fs, dir) {
       Layout.writePartitioned(table(s, sfDir, src), dir.toString, partCol)
+    }
     dir.toString
   }
 
@@ -2695,7 +2541,7 @@ object SparkEntry {
   private def compactedIngest(s: SparkSession, sfDir: String, src: String,
       targetFiles: Int): String = {
     val (dir, fs) = layoutDir(s, sfDir, src, "compact")
-    if (!fs.exists(dir)) {
+    gatedBuild(fs, dir) {
       table(s, sfDir, src).repartition(16).write.parquet(dir.toString)
       Layout.compact(s, dir.toString, targetFiles)
       val nFiles = fs.listStatus(dir)
@@ -2744,8 +2590,9 @@ object SparkEntry {
     */
   private def lmIngest(s: SparkSession, sfDir: String): String = {
     val (dir, fs) = layoutDir(s, sfDir, "documents", "lmmodel")
-    if (!fs.exists(dir))
+    gatedBuild(fs, dir) {
       TextAnalysis.buildLmModel(table(s, sfDir, "documents"), dir.toString)
+    }
     dir.toString
   }
 
@@ -2766,7 +2613,7 @@ object SparkEntry {
     */
   private def momentsIngest(s: SparkSession, sfDir: String): String = {
     val (dir, fs) = layoutDir(s, sfDir, "embeddings", "moments")
-    if (!fs.exists(dir)) {
+    gatedBuild(fs, dir) {
       val emb = table(s, sfDir, "embeddings")
       (0 until 3).foreach { slice =>
         graft.streaming.StreamMoments.ingestBatch(s,
@@ -2785,10 +2632,11 @@ object SparkEntry {
     */
   private def repIngest(s: SparkSession, sfDir: String): String = {
     val (dir, fs) = layoutDir(s, sfDir, "documents", "reps")
-    if (!fs.exists(dir))
+    gatedBuild(fs, dir) {
       Dedup.connectedComponents(Dedup.minhashPairs(table(s, sfDir, "documents")))
         .select(col("a").as("doc_id"), col("rep_id"))
         .write.parquet(dir.toString)
+    }
     dir.toString
   }
 
@@ -2822,6 +2670,109 @@ object SparkEntry {
   /** Exact top-5 cosine neighbors — the shared oracle of the brute-force
     * baseline and the full-probe IVF equivalence check.
     */
+  /** Exact-fingerprint decontamination — shared oracle of the anti-join
+    * (d6) and bloom-prefiltered (d10) forms: the prefilter must not
+    * change the answer, so one string keeps the contract in lockstep.
+    */
+  private def baseDecontaminateOracle: String =
+    """WITH fp AS (
+      |  SELECT doc_id, source,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      |  FROM documents)
+      |SELECT c.doc_id FROM fp c
+      |WHERE c.source <> 'src0'
+      |  AND NOT EXISTS (SELECT 1 FROM fp b
+      |                  WHERE b.source = 'src0' AND b.f = c.f)""".stripMargin
+
+  /** Exhaustive batch×corpus Jaccard pairs — shared oracle of the
+    * incremental dedup family (d12 ≡ d15: the indexed path must produce
+    * EXACTLY the unindexed pairs; d12s/d15s add the replica-0 batch
+    * restriction, a no-op at gate SF where every doc_id < 10M). One body
+    * keeps the four must-be-identical contracts in lockstep.
+    */
+  private def baseIncrementalOracle(replica0Only: Boolean): String = {
+    val batchPred =
+      if (replica0Only) "b.doc_id % 20 = 0 AND b.doc_id < 10000000"
+      else "b.doc_id % 20 = 0"
+    s"""WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+      |      ELSE list_transform(generate_series(1, len(t) - 2),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+      |  FROM tok)
+      |SELECT batch_id, corpus_id, jaccard FROM (
+      |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+      |    round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
+      |      CAST(len(b.s) + len(c.s) - len(list_intersect(b.s, c.s)) AS DOUBLE),
+      |      6) AS jaccard
+      |  FROM sh b JOIN sh c
+      |    ON $batchPred AND c.doc_id % 20 <> 0)
+      |WHERE jaccard >= 0.8""".stripMargin
+  }
+
+  /** Batch survivors (no ≥0.8 cross-hit) — shared oracle of the
+    * unindexed (d13) and indexed (d16) accept gates, identical because
+    * d15 ≡ d12 pairs implies an identical anti-join.
+    */
+  private def baseSurvivorsOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+      |      ELSE list_transform(generate_series(1, len(t) - 2),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+      |  FROM tok),
+      |hits AS (
+      |  SELECT DISTINCT b.doc_id AS bid
+      |  FROM sh b JOIN sh c ON b.doc_id % 20 = 0 AND c.doc_id % 20 <> 0
+      |  WHERE round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
+      |      CAST(len(b.s) + len(c.s) - len(list_intersect(b.s, c.s)) AS DOUBLE),
+      |      6) >= 0.8)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id % 20 = 0 AND doc_id NOT IN (SELECT bid FROM hits)""".stripMargin
+
+  /** (lang, source)-bucketed exact Jaccard pairs — shared oracle of
+    * d2_ngram_jaccard and the scoped AllPairs twins d21/d21s, which
+    * compute d2's exact answer on the same buckets at the gate SF.
+    */
+  private def baseBucketedJaccardOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, source,
+      |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS t
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b,
+      |         CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) AS i,
+      |         CAST(len(a.t) AS DOUBLE) AS da, CAST(len(b.t) AS DOUBLE) AS db
+      |  FROM tok a JOIN tok b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+      |SELECT a, b, round(i / (da + db - i), 6) AS jaccard
+      |FROM pairs WHERE round(i / (da + db - i), 6) >= 0.8""".stripMargin
+
+  /** Brute-force MIPS top-5 — shared oracle of v10 and the full-probe
+    * augmented IVF v10b, which must rank identically.
+    */
+  private def baseMipsOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      |      FROM embeddings),
+      |s AS (
+      |  SELECT query_id, neighbor_id,
+      |         round(list_dot_product(qv, cv), 6) AS dot
+      |  FROM c, q WHERE neighbor_id <> query_id)
+      |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, dot
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+      |      FROM s)
+      |WHERE rank <= 5""".stripMargin
+
   /** BM25 top-3 terms per doc — shared oracle of the in-plan (t23) and
     * prebuilt-stats (t23b) forms, which are computationally identical.
     */

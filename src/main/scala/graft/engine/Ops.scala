@@ -64,7 +64,9 @@ object Ops {
     * time filter + latest-by-offset aggregation, all hash-based.
     *
     * Output: every fact column plus the dim's non-key columns (inner:
-    * facts with no prior dim version drop out).
+    * facts with no prior dim version drop out). Dim versions tied on
+    * (key, ts) collapse deterministically to the greatest payload tuple
+    * (struct ordering) before the pick.
     *
     * Scale: the pair blow-up is bounded per key by
     * versions(key) × facts(key) inside one hash partition; the aggregate's
@@ -80,11 +82,23 @@ object Ops {
     val d = dim.select(
       col(key).as("_dk") +: col(dimTs).as("_dts") +:
         dimValueCols.map(c => col(c).as(s"_d_$c")): _*)
+    // Tie rule: among dim versions sharing the same (key, ts) —
+    // admissible under at-least-once ingestion — the greatest payload
+    // tuple wins (struct ordering), collapsed BEFORE the as-of pick.
+    // LatestByOffsetAgg's strict `>` keeps whichever tied row merges
+    // first, so without this the pick would be partition-order
+    // nondeterministic (and unmatchable against any oracle).
+    val dTied =
+      if (dimValueCols.isEmpty) d.distinct()
+      else d.groupBy(col("_dk"), col("_dts"))
+        .agg(max(struct(dimValueCols.map(c => col(s"_d_$c")): _*)).as("_dv"))
+        .select(col("_dk") +: col("_dts") +:
+          dimValueCols.map(c => col(s"_dv._d_$c").as(s"_d_$c")): _*)
     // _fid keeps the join row-preserving: two fact rows identical in
     // EVERY column (at-least-once ingestion, genuinely repeated events)
     // must stay two output rows, not collapse into one group
     val f = fact.withColumn("_fid", monotonically_increasing_id())
-    f.join(d, f(key) === col("_dk") && col("_dts") <= f(factTs))
+    f.join(dTied, f(key) === col("_dk") && col("_dts") <= f(factTs))
       .groupBy(col("_fid") +: factCols.map(f(_)): _*)
       .agg(
         graft.functions.LatestByOffsetAgg.column(

@@ -642,4 +642,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!"""Join [^\n]*text""".r.findFirstIn(plan).isDefined,
       s"raw text in a join key:\n$plan")
   }
+
+  test("layout ingests heal from a crashed partial build (marker gates reuse)") {
+    val d = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("v15_incremental_covariance")
+    def rows() = q(spark, d).collect().map(_.toString).sorted.toSeq
+    val before = rows() // builds the moments layout + marker
+    val root = new java.io.File("/tmp/graft-test-warehouse/graft_layout")
+    val dirs = root.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("moments_"))
+    assert(dirs.nonEmpty, s"moments layout not found under $root")
+    dirs.foreach { dir =>
+      val marker = new java.io.File(dir, "_GRAFT_COMPLETE")
+      assert(marker.exists(), s"marker missing after build at $dir")
+      // simulate a crash mid-build: the dir exists but holds partial
+      // state and no completion marker — gating on fs.exists(dir) would
+      // serve this corrupt layout forever (stamp = path+mtime never heals)
+      assert(marker.delete())
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => assert(f.delete(), s"could not corrupt $f"))
+    }
+    val after = rows()
+    dirs.foreach { dir =>
+      assert(new java.io.File(dir, "_GRAFT_COMPLETE").exists(),
+        s"layout not rebuilt at $dir")
+    }
+    assert(after === before, "healed rebuild changed the result")
+  }
 }

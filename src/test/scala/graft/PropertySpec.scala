@@ -254,6 +254,25 @@ class PropertySpec extends SparkSpec {
     assert(got === Map(1L -> "v0", 2L -> "v1"))
   }
 
+  test("asofJoin ties on (key, ts) resolve deterministically to the greatest payload") {
+    import spark.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val fact = Seq((1L, 10L, ts(10))).toDF("event_id", "user_id", "ts")
+    // two dim versions at the SAME (key, ts): LatestByOffsetAgg's strict
+    // `>` would keep whichever merged first (partition-order dependent);
+    // the tie rule collapses them to the greatest payload tuple BEFORE
+    // the pick — repartition the dim both ways to prove order-independence
+    val dimRows = Seq((10L, ts(5), "a"), (10L, ts(5), "z"))
+    for (reversed <- Seq(false, true)) {
+      val dim = (if (reversed) dimRows.reverse else dimRows)
+        .toDF("user_id", "ts", "version").repartition(2)
+      val got = Ops.asofJoin(fact, dim, "user_id", "ts", "ts")
+        .select("event_id", "version").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === Map(1L -> "z"), s"reversed=$reversed: $got")
+    }
+  }
+
   test("asofJoin is row-preserving: exact-duplicate fact rows stay distinct") {
     import spark.implicits._
     def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
