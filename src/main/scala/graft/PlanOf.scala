@@ -11,22 +11,28 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanOf {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    // validate BEFORE booting a session: a missing or mistyped name must
+    // print usage + the valid names, not cost a multi-second startup and
+    // then die with a raw NoSuchElementException
+    val name = args.headOption.getOrElse {
+      System.err.println("usage: PlanOf <query> [sfDir]")
+      sys.exit(2)
+    }
+    if (!SparkEntry.queries.contains(name)) {
+      System.err.println(s"unknown query '$name'; valid names:\n  " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      sys.exit(2)
+    }
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
     // lazy mode: inspect the operator plan, not a scan of its
-    // materialized scratch output
+    // materialized scratch output. Caveat: under this mode
+    // Scratch.materializeThenFree neither checkpoints nor frees, so every
+    // scratch persist of the query stays cached through the run — the
+    // wall time printed here is the UNCHECKPOINTED execution; fine for a
+    // one-query diagnostic at small SF, not a production timing.
     sys.props("graft.explain.lazy") = "true"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(cpus)
     val df = SparkEntry.queries(name)(spark, sfDir)
     val t0 = System.nanoTime()
     df.queryExecution.toRdd.count()

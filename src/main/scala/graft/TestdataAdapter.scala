@@ -26,13 +26,17 @@ object TestdataAdapter {
   /** `events` with `ts` as a µs timestamp. The parquet carries
     * TIMESTAMP(NANOS), which Spark only reads via
     * `spark.sql.legacy.parquet.nanosAsLong=true` (nanos-since-epoch long);
-    * `ts DIV 1000` floors to µs — exactly DuckDB's ns→µs conversion, so
-    * timestamp comparisons agree bit-for-bit with the oracle.
+    * the conversion must FLOOR to µs — DuckDB's ns→µs rule — so timestamp
+    * comparisons agree bit-for-bit with the oracle. `DIV` truncates
+    * toward zero, which differs from floor on pre-epoch (negative)
+    * nanos, so the sub-µs remainder is removed via `pmod` (non-negative
+    * by definition) before the exact division.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = table(spark, sfDir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      raw.withColumn("ts",
+        timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
     else raw
   }
 

@@ -17,18 +17,7 @@ object Verify {
     only.foreach(names => require(names.forall(SparkEntry.queries.contains),
       s"unknown queries: ${names.filterNot(SparkEntry.queries.contains)}"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // testdata parquet carries TIMESTAMP(NANOS) — read as nanos-long
-      // (TestdataAdapter converts to µs, matching DuckDB's ns→µs floor)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]
     SparkEntry.queries
