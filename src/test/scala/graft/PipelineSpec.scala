@@ -332,9 +332,10 @@ class PipelineSpec extends SparkSpec {
     val q = Similarity.streamIntoIvfIndex(
       input.toDF().toDF("vec_id", "embedding"), s"$dir/index", centroids,
       s"$dir/ckpt")
-    input.addData((999L, twin))
-    q.processAllAvailable()
-    q.stop()
+    try {
+      input.addData((999L, twin))
+      q.processAllAvailable()
+    } finally q.stop() // a throwing batch must not leak a live query
     val queries = Seq((7L, qv)).toDF("vec_id", "embedding")
     val top = Similarity.ivfCosineTopKIndexed(spark, s"$dir/index",
       centroids, queries, k = 1)
@@ -439,9 +440,8 @@ class PipelineSpec extends SparkSpec {
     val collocated = Seq.fill(10)("new york").mkString(" filler ")
     val mixed = "a x a y b z b w a b " * 3
     val d = docs(1L -> collocated, 2L -> mixed)
-    val got = TextAnalysis.bigramLift(d, minCount = 3).collect()
-      .map(r => (r.getString(1), r.getString(0), r.getLong(2), r.getLong(3)))
-    // note: join reorders columns (y, x, ...) — map back by name
+    // join reorders columns — extract by NAME only (a positional read
+    // would break, or spuriously CCE, on any column-order change)
     val byPair = TextAnalysis.bigramLift(d, minCount = 3).collect()
       .map(r => (r.getAs[String]("x"), r.getAs[String]("y")) ->
         ((r.getAs[Long]("cxy"), r.getAs[Long]("lift_c6")))).toMap
@@ -449,7 +449,7 @@ class PipelineSpec extends SparkSpec {
     assert(nyLift > 1000000L, s"collocation lift $nyLift not positive-PMI")
     // every observed pair has positive count and the collocation tops them
     assert(byPair.values.forall(_._1 >= 3))
-    assert(got.nonEmpty)
+    assert(byPair.nonEmpty)
   }
 
   test("bloomDecontaminate equals the exact anti-join, keeps clean docs") {
@@ -535,11 +535,17 @@ class PipelineSpec extends SparkSpec {
         (r.getLong(0), r.getInt(3), r.getInt(4))).sortBy(_._1)
     assert(out.map(_._1).toSeq === (1L to 30L))
     val byPack = out.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
-    // every multi-doc pack within budget; oversized docs (n > 20) alone
+    // every multi-doc pack within budget
     out.groupBy(_._3).foreach { case (p, docs) =>
       if (docs.length > 1) assert(byPack(p) <= 20,
         s"pack $p overflows: ${docs.mkString(",")}")
-      else if (docs.head._2 > 20) assert(docs.length === 1)
+    }
+    // every oversized doc (n > 20) is ALONE in its pack — asserted
+    // directly (a doc sharing a pack would also trip the budget check,
+    // but a regression that DROPS oversized docs must fail here, not
+    // lean on the id-roundtrip above)
+    out.filter(_._2 > 20).foreach { case (id, _, p) =>
+      assert(out.count(_._3 == p) === 1, s"oversized doc $id shares pack $p")
     }
     // greedy: doc_id order is preserved into nondecreasing pack ids, and
     // a new pack only opens when the doc did not fit the previous one
@@ -790,10 +796,12 @@ class PipelineSpec extends SparkSpec {
     // Spark disallows querying only the corrupt-record column on a raw
     // scan — cache the parsed result first (the documented pattern)
     val df = graft.engine.Sources.fromJsonl(spark, f.toString, schema).cache()
-    val good = df.filter(col("_corrupt_record").isNull)
-      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
-    assert(good.toSet === Set((1L, "hello world"), (2L, "second doc")))
-    assert(df.filter(col("_corrupt_record").isNotNull).count() === 1)
+    try {
+      val good = df.filter(col("_corrupt_record").isNull)
+        .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(good.toSet === Set((1L, "hello world"), (2L, "second doc")))
+      assert(df.filter(col("_corrupt_record").isNotNull).count() === 1)
+    } finally df.unpersist() // the session is shared across suites
   }
 
   test("approx distinct (HLL) stays within documented error of exact") {
@@ -1024,11 +1032,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("hashedLinearScore matches an independent md5-parity recompute") {
-    def w(t: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      if (java.lang.Long.parseLong(hex.take(4), 16) % 2 == 0) 1L else -1L
-    }
+    def w(t: String): Long = TestHashes.tokenWeight(t)
     val d = docs(1L -> "foo bar foo", 2L -> "baz")
     val got = TextAnalysis.hashedLinearScore(d).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
@@ -1041,11 +1045,7 @@ class PipelineSpec extends SparkSpec {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = docs.filter(col("doc_id") % 20 =!= 0)
     val batch = docs.filter(col("doc_id") % 20 === 0)
-    val tbl = "band_equiv"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    val p = new org.apache.hadoop.fs.Path(s"/tmp/graft-test-warehouse/$tbl")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    val tbl = "band_equiv" // buildBandedIndex self-heals orphaned dirs
     val dir = java.nio.file.Files.createTempDirectory("graft_band2").toString
     Dedup.buildBandedIndex(corpus, tbl, s"$dir/sh")
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -1064,11 +1064,7 @@ class PipelineSpec extends SparkSpec {
       (1L -> corpusText) +:
       (2L -> ((500 to 540).map(i => s"beta$i").mkString(" "))) +:
       (30L to 35L).map(i => i -> (boiler + s" uniq$i")): _*)
-    val tbl = "post_equiv"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    val p = new org.apache.hadoop.fs.Path(s"/tmp/graft-test-warehouse/$tbl")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    val tbl = "post_equiv" // buildContainmentIndex self-heals orphaned dirs
     val dir = java.nio.file.Files.createTempDirectory("graft_post").toString
     Dedup.buildBandedIndex(corpus, "post_equiv_band", s"$dir/sh")
     Dedup.buildContainmentIndex(spark, s"$dir/sh", tbl)
@@ -1196,11 +1192,7 @@ class PipelineSpec extends SparkSpec {
     val got = TextAnalysis.domainMixture(df).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3))))
       .toMap
-    def bucket(id: Long): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8"))
-      java.lang.Long.parseLong(md.take(2).map(b => f"$b%02x").mkString, 16) % 10000
-    }
+    def bucket(id: Long): Long = TestHashes.bucket(id)
     val expectA = (1L to 4L).filter(id => bucket(id) * 32L < 10000L * 16L)
     assert(got.keySet === (expectA.toSet ++ Set(10L, 11L)))
     assert(got(10L) === (("B", 8L, 1.0)))

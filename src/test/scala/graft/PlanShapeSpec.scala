@@ -23,6 +23,10 @@ class PlanShapeSpec extends SparkSpec {
     val partialIdx = plan.indexOf("partial_graft_top_k_by_score")
     assert(exIdx >= 0 && partialIdx > exIdx,
       s"partial agg not under the exchange:\n$plan")
+    // and it is the ONLY hash exchange — an unbounded check would let a
+    // corpus-sized shuffle added below the partial aggregate ship silently
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nEx === 1, s"expected 1 exchange, found $nEx:\n$plan")
     // no rank/window operator anywhere
     assert(!plan.contains("Window"), s"window shuffle crept back in:\n$plan")
   }
@@ -274,14 +278,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("bucketed tables join and aggregate with no exchange") {
     val dir = "/root/testdata/sf0.001"
-    // the in-memory catalog dies with the JVM but the warehouse dir
-    // survives — clear orphaned locations from previous test runs
-    Seq("li_bucketed", "ord_bucketed").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val p = new org.apache.hadoop.fs.Path(s"/tmp/graft-test-warehouse/$t")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    // writeBucketed itself drops the table and deletes an orphaned
+    // warehouse location, so no manual cleanup is needed here
     graft.engine.Layout.writeBucketed(
       spark.read.parquet(s"$dir/lineitem.parquet"), "li_bucketed", "l_orderkey", 4)
     graft.engine.Layout.writeBucketed(
@@ -310,11 +308,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("banded-signature index: candidate join reads corpus buckets with no exchange") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val tbl = "band_planshape"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    val p = new org.apache.hadoop.fs.Path(s"/tmp/graft-test-warehouse/$tbl")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    val tbl = "band_planshape" // buildBandedIndex self-heals orphaned dirs
     val dir = java.nio.file.Files.createTempDirectory("graft_band").toString
     graft.pipeline.Dedup.buildBandedIndex(
       docs.filter(col("doc_id") % 20 =!= 0), tbl, s"$dir/sh")

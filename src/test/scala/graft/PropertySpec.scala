@@ -96,9 +96,9 @@ class PropertySpec extends SparkSpec {
     assert(viaKernel === viaAgg)
   }
 
-  test("the flagship entry query returns rows (driver smoke contract)") {
-    assert(SparkEntry.entry(spark).count() > 0)
-  }
+  // the flagship-entry smoke check lives in TutorialGoldenSpec
+  // ("SparkEntry.entry returns rows on sf0.001") — not duplicated here:
+  // it is one of the slowest full-pipeline executions in the suite
 
   test("parser survives whitespace/case mutations; garbage fails cleanly") {
     import graft.ksql.KsqlParser
@@ -561,11 +561,7 @@ class PropertySpec extends SparkSpec {
 
   test("hashedLinearScore matches its md5-parity reference on random docs") {
     import spark.implicits._
-    def w(t: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      if (java.lang.Long.parseLong(hex.take(4), 16) % 2 == 0) 1L else -1L
-    }
+    def w(t: String): Long = TestHashes.tokenWeight(t)
     val rnd = new Random(37)
     val corpus = Seq.tabulate(40)(i =>
       (i.toLong, Seq.fill(1 + rnd.nextInt(40))("tk" + rnd.nextInt(50))))
@@ -620,12 +616,7 @@ class PropertySpec extends SparkSpec {
           r.getInt(4)))).toMap
       // serial reference: same md5 shard gate, greedy walk per group in
       // doc_id order
-      def shardOf(id: Long): Int = {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(id.toString.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(4)
-        (java.lang.Long.parseLong(hex, 16) % shards).toInt
-      }
+      def shardOf(id: Long): Int = TestHashes.shardOf(id, shards)
       val expected = docs
         .map { case (id, text, _, src) =>
           (id, src, shardOf(id), text.split("\\s+").length) }

@@ -246,10 +246,11 @@ class StreamingTutorialSpec extends SparkSpec {
         batch.collect().foreach(r => emitted.add((r.getString(0), r.getLong(1))))
       }.start()
     val q1 = start()
-    input.addData(Tutorial.canonicalEvents.take(4): _*)  // match 1 → 2 goals
-    q1.processAllAvailable()
-    assert(emitted.asScala.toSet === Set(("1", 2L)))
-    q1.stop()
+    try {
+      input.addData(Tutorial.canonicalEvents.take(4): _*) // match 1 → 2 goals
+      q1.processAllAvailable()
+      assert(emitted.asScala.toSet === Set(("1", 2L)))
+    } finally q1.stop() // a failed assert must not leak a live query
     // restart from the same checkpoint: the state store must restore the
     // (id=1 → 2) count, so one more home goal emits 3 — not 1
     val q2 = start()
