@@ -106,6 +106,17 @@ object RecallReport {
       s""""kpca${kp}_m$m":${recallOf(got, exactTopK)}"""
     }
 
+    // v16: PQ-ADC recall@5 vs brute MIPS across the subspace count (the
+    // compression knob: dim=64 floats → m codes, coarser m quantizes
+    // harder) at the default 8-bit codebooks (256 codes; the sf0.1
+    // corpus seeds all 256).
+    val pq = for (m <- Seq(8, 16, 32)) yield {
+      val (got, sec) = timed(pairSet(
+        Similarity.pqTopK(emb, queries, k = 5, m = m, codebookSize = 256),
+        "query_id", "neighbor_id"))
+      s""""m_$m":{"recall":${recallOf(got, exactMips)},"sec":$sec}"""
+    }
+
     // the curves above sweep the knobs explicitly; defaults record which
     // point on each curve a caller gets without choosing (recall target
     // ≥ 0.9 under asymmetric probing over a spill-2 index: nProbe=16,
@@ -116,7 +127,7 @@ object RecallReport {
     // (recall@5 moved ≤ 0.01 at fixed nProbe), while spill=2 moved
     // 0.78 → ≈0.94 — border vectors, not unprobed-cell distance, dominate
     // the loss when cells barely cluster.
-    println(s"""{"metric":"recall","sf":"$sfDir","defaults":{"nprobe":16,"knn_nassign":16,"semdedup_nassign":8,"spill":2,"pca_kpca":16,"pca_shortlist":200},"ivf_recall_at_5":{${ivf.mkString(",")}},"mips_recall_at_5":{${mips.mkString(",")}},"knn_graph_recall":{${v7.mkString(",")}},"semdedup_pair_recall":{${d11.mkString(",")}},"pca_recall_at_5":{${pca.mkString(",")}},"exact_topk_pairs":${exactTopK.size},"exact_mips_pairs":${exactMips.size},"exact_graph_pairs":${exactGraph.size},"exact_semantic_pairs":${exactPairs.size}}""")
+    println(s"""{"metric":"recall","sf":"$sfDir","defaults":{"nprobe":16,"knn_nassign":16,"semdedup_nassign":8,"spill":2,"pca_kpca":16,"pca_shortlist":200},"ivf_recall_at_5":{${ivf.mkString(",")}},"mips_recall_at_5":{${mips.mkString(",")}},"knn_graph_recall":{${v7.mkString(",")}},"semdedup_pair_recall":{${d11.mkString(",")}},"pca_recall_at_5":{${pca.mkString(",")}},"pq_recall_at_5":{${pq.mkString(",")}},"exact_topk_pairs":${exactTopK.size},"exact_mips_pairs":${exactMips.size},"exact_graph_pairs":${exactGraph.size},"exact_semantic_pairs":${exactPairs.size}}""")
     spark.stop()
   }
 }

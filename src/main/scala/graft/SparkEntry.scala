@@ -840,6 +840,17 @@ object SparkEntry {
       Similarity.ivfMipsTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
         nProbe = Int.MaxValue, kmeansIters = 0)
     }),
+    // V16: product-quantized retrieval — the 100 TB ANN memory path
+    // (codes are m ints vs dim floats). The WHOLE approximate pipeline
+    // (deterministic codebook seeding, L2 code assignment, ADC scoring
+    // in integer micro-units) is hash-checked: the oracle replays
+    // quantization and ranking verbatim in SQL, so this is an exact
+    // contract on an approximate algorithm, not a rows-only row.
+    "v16_pq_topk" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
+        m = 8, codebookSize = 256)
+    }),
     "v2_ivf_cosine_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       Similarity.ivfCosineTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
@@ -2396,6 +2407,7 @@ object SparkEntry {
     "v1_brute_cosine_topk" -> baseV1Oracle,
     // v10: v1's oracle with raw dot ranking (list_dot_product over the
     // same DOUBLE[] cast — identical fixed-order double accumulation).
+    "v16_pq_topk" -> pqOracle,
     "v10_brute_mips_topk" -> baseMipsOracle,
     // v10b: full-probe augmented IVF ≡ brute MIPS (see the queries comment)
     "v10b_ivf_mips_full_probe" -> baseMipsOracle,
@@ -2753,6 +2765,55 @@ object SparkEntry {
       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
       |SELECT a, b, round(i / (da + db - i), 6) AS jaccard
       |FROM pairs WHERE round(i / (da + db - i), 6) >= 0.8""".stripMargin
+
+  /** SQL replay of the ENTIRE product-quantization pipeline (v16):
+    * codebook = sub-slices of the first 16 vectors by id; code
+    * assignment = argmin of the spelled-out left-associative
+    * squared-difference sum (bit-identical to the kernel's element-order
+    * Double fold, ties to the smallest code); ADC = per-subspace dot in
+    * integer micro-units summed exactly (HUGEINT cast back to BIGINT).
+    * The terms are GENERATED here (m=8 subspaces × 8 elements) so oracle
+    * and kernel can only drift by changing the shared constants.
+    */
+  private def pqOracle: String = {
+    // kCodes = 256 (8-bit PQ); at gate SFs with fewer corpus rows both
+    // engines take the same min(kCodes, corpus) seed set — LIMIT under-
+    // selects identically on both sides
+    val sub = 8; val m = 8; val kCodes = 256; val topK = 5
+    val distTerms = (1 to sub).map(i =>
+      s"(a.v[t.s*$sub+$i]-cb.v[t.s*$sub+$i])*(a.v[t.s*$sub+$i]-cb.v[t.s*$sub+$i])")
+      .mkString(" + ")
+    val dotTerms = (1 to sub).map(i =>
+      s"q.v[c.s*$sub+$i]*cb.v[c.s*$sub+$i]").mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+       |  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT $kCodes)),
+       |dist AS (
+       |  SELECT a.vec_id, t.s, cb.j,
+       |    $distTerms AS d
+       |  FROM v a, generate_series(0, ${m - 1}) t(s), cb),
+       |codes AS (
+       |  SELECT vec_id, s, j FROM (
+       |    SELECT vec_id, s, j,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |part AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(floor(1000000.0 * ($dotTerms)) AS BIGINT) AS pm
+       |  FROM codes c JOIN cb USING (j),
+       |       (SELECT * FROM v WHERE vec_id < 20) q
+       |  WHERE c.vec_id <> q.vec_id),
+       |adc AS (
+       |  SELECT query_id, neighbor_id, CAST(SUM(pm) AS BIGINT) AS dot_est_micro
+       |  FROM part GROUP BY query_id, neighbor_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       |       dot_est_micro
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY dot_est_micro DESC, neighbor_id) AS rank FROM adc)
+       |WHERE rank <= $topK""".stripMargin
+  }
 
   /** Brute-force MIPS top-5 — shared oracle of v10 and the full-probe
     * augmented IVF v10b, which must rank identically.

@@ -533,4 +533,78 @@ object Kernels {
     }
     c
   }
+
+  /** Product-quantization encode (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): for each of the m
+    * subspaces, the index of the L2-nearest code vector for the
+    * corresponding sub-slice of `vec`. Each distance accumulates its
+    * squared-difference terms in Double in element order (the left-
+    * associative fold a spelled-out SQL sum produces), and ties keep the
+    * SMALLEST code index via strict `<` — both required for the
+    * assignment to be bit-replayable by the DuckDB oracle.
+    *
+    * `codebooks(s)(j)` is the j-th code of subspace s, length dim/m.
+    */
+  def pqEncode(vec: ArrayData,
+      codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val m = codebooks.length
+    val out = new Array[Any](m)
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val sub = cb(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb.length) {
+        val c = cb(j)
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val diff = vec.getFloat(off + i).toDouble - c(i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      out(s) = best
+      off += sub
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance (ADC) dot-product estimate in exact MICRO-UNITS:
+    * per subspace, the Double dot of the query sub-slice with the chosen
+    * code vector (element-order fold), floored to integer micro-units
+    * BEFORE the cross-subspace sum — so the total is exact integer
+    * arithmetic whatever order an aggregate adds partials in, and the
+    * only float ops are the per-subspace dots, each bit-replayable as a
+    * spelled-out left-associative SQL sum. (A continuous Double fold
+    * across subspace boundaries would round differently from any
+    * SQL-side sum of partials.)
+    */
+  def pqAdcMicro(codes: ArrayData, qvec: ArrayData,
+      codebooks: Array[Array[Array[Float]]]): Long = {
+    val m = codebooks.length
+    var acc = 0L
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val c = codebooks(s)(codes.getInt(s))
+      val sub = c.length
+      var p = 0.0
+      var i = 0
+      while (i < sub) {
+        p += qvec.getFloat(off + i).toDouble * c(i).toDouble
+        i += 1
+      }
+      acc += math.floor(1e6 * p).toLong
+      off += sub
+      s += 1
+    }
+    acc
+  }
 }

@@ -384,6 +384,54 @@ case class RollingFingerprint(child: Expression, window: Int)
 }
 
 /** Column-level API over the native expressions. */
+/** pq_encode(vec): array<int> — the m product-quantization codes of an
+  * array<float> vector (see [[Kernels.pqEncode]]). The codebooks ride
+  * along as a reference object, so per-row cost is O(m·k·sub) = O(k·dim)
+  * inside whole-stage codegen and the expression tree stays O(1) in the
+  * codebook size.
+  */
+case class PqEncode(child: Expression,
+    codebooks: Array[Array[Array[Float]]]) extends UnaryExpression
+    with FloatVectorInputs {
+  override protected def vectorOperands: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(vec: Any): Any =
+    Kernels.pqEncode(vec.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.Kernels.pqEncode($v, $cb)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_pq_encode"
+}
+
+/** pq_adc_micro(codes, qvec): Long — asymmetric-distance dot estimate in
+  * exact micro-units (see [[Kernels.pqAdcMicro]]); the per-pair hot loop
+  * of PQ retrieval, O(dim) per pair like a plain dot but over the m
+  * codebook rows the codes select instead of the stored vector.
+  */
+case class PqAdcMicro(codes: Expression, qvec: Expression,
+    codebooks: Array[Array[Array[Float]]]) extends BinaryExpression
+    with FloatVectorInputs {
+  override protected def vectorOperands: Seq[Expression] = Seq(qvec)
+  override def left: Expression = codes
+  override def right: Expression = qvec
+  override def dataType: DataType = LongType
+  override def nullSafeEval(c: Any, q: Any): Any =
+    Kernels.pqAdcMicro(c.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData],
+      codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev,
+      (c, q) => s"graft.functions.Kernels.pqAdcMicro($c, $q, $cb)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(codes = newLeft, qvec = newRight)
+  override def prettyName: String = "graft_pq_adc_micro"
+}
+
 object vector {
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
@@ -412,6 +460,12 @@ object vector {
       groupIds, groupCents, nProbe))
   def signedProject(vec: Column, signs: Array[Array[Byte]]): Column =
     Bridge.column(SignedProject(Bridge.expression(vec), signs))
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    Bridge.column(PqEncode(Bridge.expression(vec), codebooks))
+  def pqAdcMicro(codes: Column, qvec: Column,
+      codebooks: Array[Array[Array[Float]]]): Column =
+    Bridge.column(PqAdcMicro(Bridge.expression(codes), Bridge.expression(qvec),
+      codebooks))
 }
 
 object text {

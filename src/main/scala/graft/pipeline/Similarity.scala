@@ -604,6 +604,80 @@ object Similarity {
     bruteCosineTopK(int8QuantizedView(corpus, vecCol),
       int8QuantizedView(queries, vecCol), k, idCol, vecCol)
 
+  /** Product-quantization codebooks (Jégou et al., TPAMI 2011): subspace
+    * s's codebook is the s-th sub-slice of each of the first `k` corpus
+    * vectors BY ID. Deterministic and SQL-replayable by construction —
+    * `ORDER BY id LIMIT k` is the one codebook seeding an oracle can
+    * rebuild verbatim (a Lloyd-refined codebook improves code quality
+    * but is not replayable; this is the same trade `kmeansCentroids`'
+    * hash-sampled seeding already makes, and the recall curve is
+    * measured either way). Driver state is k×dim floats — bounded by the
+    * codebook, never the corpus.
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int = 8, k: Int = 256,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Array[Float]]] = {
+    require(m > 0 && k > 0, s"pqCodebooks: need m > 0, k > 0 (got $m, $k)")
+    val rows = corpus
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .orderBy("_id").limit(k)
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(rows.nonEmpty, "pqCodebooks: empty corpus")
+    val dim = rows.head.length
+    require(dim % m == 0,
+      s"pqCodebooks: dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    Array.tabulate(m)(s => rows.map(v => v.slice(s * sub, (s + 1) * sub)))
+  }
+
+  /** The corpus reduced to its PQ codes: (id, codes array<int> of length
+    * m). The 100 TB story is the size of this relation — m small ints
+    * per vector instead of dim floats (dim=768 float32 → 3 KB/vector;
+    * m=96 byte codes → 96 B, 32×), which is what makes an
+    * in-memory/broadcast-resident ANN corpus possible at scales where
+    * raw vectors cannot ship. Composes with the IVF layout exactly like
+    * the raw vectors do (encode once at ingest, codes ride the cell
+    * partitions).
+    */
+  def pqEncodeView(corpus: DataFrame,
+      codebooks: Array[Array[Array[Float]]], idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).cast("long").as(idCol),
+      gvec.pqEncode(col(vecCol), codebooks).as("codes"))
+
+  /** PQ retrieval: asymmetric-distance (ADC) top-k — queries stay
+    * full-precision, the corpus is its codes, and each pair's estimated
+    * dot product reads the m code vectors the codes select. Same plan
+    * shape as [[bruteCosineTopK]] (broadcast queries × corpus scan →
+    * partial bounded top-k → ONE exchange of k-sized heaps), but the
+    * per-pair operand is the m-int code array: at scale the scan, cache,
+    * and any shuffle of the corpus shrink by the compression ratio.
+    * Scores are exact integer micro-units ([[Kernels.pqAdcMicro]]), so
+    * the ranking — approximation and all — is bit-replayable by the
+    * DuckDB oracle; ties break to the smaller neighbor id.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      m: Int = 8, codebookSize: Int = 256, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cb = pqCodebooks(corpus, m, codebookSize, idCol, vecCol)
+    val codes = pqEncodeView(corpus, cb, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("_qv"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        gvec.pqAdcMicro(col("codes"), col("_qv"), cb)
+          .cast("double").as("_s"))
+    explodeTopK(
+      scored.groupBy("query_id")
+        .agg(gagg.topKByScore(col("_s"), col("neighbor_id"), k).as("_top")),
+      scoreName = "_sd")
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        // micro-units are integers ≪ 2^53: the double round-trips exactly
+        col("_sd").cast("long").as("dot_est_micro"))
+  }
+
   /** Query a materialized IVF index: the probed cell ids become a static
     * `isin` partition filter on the index scan (directory pruning — only
     * ~nProbe/nCells of the files are read; asserted in PlanShapeSpec),

@@ -675,6 +675,72 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8, s"quantized recall@5 $recall < 0.8")
   }
 
+  test("pq: codes select the nearest codebook entry; ADC equals the " +
+      "reconstructed dot in micro-units") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 120L).map(i =>
+      (i, Array.fill(32)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val m = 4; val kCodes = 8; val sub = 32 / m
+    val cb = Similarity.pqCodebooks(corpus, m = m, k = kCodes)
+    assert(cb.length === m && cb.forall(_.length === kCodes) &&
+      cb.forall(_.forall(_.length === sub)))
+    val raw = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // codebook s = sub-slices of the first kCodes vectors by id
+    (0 until m).foreach(s => (0 until kCodes).foreach(j =>
+      assert(cb(s)(j).toSeq === raw(j.toLong).slice(s * sub, (s + 1) * sub).toSeq)))
+    val codes = Similarity.pqEncodeView(corpus, cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    // every code is the argmin-L2 entry (reference recompute, ties → smallest)
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) {
+        val t = a(i).toDouble - b(i).toDouble; d += t * t; i += 1 }
+      d
+    }
+    raw.foreach { case (id, v) =>
+      (0 until m).foreach { s =>
+        val slice = v.slice(s * sub, (s + 1) * sub)
+        val want = (0 until kCodes).minBy(j => (d2(slice, cb(s)(j)), j))
+        assert(codes(id)(s) === want, s"vec $id sub $s")
+      }
+    }
+    // ADC score ≡ per-subspace micro-floored dot against the DECODED vector
+    val got = Similarity.pqTopK(corpus, corpus.filter($"vec_id" < 5), k = 3,
+      m = m, codebookSize = kCodes).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    got.foreach { case ((q, n), micro) =>
+      val want = (0 until m).map { s =>
+        val c = cb(s)(codes(n)(s))
+        var p = 0.0; var i = 0
+        while (i < sub) { p += raw(q)(s * sub + i).toDouble * c(i).toDouble; i += 1 }
+        math.floor(1e6 * p).toLong
+      }.sum
+      assert(micro === want, s"query $q neighbor $n")
+    }
+  }
+
+  test("pq retrieval: recall@5 vs exact MIPS clears the isotropic floor") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val corpus = (0L until 200L).map(i =>
+      (i, Array.fill(32)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 10)
+    def topk(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupMap(_._1)(_._2)
+    val exact = topk(Similarity.bruteMipsTopK(corpus, queries, k = 5))
+    // m=16 (sub=2) is a fine quantization of these 32-dim vectors
+    val pq = topk(Similarity.pqTopK(corpus, queries, k = 5,
+      m = 16, codebookSize = 16))
+    val recall = exact.map { case (q, ns) =>
+      ns.toSet.intersect(pq(q).toSet).size.toDouble / ns.length
+    }.sum / exact.size
+    // isotropic random data is space partitioning's worst case; the floor
+    // here guards "quantization still retrieves", not production recall
+    assert(recall >= 0.4, s"pq recall@5 $recall < 0.4")
+  }
+
   test("embedding near-dup LSH finds an exact-duplicate vector") {
     import spark.implicits._
     val rnd = new scala.util.Random(1)

@@ -31,6 +31,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window shuffle crept back in:\n$plan")
   }
 
+  test("pqTopK: partial top-k over codes, one exchange, no corpus shuffle") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), 5)
+      .queryExecution.executedPlan.toString
+    // same shape contract as bruteCosineTopK: broadcast queries meet the
+    // corpus scan, the bounded top-k partial runs below the ONLY exchange
+    assert(plan.contains("partial_graft_top_k_by_score"),
+      s"no partial top-k phase in plan:\n$plan")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nEx === 1, s"expected 1 exchange, found $nEx:\n$plan")
+    assert(!plan.contains("Window"), s"window shuffle crept back in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian detected:\n$plan")
+  }
+
   test("ivfCosineTopK: no window, broadcast probe join, partial top-k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val df = Similarity.ivfCosineTopK(emb, emb.filter(col("vec_id") < 5), 5)
