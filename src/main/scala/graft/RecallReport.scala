@@ -117,6 +117,23 @@ object RecallReport {
       s""""m_$m":{"recall":${recallOf(got, exactMips)},"sec":$sec}"""
     }
 
+    // v17: IVF-gated PQ across nProbe at the finest swept quantization
+    // (m=32). Two recalls per point: vs exact MIPS (end-to-end loss =
+    // cell recall × ADC floor) and vs the ungated ADC ranking (the
+    // gate's OWN loss — how much of what PQ would return survives
+    // probing nProbe·spill of the cells).
+    val pureAdc = pairSet(
+      Similarity.pqTopK(emb, queries, k = 5, m = 32, codebookSize = 256),
+      "query_id", "neighbor_id")
+    val ivfpq = for (np <- Seq(1, 2, 4, 8, 16)) yield {
+      val (got, sec) = timed(pairSet(
+        Similarity.ivfPqTopK(emb, queries, k = 5, nProbe = np, m = 32,
+          codebookSize = 256),
+        "query_id", "neighbor_id"))
+      s""""nprobe_${np}_spill_2":{"recall":${recallOf(got, exactMips)
+        },"adc_recall":${recallOf(got, pureAdc)},"sec":$sec}"""
+    }
+
     // the curves above sweep the knobs explicitly; defaults record which
     // point on each curve a caller gets without choosing (recall target
     // ≥ 0.9 under asymmetric probing over a spill-2 index: nProbe=16,
@@ -127,7 +144,7 @@ object RecallReport {
     // (recall@5 moved ≤ 0.01 at fixed nProbe), while spill=2 moved
     // 0.78 → ≈0.94 — border vectors, not unprobed-cell distance, dominate
     // the loss when cells barely cluster.
-    println(s"""{"metric":"recall","sf":"$sfDir","defaults":{"nprobe":16,"knn_nassign":16,"semdedup_nassign":8,"spill":2,"pca_kpca":16,"pca_shortlist":200},"ivf_recall_at_5":{${ivf.mkString(",")}},"mips_recall_at_5":{${mips.mkString(",")}},"knn_graph_recall":{${v7.mkString(",")}},"semdedup_pair_recall":{${d11.mkString(",")}},"pca_recall_at_5":{${pca.mkString(",")}},"pq_recall_at_5":{${pq.mkString(",")}},"exact_topk_pairs":${exactTopK.size},"exact_mips_pairs":${exactMips.size},"exact_graph_pairs":${exactGraph.size},"exact_semantic_pairs":${exactPairs.size}}""")
+    println(s"""{"metric":"recall","sf":"$sfDir","defaults":{"nprobe":16,"knn_nassign":16,"semdedup_nassign":8,"spill":2,"pca_kpca":16,"pca_shortlist":200},"ivf_recall_at_5":{${ivf.mkString(",")}},"mips_recall_at_5":{${mips.mkString(",")}},"knn_graph_recall":{${v7.mkString(",")}},"semdedup_pair_recall":{${d11.mkString(",")}},"pca_recall_at_5":{${pca.mkString(",")}},"pq_recall_at_5":{${pq.mkString(",")}},"ivfpq_recall_at_5":{${ivfpq.mkString(",")}},"exact_topk_pairs":${exactTopK.size},"exact_mips_pairs":${exactMips.size},"exact_graph_pairs":${exactGraph.size},"exact_semantic_pairs":${exactPairs.size}}""")
     spark.stop()
   }
 }

@@ -73,7 +73,7 @@ object ScaleBench {
     // vector
     "v1_brute_cosine_topk", "v2_ivf_cosine_topk", "v2b_ivf_full_probe",
     "v3_label_centroid", "v5_int8_quantize", "v6_int8_topk",
-    "v16_pq_topk", "v7_knn_graph",
+    "v16_pq_topk", "v17_ivfpq_topk", "v7_knn_graph",
     "v8_ivf_indexed", "v9_random_projection",
     // one-pass corpus statistics: v11 is the gram/covariance reduction
     // (O(dim²) partials per task, single merge exchange); v12 is a
@@ -97,6 +97,10 @@ object ScaleBench {
     // once per session; the timed rows are the recurring score-a-batch
     // cost (vs t23/t24's retrain-every-invocation baselines)
     "t23b_bm25_indexed", "t24b_lm_score_indexed",
+    // DSIR importance weights: gram stream collapses map-side to
+    // (doc, bucket) rows; distributions are bucket-bounded; the
+    // log-ratio table broadcasts into the scoring join — linear scan work
+    "t29_dsir_weights",
     // leakage-safe split: repIngest builds the rep relation once per
     // session over the scaled corpus; the timed query is the recurring
     // cost — a doc_id equi-join against that persisted state

@@ -723,6 +723,12 @@ object SparkEntry {
     // expression): zero shuffles, codegen over the scan.
     "t25_hashed_linear" -> ((s, d) =>
       TextAnalysis.hashedLinearScore(table(s, d, "documents"))),
+    // T29: DSIR importance weights (Xie et al. '23) — every doc scored by
+    // Σ c_b · ln(p_target(b)/p_raw(b)) over md5-hashed unigram+bigram
+    // buckets, target = the English slice. Micro-unit log-ratios keep the
+    // whole importance pipeline integer-exact → hash-checked end to end.
+    "t29_dsir_weights" -> ((s, d) =>
+      TextAnalysis.dsirWeights(table(s, d, "documents"))),
     "t9_repetition" -> ((s, d) =>
       TextAnalysis.repetitionScore(table(s, d, "documents"))),
     "t10_quality_filter" -> ((s, d) =>
@@ -850,6 +856,28 @@ object SparkEntry {
       val emb = table(s, d, "embeddings")
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
         m = 8, codebookSize = 256)
+    }),
+    // V17: IVF-gated PQ (the FAISS IVFPQ composition) — coarse cells
+    // prune the candidate set, codes compress the candidates. v16 fixes
+    // the per-candidate cost; this bounds the candidate COUNT, which is
+    // the remaining linear term at 100 TB. Approximate twice over (cell
+    // recall × ADC estimate) → rows-only; v17b is the exactness twin.
+    "v17_ivfpq_topk" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
+        nProbe = 16, m = 8, codebookSize = 256)
+    }),
+    // V17b: with every cell probed the IVF gate admits every candidate,
+    // so the result must be BIT-IDENTICAL to v16's pure-ADC ranking —
+    // hash-checked against the same generated SQL replay (pqOracle).
+    // This pins the composition machinery (one-pass code+cell projection,
+    // probe join, dedup'd bounded top-k) to the already-proven PQ
+    // contract; only the cell-recall loss of the gated path is unchecked,
+    // and RECALL_r10 measures that curve.
+    "v17b_ivfpq_full_probe" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
+        nProbe = Int.MaxValue, m = 8, codebookSize = 256, kmeansIters = 0)
     }),
     "v2_ivf_cosine_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
@@ -1033,12 +1061,13 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL per query (same column names and types as the Spark
-    * result). Six queries are absent (rows-only), each approximate by
+    * result). Seven queries are absent (rows-only), each approximate by
     * construction with a hash-checked exact twin: a3_approx (HLL sketch;
     * exact twin a3), v2 (IVF recall < 1; full-probe v2b shares v1's
     * brute-force oracle), v7 (celled kNN graph; exact twin v7b), v13
     * (PCA-shortlisted top-k; full-rank v13b), v14 (PCA outlier score;
-    * contract twin v14b), d11 (SemDeDup celled pairs; exact twin d11b).
+    * contract twin v14b), v17 (IVF-gated PQ; full-probe v17b shares v16's
+    * generated replay), d11 (SemDeDup celled pairs; exact twin d11b).
     */
   lazy val oracleSql: Map[String, String] = Map(
     "s2_table_upsert" ->
@@ -1493,6 +1522,46 @@ object SparkEntry {
         |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
         |        FROM documents))
         |GROUP BY doc_id""".stripMargin,
+    // t29: replay of the whole DSIR pipeline — md5-hash-bucketed
+    // unigram+bigram features, add-1-smoothed target/raw distributions,
+    // micro-unit log-ratios summed per doc in exact integers. The only
+    // float ops are one divide/ln/multiply per DISTINCT bucket on
+    // identical integer inputs (each factor cast to double BEFORE the
+    // multiply, mirroring the Spark side).
+    "t29_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |         string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang, unnest(t) AS g FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS g
+        |  FROM (SELECT doc_id, lang, t,
+        |          unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM tok)),
+        |db AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b,
+        |    count(*) AS n
+        |  FROM grams GROUP BY 1, 2, 3),
+        |raw AS (SELECT b, sum(n) AS cr FROM db GROUP BY 1),
+        |tgt AS (SELECT b, sum(n) AS ct FROM db WHERE lang = 'en'
+        |        GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(cr) FROM raw) AS r,
+        |               (SELECT sum(ct) FROM tgt) AS t),
+        |lr AS (
+        |  SELECT raw.b,
+        |    CAST(floor(1000000.0 * ln(
+        |      (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * CAST(r + 4096 AS DOUBLE))
+        |      / (CAST(cr + 1 AS DOUBLE) * CAST(t + 4096 AS DOUBLE))))
+        |      AS BIGINT) AS lr_c6
+        |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tot)
+        |SELECT db.doc_id,
+        |  CAST(sum(db.n * lr.lr_c6) AS BIGINT) AS dsir_c6,
+        |  CAST(sum(db.n) AS BIGINT) AS n_feats
+        |FROM db JOIN lr ON lr.b = db.b
+        |GROUP BY 1""".stripMargin,
     // d3's LSH is candidate generation + EXACT jaccard verification, so its
     // output equals the exhaustive all-pairs answer whenever every
     // qualifying pair shares a band bucket (P(miss) = (1-s^4)^16 ≤ 2e-4 at
@@ -2408,6 +2477,8 @@ object SparkEntry {
     // v10: v1's oracle with raw dot ranking (list_dot_product over the
     // same DOUBLE[] cast — identical fixed-order double accumulation).
     "v16_pq_topk" -> pqOracle,
+    // v17b: full-probe IVFPQ ≡ pure ADC — shares v16's generated replay
+    "v17b_ivfpq_full_probe" -> pqOracle,
     "v10_brute_mips_topk" -> baseMipsOracle,
     // v10b: full-probe augmented IVF ≡ brute MIPS (see the queries comment)
     "v10b_ivf_mips_full_probe" -> baseMipsOracle,

@@ -678,6 +678,72 @@ object Similarity {
         col("_sd").cast("long").as("dot_est_micro"))
   }
 
+  /** IVF-gated PQ retrieval (the FAISS "IVFPQ" composition, Jégou et al.
+    * TPAMI 2011 §V): the corpus is reduced to (cell_id, codes) in ONE
+    * narrow projection — coarse quantizer assigns the cell, product
+    * quantizer emits the m-int code — and each query ADC-scores only its
+    * `nProbe` nearest cells. [[pqTopK]] fixes the per-candidate cost
+    * (m code lookups instead of dim mults) but still scans every code
+    * per query; this prunes the CANDIDATE SET to ~nProbe·spill/nCells of
+    * the corpus, which is the term that dominates once the query stream
+    * is the workload. Plan shape: corpus scan → broadcast-hash join on
+    * cell_id with the exploded probe relation → per-pair ADC micro-unit
+    * dot → bounded top-k (dedup'd for spilled assignment) → ONE exchange
+    * of k-sized heaps. The codes relation is what an index would
+    * materialize (compression ratio × smaller than the vectors — the
+    * same `partitionBy(cell_id)` layout as [[buildIvfIndex]] applies).
+    *
+    * Approximation is the product of the two stages: cell recall bounds
+    * candidate recall (measured in RECALL_r10 — same curve as IVF), and
+    * ADC estimates the dot (the PQ floor v16 measures). `nProbe ≥ nCells`
+    * disables the gate entirely, making the result bit-identical to
+    * [[pqTopK]] — the v17b exactness twin hash-checks against v16's
+    * generated SQL oracle.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nProbe: Int = 16, m: Int = 8, codebookSize: Int = 256,
+      centroidEvery: Int = 50, kmeansIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCells: Int = 4096, spill: Int = 2): DataFrame = {
+    val centroids = kmeansCentroids(corpus, centroidEvery, kmeansIters,
+      idCol, vecCol, maxCells)
+    val cb = pqCodebooks(corpus, m, codebookSize, idCol, vecCol)
+    val fullProbe = nProbe >= centroids.length
+    // one pass: code + cell(s) per corpus row; under full probe the cell
+    // column is a constant — no assignment work, no spill duplication
+    val codes =
+      if (fullProbe)
+        corpus.select(col(idCol).cast("long").as("neighbor_id"),
+          gvec.pqEncode(col(vecCol), cb).as("codes"), lit(0L).as("cell_id"))
+      else if (spill <= 1)
+        corpus.select(col(idCol).cast("long").as("neighbor_id"),
+          gvec.pqEncode(col(vecCol), cb).as("codes"),
+          cellAssignExpr(centroids, col(vecCol)).as("cell_id"))
+      else
+        corpus.select(col(idCol).cast("long").as("neighbor_id"),
+          gvec.pqEncode(col(vecCol), cb).as("codes"),
+          explode(probeCellsExpr(centroids, col(vecCol),
+            math.min(spill, centroids.length))).as("cell_id"))
+    val probed =
+      if (fullProbe)
+        queries.select(col(idCol).cast("long").as("query_id"),
+          col(vecCol).as("_qv"), lit(0L).as("cell_id"))
+      else
+        probedCellsOf(centroids, queries, nProbe, idCol, vecCol)
+    val scored = codes.join(broadcast(probed), Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        gvec.pqAdcMicro(col("codes"), col("_qv"), cb)
+          .cast("double").as("_s"))
+    explodeTopK(
+      scored.groupBy("query_id")
+        .agg(gagg.topKByScore(col("_s"), col("neighbor_id"), k,
+          dedup = true).as("_top")),
+      scoreName = "_sd")
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("_sd").cast("long").as("dot_est_micro"))
+  }
+
   /** Query a materialized IVF index: the probed cell ids become a static
     * `isin` partition filter on the index scan (directory pruning — only
     * ~nProbe/nCells of the files are read; asserted in PlanShapeSpec),

@@ -618,6 +618,77 @@ object TextAnalysis {
       size(toks).cast("long").as("n_tokens"))
   }
 
+  /** Per-(doc, bucket) hashed n-gram multiplicities — DSIR's feature
+    * space (unigrams + bigrams md5-hashed into `buckets` slots, the
+    * same cross-engine md5 device as [[hashedLinearScore]]). Map-side
+    * combine collapses the token-count-sized gram stream to at most
+    * min(grams, buckets) rows per doc before anything shuffles.
+    */
+  private def docDsirBuckets(documents: DataFrame,
+      buckets: Int): DataFrame = documents
+    .select(col("doc_id"), col("lang"), tokens(col("text")).as("_t"))
+    .select(col("doc_id"), col("lang"),
+      explode(concat(col("_t"),
+        // sequence(1, 0) steps DOWNWARD in Spark — guard short docs
+        when(size(col("_t")) >= 2, expr(
+          "transform(sequence(1, size(_t) - 1), " +
+            "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"))
+          .otherwise(array()))).as("g"))
+    .select(col("doc_id"), col("lang"),
+      (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
+        % buckets).as("b"))
+    .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+
+  /** DSIR importance weights (Xie et al., NeurIPS 2023 — "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its hashed-n-gram profile looks like a TARGET
+    * distribution rather than the raw corpus. Here the target is the
+    * `targetLang` slice (any target predicate works — a curated subset,
+    * a domain, a quality tier); the weight is
+    * `Σ_b c_b · ln(p_target(b) / p_raw(b))` with add-1 smoothing over
+    * the `buckets` feature slots. High weight = target-like; downstream
+    * selection is a threshold/sample over `dsir_c6` (compose with
+    * [[domainMixture]]/[[mixtureResample]] for the full curation loop).
+    *
+    * Determinism: per-bucket log-ratios quantize to integer micro-units
+    * (`floor(1e6·ln)`) BEFORE the per-doc sum — the [[ngramLmScore]]
+    * device — so `dsir_c6` is exact integer arithmetic over exact
+    * counts; the only float ops are one correctly-rounded
+    * divide/ln/multiply per DISTINCT bucket on identical integer inputs
+    * in both engines (each factor casts to double BEFORE multiplying —
+    * integer products would overflow BIGINT at corpus scale).
+    *
+    * Scale: the gram stream collapses map-side per (doc, bucket); both
+    * distributions are `buckets`-bounded aggregates of that relation;
+    * the log-ratio table (≤ `buckets` rows) BROADCASTS into the scoring
+    * join, so the corpus-sized side never shuffles for scoring — one
+    * exchange builds the per-doc feature rows, one bounded exchange
+    * sums per doc. Output: (doc_id, dsir_c6, n_feats), one row per doc.
+    */
+  def dsirWeights(documents: DataFrame, targetLang: String = "en",
+      buckets: Int = 4096, materialize: Boolean = true): DataFrame = {
+    val db = docDsirBuckets(documents, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = db.groupBy("b").agg(sum("n").as("cr"))
+    val tgt = db.filter(col("lang") === targetLang)
+      .groupBy("b").agg(sum("n").as("ct"))
+    val totals = raw.agg(sum("cr").as("_r"))
+      .crossJoin(tgt.agg(sum("ct").as("_t")))
+    val lr = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor(lit(1e6) * log(
+          ((col("ct") + 1).cast("double") * (col("_r") + buckets).cast("double"))
+            / ((col("cr") + 1).cast("double") * (col("_t") + buckets).cast("double"))))
+          .cast("long").as("lr_c6"))
+    val scored = db.join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("n") * col("lr_c6")).cast("long").as("dsir_c6"),
+        sum("n").cast("long").as("n_feats"))
+    if (materialize) Scratch.materializeThenFree(scored, db) else scored
+  }
+
   /** Boilerplate n-gram coverage (CCNet/RefinedWeb-style template
     * detection): a w-gram is "boilerplate" when it appears in at least
     * `dfFrac` of all documents; each document reports how much of its

@@ -741,6 +741,43 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.4, s"pq recall@5 $recall < 0.4")
   }
 
+  test("ivfpq full probe is bit-identical to pure ADC; gated probe keeps " +
+      "most of the ADC ranking") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val corpus = (0L until 300L).map(i =>
+      (i, Array.fill(32)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3))
+    val pure = rows(Similarity.pqTopK(corpus, queries, k = 5,
+      m = 16, codebookSize = 16))
+    // nProbe ≥ nCells disables the gate: scores, ranks, AND tie-breaks
+    // must match the pure ADC scan exactly (the v17b oracle contract)
+    val full = rows(Similarity.ivfPqTopK(corpus, queries, k = 5,
+      nProbe = Int.MaxValue, m = 16, codebookSize = 16, kmeansIters = 0,
+      centroidEvery = 10))
+    assert(full.toSeq === pure.toSeq)
+    // gated probe: candidates are a subset, so each returned pair's score
+    // must equal the pure-ADC score for that pair (the gate prunes, it
+    // never rescores), and recall vs the pure ADC ranking stays high
+    val pureScore = pure.map(t => (t._1, t._2) -> t._4).toMap
+    val gated = rows(Similarity.ivfPqTopK(corpus, queries, k = 5,
+      nProbe = 4, m = 16, codebookSize = 16, centroidEvery = 10))
+    gated.foreach { case (q, n, _, micro) =>
+      pureScore.get((q, n)).foreach(want =>
+        assert(micro === want, s"rescored pair ($q,$n)"))
+    }
+    val pureTop = pure.groupMap(_._1)(_._2)
+    val gatedTop = gated.groupMap(_._1)(_._2)
+    val recall = pureTop.map { case (q, ns) =>
+      ns.toSet.intersect(gatedTop.getOrElse(q, Array.empty[Long]).toSet)
+        .size.toDouble / ns.length
+    }.sum / pureTop.size
+    assert(recall >= 0.5, s"ivfpq recall@5 vs pure ADC $recall < 0.5")
+  }
+
   test("embedding near-dup LSH finds an exact-duplicate vector") {
     import spark.implicits._
     val rnd = new scala.util.Random(1)
@@ -1105,6 +1142,33 @@ class PipelineSpec extends SparkSpec {
     assert(got(1L) ===
       (math.floor(1e6 * (2 * w("foo") + w("bar")) / 3.0).toLong, 3L))
     assert(got(2L) === (math.floor(1e6 * w("baz")).toLong, 1L))
+  }
+
+  test("dsirWeights: target-vocab docs outscore off-vocab docs, " +
+      "label does not leak past content") {
+    import spark.implicits._
+    // target (en) docs share vocab A; de docs share vocab B; doc 6 is
+    // LABELED de but WRITTEN in vocab A — DSIR scores content, so it
+    // must land with the A docs, not the B docs
+    val d = Seq(
+      (1L, "alpha beta gamma alpha beta", "en"),
+      (2L, "beta gamma alpha gamma", "en"),
+      (3L, "alpha alpha beta gamma beta", "en"),
+      (4L, "zork quux blarg zork quux", "de"),
+      (5L, "quux blarg zork blarg", "de"),
+      (6L, "alpha beta gamma beta alpha", "de"))
+      .toDF("doc_id", "text", "lang").withColumn("source", lit("s"))
+    val w = TextAnalysis.dsirWeights(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.size === 6)
+    val aDocs = Seq(1L, 2L, 3L, 6L).map(w)
+    val bDocs = Seq(4L, 5L).map(w)
+    assert(aDocs.min > bDocs.max,
+      s"target-vocab docs should outscore off-vocab docs: $w")
+    // n_feats = unigrams + bigrams = 2·tokens − 1 per doc here
+    val nf = TextAnalysis.dsirWeights(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(nf(1L) === 9L && nf(5L) === 7L)
   }
 
   test("indexed incremental pairs equal the in-plan incremental pairs") {

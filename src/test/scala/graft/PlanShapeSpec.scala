@@ -45,6 +45,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian detected:\n$plan")
   }
 
+  test("ivfPqTopK: broadcast probe join on cell_id, partial top-k, " +
+      "one exchange, no cartesian") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // centroidEvery=10 keeps nCells above nProbe at this SF — the gated
+    // path, not the full-probe degenerate (which is v17b's shape)
+    val plan = Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), 5,
+      nProbe = 4, centroidEvery = 10)
+      .queryExecution.executedPlan.toString
+    // the IVF gate must be an equi-join on cell_id with the tiny probe
+    // relation broadcast — never a cartesian against the code relation
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe join not broadcast-hash:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join against the code relation:\n$plan")
+    assert(plan.contains("partial_graft_top_k_by_score"),
+      s"no partial top-k phase in plan:\n$plan")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nEx === 1, s"expected 1 exchange, found $nEx:\n$plan")
+    assert(!plan.contains("Window"), s"window shuffle crept back in:\n$plan")
+  }
+
   test("ivfCosineTopK: no window, broadcast probe join, partial top-k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val df = Similarity.ivfCosineTopK(emb, emb.filter(col("vec_id") < 5), 5)
@@ -104,6 +126,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"t27 must be a pure projection+explode, no shuffle:\n$plan")
     assert(plan.contains("Generate explode"), s"epoch explode missing:\n$plan")
+  }
+
+  test("dsir weights (t29): log-ratio table broadcasts into the scoring " +
+      "join; no sort-merge, no cartesian") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.pipeline.TextAnalysis.dsirWeights(docs,
+      materialize = false).queryExecution.executedPlan.toString
+    // the ≤buckets-row log-ratio relation must broadcast — the per-doc
+    // feature side (corpus-sized at 100 TB) never re-shuffles to score
+    assert(plan.contains("BroadcastHashJoin"),
+      s"scoring join not broadcast-hash:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"bucket join regressed to sort-merge:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian detected:\n$plan")
+    // exchange budget, by DISTINCT plan id — the persisted (doc, bucket)
+    // feature build executes once but its subtree prints inside every
+    // InMemoryRelation consumer, so a raw substring count would 5×-count
+    // it. Budget: feature build, raw + target distribution aggs (plus
+    // their recompute under the totals aggregate — bucket-bounded), and
+    // the per-doc score agg. The raw gram stream collapses map-side.
+    val exchanges = raw"Exchange hashpartitioning[^\n]*plan_id=(\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    assert(exchanges <= 6, s"t29 shuffles beyond its agg budget:\n$plan")
   }
 
   test("token rarity (t16): occurrences pre-aggregate per doc, never shuffle raw") {
