@@ -415,6 +415,19 @@ case class PqAdcMicro(codes: Expression, qvec: Expression,
     codebooks: Array[Array[Array[Float]]]) extends BinaryExpression
     with FloatVectorInputs {
   override protected def vectorOperands: Seq[Expression] = Seq(qvec)
+  // gate BOTH operands: an array<bigint> codes column (e.g. a parquet
+  // round-trip that widened the element type) would be misread by
+  // getInt on unsafe rows — silent garbage indices, the exact class the
+  // custom-function sweep closed for the float-vector operands
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    codes.dataType match {
+      case ArrayType(IntegerType, _) => super.checkInputDataTypes()
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<int> codes, got ${other.sql} " +
+            "(cast with CAST(codes AS ARRAY<INT>))")
+    }
   override def left: Expression = codes
   override def right: Expression = qvec
   override def dataType: DataType = LongType

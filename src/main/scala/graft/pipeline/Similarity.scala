@@ -365,7 +365,7 @@ object Similarity {
       iters: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding",
       maxCells: Int = 4096): Array[(Long, Array[Float])] = {
-    var centroids: Array[(Long, Array[Float])] = corpus
+    val seeds: Array[(Long, Array[Float])] = corpus
       .filter(pmod(xxhash64(col(idCol)), lit(centroidEvery)) === 0)
       .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
       .orderBy(xxhash64(col("_id")), col("_id"))
@@ -373,8 +373,20 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    require(centroids.nonEmpty,
+    require(seeds.nonEmpty,
       s"no centroids sampled (corpus too small for centroidEvery=$centroidEvery)")
+    lloydRefine(corpus, seeds, iters, vecCol)
+  }
+
+  /** `iters` Lloyd steps from a given centroid set — the refinement half
+    * of [[kmeansCentroids]], callable on its own when the seeds are
+    * already in hand (avoids re-sampling). Cells that assign no vectors
+    * drop out, so the count can only shrink.
+    */
+  private def lloydRefine(corpus: DataFrame,
+      init: Array[(Long, Array[Float])], iters: Int,
+      vecCol: String): Array[(Long, Array[Float])] = {
+    var centroids = init
     (1 to iters).foreach { _ =>
       val means = corpus
         .select(cellAssignExpr(centroids, col(vecCol)).as("cell_id"),
@@ -660,6 +672,10 @@ object Similarity {
       m: Int = 8, codebookSize: Int = 256, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val cb = pqCodebooks(corpus, m, codebookSize, idCol, vecCol)
+    // ADC folds over the codebook dim: a query from a different embedding
+    // space would silently score garbage (shorter) or drop its tail
+    // components (longer) — fail loudly instead
+    requireVectorDim(queries, vecCol, m * cb.head.head.length, "pqTopK")
     val codes = pqEncodeView(corpus, cb, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("codes"))
     val q = queries.select(col(idCol).cast("long").as("query_id"),
@@ -705,10 +721,18 @@ object Similarity {
       centroidEvery: Int = 50, kmeansIters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxCells: Int = 4096, spill: Int = 2): DataFrame = {
-    val centroids = kmeansCentroids(corpus, centroidEvery, kmeansIters,
-      idCol, vecCol, maxCells)
     val cb = pqCodebooks(corpus, m, codebookSize, idCol, vecCol)
-    val fullProbe = nProbe >= centroids.length
+    requireVectorDim(queries, vecCol, m * cb.head.head.length, "ivfPqTopK")
+    // seed count gates the full-probe branch BEFORE paying Lloyd passes —
+    // under full probe the centroid values are dead (only the count
+    // matters), and refinement can only shrink the cell count, never grow
+    // it past the seeds
+    val seeds = kmeansCentroids(corpus, centroidEvery, 0, idCol, vecCol,
+      maxCells)
+    val fullProbe = nProbe >= seeds.length
+    val centroids =
+      if (fullProbe || kmeansIters == 0) seeds
+      else lloydRefine(corpus, seeds, kmeansIters, vecCol)
     // one pass: code + cell(s) per corpus row; under full probe the cell
     // column is a constant — no assignment work, no spill duplication
     val codes =

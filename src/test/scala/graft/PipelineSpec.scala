@@ -1158,16 +1158,15 @@ class PipelineSpec extends SparkSpec {
       (5L, "quux blarg zork blarg", "de"),
       (6L, "alpha beta gamma beta alpha", "de"))
       .toDF("doc_id", "text", "lang").withColumn("source", lit("s"))
-    val w = TextAnalysis.dsirWeights(d).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = TextAnalysis.dsirWeights(d).collect()
+    val w = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(w.size === 6)
     val aDocs = Seq(1L, 2L, 3L, 6L).map(w)
     val bDocs = Seq(4L, 5L).map(w)
     assert(aDocs.min > bDocs.max,
       s"target-vocab docs should outscore off-vocab docs: $w")
     // n_feats = unigrams + bigrams = 2·tokens − 1 per doc here
-    val nf = TextAnalysis.dsirWeights(d).collect()
-      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val nf = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(nf(1L) === 9L && nf(5L) === 7L)
   }
 
