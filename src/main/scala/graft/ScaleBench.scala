@@ -99,8 +99,9 @@ object ScaleBench {
     "t23b_bm25_indexed", "t24b_lm_score_indexed",
     // DSIR importance weights: gram stream collapses map-side to
     // (doc, bucket) rows; distributions are bucket-bounded; the
-    // log-ratio table broadcasts into the scoring join — linear scan work
-    "t29_dsir_weights",
+    // log-ratio table broadcasts into the scoring join — linear scan
+    // work. t29b scores against the prebuilt model (the recurring cost)
+    "t29_dsir_weights", "t29b_dsir_indexed",
     // leakage-safe split: repIngest builds the rep relation once per
     // session over the scaled corpus; the timed query is the recurring
     // cost — a doc_id equi-join against that persisted state

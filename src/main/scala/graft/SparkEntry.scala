@@ -729,6 +729,17 @@ object SparkEntry {
     // whole importance pipeline integer-exact → hash-checked end to end.
     "t29_dsir_weights" -> ((s, d) =>
       TextAnalysis.dsirWeights(table(s, d, "documents"))),
+    // T29b: the PRODUCTION weighting shape — the bucket log-ratio model
+    // materialized once (train-once), each invocation scores the batch
+    // with one broadcast bucket join (score-many); must hash-match t29.
+    "t29b_dsir_indexed" -> ((s, d) =>
+      TextAnalysis.dsirWeightsIndexed(s, dsirIngest(s, d),
+        table(s, d, "documents"))),
+    // T30: importance RESAMPLING — the t29 weights through a
+    // deterministic md5-uniform rejection sampler (P(keep) = w/w_max,
+    // sort-free); the SAMPLE itself is hash-checked, not just weights.
+    "t30_dsir_resample" -> ((s, d) =>
+      TextAnalysis.dsirResample(table(s, d, "documents"))),
     "t9_repetition" -> ((s, d) =>
       TextAnalysis.repetitionScore(table(s, d, "documents"))),
     "t10_quality_filter" -> ((s, d) =>
@@ -1522,46 +1533,14 @@ object SparkEntry {
         |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
         |        FROM documents))
         |GROUP BY doc_id""".stripMargin,
-    // t29: replay of the whole DSIR pipeline — md5-hash-bucketed
-    // unigram+bigram features, add-1-smoothed target/raw distributions,
-    // micro-unit log-ratios summed per doc in exact integers. The only
-    // float ops are one divide/ln/multiply per DISTINCT bucket on
-    // identical integer inputs (each factor cast to double BEFORE the
-    // multiply, mirroring the Spark side).
-    "t29_dsir_weights" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang,
-        |         string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, lang, unnest(t) AS g FROM tok
-        |  UNION ALL
-        |  SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS g
-        |  FROM (SELECT doc_id, lang, t,
-        |          unnest(generate_series(1, len(t) - 1)) AS i
-        |        FROM tok)),
-        |db AS (
-        |  SELECT doc_id, lang,
-        |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b,
-        |    count(*) AS n
-        |  FROM grams GROUP BY 1, 2, 3),
-        |raw AS (SELECT b, sum(n) AS cr FROM db GROUP BY 1),
-        |tgt AS (SELECT b, sum(n) AS ct FROM db WHERE lang = 'en'
-        |        GROUP BY 1),
-        |tot AS (SELECT (SELECT sum(cr) FROM raw) AS r,
-        |               (SELECT sum(ct) FROM tgt) AS t),
-        |lr AS (
-        |  SELECT raw.b,
-        |    CAST(floor(1000000.0 * ln(
-        |      (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * CAST(r + 4096 AS DOUBLE))
-        |      / (CAST(cr + 1 AS DOUBLE) * CAST(t + 4096 AS DOUBLE))))
-        |      AS BIGINT) AS lr_c6
-        |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tot)
-        |SELECT db.doc_id,
-        |  CAST(sum(db.n * lr.lr_c6) AS BIGINT) AS dsir_c6,
-        |  CAST(sum(db.n) AS BIGINT) AS n_feats
-        |FROM db JOIN lr ON lr.b = db.b
-        |GROUP BY 1""".stripMargin,
+    // t29/t29b: replay of the whole DSIR pipeline (see baseDsirOracle) —
+    // the indexed form must reproduce the in-plan form exactly (same
+    // integer ops on the same stored values), so both share one string.
+    "t29_dsir_weights" -> baseDsirOracle,
+    "t29b_dsir_indexed" -> baseDsirOracle,
+    // t30: the t29 weights piped through the deterministic md5-uniform
+    // rejection sampler — integer micro-unit comparison on both sides.
+    "t30_dsir_resample" -> dsirResampleOracle,
     // d3's LSH is candidate generation + EXACT jaccard verification, so its
     // output equals the exhaustive all-pairs answer whenever every
     // qualifying pair shares a band bucket (P(miss) = (1-s^4)^16 ≤ 2e-4 at
@@ -2679,6 +2658,16 @@ object SparkEntry {
     dir.toString
   }
 
+  /** Once-per-(source data, session) DSIR log-ratio model backing t29b
+    * ([[TextAnalysis.buildDsirModel]]). */
+  private def dsirIngest(s: SparkSession, sfDir: String): String = {
+    val (dir, fs) = layoutDir(s, sfDir, "documents", "dsirmodel")
+    gatedBuild(fs, dir) {
+      TextAnalysis.buildDsirModel(table(s, sfDir, "documents"), dir.toString)
+    }
+    dir.toString
+  }
+
   /** Once-per-(source data, session) BM25 corpus stats backing t23b:
     * term df table + 1-row (N, avgdl) ([[TextAnalysis.buildBm25Stats]]).
     */
@@ -2885,6 +2874,68 @@ object SparkEntry {
        |        ORDER BY dot_est_micro DESC, neighbor_id) AS rank FROM adc)
        |WHERE rank <= $topK""".stripMargin
   }
+
+  /** Shared CTE chain of the DSIR oracles: md5-hash-bucketed
+    * unigram+bigram features, add-1-smoothed target/raw distributions,
+    * micro-unit log-ratios. The only float ops are one
+    * divide/ln/multiply per DISTINCT bucket on identical integer inputs
+    * (each factor cast to double BEFORE the multiply, mirroring the
+    * Spark side — integer products would overflow BIGINT at scale).
+    */
+  private def dsirCtes: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |         string_split_regex(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, lang, unnest(t) AS g FROM tok
+      |  UNION ALL
+      |  SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS g
+      |  FROM (SELECT doc_id, lang, t,
+      |          unnest(generate_series(1, len(t) - 1)) AS i
+      |        FROM tok)),
+      |db AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b,
+      |    count(*) AS n
+      |  FROM grams GROUP BY 1, 2, 3),
+      |raw AS (SELECT b, sum(n) AS cr FROM db GROUP BY 1),
+      |tgt AS (SELECT b, sum(n) AS ct FROM db WHERE lang = 'en'
+      |        GROUP BY 1),
+      |tot AS (SELECT (SELECT sum(cr) FROM raw) AS r,
+      |               (SELECT sum(ct) FROM tgt) AS t),
+      |lr AS (
+      |  SELECT raw.b,
+      |    CAST(floor(1000000.0 * ln(
+      |      (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * CAST(r + 4096 AS DOUBLE))
+      |      / (CAST(cr + 1 AS DOUBLE) * CAST(t + 4096 AS DOUBLE))))
+      |      AS BIGINT) AS lr_c6
+      |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tot),
+      |sc AS (
+      |  SELECT db.doc_id,
+      |    CAST(sum(db.n * lr.lr_c6) AS BIGINT) AS dsir_c6,
+      |    CAST(sum(db.n) AS BIGINT) AS n_feats
+      |  FROM db JOIN lr ON lr.b = db.b
+      |  GROUP BY 1)
+      |""".stripMargin
+
+  /** Per-doc DSIR weights — shared oracle of the in-plan (t29) and
+    * prebuilt-model (t29b) forms, which are computationally identical.
+    */
+  private def baseDsirOracle: String =
+    dsirCtes + "SELECT doc_id, dsir_c6, n_feats FROM sc"
+
+  /** The t29 weights piped through the md5-uniform rejection sampler:
+    * keep iff floor(1e6·ln((h+1)/2^32)) ≤ dsir_c6 − max(dsir_c6).
+    */
+  private def dsirResampleOracle: String =
+    dsirCtes +
+      """SELECT doc_id, dsir_c6, n_feats
+        |FROM sc CROSS JOIN (SELECT max(dsir_c6) AS mx FROM sc) m
+        |WHERE CAST(floor(1000000.0 * ln(
+        |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |       AS BIGINT) + 1) / 4294967296.0)) AS BIGINT)
+        |  <= dsir_c6 - mx""".stripMargin
 
   /** Brute-force MIPS top-5 — shared oracle of v10 and the full-probe
     * augmented IVF v10b, which must rank identically.

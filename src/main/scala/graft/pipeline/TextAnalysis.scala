@@ -665,16 +665,16 @@ object TextAnalysis {
     * exchange builds the per-doc feature rows, one bounded exchange
     * sums per doc. Output: (doc_id, dsir_c6, n_feats), one row per doc.
     */
-  def dsirWeights(documents: DataFrame, targetLang: String = "en",
-      buckets: Int = 4096, materialize: Boolean = true): DataFrame = {
-    val db = docDsirBuckets(documents, buckets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** The per-bucket micro-unit log-ratio table `(b, lr_c6)` from the
+    * feature relation — DSIR's MODEL, ≤ `buckets` rows. */
+  private def dsirLogRatios(db: DataFrame, targetLang: String,
+      buckets: Int): DataFrame = {
     val raw = db.groupBy("b").agg(sum("n").as("cr"))
     val tgt = db.filter(col("lang") === targetLang)
       .groupBy("b").agg(sum("n").as("ct"))
     val totals = raw.agg(sum("cr").as("_r"))
       .crossJoin(tgt.agg(sum("ct").as("_t")))
-    val lr = raw.join(tgt, Seq("b"), "left")
+    raw.join(tgt, Seq("b"), "left")
       .na.fill(0L, Seq("ct"))
       .crossJoin(broadcast(totals))
       .select(col("b"),
@@ -682,11 +682,80 @@ object TextAnalysis {
           ((col("ct") + 1).cast("double") * (col("_r") + buckets).cast("double"))
             / ((col("cr") + 1).cast("double") * (col("_t") + buckets).cast("double"))))
           .cast("long").as("lr_c6"))
-    val scored = db.join(broadcast(lr), Seq("b"))
+  }
+
+  /** Score per-(doc, bucket) features against a log-ratio table: the
+    * broadcast bucket join + exact integer per-doc sum shared by the
+    * in-plan and indexed forms. */
+  private def dsirScore(db: DataFrame, lr: DataFrame): DataFrame =
+    db.join(broadcast(lr), Seq("b"))
       .groupBy("doc_id")
       .agg(sum(col("n") * col("lr_c6")).cast("long").as("dsir_c6"),
         sum("n").cast("long").as("n_feats"))
+
+  def dsirWeights(documents: DataFrame, targetLang: String = "en",
+      buckets: Int = 4096, materialize: Boolean = true): DataFrame = {
+    val db = docDsirBuckets(documents, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = dsirScore(db, dsirLogRatios(db, targetLang, buckets))
     if (materialize) Scratch.materializeThenFree(scored, db) else scored
+  }
+
+  /** Train-once half of the production importance-weighting shape:
+    * materialize the `buckets`-row log-ratio table to parquet. A curation
+    * pipeline fits the target/raw distributions on a reference snapshot,
+    * then weighs every incoming shard against that FIXED model —
+    * [[dsirWeightsIndexed]] scores any batch as one broadcast bucket join
+    * with no corpus-wide distribution fit in the scoring plan (the same
+    * train/score split as [[buildLmModel]] / [[ngramLmScoreIndexed]]).
+    */
+  def buildDsirModel(documents: DataFrame, path: String,
+      targetLang: String = "en", buckets: Int = 4096): Unit =
+    dsirLogRatios(docDsirBuckets(documents, buckets), targetLang, buckets)
+      .write.mode("overwrite").parquet(path)
+
+  /** Score-many half: DSIR weights of each batch doc under a PREBUILT
+    * log-ratio model ([[buildDsirModel]]). Scoring the training corpus
+    * itself reproduces [[dsirWeights]] exactly (same integer ops on the
+    * same stored values; every bucket a training doc references exists
+    * in the model by construction). Genuinely new text may hash into
+    * buckets the training corpus never populated — those grams drop from
+    * the sum (inner join), the conservative treatment for
+    * never-seen-before features.
+    */
+  def dsirWeightsIndexed(spark: org.apache.spark.sql.SparkSession,
+      modelPath: String, batch: DataFrame, buckets: Int = 4096): DataFrame =
+    dsirScore(docDsirBuckets(batch, buckets),
+      spark.read.parquet(modelPath))
+
+  /** Deterministic importance RESAMPLING over [[dsirWeights]] — the
+    * selection step that turns weights into a curated corpus: doc d is
+    * kept iff `ln(u_d) ≤ (w_d − max_w) / 1e6`, i.e. accepted with
+    * probability `w_d / w_max` (rejection sampling of the importance
+    * distribution; the Gumbel-top-k of the DSIR paper needs a global
+    * sort — this is the sort-free distributed form, and the max-weight
+    * doc is always kept). `u_d` derives from md5(doc_id) — the
+    * [[Similarity.randomProjection]] device — so the SAMPLE ITSELF is
+    * deterministic and cross-engine replayable: both sides compare
+    * integer micro-units (`floor(1e6·ln u)` vs `w − max`), no float
+    * boundary ambiguity. Output: the kept (doc_id, dsir_c6, n_feats)
+    * rows.
+    *
+    * Scale: weights are [[dsirWeights]]' plan; the max is a broadcast
+    * 1-row aggregate; acceptance is a narrow per-row test — no sort, no
+    * extra shuffle beyond the weight computation.
+    */
+  def dsirResample(documents: DataFrame, targetLang: String = "en",
+      buckets: Int = 4096): DataFrame = {
+    val w = dsirWeights(documents, targetLang, buckets)
+    val mx = w.agg(max("dsir_c6").as("_mx"))
+    w.crossJoin(broadcast(mx))
+      .filter(
+        floor(lit(1e6) * log(
+          ((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") + 1).cast("double")) / lit(4294967296.0d)))
+          .cast("long") <= col("dsir_c6") - col("_mx"))
+      .select(col("doc_id"), col("dsir_c6"), col("n_feats"))
   }
 
   /** Boilerplate n-gram coverage (CCNet/RefinedWeb-style template

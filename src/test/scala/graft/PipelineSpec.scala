@@ -1170,6 +1170,32 @@ class PipelineSpec extends SparkSpec {
     assert(nf(1L) === 9L && nf(5L) === 7L)
   }
 
+  test("indexed DSIR weights equal the in-plan weights; resample keeps " +
+      "the max-weight doc and is deterministic") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma alpha beta", "en"),
+      (2L, "beta gamma alpha gamma", "en"),
+      (3L, "zork quux blarg zork quux", "de"),
+      (4L, "alpha beta gamma beta alpha gamma", "de"))
+      .toDF("doc_id", "text", "lang").withColumn("source", lit("s"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inPlan = key(TextAnalysis.dsirWeights(d))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    TextAnalysis.buildDsirModel(d, s"$dir/m")
+    // scoring the training corpus under the prebuilt model must
+    // reproduce the in-plan weights exactly (t29b's oracle contract)
+    assert(key(TextAnalysis.dsirWeightsIndexed(spark, s"$dir/m", d))
+      === inPlan)
+    val kept = key(TextAnalysis.dsirResample(d))
+    assert(kept === key(TextAnalysis.dsirResample(d)), "resample not deterministic")
+    assert(kept.subsetOf(inPlan), "resample invented rows")
+    // ln(u) ≤ 0 always holds for the max-weight doc (w − max = 0)
+    val maxDoc = inPlan.maxBy(t => (t._2, t._1))
+    assert(kept.contains(maxDoc), s"max-weight doc $maxDoc rejected: $kept")
+  }
+
   test("indexed incremental pairs equal the in-plan incremental pairs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = docs.filter(col("doc_id") % 20 =!= 0)

@@ -149,6 +149,26 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = raw"Exchange hashpartitioning[^\n]*plan_id=(\d+)".r
       .findAllMatchIn(plan).map(_.group(1)).toSet.size
     assert(exchanges <= 6, s"t29 shuffles beyond its agg budget:\n$plan")
+    // materialize = false leaves the feature relation cached (documented
+    // Scratch contract); drop it so later plan tests (t29b) don't
+    // resolve their feature build to this test's InMemoryRelation
+    spark.catalog.clearCache()
+  }
+
+  test("indexed DSIR (t29b): no distribution fit in the scoring plan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsirplan").toString
+    graft.pipeline.TextAnalysis.buildDsirModel(docs, s"$dir/m")
+    val plan = graft.pipeline.TextAnalysis.dsirWeightsIndexed(
+      spark, s"$dir/m", docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"scoring join not broadcast-hash:\n$plan")
+    // exchange budget: ONLY the batch's feature agg + the per-doc score
+    // agg — the corpus-wide raw/target distribution aggregates must live
+    // in the model build, not the recurring scoring plan
+    val exchanges = raw"Exchange hashpartitioning[^\n]*plan_id=(\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    assert(exchanges <= 2, s"t29b scores with a distribution fit in-plan:\n$plan")
   }
 
   test("token rarity (t16): occurrences pre-aggregate per doc, never shuffle raw") {
