@@ -110,13 +110,14 @@ object RecallReport {
     // compression knob: dim=64 floats → m codes, coarser m quantizes
     // harder) at the default 8-bit codebooks (256 codes; the sf0.1
     // corpus seeds all 256).
-    val pqSets = (for (m <- Seq(8, 16, 32)) yield {
+    val pqMs = Seq(8, 16, 32)
+    val pqSets = pqMs.map { m =>
       val (got, sec) = timed(pairSet(
         Similarity.pqTopK(emb, queries, k = 5, m = m, codebookSize = 256),
         "query_id", "neighbor_id"))
       m -> (got, sec)
-    }).toMap
-    val pq = Seq(8, 16, 32).map { m =>
+    }.toMap
+    val pq = pqMs.map { m =>
       val (got, sec) = pqSets(m)
       s""""m_$m":{"recall":${recallOf(got, exactMips)},"sec":$sec}"""
     }
@@ -127,10 +128,10 @@ object RecallReport {
     // gate's OWN loss — how much of what PQ would return survives
     // probing nProbe·spill of the cells). The m=32 sweep point above IS
     // the ungated ranking — reuse it rather than re-scanning the corpus.
-    val pureAdc = pqSets(32)._1
+    val pureAdc = pqSets(pqMs.max)._1
     val ivfpq = for (np <- Seq(1, 2, 4, 8, 16)) yield {
       val (got, sec) = timed(pairSet(
-        Similarity.ivfPqTopK(emb, queries, k = 5, nProbe = np, m = 32,
+        Similarity.ivfPqTopK(emb, queries, k = 5, nProbe = np, m = pqMs.max,
           codebookSize = 256),
         "query_id", "neighbor_id"))
       s""""nprobe_${np}_spill_2":{"recall":${recallOf(got, exactMips)

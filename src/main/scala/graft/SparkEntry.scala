@@ -2661,7 +2661,9 @@ object SparkEntry {
   /** Once-per-(source data, session) DSIR log-ratio model backing t29b
     * ([[TextAnalysis.buildDsirModel]]). */
   private def dsirIngest(s: SparkSession, sfDir: String): String = {
-    val (dir, fs) = layoutDir(s, sfDir, "documents", "dsirmodel")
+    // "2": the model schema gained the buckets column — the mtime-keyed
+    // gate would otherwise serve a pre-schema layout from an older build
+    val (dir, fs) = layoutDir(s, sfDir, "documents", "dsirmodel2")
     gatedBuild(fs, dir) {
       TextAnalysis.buildDsirModel(table(s, sfDir, "documents"), dir.toString)
     }

@@ -593,6 +593,13 @@ object Kernels {
     var s = 0
     var off = 0
     while (s < m) {
+      // a null element (containsNull=true after a parquet round-trip)
+      // would read as code 0 on unsafe rows — a silently wrong score;
+      // fail loudly instead (the analysis gate can't see element nulls)
+      if (codes.isNullAt(s))
+        throw new IllegalArgumentException(
+          s"pq_adc_micro: null code at subspace $s — codes must be " +
+            "non-null array<int> of length " + m)
       val c = codebooks(s)(codes.getInt(s))
       val sub = c.length
       var p = 0.0

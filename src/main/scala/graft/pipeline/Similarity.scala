@@ -723,16 +723,18 @@ object Similarity {
       maxCells: Int = 4096, spill: Int = 2): DataFrame = {
     val cb = pqCodebooks(corpus, m, codebookSize, idCol, vecCol)
     requireVectorDim(queries, vecCol, m * cb.head.head.length, "ivfPqTopK")
-    // seed count gates the full-probe branch BEFORE paying Lloyd passes —
-    // under full probe the centroid values are dead (only the count
-    // matters), and refinement can only shrink the cell count, never grow
-    // it past the seeds
+    // seed count decides whether Lloyd passes are worth paying — under
+    // full probe the centroid VALUES are dead (only the count matters),
+    // and refinement can only shrink the cell count, never grow it past
+    // the seeds. fullProbe itself re-checks the REFINED count: Lloyd can
+    // drop empty cells below nProbe, and probing every remaining cell
+    // through the gated machinery would prune nothing at full cost.
     val seeds = kmeansCentroids(corpus, centroidEvery, 0, idCol, vecCol,
       maxCells)
-    val fullProbe = nProbe >= seeds.length
     val centroids =
-      if (fullProbe || kmeansIters == 0) seeds
+      if (nProbe >= seeds.length || kmeansIters == 0) seeds
       else lloydRefine(corpus, seeds, kmeansIters, vecCol)
+    val fullProbe = nProbe >= centroids.length
     // one pass: code + cell(s) per corpus row; under full probe the cell
     // column is a constant — no assignment work, no spill duplication
     val codes =

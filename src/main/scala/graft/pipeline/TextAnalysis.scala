@@ -712,21 +712,31 @@ object TextAnalysis {
   def buildDsirModel(documents: DataFrame, path: String,
       targetLang: String = "en", buckets: Int = 4096): Unit =
     dsirLogRatios(docDsirBuckets(documents, buckets), targetLang, buckets)
+      // the bucket count rides IN the model (a constant column): scoring
+      // must hash features into the SAME space the distributions were
+      // fit in, and a caller-supplied count that disagrees would silently
+      // drop/mis-join features — so the scorer reads it, never guesses
+      .withColumn("buckets", lit(buckets))
       .write.mode("overwrite").parquet(path)
 
   /** Score-many half: DSIR weights of each batch doc under a PREBUILT
-    * log-ratio model ([[buildDsirModel]]). Scoring the training corpus
-    * itself reproduces [[dsirWeights]] exactly (same integer ops on the
-    * same stored values; every bucket a training doc references exists
-    * in the model by construction). Genuinely new text may hash into
-    * buckets the training corpus never populated — those grams drop from
-    * the sum (inner join), the conservative treatment for
-    * never-seen-before features.
+    * log-ratio model ([[buildDsirModel]]). The feature-space bucket
+    * count comes from the model itself — hashing a batch into a
+    * different bucket space than the fit would silently misweight every
+    * doc. Scoring the training corpus itself reproduces [[dsirWeights]]
+    * exactly (same integer ops on the same stored values; every bucket a
+    * training doc references exists in the model by construction).
+    * Genuinely new text may hash into buckets the training corpus never
+    * populated — those grams drop from the sum (inner join), the
+    * conservative treatment for never-seen-before features.
     */
   def dsirWeightsIndexed(spark: org.apache.spark.sql.SparkSession,
-      modelPath: String, batch: DataFrame, buckets: Int = 4096): DataFrame =
+      modelPath: String, batch: DataFrame): DataFrame = {
+    val model = spark.read.parquet(modelPath)
+    val buckets = model.select("buckets").head().getInt(0)
     dsirScore(docDsirBuckets(batch, buckets),
-      spark.read.parquet(modelPath))
+      model.select("b", "lr_c6"))
+  }
 
   /** Deterministic importance RESAMPLING over [[dsirWeights]] — the
     * selection step that turns weights into a curated corpus: doc d is
@@ -737,9 +747,13 @@ object TextAnalysis {
     * doc is always kept). `u_d` derives from md5(doc_id) — the
     * [[Similarity.randomProjection]] device — so the SAMPLE ITSELF is
     * deterministic and cross-engine replayable: both sides compare
-    * integer micro-units (`floor(1e6·ln u)` vs `w − max`), no float
-    * boundary ambiguity. Output: the kept (doc_id, dsir_c6, n_feats)
-    * rows.
+    * integer micro-units (`floor(1e6·ln u)` vs `w − max`) computed from
+    * identical integer inputs. Residual exposure: `ln` is not guaranteed
+    * correctly rounded, so a last-ulp engine disagreement could flip a
+    * floor at an exact-integer boundary — ~4e-9 per evaluation, one per
+    * DOC here (vs one per distinct bigram in [[ngramLmScore]]; same
+    * device, same odds per call). Output: the kept
+    * (doc_id, dsir_c6, n_feats) rows.
     *
     * Scale: weights are [[dsirWeights]]' plan; the max is a broadcast
     * 1-row aggregate; acceptance is a narrow per-row test — no sort, no

@@ -1190,10 +1190,25 @@ class PipelineSpec extends SparkSpec {
       === inPlan)
     val kept = key(TextAnalysis.dsirResample(d))
     assert(kept === key(TextAnalysis.dsirResample(d)), "resample not deterministic")
-    assert(kept.subsetOf(inPlan), "resample invented rows")
-    // ln(u) ≤ 0 always holds for the max-weight doc (w − max = 0)
-    val maxDoc = inPlan.maxBy(t => (t._2, t._1))
-    assert(kept.contains(maxDoc), s"max-weight doc $maxDoc rejected: $kept")
+    // independent replay of the acceptance rule: keep iff
+    // floor(1e6·ln((h+1)/2^32)) ≤ w − max, h = first 8 md5 hex chars of
+    // the decimal doc_id — a keep-everything or keep-only-max predicate
+    // regression cannot match this reference set
+    val mx = inPlan.map(_._2).max
+    def lnU(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      math.floor(1e6 * math.log(
+        (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4294967296.0d)).toLong
+    }
+    val expected = inPlan.filter(t => lnU(t._1) <= t._2 - mx)
+    assert(kept === expected,
+      s"resample disagrees with the reference replay: $kept vs $expected")
+    // the fixture must actually exercise both branches for the asserts
+    // above to discriminate
+    assert(expected.nonEmpty && expected.size < inPlan.size,
+      s"fixture degenerate: ${expected.size} of ${inPlan.size} kept")
   }
 
   test("indexed incremental pairs equal the in-plan incremental pairs") {

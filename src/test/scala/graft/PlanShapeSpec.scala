@@ -156,6 +156,9 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("indexed DSIR (t29b): no distribution fit in the scoring plan") {
+    // defensive: an aborted t29 test would leak its cached feature
+    // relation, substituting an InMemoryRelation into this test's plan
+    spark.catalog.clearCache()
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft_dsirplan").toString
     graft.pipeline.TextAnalysis.buildDsirModel(docs, s"$dir/m")
