@@ -74,7 +74,7 @@ object ScaleBench {
     "v1_brute_cosine_topk", "v2_ivf_cosine_topk", "v2b_ivf_full_probe",
     "v3_label_centroid", "v5_int8_quantize", "v6_int8_topk",
     "v16_pq_topk", "v17_ivfpq_topk", "v7_knn_graph",
-    "v8_ivf_indexed", "v9_random_projection",
+    "v8_ivf_indexed", "v18_ivfpq_indexed", "v9_random_projection",
     // one-pass corpus statistics: v11 is the gram/covariance reduction
     // (O(dim²) partials per task, single merge exchange); v12 is a
     // label-bounded centroid agg + broadcast join back

@@ -890,6 +890,19 @@ object SparkEntry {
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
         nProbe = Int.MaxValue, m = 8, codebookSize = 256, kmeansIters = 0)
     }),
+    // V18: the SERVING form — materialized IVFPQ index (codes partitioned
+    // by cell, built once per source data + session, centroids/codebooks
+    // persisted) probed with every cell, which is exhaustive over the
+    // codes and must hash-match v16's pure-ADC oracle. The spilled index
+    // duplicates a vector's codes across its spill cells; identical
+    // scored rows collapse in the dedup'd bounded top-k, so the layout
+    // arity cannot leak into results.
+    "v18_ivfpq_indexed" -> ((s, d) => {
+      val (codes, cents, cb) = ivfpqIngest(s, d)
+      Similarity.ivfPqTopKIndexed(s, codes, cents, cb,
+        table(s, d, "embeddings").filter(col("vec_id") < 20), k = 5,
+        nProbe = Int.MaxValue)
+    }),
     "v2_ivf_cosine_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       Similarity.ivfCosineTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
@@ -2458,6 +2471,8 @@ object SparkEntry {
     "v16_pq_topk" -> pqOracle,
     // v17b: full-probe IVFPQ ≡ pure ADC — shares v16's generated replay
     "v17b_ivfpq_full_probe" -> pqOracle,
+    // v18: full-probe over the materialized codes index ≡ pure ADC too
+    "v18_ivfpq_indexed" -> pqOracle,
     "v10_brute_mips_topk" -> baseMipsOracle,
     // v10b: full-probe augmented IVF ≡ brute MIPS (see the queries comment)
     "v10b_ivf_mips_full_probe" -> baseMipsOracle,
@@ -2739,6 +2754,39 @@ object SparkEntry {
     val cents = s.read.parquet(centDir.toString).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     (cellsDir, cents)
+  }
+
+  /** Once-per-(source data, session) materialized IVFPQ index backing
+    * v18: PQ codes partitioned by cell
+    * ([[Similarity.buildIvfPqIndex]]), centroids AND codebooks persisted
+    * beside the codes so any session serves the same index.
+    */
+  private def ivfpqIngest(s: SparkSession, sfDir: String):
+      (String, Array[(Long, Array[Float])], Array[Array[Array[Float]]]) = {
+    import s.implicits._
+    val (dir, fs) = layoutDir(s, sfDir, "embeddings", "ivfpq_s2_m8")
+    val codesDir = new org.apache.hadoop.fs.Path(dir, "codes").toString
+    val centDir = new org.apache.hadoop.fs.Path(dir, "centroids")
+    val cbDir = new org.apache.hadoop.fs.Path(dir, "codebooks")
+    if (!fs.exists(cbDir)) {
+      val (cents, cb) = Similarity.buildIvfPqIndex(
+        table(s, sfDir, "embeddings"), codesDir)
+      cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+        .toDF("cell_id", "cent")
+        .coalesce(1).write.mode("overwrite").parquet(centDir.toString)
+      cb.zipWithIndex.flatMap { case (rows, sIdx) =>
+        rows.zipWithIndex.map { case (v, j) => (sIdx, j, v.toSeq) }
+      }.toSeq.toDF("s", "j", "v")
+        .coalesce(1).write.mode("overwrite").parquet(cbDir.toString)
+    }
+    val cents = s.read.parquet(centDir.toString).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val cbRows = s.read.parquet(cbDir.toString).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = cbRows.map(_._1).max + 1
+    val cb = Array.tabulate(m)(sIdx =>
+      cbRows.filter(_._1 == sIdx).sortBy(_._2).map(_._3))
+    (codesDir, cents, cb)
   }
 
   /** Exact top-5 cosine neighbors — the shared oracle of the brute-force

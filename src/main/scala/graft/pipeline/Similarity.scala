@@ -770,6 +770,75 @@ object Similarity {
         col("_sd").cast("long").as("dot_est_micro"))
   }
 
+  /** Materialize the IVFPQ index: ONE narrow corpus pass emits each
+    * vector's PQ codes and cell assignment(s), written
+    * `partitionBy(cell_id)` — the serving form at 100 TB, where the two
+    * compressions compose: a probe's cell filter prunes whole
+    * DIRECTORIES before any I/O (the v8 layout), and what it then reads
+    * is m small ints per vector instead of dim floats (the v16
+    * footprint). Returns (centroids, codebooks) for
+    * [[ivfPqTopKIndexed]]; both are codebook-bounded driver state.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, path: String, m: Int = 8,
+      codebookSize: Int = 256, centroidEvery: Int = 50,
+      kmeansIters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding", maxCells: Int = 4096,
+      spill: Int = 2):
+      (Array[(Long, Array[Float])], Array[Array[Array[Float]]]) = {
+    val centroids = kmeansCentroids(corpus, centroidEvery, kmeansIters,
+      idCol, vecCol, maxCells)
+    val cb = pqCodebooks(corpus, m, codebookSize, idCol, vecCol)
+    val assigned = corpus.select(
+      col(idCol).cast("long").as("neighbor_id"),
+      gvec.pqEncode(col(vecCol), cb).as("codes"),
+      explode(probeCellsExpr(centroids, col(vecCol),
+        math.min(math.max(spill, 1), centroids.length))).as("cell_id"))
+    graft.engine.Layout.writePartitioned(assigned, path, "cell_id")
+    (centroids, cb)
+  }
+
+  /** Query a materialized IVFPQ index: probed cell ids become a static
+    * partition filter on the codes scan (directory pruning, as
+    * [[ivfCosineTopKIndexed]]), then ADC scores only the surviving code
+    * rows. `nProbe ≥ nCells` skips the filter and is bit-identical to
+    * [[pqTopK]] over the same codebooks — the v18 exactness contract.
+    */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, centroids: Array[(Long, Array[Float])],
+      codebooks: Array[Array[Array[Float]]], queries: DataFrame,
+      k: Int = 5, nProbe: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    requireVectorDim(queries, vecCol,
+      codebooks.length * codebooks.head.head.length, "ivfPqTopKIndexed")
+    val codes = spark.read.parquet(indexPath)
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("_qv"))
+    val scored =
+      if (nProbe >= centroids.length)
+        // full probe: no filter — a cells-sized isin prunes nothing and
+        // costs planning that grows with the index (the v8 lesson)
+        codes.crossJoin(broadcast(q))
+      else {
+        val probed = probedCellsOf(centroids, queries, nProbe, idCol, vecCol)
+          .select(col("query_id"), col("_qv"), col("cell_id"))
+        val cells = probed.select("cell_id").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        codes.filter(col("cell_id").isin(cells: _*))
+          .join(broadcast(probed), Seq("cell_id"))
+      }
+    explodeTopK(
+      scored.filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          gvec.pqAdcMicro(col("codes"), col("_qv"), codebooks)
+            .cast("double").as("_s"))
+        .groupBy("query_id")
+        .agg(gagg.topKByScore(col("_s"), col("neighbor_id"), k,
+          dedup = true).as("_top")),
+      scoreName = "_sd")
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("_sd").cast("long").as("dot_est_micro"))
+  }
+
   /** Query a materialized IVF index: the probed cell ids become a static
     * `isin` partition filter on the index scan (directory pruning — only
     * ~nProbe/nCells of the files are read; asserted in PlanShapeSpec),

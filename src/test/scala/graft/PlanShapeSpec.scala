@@ -502,6 +502,30 @@ class PlanShapeSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache() // lazy mode leaves the probe cached
   }
 
+  test("materialized IVFPQ index: gated probe prunes code partitions, " +
+      "full probe equals pure ADC") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    // centroidEvery=10 keeps nCells above the gated nProbe at this SF
+    val (cents, cb) = Similarity.buildIvfPqIndex(emb, dir,
+      centroidEvery = 10)
+    val gated = Similarity.ivfPqTopKIndexed(spark, dir, cents, cb,
+      queries, k = 5, nProbe = 4)
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell_id[^\\]]*\\].*"),
+      s"probe not pruning code partitions:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian detected:\n$plan")
+    // full probe over the spill-duplicated index must still equal the
+    // pure ADC ranking exactly (dedup'd top-k collapses layout arity)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val full = rows(Similarity.ivfPqTopKIndexed(spark, dir, cents, cb,
+      queries, k = 5, nProbe = Int.MaxValue))
+    assert(full === rows(Similarity.pqTopK(emb, queries, k = 5)))
+  }
+
   test("partitioned layout: partition predicate prunes directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
