@@ -2736,24 +2736,37 @@ object SparkEntry {
     * centroid parquet is written last and gates reuse (a crash mid-build
     * re-ingests instead of serving a partial index).
     */
+  /** Centroid persist/read shared by the vector-index ingests — ONE
+    * serialization format on purpose: two hand-rolled copies would let
+    * a schema/sort change silently diverge the persisted index layouts.
+    */
+  private def writeCentroids(s: SparkSession,
+      cents: Array[(Long, Array[Float])], dir: String): Unit = {
+    import s.implicits._
+    cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("cell_id", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  private def readCentroids(s: SparkSession,
+      dir: String): Array[(Long, Array[Float])] =
+    s.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+
   private def ivfIngest(s: SparkSession,
       sfDir: String): (String, Array[(Long, Array[Float])]) = {
-    import s.implicits._
     // tag carries the build's spill arity: a layout left by a session
     // built at a different spill must regenerate, not silently serve
     val (dir, fs) = layoutDir(s, sfDir, "embeddings", "ivf_s2")
     val cellsDir = new org.apache.hadoop.fs.Path(dir, "cells").toString
-    val centDir = new org.apache.hadoop.fs.Path(dir, "centroids")
-    if (!fs.exists(centDir)) {
-      val cents = Similarity.buildIvfIndex(
-        table(s, sfDir, "embeddings"), cellsDir)
-      cents.toSeq.map { case (id, v) => (id, v.toSeq) }
-        .toDF("cell_id", "cent")
-        .coalesce(1).write.mode("overwrite").parquet(centDir.toString)
+    val centDir = new org.apache.hadoop.fs.Path(dir, "centroids").toString
+    // gatedBuild, not exists(): a crash mid-write left a partial dir the
+    // exists() gate would serve forever (the marker lands after the build)
+    gatedBuild(fs, dir) {
+      writeCentroids(s, Similarity.buildIvfIndex(
+        table(s, sfDir, "embeddings"), cellsDir), centDir)
     }
-    val cents = s.read.parquet(centDir.toString).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    (cellsDir, cents)
+    (cellsDir, readCentroids(s, centDir))
   }
 
   /** Once-per-(source data, session) materialized IVFPQ index backing
@@ -2766,27 +2779,25 @@ object SparkEntry {
     import s.implicits._
     val (dir, fs) = layoutDir(s, sfDir, "embeddings", "ivfpq_s2_m8")
     val codesDir = new org.apache.hadoop.fs.Path(dir, "codes").toString
-    val centDir = new org.apache.hadoop.fs.Path(dir, "centroids")
-    val cbDir = new org.apache.hadoop.fs.Path(dir, "codebooks")
-    if (!fs.exists(cbDir)) {
+    val centDir = new org.apache.hadoop.fs.Path(dir, "centroids").toString
+    val cbDir = new org.apache.hadoop.fs.Path(dir, "codebooks").toString
+    // gatedBuild, not exists(): a crash mid-codebook-write would
+    // otherwise serve an empty/partial index forever
+    gatedBuild(fs, dir) {
       val (cents, cb) = Similarity.buildIvfPqIndex(
         table(s, sfDir, "embeddings"), codesDir)
-      cents.toSeq.map { case (id, v) => (id, v.toSeq) }
-        .toDF("cell_id", "cent")
-        .coalesce(1).write.mode("overwrite").parquet(centDir.toString)
+      writeCentroids(s, cents, centDir)
       cb.zipWithIndex.flatMap { case (rows, sIdx) =>
         rows.zipWithIndex.map { case (v, j) => (sIdx, j, v.toSeq) }
       }.toSeq.toDF("s", "j", "v")
-        .coalesce(1).write.mode("overwrite").parquet(cbDir.toString)
+        .coalesce(1).write.mode("overwrite").parquet(cbDir)
     }
-    val cents = s.read.parquet(centDir.toString).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    val cbRows = s.read.parquet(cbDir.toString).collect()
+    val cbRows = s.read.parquet(cbDir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
     val m = cbRows.map(_._1).max + 1
     val cb = Array.tabulate(m)(sIdx =>
       cbRows.filter(_._1 == sIdx).sortBy(_._2).map(_._3))
-    (codesDir, cents, cb)
+    (codesDir, readCentroids(s, centDir), cb)
   }
 
   /** Exact top-5 cosine neighbors — the shared oracle of the brute-force

@@ -668,6 +668,30 @@ object Similarity {
     * the ranking — approximation and all — is bit-replayable by the
     * DuckDB oracle; ties break to the smaller neighbor id.
     */
+  /** Shared ADC score-and-rank tail of v16/v17/v18: per-pair micro-unit
+    * dot → bounded top-k → (query_id, neighbor_id, rank, dot_est_micro).
+    * ONE definition on purpose — the three entry points hash-check
+    * against the same generated oracle, so their cast/dedup/tie chain
+    * must stay in lockstep. `pairs` carries (query_id, _qv, neighbor_id,
+    * codes); micro-units are integers ≪ 2^53, so the double round-trips
+    * exactly. `dedup` collapses identical scored rows (spilled/probed
+    * duplicates); a no-op on unique candidate sets.
+    */
+  private def adcRank(pairs: DataFrame,
+      codebooks: Array[Array[Array[Float]]], k: Int,
+      dedup: Boolean): DataFrame =
+    explodeTopK(
+      pairs.filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          gvec.pqAdcMicro(col("codes"), col("_qv"), codebooks)
+            .cast("double").as("_s"))
+        .groupBy("query_id")
+        .agg(gagg.topKByScore(col("_s"), col("neighbor_id"), k,
+          dedup = dedup).as("_top")),
+      scoreName = "_sd")
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("_sd").cast("long").as("dot_est_micro"))
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       m: Int = 8, codebookSize: Int = 256, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
@@ -680,18 +704,7 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col("codes"))
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).as("_qv"))
-    val scored = codes.crossJoin(broadcast(q))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        gvec.pqAdcMicro(col("codes"), col("_qv"), cb)
-          .cast("double").as("_s"))
-    explodeTopK(
-      scored.groupBy("query_id")
-        .agg(gagg.topKByScore(col("_s"), col("neighbor_id"), k).as("_top")),
-      scoreName = "_sd")
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        // micro-units are integers ≪ 2^53: the double round-trips exactly
-        col("_sd").cast("long").as("dot_est_micro"))
+    adcRank(codes.crossJoin(broadcast(q)), cb, k, dedup = false)
   }
 
   /** IVF-gated PQ retrieval (the FAISS "IVFPQ" composition, Jégou et al.
@@ -756,18 +769,8 @@ object Similarity {
           col(vecCol).as("_qv"), lit(0L).as("cell_id"))
       else
         probedCellsOf(centroids, queries, nProbe, idCol, vecCol)
-    val scored = codes.join(broadcast(probed), Seq("cell_id"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        gvec.pqAdcMicro(col("codes"), col("_qv"), cb)
-          .cast("double").as("_s"))
-    explodeTopK(
-      scored.groupBy("query_id")
-        .agg(gagg.topKByScore(col("_s"), col("neighbor_id"), k,
-          dedup = true).as("_top")),
-      scoreName = "_sd")
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        col("_sd").cast("long").as("dot_est_micro"))
+    adcRank(codes.join(broadcast(probed), Seq("cell_id")), cb, k,
+      dedup = true)
   }
 
   /** Materialize the IVFPQ index: ONE narrow corpus pass emits each
@@ -807,36 +810,43 @@ object Similarity {
       indexPath: String, centroids: Array[(Long, Array[Float])],
       codebooks: Array[Array[Array[Float]]], queries: DataFrame,
       k: Int = 5, nProbe: Int = 16, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      materialize: Boolean = true): DataFrame = {
     requireVectorDim(queries, vecCol,
       codebooks.length * codebooks.head.head.length, "ivfPqTopKIndexed")
     val codes = spark.read.parquet(indexPath)
-    val q = queries.select(col(idCol).cast("long").as("query_id"),
-      col(vecCol).as("_qv"))
-    val scored =
-      if (nProbe >= centroids.length)
-        // full probe: no filter — a cells-sized isin prunes nothing and
-        // costs planning that grows with the index (the v8 lesson)
-        codes.crossJoin(broadcast(q))
-      else {
-        val probed = probedCellsOf(centroids, queries, nProbe, idCol, vecCol)
-          .select(col("query_id"), col("_qv"), col("cell_id"))
-        val cells = probed.select("cell_id").distinct()
-          .collect().map(_.getLong(0)).toSeq
-        codes.filter(col("cell_id").isin(cells: _*))
-          .join(broadcast(probed), Seq("cell_id"))
+    // this entry point DECOUPLES codes from codebooks — a stale index
+    // built at a different m would be read past its bounds (garbage
+    // codebook rows, silently wrong rankings); one first-row probe
+    // fails loudly instead (same device as requireVectorDim)
+    codes.select(size(col("codes"))).limit(1).collect().headOption
+      .foreach { r =>
+        require(r.getInt(0) == codebooks.length,
+          s"ivfPqTopKIndexed: index at $indexPath holds ${r.getInt(0)}" +
+            s"-code vectors but ${codebooks.length} codebooks were " +
+            "passed — the index was built at a different m")
       }
-    explodeTopK(
-      scored.filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          gvec.pqAdcMicro(col("codes"), col("_qv"), codebooks)
-            .cast("double").as("_s"))
-        .groupBy("query_id")
-        .agg(gagg.topKByScore(col("_s"), col("neighbor_id"), k,
-          dedup = true).as("_top")),
-      scoreName = "_sd")
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        col("_sd").cast("long").as("dot_est_micro"))
+    if (nProbe >= centroids.length) {
+      // full probe: no filter — a cells-sized isin prunes nothing and
+      // costs planning that grows with the index (the v8 lesson)
+      val q = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("_qv"))
+      adcRank(codes.crossJoin(broadcast(q)), codebooks, k, dedup = true)
+    } else {
+      // persisted so the partition filter and the join read ONE
+      // evaluation of the probe pass (the ivfCosineTopKSnapshot
+      // contract — a nondeterministic query relation must not diverge
+      // between the collected cell list and the joined rows)
+      val probed = probedCellsOf(centroids, queries, nProbe, idCol, vecCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cells = probed.select("cell_id").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val topk = adcRank(
+        codes.filter(col("cell_id").isin(cells: _*))
+          .join(broadcast(probed), Seq("cell_id")),
+        codebooks, k, dedup = true)
+      if (materialize) Scratch.materializeThenFree(topk, probed) else topk
+    }
   }
 
   /** Query a materialized IVF index: the probed cell ids become a static

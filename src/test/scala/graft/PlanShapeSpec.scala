@@ -510,8 +510,10 @@ class PlanShapeSpec extends SparkSpec {
     // centroidEvery=10 keeps nCells above the gated nProbe at this SF
     val (cents, cb) = Similarity.buildIvfPqIndex(emb, dir,
       centroidEvery = 10)
+    // materialize = false exposes the probe plan (the public default
+    // localCheckpoints the k-bounded result and frees the probe cache)
     val gated = Similarity.ivfPqTopKIndexed(spark, dir, cents, cb,
-      queries, k = 5, nProbe = 4)
+      queries, k = 5, nProbe = 4, materialize = false)
     val plan = gated.queryExecution.executedPlan.toString
     assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell_id[^\\]]*\\].*"),
       s"probe not pruning code partitions:\n$plan")
@@ -524,6 +526,7 @@ class PlanShapeSpec extends SparkSpec {
     val full = rows(Similarity.ivfPqTopKIndexed(spark, dir, cents, cb,
       queries, k = 5, nProbe = Int.MaxValue))
     assert(full === rows(Similarity.pqTopK(emb, queries, k = 5)))
+    spark.catalog.clearCache() // lazy mode leaves the probe cached
   }
 
   test("partitioned layout: partition predicate prunes directories") {
