@@ -624,20 +624,38 @@ object TextAnalysis {
     * combine collapses the token-count-sized gram stream to at most
     * min(grams, buckets) rows per doc before anything shuffles.
     */
+  /** The unigram+bigram gram array of a `_t` token column — shared by
+    * the fit-side and scoring-side feature builds (one definition: the
+    * two MUST hash into the same feature space).
+    */
+  private def dsirGramsExpr: Column =
+    concat(col("_t"),
+      // sequence(1, 0) steps DOWNWARD in Spark — guard short docs
+      when(size(col("_t")) >= 2, expr(
+        "transform(sequence(1, size(_t) - 1), " +
+          "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"))
+        .otherwise(array()))
+
+  private def dsirBucketCol(buckets: Int): Column =
+    (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
+      % buckets).as("b")
+
   private def docDsirBuckets(documents: DataFrame,
       buckets: Int): DataFrame = documents
     .select(col("doc_id"), col("lang"), tokens(col("text")).as("_t"))
-    .select(col("doc_id"), col("lang"),
-      explode(concat(col("_t"),
-        // sequence(1, 0) steps DOWNWARD in Spark — guard short docs
-        when(size(col("_t")) >= 2, expr(
-          "transform(sequence(1, size(_t) - 1), " +
-            "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"))
-          .otherwise(array()))).as("g"))
-    .select(col("doc_id"), col("lang"),
-      (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
-        % buckets).as("b"))
+    .select(col("doc_id"), col("lang"), explode(dsirGramsExpr).as("g"))
+    .select(col("doc_id"), col("lang"), dsirBucketCol(buckets))
     .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+
+  /** Scoring-side features: `lang` is a FIT-side column (it defines the
+    * target slice); a batch being scored needs only (doc_id, text).
+    */
+  private def docScoringBuckets(batch: DataFrame,
+      buckets: Int): DataFrame = batch
+    .select(col("doc_id"), tokens(col("text")).as("_t"))
+    .select(col("doc_id"), explode(dsirGramsExpr).as("g"))
+    .select(col("doc_id"), dsirBucketCol(buckets))
+    .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
 
   /** DSIR importance weights (Xie et al., NeurIPS 2023 — "Data Selection
     * for Language Models via Importance Resampling"): score every
@@ -734,7 +752,8 @@ object TextAnalysis {
       modelPath: String, batch: DataFrame): DataFrame = {
     val model = spark.read.parquet(modelPath)
     val buckets = model.select("buckets").head().getInt(0)
-    dsirScore(docDsirBuckets(batch, buckets),
+    // scoring needs only (doc_id, text) — lang is a fit-side column
+    dsirScore(docScoringBuckets(batch, buckets),
       model.select("b", "lr_c6"))
   }
 

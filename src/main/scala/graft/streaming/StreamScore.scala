@@ -50,12 +50,59 @@ object StreamScore {
           .when(col("lm_c6") < minLmC6, lit("low_lm")))
   }
 
+  /** [[gateScores]] extended with the DSIR target-affinity model
+    * ([[graft.pipeline.TextAnalysis.buildDsirModel]]): docs that clear
+    * the quality + LM gates but whose importance weight under the
+    * prebuilt log-ratio model falls below `minDsirC6` reject as
+    * `off_target` — the curation loop's data-selection filter, running
+    * where production runs it. Per batch this adds one broadcast bucket
+    * join (the t29b scoring shape); no distribution fit in any batch's
+    * plan. A doc with no scorable text (null/absent features) also
+    * rejects as `off_target` — an importance gate cannot vouch for what
+    * it cannot score, though the heuristic gate catches those first on
+    * real data.
+    */
+  def gateScoresDsir(spark: org.apache.spark.sql.SparkSession,
+      lmModelPath: String, dsirModelPath: String, batch: DataFrame,
+      minLmC6: Long, minDsirC6: Long): DataFrame = {
+    val w = TextAnalysis.dsirWeightsIndexed(spark, dsirModelPath, batch)
+      .select(col("doc_id"), col("dsir_c6"))
+    gateScores(spark, lmModelPath, batch, minLmC6)
+      .join(w, Seq("doc_id"), "left")
+      .withColumn("reject_reason",
+        coalesce(col("reject_reason"),
+          when(col("dsir_c6").isNull || col("dsir_c6") < minDsirC6,
+            lit("off_target"))))
+  }
+
   /** Start the standing gate: accepted rows (with their `lm_c6`) append
     * to `acceptPath`, rejects (with `reject_reason`) to `rejectPath`.
     */
   def qualityGate(stream: DataFrame, modelPath: String, acceptPath: String,
       rejectPath: String, checkpointDir: String,
       minLmC6: Long = -14000000L): StreamingQuery =
+    gateLoop(stream, acceptPath, rejectPath, checkpointDir,
+      (spark, batch) => gateScores(spark, modelPath, batch, minLmC6))
+
+  /** The DSIR-extended standing gate: [[qualityGate]]'s landing
+    * protocol with [[gateScoresDsir]] as the per-batch decision.
+    */
+  def curationGate(stream: DataFrame, lmModelPath: String,
+      dsirModelPath: String, acceptPath: String, rejectPath: String,
+      checkpointDir: String, minLmC6: Long = -14000000L,
+      minDsirC6: Long = Long.MinValue): StreamingQuery =
+    gateLoop(stream, acceptPath, rejectPath, checkpointDir,
+      (spark, batch) =>
+        gateScoresDsir(spark, lmModelPath, dsirModelPath, batch,
+          minLmC6, minDsirC6))
+
+  /** Shared landing protocol of the standing gates: ONE definition so
+    * the staged-landing/unpersist discipline cannot drift per-gate.
+    */
+  private def gateLoop(stream: DataFrame, acceptPath: String,
+      rejectPath: String, checkpointDir: String,
+      decide: (org.apache.spark.sql.SparkSession, DataFrame) => DataFrame):
+      StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -66,7 +113,7 @@ object StreamScore {
         // without its rejects (or twice)
         graft.engine.BatchLedger.stagedLanding(spark,
             s"$checkpointDir/graft_ledger", batchId) { st =>
-          val scored = gateScores(spark, modelPath, batch, minLmC6)
+          val scored = decide(spark, batch)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           // finally: a failed write must not strand the cached relation
           // (each supervised retry would persist another copy)

@@ -743,6 +743,56 @@ class StreamingTutorialSpec extends SparkSpec {
     assert(reasons.contains("low_lm"), s"reasons: $reasons")
   }
 
+  test("streaming curation gate: DSIR off-target rejection, batch parity") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cgate").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    graft.pipeline.TextAnalysis.buildLmModel(
+      docs.select("doc_id", "text"), s"$dir/lm")
+    graft.pipeline.TextAnalysis.buildDsirModel(docs, s"$dir/dsir")
+    val real = docs.filter(col("doc_id") < 30).select("doc_id", "text")
+    // threshold at the median DSIR weight of the otherwise-clean slice so
+    // the off_target branch fires on real data (deterministic: fixed
+    // corpus, fixed models)
+    val clean = graft.streaming.StreamScore.gateScoresDsir(spark,
+      s"$dir/lm", s"$dir/dsir", real, Long.MinValue, Long.MinValue)
+      .filter(col("reject_reason").isNull)
+      .select("dsir_c6").collect().map(_.getLong(0)).sorted
+    assert(clean.length >= 4, "need clean docs to derive a threshold")
+    val thr = clean(clean.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamScore.curationGate(
+      input.toDF().toDF("doc_id", "text"), s"$dir/lm", s"$dir/dsir",
+      s"$dir/accept", s"$dir/reject", s"$dir/ckpt",
+      minLmC6 = Long.MinValue, minDsirC6 = thr)
+    val rows = real.collect().map(r => (r.getLong(0), r.getString(1)))
+    try {
+      input.addData(rows.take(15).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(15).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = graft.streaming.StreamScore.gateScoresDsir(spark,
+      s"$dir/lm", s"$dir/dsir", real, Long.MinValue, thr)
+      .select(col("doc_id"), col("reject_reason")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    spark.catalog.refreshByPath(s"$dir/accept")
+    spark.catalog.refreshByPath(s"$dir/reject")
+    val accepted = spark.read.parquet(s"$dir/accept")
+    val gotAccept = accepted.select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotReject = spark.read.parquet(s"$dir/reject")
+      .select(col("doc_id"), col("reject_reason"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotAccept === expected.filter(_._2.isEmpty).keySet)
+    assert(gotReject === expected.collect { case (id, Some(r)) => id -> r })
+    // both the importance branch and acceptance fired, and the accepted
+    // table carries the weight (curation audits it downstream)
+    assert(gotReject.values.toSet.contains("off_target"))
+    assert(gotAccept.nonEmpty)
+    assert(accepted.columns.contains("dsir_c6"))
+  }
+
   test("streaming moment monitor: state bit-identical to one-shot, drift emitted") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
