@@ -640,22 +640,30 @@ object TextAnalysis {
     (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
       % buckets).as("b")
 
+  /** The 4-stage feature pipeline (tokenize → gram → bucket → per-doc
+    * multiplicities), ONE definition parameterized by the key columns to
+    * thread through — the fit and scoring builds MUST share it, or a
+    * change to either silently forks their feature spaces.
+    */
+  private def dsirFeatures(df: DataFrame, buckets: Int,
+      keep: Seq[String]): DataFrame = {
+    val keys = col("doc_id") +: keep.map(col)
+    df.select(keys :+ tokens(col("text")).as("_t"): _*)
+      .select(keys :+ explode(dsirGramsExpr).as("g"): _*)
+      .select(keys :+ dsirBucketCol(buckets): _*)
+      .groupBy(keys :+ col("b"): _*).agg(count(lit(1)).as("n"))
+  }
+
   private def docDsirBuckets(documents: DataFrame,
-      buckets: Int): DataFrame = documents
-    .select(col("doc_id"), col("lang"), tokens(col("text")).as("_t"))
-    .select(col("doc_id"), col("lang"), explode(dsirGramsExpr).as("g"))
-    .select(col("doc_id"), col("lang"), dsirBucketCol(buckets))
-    .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+      buckets: Int): DataFrame =
+    dsirFeatures(documents, buckets, Seq("lang"))
 
   /** Scoring-side features: `lang` is a FIT-side column (it defines the
     * target slice); a batch being scored needs only (doc_id, text).
     */
   private def docScoringBuckets(batch: DataFrame,
-      buckets: Int): DataFrame = batch
-    .select(col("doc_id"), tokens(col("text")).as("_t"))
-    .select(col("doc_id"), explode(dsirGramsExpr).as("g"))
-    .select(col("doc_id"), dsirBucketCol(buckets))
-    .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      buckets: Int): DataFrame =
+    dsirFeatures(batch, buckets, Seq.empty)
 
   /** DSIR importance weights (Xie et al., NeurIPS 2023 — "Data Selection
     * for Language Models via Importance Resampling"): score every
@@ -750,11 +758,22 @@ object TextAnalysis {
     */
   def dsirWeightsIndexed(spark: org.apache.spark.sql.SparkSession,
       modelPath: String, batch: DataFrame): DataFrame = {
-    val model = spark.read.parquet(modelPath)
-    val buckets = model.select("buckets").head().getInt(0)
+    // ONE snapshot read of the ≤buckets-row model: bucket count and
+    // ratios MUST come from the same model version — reading them in two
+    // Spark jobs would let a live retrain (overwrite) land between them
+    // and silently score old-space hashes against new-space ratios (the
+    // streaming gates re-read the model every micro-batch by design). A
+    // concurrent overwrite can still fail THIS read — loudly, which the
+    // supervised batch retry absorbs.
+    val rows = spark.read.parquet(modelPath)
+      .select("b", "lr_c6", "buckets").collect()
+    require(rows.nonEmpty, s"dsirWeightsIndexed: empty model at $modelPath")
+    val buckets = rows.head.getInt(2)
+    import spark.implicits._
+    val lr = rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("b", "lr_c6")
     // scoring needs only (doc_id, text) — lang is a fit-side column
-    dsirScore(docScoringBuckets(batch, buckets),
-      model.select("b", "lr_c6"))
+    dsirScore(docScoringBuckets(batch, buckets), lr)
   }
 
   /** Deterministic importance RESAMPLING over [[dsirWeights]] — the

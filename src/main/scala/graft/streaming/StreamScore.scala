@@ -65,7 +65,12 @@ object StreamScore {
   def gateScoresDsir(spark: org.apache.spark.sql.SparkSession,
       lmModelPath: String, dsirModelPath: String, batch: DataFrame,
       minLmC6: Long, minDsirC6: Long): DataFrame = {
-    val w = TextAnalysis.dsirWeightsIndexed(spark, dsirModelPath, batch)
+    // weight per DISTINCT doc: dsir_c6 is a per-doc_id SUM, so an
+    // at-least-once source replaying a doc WITHIN one micro-batch would
+    // double its weight and flip the off_target decision (the LM score
+    // is a mean — duplication-invariant — and needs no dedup)
+    val w = TextAnalysis.dsirWeightsIndexed(spark, dsirModelPath,
+      batch.dropDuplicates("doc_id"))
       .select(col("doc_id"), col("dsir_c6"))
     gateScores(spark, lmModelPath, batch, minLmC6)
       .join(w, Seq("doc_id"), "left")
