@@ -102,6 +102,9 @@ object ScaleBench {
     // log-ratio table broadcasts into the scoring join — linear scan
     // work. t29b scores against the prebuilt model (the recurring cost)
     "t29_dsir_weights", "t29b_dsir_indexed",
+    // the composed gate decision: heuristics + prebuilt-LM join +
+    // prebuilt-DSIR join — the recurring per-shard curation cost
+    "t31_curation_decision",
     // leakage-safe split: repIngest builds the rep relation once per
     // session over the scaled corpus; the timed query is the recurring
     // cost — a doc_id equi-join against that persisted state

@@ -740,6 +740,17 @@ object SparkEntry {
     // sort-free); the SAMPLE itself is hash-checked, not just weights.
     "t30_dsir_resample" -> ((s, d) =>
       TextAnalysis.dsirResample(table(s, d, "documents"))),
+    // T31: the full curation-gate DECISION — quality heuristics, then
+    // bigram-LM score against the prebuilt model, then DSIR target
+    // affinity against the prebuilt log-ratios; the exact per-batch
+    // transform the streaming gates apply, hash-checked end to end
+    // (each stage's oracle reused as a subquery).
+    "t31_curation_decision" -> ((s, d) =>
+      graft.streaming.StreamScore.gateScoresDsir(s, lmIngest(s, d),
+        dsirIngest(s, d), table(s, d, "documents").select("doc_id", "text"),
+        minLmC6 = CurationMinLmC6, minDsirC6 = CurationMinDsirC6)
+        .select(col("doc_id"),
+          coalesce(col("reject_reason"), lit("accepted")).as("decision"))),
     "t9_repetition" -> ((s, d) =>
       TextAnalysis.repetitionScore(table(s, d, "documents"))),
     "t10_quality_filter" -> ((s, d) =>
@@ -1423,26 +1434,8 @@ object SparkEntry {
         |    / CAST(n_bigrams AS DOUBLE), 6) AS dup_2gram_ratio
         |FROM bi""".stripMargin,
     "t10_quality_filter" ->
-      """WITH x AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, len(t) AS n,
-        |    CAST(len(list_filter(t, tk -> tk IN
-        |      ('the','a','an','and','of','to','in','is','it','for')))
-        |      AS DOUBLE) / len(t) AS sr,
-        |    1.0 - CAST(len(list_distinct(list_transform(
-        |      generate_series(1, len(t) - 1),
-        |      i -> t[i] || ' ' || t[i + 1]))) AS DOUBLE) / (len(t) - 1) AS dr
-        |  FROM x),
-        |r AS (
-        |  SELECT doc_id,
-        |    CASE WHEN n < 20 THEN 'too_short'
-        |         WHEN sr < 0.02 THEN 'no_stopwords'
-        |         WHEN dr > 0.08 THEN 'repetitive'
-        |         ELSE 'ok' END AS reason
-        |  FROM s)
-        |SELECT doc_id, reason, reason = 'ok' AS keep FROM r""".stripMargin,
+      (baseQualityReasonOracle +
+        "\nSELECT doc_id, reason, reason = 'ok' AS keep FROM r"),
     "t11_curation_pipeline" ->
       """WITH corpus AS (
         |  SELECT * FROM documents WHERE source <> 'src0'),
@@ -1554,6 +1547,8 @@ object SparkEntry {
     // t30: the t29 weights piped through the deterministic md5-uniform
     // rejection sampler — integer micro-unit comparison on both sides.
     "t30_dsir_resample" -> dsirResampleOracle,
+    // t31: the composed gate decision — each stage's oracle as a subquery
+    "t31_curation_decision" -> curationDecisionOracle,
     // d3's LSH is candidate generation + EXACT jaccard verification, so its
     // output equals the exhaustive all-pairs answer whenever every
     // qualifying pair shares a band bucket (P(miss) = (1-s^4)^16 ≤ 2e-4 at
@@ -2935,6 +2930,58 @@ object SparkEntry {
        |        ORDER BY dot_est_micro DESC, neighbor_id) AS rank FROM adc)
        |WHERE rank <= $topK""".stripMargin
   }
+
+  /** CTE chain ending in `r(doc_id, reason)` — the quality-heuristic
+    * reasons shared by the t10 filter and the t31 gate decision (one
+    * string: the reason rules must stay in lockstep).
+    */
+  private def baseQualityReasonOracle: String =
+    """WITH x AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, len(t) AS n,
+      |    CAST(len(list_filter(t, tk -> tk IN
+      |      ('the','a','an','and','of','to','in','is','it','for')))
+      |      AS DOUBLE) / len(t) AS sr,
+      |    1.0 - CAST(len(list_distinct(list_transform(
+      |      generate_series(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i + 1]))) AS DOUBLE) / (len(t) - 1) AS dr
+      |  FROM x),
+      |r AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n < 20 THEN 'too_short'
+      |         WHEN sr < 0.02 THEN 'no_stopwords'
+      |         WHEN dr > 0.08 THEN 'repetitive'
+      |         ELSE 'ok' END AS reason
+      |  FROM s)""".stripMargin
+
+  /** The full curation-gate DECISION (t31): quality heuristics, then
+    * bigram-LM score, then DSIR target affinity — the same precedence
+    * [[graft.streaming.StreamScore.gateScoresDsir]] applies, with every
+    * stage's oracle reused as a subquery so the composed decision can
+    * only drift from its parts by changing the shared strings.
+    */
+  private def curationDecisionOracle: String =
+    s"""SELECT d.doc_id,
+       |  CASE WHEN q.reason <> 'ok' THEN q.reason
+       |       WHEN lmr.lm_c6 IS NULL THEN 'oov'
+       |       WHEN lmr.lm_c6 < $CurationMinLmC6 THEN 'low_lm'
+       |       WHEN w.dsir_c6 IS NULL OR w.dsir_c6 < $CurationMinDsirC6
+       |         THEN 'off_target'
+       |       ELSE 'accepted' END AS decision
+       |FROM documents d
+       |LEFT JOIN ($baseQualityReasonOracle
+       |           SELECT doc_id, reason FROM r) q ON q.doc_id = d.doc_id
+       |LEFT JOIN ($baseLmOracle) lmr ON lmr.doc_id = d.doc_id
+       |LEFT JOIN ($baseDsirOracle) w ON w.doc_id = d.doc_id""".stripMargin
+
+  /** t31's fixed gate thresholds — ~p25 of lm_c6 resp. ~median dsir_c6
+    * on the gate-SF corpus, so every branch fires under the oracle.
+    * Shared constants: the Spark registration and the oracle must agree.
+    */
+  private val CurationMinLmC6 = -3400000L
+  private val CurationMinDsirC6 = -8000000L
 
   /** Shared CTE chain of the DSIR oracles: md5-hash-bucketed
     * unigram+bigram features, add-1-smoothed target/raw distributions,
