@@ -102,9 +102,13 @@ object ScaleBench {
     // log-ratio table broadcasts into the scoring join — linear scan
     // work. t29b scores against the prebuilt model (the recurring cost)
     "t29_dsir_weights", "t29b_dsir_indexed",
-    // the composed gate decision: heuristics + prebuilt-LM join +
-    // prebuilt-DSIR join — the recurring per-shard curation cost
-    "t31_curation_decision",
+    // t31_curation_decision is deliberately NOT swept: this sweep times
+    // .count(), and the decision query is a chain of cardinality-
+    // preserving LEFT joins against per-doc AGGREGATES — Catalyst
+    // proves the join keys distinct and eliminates the joins under a
+    // count, so the row would time a pruned plan (measured: 0.4 s at
+    // 100× vs its components' 9-14 s). Its scale story is its parts:
+    // t24b + t29b are swept, and ShuffleReport executes t31 fully.
     // leakage-safe split: repIngest builds the rep relation once per
     // session over the scaled corpus; the timed query is the recurring
     // cost — a doc_id equi-join against that persisted state
