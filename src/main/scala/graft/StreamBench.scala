@@ -41,7 +41,7 @@ object StreamBench {
     * about instead of whichever run happened to pay the JIT bill.
     */
   private val WarmupBatches = 2
-  private def steady(xs: Seq[Double]): Seq[Double] =
+  private[graft] def steady(xs: Seq[Double]): Seq[Double] =
     if (xs.size > WarmupBatches + 2) xs.drop(WarmupBatches) else xs
   private def arr(xs: Seq[Double]): String =
     xs.map(x => f"$x%.3f").mkString("[", ",", "]")
@@ -59,10 +59,14 @@ object StreamBench {
     * configuration: warmup inflated the first window and whichever
     * batches `compactEvery` landed on inflated the other.
     */
-  private def steadyTrend(xs: Seq[Double], compactEvery: Int = 0): Double = {
-    val eligible = steady(xs).zipWithIndex.collect {
+  private[graft] def steadyTrend(xs: Seq[Double], compactEvery: Int = 0): Double = {
+    // index in the ORIGINAL series rides with each batch — steady() only
+    // drops the warmup prefix for long-enough series, so adding
+    // WarmupBatches back unconditionally would misalign short series by
+    // 2 and exclude the wrong batches from the compaction mask
+    val eligible = xs.zipWithIndex.drop(xs.size - steady(xs).size).collect {
       case (x, i) if compactEvery <= 0 ||
-        (i + WarmupBatches) % compactEvery != compactEvery - 1 => x
+        i % compactEvery != compactEvery - 1 => x
     }
     if (eligible.size < 4) 1.0
     else {

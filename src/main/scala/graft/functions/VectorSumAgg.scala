@@ -11,15 +11,25 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
-/** Mutable element-wise sum buffer (sized lazily on first vector). */
+/** Mutable element-wise sum buffer (sized lazily on first vector).
+  * `elemType` picks the typed ArrayData getter — reading a double array
+  * through getFloat would return garbage bits on unsafe rows, silently.
+  */
 final class VectorSumBuffer {
   var sums: Array[Double] = null
-  def add(v: ArrayData): Unit = {
+  def add(v: ArrayData, elemType: DataType): Unit = {
     val n = v.numElements()
     if (sums == null) sums = new Array[Double](n)
     val m = math.min(n, sums.length)
     var i = 0
-    while (i < m) { sums(i) += v.getFloat(i).toDouble; i += 1 }
+    elemType match {
+      case DoubleType =>
+        while (i < m) { sums(i) += v.getDouble(i); i += 1 }
+      case LongType =>
+        while (i < m) { sums(i) += v.getLong(i).toDouble; i += 1 }
+      case _ =>
+        while (i < m) { sums(i) += v.getFloat(i).toDouble; i += 1 }
+    }
   }
   def merge(o: VectorSumBuffer): Unit =
     if (o.sums != null) {
@@ -48,9 +58,15 @@ case class VectorSumAgg(
 
   override def createAggregationBuffer(): VectorSumBuffer = new VectorSumBuffer
 
+  private lazy val elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(
+      s"graft_vector_sum expects an array column, got $other")
+  }
+
   override def update(buf: VectorSumBuffer, input: InternalRow): VectorSumBuffer = {
     val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[ArrayData])
+    if (v != null) buf.add(v.asInstanceOf[ArrayData], elemType)
     buf
   }
 

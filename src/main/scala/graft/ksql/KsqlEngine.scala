@@ -173,8 +173,11 @@ class KsqlEngine(
       // already final — EMIT FINAL and EMIT CHANGES converge here; the
       // validity rule still applies (finals exist per window), so the
       // same statement never succeeds here and fails on the streaming
-      // engine
-      require(!emitFinal || windowKind(select).isDefined,
+      // engine. The window may be INHERITED from a derived CSAS/CTAS
+      // view the select reads — resolve through view definitions like
+      // the streaming engine's effectiveWindowKind, or the two planes
+      // give different verdicts on the same statement.
+      require(!emitFinal || effectiveWindowKind(select).isDefined,
         "EMIT FINAL requires a WINDOW clause (finals exist per window)")
       refreshViews()
       Some(upperCased(spark.sql(translateSelect(select))))
@@ -254,6 +257,21 @@ class KsqlEngine(
         case other => throw new IllegalArgumentException(s"SHOW $other unsupported")
       })
   }
+
+  /** The WINDOW kind a query effectively runs under: its own clause, or
+    * one inherited from a derived (CSAS/CTAS) view it reads — the batch
+    * mirror of the streaming engine's resolution, so EMIT FINAL over a
+    * windowed view gets the same verdict on both planes. Recurses
+    * through derived-of-derived; cycles cut by `seen`.
+    */
+  private def effectiveWindowKind(select: String,
+      seen: Set[String] = Set.empty): Option[String] =
+    windowKind(select).orElse(
+      fromSources(select).iterator
+        .map(_._1.toLowerCase).filterNot(seen)
+        .flatMap(n => derived.get(n)
+          .flatMap(d => effectiveWindowKind(d.select, seen + n)))
+        .nextOption())
 
   /** Reject removing a collection some remaining derived query reads —
     * otherwise every later refreshViews() would throw resolving the
@@ -368,12 +386,25 @@ object KsqlEngine {
     * losslessly (nested types included).
     */
   private[ksql] def jsonEncode(x: Any, dt: DataType): String = {
+    // every char < 0x20 must be escaped or from_json (PERMISSIVE)
+    // silently decodes the whole row as nulls — same escape table as
+    // KsqlServer.jsonEscape, so the two wire planes cannot diverge
     def quote(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < 0x20 => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     (x, dt) match {
       case (null, _) => "null"
       case (s: String, _) => quote(s)
+      // NaN/Infinity are not JSON numbers; bare they corrupt the whole
+      // row (PERMISSIVE → all-null) where the batch engine stores the
+      // value fine. from_json accepts the quoted spellings for
+      // double/float columns, so quoting keeps the planes converged.
+      case (d: Double, _) if d.isNaN || d.isInfinite => "\"" + d + "\""
+      case (f: Float, _) if f.isNaN || f.isInfinite => "\"" + f + "\""
       case (seq: Seq[_], at: ArrayType) =>
         seq.map(jsonEncode(_, at.elementType)).mkString("[", ",", "]")
       case (m: Map[_, _], mt: MapType) =>

@@ -67,31 +67,54 @@ object KsqlServer {
     * the statement text must survive; a regex would not).
     */
   private[graft] def extractKsqlField(body: String): Option[String] = {
-    val keyIdx = body.indexOf("\"ksql\"")
-    if (keyIdx < 0) return None
-    var i = body.indexOf(':', keyIdx + 6)
-    if (i < 0) return None
-    i += 1
-    while (i < body.length && body.charAt(i).isWhitespace) i += 1
-    if (i >= body.length || body.charAt(i) != '"') return None
-    i += 1
-    val sb = new StringBuilder
-    while (i < body.length && body.charAt(i) != '"') {
-      body.charAt(i) match {
-        case '\\' if i + 1 < body.length =>
-          body.charAt(i + 1) match {
-            case 'n' => sb.append('\n'); i += 2
-            case 't' => sb.append('\t'); i += 2
-            case 'r' => sb.append('\r'); i += 2
-            case 'u' if i + 5 < body.length =>
-              sb.append(Integer.parseInt(body.substring(i + 2, i + 6), 16)
-                .toChar); i += 6
-            case c => sb.append(c); i += 2
-          }
-        case c => sb.append(c); i += 1
+    // scan STRING TOKENS, not substrings: '"ksql"' inside another
+    // field's value (e.g. {"note":"about \"ksql\"","ksql":"..."}) must
+    // not bind as the key, so the key test is "complete string token
+    // whose decoded value is ksql, followed by ':'". A malformed \u
+    // escape returns None (→ the caller's 400), never an exception.
+    var i = 0
+    def skipWs(): Unit =
+      while (i < body.length && body.charAt(i).isWhitespace) i += 1
+    // decodes the string token starting at body(i) == '"'; leaves i one
+    // past the closing quote, or returns None at EOF/bad escape
+    def stringToken(): Option[String] = {
+      i += 1
+      val sb = new StringBuilder
+      while (i < body.length && body.charAt(i) != '"') {
+        body.charAt(i) match {
+          case '\\' if i + 1 < body.length =>
+            body.charAt(i + 1) match {
+              case 'n' => sb.append('\n'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 'b' => sb.append('\b'); i += 2
+              case 'f' => sb.append('\f'); i += 2
+              case 'u' =>
+                if (i + 5 >= body.length) return None
+                val hex = body.substring(i + 2, i + 6)
+                if (!hex.forall(c => Character.digit(c, 16) >= 0)) return None
+                sb.append(Integer.parseInt(hex, 16).toChar); i += 6
+              case c => sb.append(c); i += 2
+            }
+          case c => sb.append(c); i += 1
+        }
       }
+      if (i >= body.length) None else { i += 1; Some(sb.result()) }
     }
-    if (i >= body.length) None else Some(sb.result())
+    while (i < body.length) {
+      if (body.charAt(i) == '"') {
+        val tok = stringToken().getOrElse(return None)
+        val before = i
+        skipWs()
+        if (tok == "ksql" && i < body.length && body.charAt(i) == ':') {
+          i += 1; skipWs()
+          if (i >= body.length || body.charAt(i) != '"') return None
+          return stringToken()
+        }
+        i = before // a value string: resume right after it
+      } else i += 1
+    }
+    None
   }
 
   private def resultJson(statement: String, df: Option[DataFrame]): String =

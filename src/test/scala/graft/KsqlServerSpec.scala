@@ -92,6 +92,36 @@ class KsqlServerSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("extractKsqlField binds the KEY token, not a value mentioning " +
+      "\"ksql\", and malformed escapes are a 400, not a 500") {
+    import graft.ksql.KsqlServer.extractKsqlField
+    // a decoy '"ksql"' inside ANOTHER field's string value must not bind
+    assert(extractKsqlField(
+      """{"note":"about \"ksql\" stuff","ksql":"SHOW TOPICS;"}""")
+      === Some("SHOW TOPICS;"))
+    assert(extractKsqlField("""{"note":"mentions ksql only"}""") === None)
+    // key after the decoy, escapes in the value survive
+    assert(extractKsqlField(
+      """{"a":"\"ksql\":","ksql":"SELECT 'A';"}""")
+      === Some("SELECT 'A';"))
+    // malformed \u escape: None (the endpoint answers 400), no throw
+    assert(extractKsqlField(
+      """{"ksql":"bad !uZZ99 escape"}""".replace('!', '\\')) === None)
+    assert(extractKsqlField(
+      """{"ksql":"truncated !u00""".replace('!', '\\')) === None)
+    // and over the wire: a body whose only "ksql" is inside a value → 400
+    val engine = new KsqlEngine(spark,
+      connectorProvider = (s, _) => Tutorial.playersSeed(s))
+    val server = KsqlServer.start(engine, 0)
+    val port = server.getAddress.getPort
+    try {
+      assert(post(port, "/ksql",
+        """{"note":"talks about \"ksql\" here"}""")._1 === 400)
+      assert(post(port, "/ksql",
+        """{"ksql":"oops !uXYZW"}""".replace('!', '\\'))._1 === 400)
+    } finally server.stop(0)
+  }
+
   test("json escaping survives quotes, backslashes, and control chars") {
     import spark.implicits._
     val engine = new KsqlEngine(spark,

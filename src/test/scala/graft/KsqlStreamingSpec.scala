@@ -298,6 +298,63 @@ class KsqlStreamingSpec extends SparkSpec {
     } finally h.stop()
   }
 
+  test("streaming INSERT carries control chars and non-finite doubles " +
+      "through the JSON wire (no silent all-null rows)") {
+    val e = freshEngine
+    e.execute("""CREATE STREAM gauges (
+      id INT KEY, note VARCHAR, val DOUBLE)
+      WITH (KAFKA_TOPIC='gauges');""")
+    val h = e.execute("SELECT id, note, val FROM gauges EMIT CHANGES;").get
+    try {
+      // \u0001-ish control chars and \f are < 0x20: unescaped they make the whole JSON
+      // record invalid and from_json (PERMISSIVE) delivers an all-null
+      // row — while the batch engine stores the same INSERT fine
+      e.execute("INSERT INTO gauges VALUES (1, 'ab\fc', 2.5);")
+      e.execute("INSERT INTO gauges VALUES (2, 'n', 'NaN');")
+      e.execute("INSERT INTO gauges VALUES (3, 'i', '-Infinity');")
+      h.processAllAvailable()
+      val got = h.emissions.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+        .sortBy(_._1)
+      assert(got.length === 3)
+      assert(got(0) === ((1, "ab\fc", 2.5)))
+      assert(got(1)._2 === "n" && got(1)._3.isNaN)
+      assert(got(2) === ((3, "i", Double.NegativeInfinity)))
+    } finally h.stop()
+  }
+
+  test("EMIT FINAL over a derived windowed view is valid on BOTH planes " +
+      "(window resolved through the CTAS definition)") {
+    // streaming plane
+    val e = freshEngine
+    ddl(e)
+    e.execute("""CREATE TABLE windowed_counts AS
+      SELECT id, COUNT(id) AS n FROM match_event
+      WINDOW TUMBLING (SIZE 2 SECONDS) GROUP BY id;""")
+    val h = e.execute("SELECT * FROM windowed_counts EMIT FINAL;").get
+    h.stop()
+    // batch plane: same statements, same verdict — the outer text has no
+    // WINDOW clause; the batch engine must resolve it through the view
+    val be = new graft.ksql.KsqlEngine(spark,
+      connectorProvider = (s, _) => Tutorial.playersSeed(s))
+    be.execute("""CREATE STREAM match_event (
+      id VARCHAR KEY, event_type VARCHAR, player_id VARCHAR, home boolean)
+      WITH (KAFKA_TOPIC='match_event');""")
+    be.execute("""CREATE TABLE windowed_counts AS
+      SELECT id, COUNT(id) AS n FROM match_event
+      WINDOW TUMBLING (SIZE 2 SECONDS) GROUP BY id;""")
+    be.execute("INSERT INTO match_event VALUES ('1','GOAL','1',true);")
+    val out = be.execute("SELECT * FROM windowed_counts EMIT FINAL;")
+    assert(out.isDefined && out.get.count() === 1L)
+    // a non-windowed view still refuses on both planes
+    be.execute("""CREATE TABLE plain_counts AS
+      SELECT id, COUNT(id) AS n FROM match_event GROUP BY id;""")
+    val berr = intercept[IllegalArgumentException] {
+      be.execute("SELECT * FROM plain_counts EMIT FINAL;")
+    }
+    assert(berr.getMessage.contains("WINDOW"))
+  }
+
   test("'WINDOW SESSION' inside a string literal does not switch emission mode") {
     val e = freshEngine
     ddl(e)
