@@ -109,7 +109,10 @@ object RecallReport {
     // v16: PQ-ADC recall@5 vs brute MIPS across the subspace count (the
     // compression knob: dim=64 floats → m codes, coarser m quantizes
     // harder) at the default 8-bit codebooks (256 codes; the sf0.1
-    // corpus seeds all 256).
+    // corpus seeds all 256) and the default 2-iteration Lloyd training.
+    // The m=8 SEED point (trainIters=0) is kept as attribution: it is
+    // what r10 shipped (0.34), and the delta to m_8 is what training
+    // alone buys at the committed compression.
     val pqMs = Seq(8, 16, 32)
     val pqSets = pqMs.map { m =>
       val (got, sec) = timed(pairSet(
@@ -117,25 +120,40 @@ object RecallReport {
         "query_id", "neighbor_id"))
       m -> (got, sec)
     }.toMap
+    val pqSeed8 = pairSet(
+      Similarity.pqTopK(emb, queries, k = 5, m = 8, codebookSize = 256,
+        trainIters = 0), "query_id", "neighbor_id")
     val pq = pqMs.map { m =>
       val (got, sec) = pqSets(m)
       s""""m_$m":{"recall":${recallOf(got, exactMips)},"sec":$sec}"""
-    }
+    } :+ s""""m_8_seed":{"recall":${recallOf(pqSeed8, exactMips)}}"""
 
-    // v17: IVF-gated PQ across nProbe at the finest swept quantization
-    // (m=32). Two recalls per point: vs exact MIPS (end-to-end loss =
-    // cell recall × ADC floor) and vs the ungated ADC ranking (the
-    // gate's OWN loss — how much of what PQ would return survives
-    // probing nProbe·spill of the cells). The m=32 sweep point above IS
-    // the ungated ranking — reuse it rather than re-scanning the corpus.
-    val pureAdc = pqSets(pqMs.max)._1
-    val ivfpq = for (np <- Seq(1, 2, 4, 8, 16)) yield {
+    // v17: IVF-gated PQ at the COMMITTED defaults (m=8, trained
+    // codebooks, rerank=24 exact refine) across nProbe — the curve a
+    // caller actually gets. Two recalls per point: vs exact MIPS
+    // (end-to-end) and vs the ungated trained-ADC ranking at the same m
+    // (the gate's OWN loss). The refine stage re-scores with exact dots,
+    // so end-to-end loss is candidate loss only: cells × shortlist.
+    val pureAdc = pqSets(8)._1
+    val ivfpq = for (np <- Seq(1, 2, 4, 8, 16, 20, 24)) yield {
       val (got, sec) = timed(pairSet(
-        Similarity.ivfPqTopK(emb, queries, k = 5, nProbe = np, m = pqMs.max,
+        Similarity.ivfPqTopK(emb, queries, k = 5, nProbe = np, m = 8,
           codebookSize = 256),
         "query_id", "neighbor_id"))
       s""""nprobe_${np}_spill_2":{"recall":${recallOf(got, exactMips)
         },"adc_recall":${recallOf(got, pureAdc)},"sec":$sec}"""
+    }
+
+    // the refine knob isolated: nProbe=20 fixed, rerank swept. rerank=0
+    // is r10's shipped form (ADC ranking straight out) — the delta to
+    // rerank=24 is what the exact re-rank stage buys; past the knee a
+    // larger shortlist only re-finds what the cells already lost.
+    val ivfpqRr = for (r <- Seq(0, 4, 8, 16, 24, 32)) yield {
+      val (got, sec) = timed(pairSet(
+        Similarity.ivfPqTopK(emb, queries, k = 5, nProbe = 20, m = 8,
+          codebookSize = 256, rerank = r),
+        "query_id", "neighbor_id"))
+      s""""rerank_$r":{"recall":${recallOf(got, exactMips)},"sec":$sec}"""
     }
 
     // the curves above sweep the knobs explicitly; defaults record which
@@ -148,7 +166,7 @@ object RecallReport {
     // (recall@5 moved ≤ 0.01 at fixed nProbe), while spill=2 moved
     // 0.78 → ≈0.94 — border vectors, not unprobed-cell distance, dominate
     // the loss when cells barely cluster.
-    println(s"""{"metric":"recall","sf":"$sfDir","defaults":{"nprobe":16,"knn_nassign":16,"semdedup_nassign":8,"spill":2,"pca_kpca":16,"pca_shortlist":200},"ivf_recall_at_5":{${ivf.mkString(",")}},"mips_recall_at_5":{${mips.mkString(",")}},"knn_graph_recall":{${v7.mkString(",")}},"semdedup_pair_recall":{${d11.mkString(",")}},"pca_recall_at_5":{${pca.mkString(",")}},"pq_recall_at_5":{${pq.mkString(",")}},"ivfpq_recall_at_5":{${ivfpq.mkString(",")}},"exact_topk_pairs":${exactTopK.size},"exact_mips_pairs":${exactMips.size},"exact_graph_pairs":${exactGraph.size},"exact_semantic_pairs":${exactPairs.size}}""")
+    println(s"""{"metric":"recall","sf":"$sfDir","defaults":{"nprobe":16,"ivfpq_nprobe":20,"ivfpq_rerank":24,"knn_nassign":16,"semdedup_nassign":8,"spill":2,"pca_kpca":16,"pca_shortlist":200},"ivf_recall_at_5":{${ivf.mkString(",")}},"mips_recall_at_5":{${mips.mkString(",")}},"knn_graph_recall":{${v7.mkString(",")}},"semdedup_pair_recall":{${d11.mkString(",")}},"pca_recall_at_5":{${pca.mkString(",")}},"pq_recall_at_5":{${pq.mkString(",")}},"ivfpq_recall_at_5":{${ivfpq.mkString(",")}},"ivfpq_rerank_sweep":{${ivfpqRr.mkString(",")}},"exact_topk_pairs":${exactTopK.size},"exact_mips_pairs":${exactMips.size},"exact_graph_pairs":${exactGraph.size},"exact_semantic_pairs":${exactPairs.size}}""")
     spark.stop()
   }
 }

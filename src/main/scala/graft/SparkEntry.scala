@@ -870,44 +870,49 @@ object SparkEntry {
     }),
     // V16: product-quantized retrieval — the 100 TB ANN memory path
     // (codes are m ints vs dim floats). The WHOLE approximate pipeline
-    // (deterministic codebook seeding, L2 code assignment, ADC scoring
-    // in integer micro-units) is hash-checked: the oracle replays
-    // quantization and ranking verbatim in SQL, so this is an exact
+    // — codebook seeding, TWO Lloyd training iterations in micro-unit-
+    // exact arithmetic, L2 code assignment, ADC scoring in integer
+    // micro-units — is hash-checked: the oracle replays training,
+    // quantization, and ranking verbatim in SQL, so this is an exact
     // contract on an approximate algorithm, not a rows-only row.
     "v16_pq_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
         m = 8, codebookSize = 256)
     }),
-    // V17: IVF-gated PQ (the FAISS IVFPQ composition) — coarse cells
-    // prune the candidate set, codes compress the candidates. v16 fixes
-    // the per-candidate cost; this bounds the candidate COUNT, which is
-    // the remaining linear term at 100 TB. Approximate twice over (cell
-    // recall × ADC estimate) → rows-only; v17b is the exactness twin.
+    // V17: IVF-gated PQ with exact re-rank (the FAISS IVFPQ+refine
+    // composition) — coarse cells prune the candidate set, codes
+    // compress the candidates, and the k·24 ADC shortlist re-scores
+    // with exact dots so the ADC ranking loss never reaches the output
+    // (the stage RECALL_r10 measured as the 0.92→0.75 gap; RECALL_r11:
+    // 0.934 at these defaults). Approximate in the candidate set only →
+    // rows-only; v17b is the exactness twin.
     "v17_ivfpq_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
-        nProbe = 16, m = 8, codebookSize = 256)
+        m = 8, codebookSize = 256)
     }),
     // V17b: with every cell probed the IVF gate admits every candidate,
-    // so the result must be BIT-IDENTICAL to v16's pure-ADC ranking —
-    // hash-checked against the same generated SQL replay (pqOracle).
-    // This pins the composition machinery (one-pass code+cell projection,
-    // probe join, dedup'd bounded top-k) to the already-proven PQ
-    // contract; only the cell-recall loss of the gated path is unchecked,
-    // and RECALL_r10 measures that curve.
+    // so the pipeline is the deterministic chain trained-codebook ADC
+    // shortlist → exact re-rank — hash-checked against the generated
+    // SQL replay of exactly that chain (pqRerankOracle). This pins the
+    // composition machinery (one-pass code+cell projection, probe join,
+    // dedup'd bounded shortlist, refine join) end to end; only the
+    // cell-recall loss of the gated path is unchecked, and RECALL
+    // measures that curve.
     "v17b_ivfpq_full_probe" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
         nProbe = Int.MaxValue, m = 8, codebookSize = 256, kmeansIters = 0)
     }),
-    // V18: the SERVING form — materialized IVFPQ index (codes partitioned
-    // by cell, built once per source data + session, centroids/codebooks
-    // persisted) probed with every cell, which is exhaustive over the
-    // codes and must hash-match v16's pure-ADC oracle. The spilled index
-    // duplicates a vector's codes across its spill cells; identical
-    // scored rows collapse in the dedup'd bounded top-k, so the layout
-    // arity cannot leak into results.
+    // V18: the SERVING form — materialized IVFPQ index (codes + raw
+    // refine sidecar partitioned by cell, built once per source data +
+    // session, centroids/codebooks persisted) probed with every cell:
+    // exhaustive over the codes, so it must hash-match v17b's
+    // shortlist-then-rerank oracle. The spilled index duplicates a
+    // vector's rows across its spill cells; identical scored rows
+    // collapse in the dedup'd bounded top-k, so the layout arity cannot
+    // leak into results.
     "v18_ivfpq_indexed" -> ((s, d) => {
       val (codes, cents, cb) = ivfpqIngest(s, d)
       Similarity.ivfPqTopKIndexed(s, codes, cents, cb,
@@ -2464,10 +2469,12 @@ object SparkEntry {
     // v10: v1's oracle with raw dot ranking (list_dot_product over the
     // same DOUBLE[] cast — identical fixed-order double accumulation).
     "v16_pq_topk" -> pqOracle,
-    // v17b: full-probe IVFPQ ≡ pure ADC — shares v16's generated replay
-    "v17b_ivfpq_full_probe" -> pqOracle,
-    // v18: full-probe over the materialized codes index ≡ pure ADC too
-    "v18_ivfpq_indexed" -> pqOracle,
+    // v17b: full-probe IVFPQ+refine ≡ trained ADC shortlist + exact
+    // re-rank — the generated replay of exactly that chain
+    "v17b_ivfpq_full_probe" -> pqRerankOracle,
+    // v18: full-probe over the materialized codes+raw index ≡ the same
+    // shortlist-then-rerank chain
+    "v18_ivfpq_indexed" -> pqRerankOracle,
     "v10_brute_mips_topk" -> baseMipsOracle,
     // v10b: full-probe augmented IVF ≡ brute MIPS (see the queries comment)
     "v10b_ivf_mips_full_probe" -> baseMipsOracle,
@@ -2772,8 +2779,11 @@ object SparkEntry {
   private def ivfpqIngest(s: SparkSession, sfDir: String):
       (String, Array[(Long, Array[Float])], Array[Array[Array[Float]]]) = {
     import s.implicits._
-    val (dir, fs) = layoutDir(s, sfDir, "embeddings", "ivfpq_s2_m8")
-    val codesDir = new org.apache.hadoop.fs.Path(dir, "codes").toString
+    // layout key carries the model generation (trained codebooks + raw
+    // refine sidecar, r11) — the mtime gate must never serve an index
+    // built under the old seed-codebook layout to the new reader
+    val (dir, fs) = layoutDir(s, sfDir, "embeddings", "ivfpq_s2_m8_t2")
+    val codesDir = new org.apache.hadoop.fs.Path(dir, "index").toString
     val centDir = new org.apache.hadoop.fs.Path(dir, "centroids").toString
     val cbDir = new org.apache.hadoop.fs.Path(dir, "codebooks").toString
     // gatedBuild, not exists(): a crash mid-codebook-write would
@@ -2891,25 +2901,71 @@ object SparkEntry {
     * The terms are GENERATED here (m=8 subspaces × 8 elements) so oracle
     * and kernel can only drift by changing the shared constants.
     */
-  private def pqOracle: String = {
+  /** CTE chain replaying PQ codebook TRAINING + encoding + ADC scoring,
+    * ending in `adc(query_id, neighbor_id, dot_est_micro)`. Codebooks
+    * live as (s, j, c1..c8) rows: `cb0` is the first-256-rows-by-id seed
+    * ([[Similarity.pqCodebooks]]), and each unrolled Lloyd iteration
+    * (`tr{t}d` distances → `tr{t}a` argmin assignment → `tr{t}m`
+    * micro-unit sums → `cb{t}` means) mirrors
+    * [[Similarity.trainPqCodebooks]] operation for operation: distances
+    * are the spelled-out left-associative squared-difference sums (ties
+    * to the smallest code), element sums are exact integers
+    * (`floor(x·1e6 + 0.5)` summed as BIGINT — order-free), and the new
+    * code value replays the one IEEE sequence
+    * `(floor(sum/n)/1e6).toFloat` via `CAST(... AS REAL)`. Codes that
+    * assign nothing COALESCE to their previous value, exactly as the
+    * Scala side keeps them. The terms are GENERATED (m=8 subspaces ×
+    * 8 elements × $trainIters iterations) so oracle and kernel can only
+    * drift by changing the shared constants.
+    */
+  private def pqTrainedAdcCTEs: String = {
     // kCodes = 256 (8-bit PQ); at gate SFs with fewer corpus rows both
     // engines take the same min(kCodes, corpus) seed set — LIMIT under-
     // selects identically on both sides
-    val sub = 8; val m = 8; val kCodes = 256; val topK = 5
-    val distTerms = (1 to sub).map(i =>
-      s"(a.v[t.s*$sub+$i]-cb.v[t.s*$sub+$i])*(a.v[t.s*$sub+$i]-cb.v[t.s*$sub+$i])")
+    val sub = 8; val m = 8; val kCodes = 256
+    val seedCols = (1 to sub).map(i => s"b.v[t.s*$sub+$i] AS c$i")
+      .mkString(", ")
+    def distTerms(cb: String) = (1 to sub).map(i =>
+      s"(a.v[$cb.s*$sub+$i]-$cb.c$i)*(a.v[$cb.s*$sub+$i]-$cb.c$i)")
       .mkString(" + ")
-    val dotTerms = (1 to sub).map(i =>
-      s"q.v[c.s*$sub+$i]*cb.v[c.s*$sub+$i]").mkString(" + ")
+    val sumCols = (1 to sub).map(i =>
+      s"SUM(CAST(floor(a.v[x.s*$sub+$i]*1000000.0 + 0.5) AS BIGINT)) AS s$i")
+      .mkString(", ")
+    val meanCols = (1 to sub).map(i =>
+      s"COALESCE(CAST(CAST(floor(CAST(mm.s$i AS DOUBLE) / mm.n) / " +
+        s"1000000.0 AS REAL) AS DOUBLE), p.c$i) AS c$i").mkString(", ")
+    val iterCTEs = (1 to PqTrainIters).map { t =>
+      s"""tr${t}d AS (
+         |  SELECT a.vec_id, cb.s, cb.j, ${distTerms("cb")} AS d
+         |  FROM v a, cb${t - 1} cb),
+         |tr${t}a AS (
+         |  SELECT vec_id, s, j FROM (
+         |    SELECT vec_id, s, j,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+         |    FROM tr${t}d) WHERE rn = 1),
+         |tr${t}m AS (
+         |  SELECT x.s, x.j, $sumCols, COUNT(*) AS n
+         |  FROM tr${t}a x JOIN v a USING (vec_id) GROUP BY x.s, x.j),
+         |cb$t AS (
+         |  SELECT p.s, p.j, $meanCols
+         |  FROM cb${t - 1} p LEFT JOIN tr${t}m mm
+         |    ON mm.s = p.s AND mm.j = p.j)""".stripMargin
+    }.mkString(",\n")
+    val cbN = s"cb$PqTrainIters"
+    val dotTerms = (1 to sub).map(i => s"q.v[cb.s*$sub+$i]*cb.c$i")
+      .mkString(" + ")
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cb AS (
-       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
-       |  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT $kCodes)),
+       |cb0 AS (
+       |  SELECT t.s AS s, b.j AS j, $seedCols
+       |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+       |        FROM (SELECT vec_id, v FROM v ORDER BY vec_id
+       |              LIMIT $kCodes)) b,
+       |       generate_series(0, ${m - 1}) t(s)),
+       |$iterCTEs,
        |dist AS (
-       |  SELECT a.vec_id, t.s, cb.j,
-       |    $distTerms AS d
-       |  FROM v a, generate_series(0, ${m - 1}) t(s), cb),
+       |  SELECT a.vec_id, cb.s, cb.j, ${distTerms("cb")} AS d
+       |  FROM v a, $cbN cb),
        |codes AS (
        |  SELECT vec_id, s, j FROM (
        |    SELECT vec_id, s, j,
@@ -2918,18 +2974,50 @@ object SparkEntry {
        |part AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    CAST(floor(1000000.0 * ($dotTerms)) AS BIGINT) AS pm
-       |  FROM codes c JOIN cb USING (j),
+       |  FROM codes c JOIN $cbN cb ON cb.s = c.s AND cb.j = c.j,
        |       (SELECT * FROM v WHERE vec_id < 20) q
        |  WHERE c.vec_id <> q.vec_id),
        |adc AS (
        |  SELECT query_id, neighbor_id, CAST(SUM(pm) AS BIGINT) AS dot_est_micro
-       |  FROM part GROUP BY query_id, neighbor_id)
+       |  FROM part GROUP BY query_id, neighbor_id)""".stripMargin
+  }
+
+  /** v16: trained-codebook ADC ranking, exact in integer micro-units. */
+  private def pqOracle: String =
+    s"""$pqTrainedAdcCTEs
        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
        |       dot_est_micro
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY dot_est_micro DESC, neighbor_id) AS rank FROM adc)
-       |WHERE rank <= $topK""".stripMargin
-  }
+       |WHERE rank <= $PqTopK""".stripMargin
+
+  /** v17b/v18: the full IVFPQ+refine chain under full probe — ADC
+    * shortlist of k·[[PqRerank]], then exact re-rank with the same
+    * 6dp-rounded `list_dot_product` contract v10 hash-checks.
+    */
+  private def pqRerankOracle: String =
+    s"""$pqTrainedAdcCTEs,
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot_est_micro DESC, neighbor_id) AS rn FROM adc)
+       |  WHERE rn <= ${PqTopK * PqRerank}),
+       |ex AS (
+       |  SELECT sh.query_id, sh.neighbor_id,
+       |    round(list_dot_product(q.v, c.v), 6) AS dot
+       |  FROM short sh
+       |  JOIN v c ON c.vec_id = sh.neighbor_id
+       |  JOIN v q ON q.vec_id = sh.query_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, dot
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY dot DESC, neighbor_id) AS rank FROM ex)
+       |WHERE rank <= $PqTopK""".stripMargin
+
+  /** Shared constants of the v16-family Spark registrations and their
+    * generated oracles — one definition, zero drift. */
+  private val PqTrainIters = 2
+  private val PqRerank = 24
+  private val PqTopK = 5
 
   /** CTE chain ending in `r(doc_id, reason)` — the quality-heuristic
     * reasons shared by the t10 filter and the t31 gate decision (one

@@ -616,15 +616,14 @@ object Similarity {
     bruteCosineTopK(int8QuantizedView(corpus, vecCol),
       int8QuantizedView(queries, vecCol), k, idCol, vecCol)
 
-  /** Product-quantization codebooks (Jégou et al., TPAMI 2011): subspace
-    * s's codebook is the s-th sub-slice of each of the first `k` corpus
-    * vectors BY ID. Deterministic and SQL-replayable by construction —
-    * `ORDER BY id LIMIT k` is the one codebook seeding an oracle can
-    * rebuild verbatim (a Lloyd-refined codebook improves code quality
-    * but is not replayable; this is the same trade `kmeansCentroids`'
-    * hash-sampled seeding already makes, and the recall curve is
-    * measured either way). Driver state is k×dim floats — bounded by the
-    * codebook, never the corpus.
+  /** Product-quantization codebook SEED (Jégou et al., TPAMI 2011):
+    * subspace s's codebook is the s-th sub-slice of each of the first
+    * `k` corpus vectors BY ID — `ORDER BY id LIMIT k`, the one seeding
+    * an oracle can rebuild verbatim. [[trainPqCodebooks]] Lloyd-refines
+    * this seed with micro-unit-exact arithmetic that stays equally
+    * replayable, and is what every retrieval entry point uses; the bare
+    * seed remains the training contract's anchor. Driver state is k×dim
+    * floats — bounded by the codebook, never the corpus.
     */
   def pqCodebooks(corpus: DataFrame, m: Int = 8, k: Int = 256,
       idCol: String = "vec_id",
@@ -811,19 +810,37 @@ object Similarity {
     * materialize (compression ratio × smaller than the vectors — the
     * same `partitionBy(cell_id)` layout as [[buildIvfIndex]] applies).
     *
-    * Approximation is the product of the two stages: cell recall bounds
-    * candidate recall (measured in RECALL_r10 — same curve as IVF), and
-    * ADC estimates the dot (the PQ floor v16 measures). `nProbe ≥ nCells`
-    * disables the gate entirely, making the result bit-identical to
-    * [[pqTopK]] — the v17b exactness twin hash-checks against v16's
-    * generated SQL oracle.
+    * Approximation decomposes by stage: cell recall bounds candidate
+    * recall (measured in RECALL — same curve as IVF), ADC estimates
+    * the dot (the PQ floor v16 measures), and the default
+    * [[rerankExact]] stage (`rerank` × k shortlist) removes the ADC
+    * RANKING loss by re-scoring the shortlist with exact dots — the
+    * stage RECALL_r10 showed was missing (candidates 0.92, final 0.75).
+    * `nProbe ≥ nCells` disables the gate entirely: with `rerank ≤ 1`
+    * the result is bit-identical to [[pqTopK]], and with rerank it is
+    * the deterministic shortlist-then-exact-rerank chain — the v17b
+    * exactness twin hash-checks the latter against the generated SQL
+    * replay (trained codebooks, ADC shortlist, exact re-rank, all
+    * spelled out).
+    *
+    * Defaults `nProbe = 20, rerank = 24` target the repo's ≥0.9 ANN
+    * recall standard at the committed m=8 compression — measured on the
+    * sf0.1 corpus (RECALL_r11): 0.934 end-to-end, vs 0.78 at the r10
+    * shape (nProbe 16, no re-rank at m=32; 0.37 ADC-ranked at m=8).
+    * m=8 is a NOISY estimator (8 subspace lookups per dot), so the
+    * refine shortlist needs ~24k, not the 4–8k a fine quantizer gets
+    * away with, and the candidate budget one probe step more than the
+    * raw-vector IVF default; both knobs trade linearly and the rerank
+    * sweep in RECALL_r11 pins each one's contribution.
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      nProbe: Int = 16, m: Int = 8, codebookSize: Int = 256,
+      nProbe: Int = 20, m: Int = 8, codebookSize: Int = 256,
       centroidEvery: Int = 50, kmeansIters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxCells: Int = 4096, spill: Int = 2): DataFrame = {
-    val cb = pqCodebooks(corpus, m, codebookSize, idCol, vecCol)
+      maxCells: Int = 4096, spill: Int = 2, trainIters: Int = 2,
+      rerank: Int = 24): DataFrame = {
+    val cb = trainPqCodebooks(corpus, m, codebookSize, trainIters, idCol,
+      vecCol)
     requireVectorDim(queries, vecCol, m * cb.head.head.length, "ivfPqTopK")
     // seed count decides whether Lloyd passes are worth paying — under
     // full probe the centroid VALUES are dead (only the count matters),
@@ -858,8 +875,14 @@ object Similarity {
           col(vecCol).as("_qv"), lit(0L).as("cell_id"))
       else
         probedCellsOf(centroids, queries, nProbe, idCol, vecCol)
-    adcRank(codes.join(broadcast(probed), Seq("cell_id")), cb, k,
-      dedup = true)
+    if (rerank <= 1)
+      adcRank(codes.join(broadcast(probed), Seq("cell_id")), cb, k,
+        dedup = true)
+    else
+      rerankExact(
+        adcRank(codes.join(broadcast(probed), Seq("cell_id")), cb,
+          k * rerank, dedup = true),
+        corpus, queries, k, idCol, vecCol)
   }
 
   /** Materialize the IVFPQ index: ONE narrow corpus pass emits each
@@ -875,35 +898,51 @@ object Similarity {
       codebookSize: Int = 256, centroidEvery: Int = 50,
       kmeansIters: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding", maxCells: Int = 4096,
-      spill: Int = 2):
+      spill: Int = 2, trainIters: Int = 2):
       (Array[(Long, Array[Float])], Array[Array[Array[Float]]]) = {
     val centroids = kmeansCentroids(corpus, centroidEvery, kmeansIters,
       idCol, vecCol, maxCells)
-    val cb = pqCodebooks(corpus, m, codebookSize, idCol, vecCol)
+    val cb = trainPqCodebooks(corpus, m, codebookSize, trainIters, idCol,
+      vecCol)
+    val cells = explode(probeCellsExpr(centroids, col(vecCol),
+      math.min(math.max(spill, 1), centroids.length))).as("cell_id")
     val assigned = corpus.select(
       col(idCol).cast("long").as("neighbor_id"),
-      gvec.pqEncode(col(vecCol), cb).as("codes"),
-      explode(probeCellsExpr(centroids, col(vecCol),
-        math.min(math.max(spill, 1), centroids.length))).as("cell_id"))
-    graft.engine.Layout.writePartitioned(assigned, path, "cell_id")
+      gvec.pqEncode(col(vecCol), cb).as("codes"), cells)
+    graft.engine.Layout.writePartitioned(assigned, s"$path/codes", "cell_id")
+    // the refine sidecar (FAISS's IndexRefineFlat companion): raw
+    // vectors in the SAME cell layout, so the re-rank stage reads only
+    // the probed cells' directories — the shortlist's exact scores cost
+    // a partition-pruned scan, never a full-corpus pass
+    val raw = corpus.select(
+      col(idCol).cast("long").as("neighbor_id"), col(vecCol).as(vecCol),
+      cells)
+    graft.engine.Layout.writePartitioned(raw, s"$path/raw", "cell_id")
     (centroids, cb)
   }
 
-  /** Query a materialized IVFPQ index: probed cell ids become a static
-    * partition filter on the codes scan (directory pruning, as
-    * [[ivfCosineTopKIndexed]]), then ADC scores only the surviving code
-    * rows. `nProbe ≥ nCells` skips the filter and is bit-identical to
-    * [[pqTopK]] over the same codebooks — the v18 exactness contract.
+  /** Query a materialized IVFPQ index (rooted at `indexPath`, with
+    * `codes/` and the raw-vector `raw/` sidecar both `partitionBy
+    * (cell_id)` — [[buildIvfPqIndex]]'s layout): probed cell ids become
+    * a static partition filter on the codes scan (directory pruning, as
+    * [[ivfCosineTopKIndexed]]), ADC ranks the surviving code rows to a
+    * k·rerank shortlist, and the re-rank stage scores the shortlist with
+    * exact dots against raw vectors read under the SAME cell filter —
+    * both stages prune to ~nProbe/nCells of their relation's files.
+    * `nProbe ≥ nCells` skips the filter; with `rerank ≤ 1` that is
+    * bit-identical to [[pqTopK]] over the same codebooks, and with
+    * rerank it matches [[ivfPqTopK]]'s full-probe reranked form — the
+    * v18 exactness contract either way.
     */
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, centroids: Array[(Long, Array[Float])],
       codebooks: Array[Array[Array[Float]]], queries: DataFrame,
-      k: Int = 5, nProbe: Int = 16, idCol: String = "vec_id",
-      vecCol: String = "embedding",
-      materialize: Boolean = true): DataFrame = {
+      k: Int = 5, nProbe: Int = 20, idCol: String = "vec_id",
+      vecCol: String = "embedding", materialize: Boolean = true,
+      rerank: Int = 24): DataFrame = {
     requireVectorDim(queries, vecCol,
       codebooks.length * codebooks.head.head.length, "ivfPqTopKIndexed")
-    val codes = spark.read.parquet(indexPath)
+    val codes = spark.read.parquet(s"$indexPath/codes")
     // this entry point DECOUPLES codes from codebooks — a stale index
     // built at a different m would be read past its bounds (garbage
     // codebook rows, silently wrong rankings); one first-row probe
@@ -915,12 +954,20 @@ object Similarity {
             s"-code vectors but ${codebooks.length} codebooks were " +
             "passed — the index was built at a different m")
       }
+    def raw = spark.read.parquet(s"$indexPath/raw")
+      .select(col("neighbor_id").as(idCol), col(vecCol), col("cell_id"))
+    def finish(shortOrTopk: DataFrame, rawPruned: => DataFrame): DataFrame =
+      if (rerank <= 1) shortOrTopk
+      else rerankExact(shortOrTopk, rawPruned, queries, k, idCol, vecCol)
     if (nProbe >= centroids.length) {
       // full probe: no filter — a cells-sized isin prunes nothing and
       // costs planning that grows with the index (the v8 lesson)
       val q = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).as("_qv"))
-      adcRank(codes.crossJoin(broadcast(q)), codebooks, k, dedup = true)
+      finish(
+        adcRank(codes.crossJoin(broadcast(q)), codebooks,
+          if (rerank <= 1) k else k * rerank, dedup = true),
+        raw)
     } else {
       // persisted so the partition filter and the join read ONE
       // evaluation of the probe pass (the ivfCosineTopKSnapshot
@@ -930,10 +977,14 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cells = probed.select("cell_id").distinct()
         .collect().map(_.getLong(0)).toSeq
-      val topk = adcRank(
-        codes.filter(col("cell_id").isin(cells: _*))
-          .join(broadcast(probed), Seq("cell_id")),
-        codebooks, k, dedup = true)
+      val topk = finish(
+        adcRank(
+          codes.filter(col("cell_id").isin(cells: _*))
+            .join(broadcast(probed), Seq("cell_id")),
+          codebooks, if (rerank <= 1) k else k * rerank, dedup = true),
+        // the refine sidecar under the SAME static cell filter — the
+        // re-rank reads only the probed cells' directories
+        raw.filter(col("cell_id").isin(cells: _*)))
       if (materialize) Scratch.materializeThenFree(topk, probed) else topk
     }
   }

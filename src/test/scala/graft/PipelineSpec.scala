@@ -708,7 +708,7 @@ class PipelineSpec extends SparkSpec {
     }
     // ADC score ≡ per-subspace micro-floored dot against the DECODED vector
     val got = Similarity.pqTopK(corpus, corpus.filter($"vec_id" < 5), k = 3,
-      m = m, codebookSize = kCodes).collect()
+      m = m, codebookSize = kCodes, trainIters = 0).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
     got.foreach { case ((q, n), micro) =>
       val want = (0 until m).map { s =>
@@ -753,18 +753,21 @@ class PipelineSpec extends SparkSpec {
       .sortBy(t => (t._1, t._3))
     val pure = rows(Similarity.pqTopK(corpus, queries, k = 5,
       m = 16, codebookSize = 16))
+    // rerank = 0 isolates the ADC layer — the reranked form has its own
+    // exactness test against brute MIPS below
     // nProbe ≥ nCells disables the gate: scores, ranks, AND tie-breaks
     // must match the pure ADC scan exactly (the v17b oracle contract)
     val full = rows(Similarity.ivfPqTopK(corpus, queries, k = 5,
       nProbe = Int.MaxValue, m = 16, codebookSize = 16, kmeansIters = 0,
-      centroidEvery = 10))
+      centroidEvery = 10, rerank = 0))
     assert(full.toSeq === pure.toSeq)
     // gated probe: candidates are a subset, so each returned pair's score
     // must equal the pure-ADC score for that pair (the gate prunes, it
     // never rescores), and recall vs the pure ADC ranking stays high
     val pureScore = pure.map(t => (t._1, t._2) -> t._4).toMap
     val gated = rows(Similarity.ivfPqTopK(corpus, queries, k = 5,
-      nProbe = 4, m = 16, codebookSize = 16, centroidEvery = 10))
+      nProbe = 4, m = 16, codebookSize = 16, centroidEvery = 10,
+      rerank = 0))
     gated.foreach { case (q, n, _, micro) =>
       pureScore.get((q, n)).foreach(want =>
         assert(micro === want, s"rescored pair ($q,$n)"))
@@ -776,6 +779,70 @@ class PipelineSpec extends SparkSpec {
         .size.toDouble / ns.length
     }.sum / pureTop.size
     assert(recall >= 0.5, s"ivfpq recall@5 vs pure ADC $recall < 0.5")
+  }
+
+  test("trainPqCodebooks: one Lloyd step matches a driver-side reference " +
+      "recompute (micro-unit means, empty codes keep their seed)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val corpus = (0L until 90L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val m = 4; val kCodes = 8; val sub = 4
+    val seed = Similarity.pqCodebooks(corpus, m = m, k = kCodes)
+    val trained = Similarity.trainPqCodebooks(corpus, m = m, k = kCodes,
+      iters = 1)
+    val raw = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) {
+        val t = a(i).toDouble - b(i).toDouble; d += t * t; i += 1 }
+      d
+    }
+    // reference: assign every subslice to its argmin seed code (ties →
+    // smallest j), then mean in exact integer micro-units
+    (0 until m).foreach { s =>
+      val assigned = raw.values.toSeq.map(_.slice(s * sub, (s + 1) * sub))
+        .groupBy(slice => (0 until kCodes).minBy(j => (d2(slice, seed(s)(j)), j)))
+      (0 until kCodes).foreach { j =>
+        val want = assigned.get(j) match {
+          case None => seed(s)(j).toSeq // empty code keeps its seed value
+          case Some(slices) =>
+            val n = slices.length.toDouble
+            (0 until sub).map { i =>
+              val micro = slices.map(sl =>
+                math.floor(sl(i).toDouble * 1e6 + 0.5)).sum
+              (math.floor(micro / n) / 1e6).toFloat
+            }
+        }
+        assert(trained(s)(j).toSeq === want, s"subspace $s code $j")
+      }
+    }
+  }
+
+  test("reranked IVFPQ full probe with an all-covering shortlist IS brute " +
+      "MIPS (the refine stage restores exact ranking)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val corpus = (0L until 60L).map(i =>
+      (i, Array.fill(32)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    // k·rerank = 5·12 = 60 ≥ the 59 candidates per query: the ADC
+    // shortlist admits EVERYTHING, so the exact re-rank must reproduce
+    // the brute-force MIPS ranking bit for bit — scores, ranks, ties
+    val reranked = rows(Similarity.ivfPqTopK(corpus, queries, k = 5,
+      nProbe = Int.MaxValue, m = 16, codebookSize = 16, kmeansIters = 0,
+      rerank = 12))
+    assert(reranked === rows(Similarity.bruteMipsTopK(corpus, queries, k = 5)))
+    // and at the default bounded shortlist the output schema is the
+    // reranked one (exact dot, not the ADC estimate)
+    val bounded = Similarity.ivfPqTopK(corpus, queries, k = 5,
+      nProbe = Int.MaxValue, m = 16, codebookSize = 16, kmeansIters = 0)
+    assert(bounded.columns.toSeq ===
+      Seq("query_id", "neighbor_id", "rank", "dot"))
   }
 
   test("embedding near-dup LSH finds an exact-duplicate vector") {

@@ -51,7 +51,7 @@ class PlanShapeSpec extends SparkSpec {
     // centroidEvery=10 keeps nCells above nProbe at this SF — the gated
     // path, not the full-probe degenerate (which is v17b's shape)
     val plan = Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), 5,
-      nProbe = 4, centroidEvery = 10)
+      nProbe = 4, centroidEvery = 10, rerank = 0)
       .queryExecution.executedPlan.toString
     // the IVF gate must be an equi-join on cell_id with the tiny probe
     // relation broadcast — never a cartesian against the code relation
@@ -64,6 +64,27 @@ class PlanShapeSpec extends SparkSpec {
       s"no partial top-k phase in plan:\n$plan")
     val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(nEx === 1, s"expected 1 exchange, found $nEx:\n$plan")
+    assert(!plan.contains("Window"), s"window shuffle crept back in:\n$plan")
+  }
+
+  test("ivfPqTopK with re-rank: shortlist and refine stages each bound " +
+      "their exchange; refine joins are broadcast, never cartesian") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), 5,
+      nProbe = 4, centroidEvery = 10)
+      .queryExecution.executedPlan.toString
+    // the shortlist (k·rerank heaps) and the final top-k are the only
+    // exchanges — the corpus itself never shuffles in either stage
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nEx === 2, s"expected 2 exchanges (shortlist + rerank), " +
+      s"found $nEx:\n$plan")
+    // the shortlist and query relations reach the raw-vector scan as
+    // broadcast-hash joins (the shortlist is k·rerank·|queries| rows)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      s"refine join shape wrong:\n$plan")
+    assert(plan.contains("partial_graft_top_k_by_score"),
+      s"no partial top-k phase in plan:\n$plan")
     assert(!plan.contains("Window"), s"window shuffle crept back in:\n$plan")
   }
 
@@ -502,8 +523,8 @@ class PlanShapeSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache() // lazy mode leaves the probe cached
   }
 
-  test("materialized IVFPQ index: gated probe prunes code partitions, " +
-      "full probe equals pure ADC") {
+  test("materialized IVFPQ index: gated probe prunes BOTH codes and raw " +
+      "refine partitions, full probe equals the reranked chain") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)
@@ -515,17 +536,29 @@ class PlanShapeSpec extends SparkSpec {
     val gated = Similarity.ivfPqTopKIndexed(spark, dir, cents, cb,
       queries, k = 5, nProbe = 4, materialize = false)
     val plan = gated.queryExecution.executedPlan.toString
-    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell_id[^\\]]*\\].*"),
-      s"probe not pruning code partitions:\n$plan")
+    // two partition-pruned scans: the codes shortlist AND the raw
+    // refine sidecar both carry the probed-cell filter
+    val pruned = "PartitionFilters: \\[[^\\]]*cell_id[^\\]]*\\]".r
+      .findAllIn(plan).size
+    assert(pruned === 2,
+      s"expected 2 cell-pruned scans (codes + raw), found $pruned:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian detected:\n$plan")
-    // full probe over the spill-duplicated index must still equal the
-    // pure ADC ranking exactly (dedup'd top-k collapses layout arity)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
       .sortBy(t => (t._1, t._3)).toSeq
+    // full probe over the spill-duplicated index must equal the ad-hoc
+    // reranked chain exactly (dedup'd stages collapse layout arity)
     val full = rows(Similarity.ivfPqTopKIndexed(spark, dir, cents, cb,
       queries, k = 5, nProbe = Int.MaxValue))
-    assert(full === rows(Similarity.pqTopK(emb, queries, k = 5)))
+    assert(full === rows(Similarity.ivfPqTopK(emb, queries, k = 5,
+      nProbe = Int.MaxValue, kmeansIters = 0)))
+    // and with the refine stage off it is still bit-identical to pqTopK
+    def microRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val adcOnly = microRows(Similarity.ivfPqTopKIndexed(spark, dir, cents,
+      cb, queries, k = 5, nProbe = Int.MaxValue, rerank = 0))
+    assert(adcOnly === microRows(Similarity.pqTopK(emb, queries, k = 5)))
     spark.catalog.clearCache() // lazy mode leaves the probe cached
   }
 
