@@ -181,6 +181,96 @@ object StreamBench {
         f"${steady(bigLat).sum / steady(smallLat).sum}%.3f"}}""")
   }
 
+  /** Scaled curation-gate benchmark (SPARK_GRAFT_STREAM_SCALED_MODE =
+    * curation): stream the same held-out feed through the FULL
+    * [[graft.streaming.StreamScore.curationGate]] (quality heuristics →
+    * bigram-LM → DSIR target affinity, the t31 decision) against models
+    * built from (a) a `replicas`× corpus and (b) a 1× control. The
+    * design claim under test: per-batch scoring cost tracks the BATCH,
+    * never the model corpus — both models are fixed-size artifacts (the
+    * LM's vocabulary table joins by the batch's own grams; DSIR's
+    * log-ratio model is 4096 bucket rows regardless of fit corpus), so
+    * `big_over_small` must sit near 1. What DOES grow with the corpus is
+    * the one-time model FIT (`model_build_sec`, reported per side — the
+    * train-once cost, paid off-path) and the LM vocabulary row count
+    * (`lm_model_rows`, the broadcast-side size a 100 TB deployment would
+    * cap by vocabulary pruning).
+    */
+  private def scaledCuration(spark: SparkSession, sfDir: String,
+      replicas: Int, nBatches: Int, batchRows: Int): Unit = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feedRep = replicas + 1 // held-out replica: fresh docs to either model
+    val feed = saltedReplicas(spark, sfDir, Seq(feedRep))
+      .orderBy("doc_id").limit(nBatches * batchRows)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+    // (corpusRows, lmModelRows, buildSec, perBatchLat, accepted, rejected)
+    def run(tag: String, nRep: Int, batches: Int):
+        (Long, Long, Double, Seq[Double], Long, Long) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_scaledcur_$tag").toString
+      // the DSIR fit needs each doc's lang (target-vs-raw split);
+      // saltedReplicas carries only (doc_id, text), so join it back by
+      // the replica-invariant base id
+      val langOf = broadcast(spark.read
+        .parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("_base_id"), col("lang")))
+      val corpus = saltedReplicas(spark, sfDir, 0 until nRep)
+        .withColumn("_base_id", pmod(col("doc_id"), lit(ScaleBench.Stride)))
+        .join(langOf, Seq("_base_id")).drop("_base_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpusRows = corpus.count()
+      val t0 = System.nanoTime()
+      graft.pipeline.TextAnalysis.buildLmModel(corpus, s"$dir/lm")
+      graft.pipeline.TextAnalysis.buildDsirModel(corpus, s"$dir/dsir")
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      corpus.unpersist()
+      val lmRows = spark.read.parquet(s"$dir/lm").count()
+      val input = MemoryStream[(Long, String)]
+      val gq = graft.streaming.StreamScore.curationGate(
+        input.toDF().toDF("doc_id", "text"), s"$dir/lm", s"$dir/dsir",
+        s"$dir/accept", s"$dir/reject", s"$dir/ckpt",
+        minLmC6 = -3400000L, minDsirC6 = -8000000L)
+      val lat = try {
+        feed.grouped(batchRows).take(batches).map { rows =>
+          val b0 = System.nanoTime()
+          input.addData(rows.toIndexedSeq: _*)
+          gq.processAllAvailable()
+          (System.nanoTime() - b0) / 1e9
+        }.toSeq
+      } finally gq.stop()
+      val acc = spark.read.parquet(s"$dir/accept").count()
+      val rej = spark.read.parquet(s"$dir/reject").count()
+      (corpusRows, lmRows, buildSec, lat, acc, rej)
+    }
+
+    // throwaway warmup run: JIT + codegen for the whole gate path land
+    // here, not on whichever timed run goes first (the r10 lesson —
+    // control-first ordering flattered big_over_small)
+    run("warm", 1, math.min(2, nBatches))
+    val (smallRows, smallLm, smallBuild, smallLat, _, _) =
+      run("small", 1, nBatches)
+    val (bigRows, bigLm, bigBuild, bigLat, bigAcc, bigRej) =
+      run("big", replicas, nBatches)
+    def side(rows: Long, lm: Long, build: Double,
+        lat: Seq[Double]): String =
+      s"""{"corpus_rows":$rows,"lm_model_rows":$lm,""" +
+      s""""model_build_sec":${f"$build%.1f"},""" +
+      s""""latency_sec":${arr(lat)},""" +
+      s""""steady_records_per_sec":${f"${steadyRps(lat, batchRows)}%.1f"},""" +
+      s""""steady_trend":${f"${steadyTrend(lat)}%.3f"}}"""
+    println(
+      s"""{"metric":"stream_curation_scaled","sf":"$sfDir",""" +
+      s""""batch_rows":$batchRows,"batches":$nBatches,""" +
+      s""""warmup_batches":$WarmupBatches,""" +
+      s""""big":${side(bigRows, bigLm, bigBuild, bigLat)},""" +
+      s""""small":${side(smallRows, smallLm, smallBuild, smallLat)},""" +
+      s""""big_accepted":$bigAcc,"big_rejected":$bigRej,""" +
+      s""""big_over_small":${
+        f"${steady(bigLat).sum / steady(smallLat).sum}%.3f"}}""")
+  }
+
   /** Replicated embeddings corpus: vec_ids offset by the ScaleBench
     * stride; every 16th coordinate (rotating per replica) bumped by a
     * replica-scaled constant so replicas are DISTINCT directions to
@@ -305,10 +395,12 @@ object StreamBench {
       // section can be regenerated without re-running the other
       val mode =
         sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALED_MODE", "both")
-      if (mode != "retrieval")
+      if (mode == "ingest" || mode == "both")
         scaledIngest(spark, sfDir, scaledReplicas, nBatches, batchRows)
-      if (mode != "ingest")
+      if (mode == "retrieval" || mode == "both")
         scaledRetrieval(spark, sfDir, scaledReplicas, nBatches, batchRows)
+      if (mode == "curation")
+        scaledCuration(spark, sfDir, scaledReplicas, nBatches, batchRows)
       spark.stop()
       return
     }
@@ -394,6 +486,31 @@ object StreamBench {
     val acceptRows = spark.read.parquet(s"$dir/accept").count()
     val rejectRows = spark.read.parquet(s"$dir/reject").count()
 
+    // ---- 3b. DSIR curation gate -------------------------------------
+    // the FULL t31 decision in its streaming position: quality
+    // heuristics → bigram-LM gate → DSIR target-affinity gate, all
+    // against prebuilt models (t31 gate thresholds, so every branch
+    // fires). Adds one broadcast bucket join per batch over the
+    // quality_gate section above — per-batch cost must still track the
+    // batch, and the curve must stay flat
+    graft.pipeline.TextAnalysis.buildDsirModel(
+      spark.read.parquet(s"$sfDir/documents.parquet"), s"$dir/dsirmodel")
+    val cinput = MemoryStream[(Long, String)]
+    val cq = graft.streaming.StreamScore.curationGate(
+      cinput.toDF().toDF("doc_id", "text"), s"$dir/model",
+      s"$dir/dsirmodel", s"$dir/caccept", s"$dir/creject", s"$dir/cckpt",
+      minLmC6 = -3400000L, minDsirC6 = -8000000L)
+    val curLat = try {
+      feed.grouped(batchRows).take(nBatches).map { rows =>
+        val t0 = System.nanoTime()
+        cinput.addData(rows.toIndexedSeq: _*)
+        cq.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }.toSeq
+    } finally cq.stop()
+    val cAcceptRows = spark.read.parquet(s"$dir/caccept").count()
+    val cRejectRows = spark.read.parquet(s"$dir/creject").count()
+
     // ---- 4. moment-state maintenance --------------------------------
     // per batch: one gram_sum reduction of the batch + an O(dim²) state
     // add — latency must be flat (state never grows, work tracks the batch)
@@ -456,6 +573,11 @@ object StreamBench {
       s""""steady_records_per_sec":${f"${steadyRps(gateLat, batchRows)}%.1f"},""" +
       s""""steady_trend":${f"${steadyTrend(gateLat)}%.3f"},""" +
       s""""accepted_rows":$acceptRows,"rejected_rows":$rejectRows},""" +
+      s""""curation_gate":{"batch_rows":$batchRows,"batches":${curLat.size},""" +
+      s""""latency_sec":${arr(curLat)},""" +
+      s""""steady_records_per_sec":${f"${steadyRps(curLat, batchRows)}%.1f"},""" +
+      s""""steady_trend":${f"${steadyTrend(curLat)}%.3f"},""" +
+      s""""accepted_rows":$cAcceptRows,"rejected_rows":$cRejectRows},""" +
       s""""moments":{"batch_rows":$batchRows,"batches":${momentLat.size},""" +
       s""""latency_sec":${arr(momentLat)},""" +
       s""""steady_records_per_sec":${f"${steadyRps(momentLat, batchRows)}%.1f"},""" +

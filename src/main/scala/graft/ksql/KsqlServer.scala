@@ -24,7 +24,8 @@ import java.nio.charset.StandardCharsets
   * session, as in ksqlDB): handlers serialize on it, so concurrent
   * clients see a consistent catalog. Execution semantics are the batch
   * engine's converged states; the live-changelog plane is
-  * [[KsqlStreamingEngine]] / the streaming REPL mode.
+  * [[startStreaming]] — `POST /query` holds a chunked response open and
+  * streams push-query rows as they emit (see its scaladoc).
   */
 object KsqlServer {
 
@@ -186,6 +187,165 @@ object KsqlServer {
     server
   }
 
+  /** The STREAMING serving plane — ksqlDB's push-query interaction over
+    * HTTP (reference README.md:94-118: `SELECT … EMIT CHANGES;` and rows
+    * keep arriving; `files/ksqldb-server/ksql-server.properties:1` is
+    * the listener this models):
+    *
+    *  - `POST /query` with `{"ksql": "SELECT … EMIT CHANGES;"}` answers
+    *    with CHUNKED transfer encoding and streams newline-delimited
+    *    JSON — one header line `{"queryId":…,"columnNames":[…]}`, then
+    *    one `{"row":{"columns":[…]}}` line per emitted changelog row,
+    *    held OPEN: INSERTs posted while the response is open appear as
+    *    further chunks (the ksqlDB `/query-stream` delimited shape,
+    *    simplified). A blank heartbeat line flushes every poll so a
+    *    closed client is detected promptly; disconnect stops the
+    *    standing query.
+    *  - `POST /ksql` executes statements on the SAME streaming engine
+    *    (one engine = one session, as in ksqlDB): DDL/INSERT → status,
+    *    push queries → drain-snapshot-stop (the streaming REPL's
+    *    contract — the changelog so far).
+    *
+    * Handlers run on a cached thread pool: an open `/query` response
+    * must not block the `/ksql` INSERTs that feed it.
+    */
+  def startStreaming(engine: KsqlStreamingEngine, port: Int): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type",
+        "application/json; charset=utf-8")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+
+    server.createContext("/ksql", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        if (ex.getRequestMethod != "POST") {
+          respond(ex, 405, """{"error":"use POST"}"""); return
+        }
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        extractKsqlField(body) match {
+          case None =>
+            respond(ex, 400, """{"error":"body must be {\"ksql\": \"...\"}"}""")
+          case Some(script) =>
+            val results = KsqlParser.splitStatements(script).map { s =>
+              try {
+                val out = engine.synchronized {
+                  engine.execute(KsqlParser.parse(s))
+                } match {
+                  case Some(h) =>
+                    // drain, snapshot, STOP (the streaming REPL rule): a
+                    // leaked active query would pin MemoryStream buffers
+                    h.processAllAvailable()
+                    val snap = h.emissions
+                    val r = Some(snap)
+                    h.stop()
+                    r
+                  case None => None
+                }
+                resultJson(s, out)
+              } catch { case e: Exception =>
+                s"""{"statement":${jsonValue(s)},""" +
+                  s""""error":${jsonValue(e.getMessage)}}"""
+              }
+            }
+            respond(ex, 200, results.mkString("[", ",", "]"))
+        }
+      } catch { case e: Exception =>
+        respond(ex, 500, s"""{"error":${jsonValue(e.getMessage)}}""")
+      } finally ex.close()
+    })
+
+    server.createContext("/query", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        if (ex.getRequestMethod != "POST") {
+          respond(ex, 405, """{"error":"use POST"}"""); return
+        }
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        val script = extractKsqlField(body).getOrElse {
+          respond(ex, 400,
+            """{"error":"body must be {\"ksql\": \"...\"}"}"""); return
+        }
+        val stmts = KsqlParser.splitStatements(script)
+        val parsed =
+          try {
+            require(stmts.size == 1,
+              s"/query takes exactly one statement, got ${stmts.size}")
+            KsqlParser.parse(stmts.head)
+          } catch { case e: Exception =>
+            respond(ex, 400,
+              s"""{"error":${jsonValue(e.getMessage)}}"""); return
+          }
+        if (!parsed.isInstanceOf[PushQuery]) {
+          respond(ex, 400, """{"error":"/query serves push queries """ +
+            """(SELECT ... EMIT CHANGES;) - use /ksql for statements"}""")
+          return
+        }
+        val h =
+          try engine.synchronized { engine.execute(parsed).get }
+          catch { case e: Exception =>
+            respond(ex, 400,
+              s"""{"error":${jsonValue(e.getMessage)}}"""); return
+          }
+        ex.getResponseHeaders.set("Content-Type",
+          "application/json; charset=utf-8")
+        ex.sendResponseHeaders(200, 0) // length 0 => chunked, held open
+        val os = ex.getResponseBody
+        try {
+          h.processAllAvailable()
+          val cols = h.emissions.columns
+            .map(c => s""""${jsonEscape(c.toUpperCase)}"""")
+            .mkString("[", ",", "]")
+          os.write((s"""{"queryId":${jsonValue(h.name)},""" +
+            s""""columnNames":$cols}""" + "\n")
+            .getBytes(StandardCharsets.UTF_8))
+          os.flush()
+          // poll-and-stream: every new changelog row becomes one chunk.
+          // Chunk order is emission order because the memory sink table
+          // appends per micro-batch; `sent` indexes into that log. The
+          // blank heartbeat makes a closed client surface as IOException
+          // on flush even when no rows are arriving.
+          var sent = 0
+          while (true) {
+            h.processAllAvailable()
+            val rows = h.emissions.collect()
+            while (sent < rows.length) {
+              val cells = rows(sent).toSeq.map(jsonValue)
+                .mkString("[", ",", "]")
+              os.write((s"""{"row":{"columns":$cells}}""" + "\n")
+                .getBytes(StandardCharsets.UTF_8))
+              sent += 1
+            }
+            os.write('\n'.toInt); os.flush()
+            Thread.sleep(100)
+          }
+        } catch {
+          case _: java.io.IOException => () // client closed: normal end
+        } finally {
+          h.stop()
+          try os.close() catch { case _: java.io.IOException => () }
+        }
+      } finally ex.close()
+    })
+
+    server.createContext("/info", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        respond(ex, 200,
+          """{"KsqlServerInfo":{"version":"graft","kafkaClusterId":"n/a",""" +
+            """"ksqlServiceId":"graft_spark_","plane":"streaming"}}""")
+      } finally ex.close()
+    })
+
+    server.start()
+    server
+  }
+
   def main(args: Array[String]): Unit = {
     val port = sys.env.getOrElse("GRAFT_KSQL_PORT", "8088").toInt
     val spark = SparkSession.builder()
@@ -201,10 +361,18 @@ object KsqlServer {
         KsqlEngine.jdbcConnectorProvider _
       else (s: SparkSession, _: Map[String, String]) =>
         graft.streaming.Tutorial.playersSeed(s)
-    val engine = new KsqlEngine(spark, connectorProvider = provider)
-    val server = start(engine, port)
+    // GRAFT_SERVER_ENGINE=streaming serves the live-changelog plane:
+    // /query streams push-query rows over a chunked response (the same
+    // switch the REPL uses, GRAFT_REPL_ENGINE=streaming)
+    val server =
+      if (sys.env.get("GRAFT_SERVER_ENGINE").contains("streaming"))
+        startStreaming(new KsqlStreamingEngine(spark,
+          connectorProvider = provider), port)
+      else
+        start(new KsqlEngine(spark, connectorProvider = provider), port)
     println(s"graft ksql server listening on " +
-      s"http://localhost:${server.getAddress.getPort} (POST /ksql)")
+      s"http://localhost:${server.getAddress.getPort} " +
+      "(POST /ksql; streaming plane also POST /query)")
     Thread.currentThread().join() // serve until killed
   }
 }

@@ -122,6 +122,72 @@ class KsqlServerSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("POST /query streams push-query rows over a chunked response — " +
+      "INSERTs posted while it is open arrive incrementally") {
+    import graft.ksql.{KsqlServer, KsqlStreamingEngine}
+    val engine = new KsqlStreamingEngine(spark,
+      connectorProvider = (s, _) => Tutorial.playersSeed(s))
+    val server = KsqlServer.startStreaming(engine, 0)
+    val port = server.getAddress.getPort
+    try {
+      val (c0, _) = post(port, "/ksql", jsonBody(
+        """CREATE STREAM match_event (
+          id VARCHAR KEY, event_type VARCHAR, player_id VARCHAR,
+          home boolean) WITH (KAFKA_TOPIC='match_event');"""))
+      assert(c0 === 200)
+
+      // open the push query; the response must stay OPEN (chunked)
+      val conn = new URI(s"http://localhost:$port/query").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setReadTimeout(30000)
+      val os = conn.getOutputStream
+      try os.write(jsonBody(
+        "SELECT id, COUNT(id) AS n FROM match_event GROUP BY id " +
+          "EMIT CHANGES;").getBytes(StandardCharsets.UTF_8))
+      finally os.close()
+      assert(conn.getResponseCode === 200)
+      assert(Option(conn.getHeaderField("Transfer-Encoding"))
+        .exists(_.equalsIgnoreCase("chunked")),
+        s"not chunked: ${conn.getHeaderFields}")
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(conn.getInputStream,
+          StandardCharsets.UTF_8))
+      def nextDataLine(): String = { // skip blank heartbeat chunks
+        var l = reader.readLine()
+        while (l != null && l.trim.isEmpty) l = reader.readLine()
+        assert(l != null, "stream closed early")
+        l
+      }
+      val header = nextDataLine()
+      assert(header.contains(""""columnNames":["ID","N"]"""), header)
+
+      // rows emitted BEFORE any insert: none — now insert and watch the
+      // changelog arrive on the already-open response
+      post(port, "/ksql", jsonBody(
+        "INSERT INTO match_event VALUES ('1','GOAL','1',true);"))
+      val r1 = nextDataLine()
+      assert(r1.contains(""""columns":["1",1]"""), r1)
+
+      // a second insert, same open response: the count UPDATES
+      post(port, "/ksql", jsonBody(
+        "INSERT INTO match_event VALUES ('1','GOAL','2',true);"))
+      val r2 = nextDataLine()
+      assert(r2.contains(""""columns":["1",2]"""), r2)
+
+      // client closes; server must survive and stay responsive
+      conn.disconnect()
+      assert(get(port, "/info")._2.contains(""""plane":"streaming""""))
+
+      // non-push statements are refused with 400, not streamed
+      assert(post(port, "/query", jsonBody("SHOW STREAMS;"))._1 === 400)
+    } finally {
+      server.stop(0)
+      engine.stopAll()
+    }
+  }
+
   test("json escaping survives quotes, backslashes, and control chars") {
     import spark.implicits._
     val engine = new KsqlEngine(spark,
