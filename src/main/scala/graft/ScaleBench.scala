@@ -164,8 +164,11 @@ object ScaleBench {
           // the replica offset is only collision-free while every source
           // key is under the stride — a bigger source corpus would make
           // replica key ranges overlap and silently corrupt every FK join
+          // greatest() requires >= 2 args — single-key tables take max directly
+          val maxCols = keys.map(k => max(col(k).cast("long")))
           val maxKey = df.agg(
-            greatest(keys.map(k => max(col(k).cast("long"))): _*)).head()
+            if (maxCols.size == 1) maxCols.head else greatest(maxCols: _*))
+            .head()
           require(maxKey.isNullAt(0) || maxKey.getLong(0) < Stride,
             s"$t: max key ${maxKey.get(0)} >= stride $Stride — replica " +
               "key ranges would overlap; raise Stride for this source")
@@ -180,11 +183,74 @@ object ScaleBench {
     marker.createNewFile()
   }
 
+  /** Fork-per-row sweep (SPARK_GRAFT_FORK=1): one fresh child JVM per
+    * headline query, each a plain `SPARK_GRAFT_ONLY=<name>` run of this
+    * main. Same-HEAD single-JVM sweeps scattered 13–34 s on tail rows
+    * (r10: d21 34.0/20.7/13.4 in-sweep vs 14.9 isolated) because the
+    * per-query cache/GC reset is not isolation — heap fragmentation,
+    * code-cache pressure, and page-cache state survive it. A fresh JVM
+    * is; each child pays its own JIT in its own warmup pass. Children
+    * inherit this JVM's flags (the --add-opens set) and classpath;
+    * per-session disk state (scaled data, mtime-gated layouts) is built
+    * by the parent / first child and reused by the rest.
+    */
+  private def forkedSweep(headline: Seq[String], outDir: String,
+      replicas: Int, cpus: String, passes: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xrunjdwp"))
+    val cp = System.getProperty("java.class.path")
+    val entryRe = """"queries":\{(.*?)\},"n_ok"""".r
+    val entries = headline.map { name =>
+      val pb = new ProcessBuilder(
+        (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.ScaleBench")).asJava)
+      pb.environment().put("SPARK_GRAFT_ONLY", name)
+      pb.environment().put("SPARK_GRAFT_FORK", "0")
+      pb.redirectErrorStream(false)
+      val p = pb.start()
+      // drain stderr concurrently — Spark logs enough to fill the pipe
+      // buffer and deadlock a child that is never read
+      val drain = new Thread(() => {
+        val buf = new Array[Byte](8192)
+        while (p.getErrorStream.read(buf) >= 0) ()
+      })
+      drain.setDaemon(true); drain.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      val rc = p.waitFor()
+      entryRe.findFirstMatchIn(out).map(_.group(1)).getOrElse(
+        s""""$name":{"sec":0,"err":"child exited $rc without a result line"}""")
+    }
+    val ok = entries.filterNot(_.contains("\"err\""))
+    val secRe = """:(?:\{"sec":)?([0-9.eE+-]+)""".r
+    val total = ok.flatMap(e =>
+      secRe.findFirstMatchIn(e).map(_.group(1).toDouble)).sum
+    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","queries":${
+      entries.mkString("{", ",", "}")},"n_ok":${ok.size},"n_err":${
+      entries.size - ok.size},"sf":"$outDir","replicas":$replicas,"cpus":$cpus,"passes":$passes,"forked":true}""")
+    if (entries.size != ok.size) sys.exit(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sfscale")
     val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    if (sys.env.get("SPARK_GRAFT_FORK").contains("1")) {
+      // parent: generate the scaled data once (children find the marker
+      // and skip), then run every row in its own JVM
+      val gen = GraftSession.local(cpus)
+      generate(gen, srcDir, outDir, replicas, cpus.toInt)
+      gen.stop()
+      val only = sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      only.foreach(o => require(o.forall(Headline.contains),
+        s"SPARK_GRAFT_ONLY names not in Headline: ${o.filterNot(Headline.contains)}"))
+      forkedSweep(only.fold(Headline)(o => Headline.filter(o)), outDir,
+        replicas, cpus, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+      return
+    }
     val spark = GraftSession.local(cpus)
     val missing = Headline.filterNot(SparkEntry.queries.contains)
     require(missing.isEmpty, s"unknown headline queries: $missing")

@@ -827,13 +827,22 @@ object TextAnalysis {
     * bit-reproducible cross-engine.
     */
   def boilerplateCoverage(documents: DataFrame, w: Int = 3,
-      dfFrac: Double = 0.01): DataFrame = {
+      dfFrac: Double = 0.01,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.DISK_ONLY): DataFrame = {
     // the tokenize+shingle front feeds the hot-gram aggregate AND the
     // per-doc probe — persisted so documents are scanned once, not per
-    // consumer (the ngramLmScore pattern)
+    // consumer (the ngramLmScore pattern). DISK_ONLY by default: this
+    // relation is corpus×w-sized (every gram STRING of every doc — the
+    // largest scratch in the text family), and caching it deserialized
+    // on heap is exactly what evicts under memory pressure at the
+    // engine's target scale; serialized-to-disk costs one write + two
+    // compact reads and measured within noise of MEMORY_AND_DISK at the
+    // 100× sweep (SCALE.md r11). Callers with small corpora can pass a
+    // memory level back.
     val grams = documents
       .select(col("doc_id"), explode(Dedup.shingles(col("text"), w)).as("_g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(storage)
     val nDocs = documents.select(count(lit(1)).cast("double").as("_nd"))
     val hot = grams.groupBy("_g").agg(count(lit(1)).as("_df"))
       .crossJoin(broadcast(nDocs))
