@@ -113,10 +113,20 @@ object RecallReport {
     // The m=8 SEED point (trainIters=0) is kept as attribution: it is
     // what r10 shipped (0.34), and the delta to m_8 is what training
     // alone buys at the committed compression.
+    // codebooks are trained ONCE per m, outside the timed points (their
+    // cost reported separately as train_sec): training is a build-time
+    // cost paid once per corpus, and folding it into every sweep point
+    // would drown the query-path cost each knob actually trades
     val pqMs = Seq(8, 16, 32)
+    val trained = pqMs.map { m =>
+      val t0 = System.nanoTime()
+      val cb = Similarity.trainPqCodebooks(emb, m = m, k = 256)
+      m -> (cb, math.rint((System.nanoTime() - t0) / 1e6) / 1e3)
+    }.toMap
     val pqSets = pqMs.map { m =>
       val (got, sec) = timed(pairSet(
-        Similarity.pqTopK(emb, queries, k = 5, m = m, codebookSize = 256),
+        Similarity.pqTopK(emb, queries, k = 5, m = m, codebookSize = 256,
+          codebooks = trained(m)._1),
         "query_id", "neighbor_id"))
       m -> (got, sec)
     }.toMap
@@ -125,23 +135,32 @@ object RecallReport {
         trainIters = 0), "query_id", "neighbor_id")
     val pq = pqMs.map { m =>
       val (got, sec) = pqSets(m)
-      s""""m_$m":{"recall":${recallOf(got, exactMips)},"sec":$sec}"""
+      s""""m_$m":{"recall":${recallOf(got, exactMips)},"sec":$sec,"train_sec":${trained(m)._2}}"""
     } :+ s""""m_8_seed":{"recall":${recallOf(pqSeed8, exactMips)}}"""
 
     // v17: IVF-gated PQ at the COMMITTED defaults (m=8, trained
     // codebooks, rerank=24 exact refine) across nProbe — the curve a
-    // caller actually gets. Two recalls per point: vs exact MIPS
-    // (end-to-end) and vs the ungated trained-ADC ranking at the same m
-    // (the gate's OWN loss). The refine stage re-scores with exact dots,
-    // so end-to-end loss is candidate loss only: cells × shortlist.
+    // caller actually gets. Two recalls per point: `recall` is the
+    // DEFAULT (reranked) output vs exact MIPS (end-to-end), and
+    // `adc_recall` is a SEPARATE rerank=0 run at the same nProbe vs the
+    // ungated trained-ADC ranking — the gate's OWN loss, measured in ADC
+    // space where the gate operates. (Comparing the RERANKED output to
+    // the ADC top-5 would conflate the refine stage's deliberate
+    // reordering with cell loss: at a gate that loses nothing it would
+    // still read ~0.8 purely because rerank reorders away from ADC.)
     val pureAdc = pqSets(8)._1
+    val cb8 = trained(8)._1
     val ivfpq = for (np <- Seq(1, 2, 4, 8, 16, 20, 24)) yield {
       val (got, sec) = timed(pairSet(
         Similarity.ivfPqTopK(emb, queries, k = 5, nProbe = np, m = 8,
-          codebookSize = 256),
+          codebookSize = 256, codebooks = cb8),
         "query_id", "neighbor_id"))
+      val gatedAdc = pairSet(
+        Similarity.ivfPqTopK(emb, queries, k = 5, nProbe = np, m = 8,
+          codebookSize = 256, rerank = 0, codebooks = cb8),
+        "query_id", "neighbor_id")
       s""""nprobe_${np}_spill_2":{"recall":${recallOf(got, exactMips)
-        },"adc_recall":${recallOf(got, pureAdc)},"sec":$sec}"""
+        },"adc_recall":${recallOf(gatedAdc, pureAdc)},"sec":$sec}"""
     }
 
     // the refine knob isolated: nProbe=20 fixed, rerank swept. rerank=0
@@ -151,7 +170,7 @@ object RecallReport {
     val ivfpqRr = for (r <- Seq(0, 4, 8, 16, 24, 32)) yield {
       val (got, sec) = timed(pairSet(
         Similarity.ivfPqTopK(emb, queries, k = 5, nProbe = 20, m = 8,
-          codebookSize = 256, rerank = r),
+          codebookSize = 256, rerank = r, codebooks = cb8),
         "query_id", "neighbor_id"))
       s""""rerank_$r":{"recall":${recallOf(got, exactMips)},"sec":$sec}"""
     }

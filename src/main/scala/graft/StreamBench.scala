@@ -395,6 +395,11 @@ object StreamBench {
       // section can be regenerated without re-running the other
       val mode =
         sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALED_MODE", "both")
+      // a typo'd mode must fail loudly, never print an empty green run
+      // (the same rule ScaleBench applies to SPARK_GRAFT_ONLY)
+      require(Set("ingest", "retrieval", "curation", "both").contains(mode),
+        s"unknown SPARK_GRAFT_STREAM_SCALED_MODE '$mode' " +
+          "(expected ingest|retrieval|curation|both)")
       if (mode == "ingest" || mode == "both")
         scaledIngest(spark, sfDir, scaledReplicas, nBatches, batchRows)
       if (mode == "retrieval" || mode == "both")

@@ -27,8 +27,15 @@ final class VectorSumBuffer {
         while (i < m) { sums(i) += v.getDouble(i); i += 1 }
       case LongType =>
         while (i < m) { sums(i) += v.getLong(i).toDouble; i += 1 }
-      case _ =>
+      case FloatType =>
         while (i < m) { sums(i) += v.getFloat(i).toDouble; i += 1 }
+      case IntegerType =>
+        while (i < m) { sums(i) += v.getInt(i).toDouble; i += 1 }
+      case other =>
+        // an unmatched type falling into a typed getter is the silent-
+        // corruption mode this dispatch exists to prevent — fail loudly
+        throw new IllegalArgumentException(
+          s"graft_vector_sum: unsupported array element type $other")
     }
   }
   def merge(o: VectorSumBuffer): Unit =

@@ -118,6 +118,18 @@ object KsqlServer {
     None
   }
 
+  /** ONE response protocol for both serving planes — a header or
+    * error-draining change must not land on one plane only.
+    */
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type",
+      "application/json; charset=utf-8")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
   private def resultJson(statement: String, df: Option[DataFrame]): String =
     df match {
       case Some(d) =>
@@ -136,15 +148,6 @@ object KsqlServer {
     */
   def start(engine: KsqlEngine, port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
-
-    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
-      val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type",
-        "application/json; charset=utf-8")
-      ex.sendResponseHeaders(code, bytes.length.toLong)
-      val os = ex.getResponseBody
-      try os.write(bytes) finally os.close()
-    }
 
     server.createContext("/ksql", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = try {
@@ -212,15 +215,6 @@ object KsqlServer {
   def startStreaming(engine: KsqlStreamingEngine, port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
-
-    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
-      val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type",
-        "application/json; charset=utf-8")
-      ex.sendResponseHeaders(code, bytes.length.toLong)
-      val os = ex.getResponseBody
-      try os.write(bytes) finally os.close()
-    }
 
     server.createContext("/ksql", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = try {
@@ -309,18 +303,29 @@ object KsqlServer {
           // poll-and-stream: every new changelog row becomes one chunk.
           // Chunk order is emission order because the memory sink table
           // appends per micro-batch; `sent` indexes into that log. The
+          // batchId gate keeps an IDLE poll at one driver field read —
+          // the memory-sink scan (driver-local, bounded by the changelog
+          // the sink already holds) runs only when a micro-batch has
+          // actually landed since the last poll, so a connection held
+          // open on a quiet stream costs no Spark work per tick. The
           // blank heartbeat makes a closed client surface as IOException
           // on flush even when no rows are arriving.
           var sent = 0
+          var seenBatch = Long.MinValue
           while (true) {
             h.processAllAvailable()
-            val rows = h.emissions.collect()
-            while (sent < rows.length) {
-              val cells = rows(sent).toSeq.map(jsonValue)
-                .mkString("[", ",", "]")
-              os.write((s"""{"row":{"columns":$cells}}""" + "\n")
-                .getBytes(StandardCharsets.UTF_8))
-              sent += 1
+            val p = h.query.lastProgress
+            val batch = if (p == null) -1L else p.batchId
+            if (batch != seenBatch) {
+              seenBatch = batch
+              val rows = h.emissions.collect()
+              while (sent < rows.length) {
+                val cells = rows(sent).toSeq.map(jsonValue)
+                  .mkString("[", ",", "]")
+                os.write((s"""{"row":{"columns":$cells}}""" + "\n")
+                  .getBytes(StandardCharsets.UTF_8))
+                sent += 1
+              }
             }
             os.write('\n'.toInt); os.flush()
             Thread.sleep(100)

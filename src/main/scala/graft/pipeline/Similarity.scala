@@ -748,9 +748,16 @@ object Similarity {
 
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       m: Int = 8, codebookSize: Int = 256, idCol: String = "vec_id",
-      vecCol: String = "embedding", trainIters: Int = 2): DataFrame = {
-    val cb = trainPqCodebooks(corpus, m, codebookSize, trainIters, idCol,
-      vecCol)
+      vecCol: String = "embedding", trainIters: Int = 2,
+      codebooks: Array[Array[Array[Float]]] = null): DataFrame = {
+    // `codebooks` short-circuits training: a sweep harness (RecallReport)
+    // or a serving loop trains ONCE and replays many retrievals — without
+    // it every call pays trainIters full-corpus passes, and a timed sweep
+    // point reports train cost as if it were query cost
+    val cb =
+      if (codebooks != null) codebooks
+      else trainPqCodebooks(corpus, m, codebookSize, trainIters, idCol,
+        vecCol)
     // ADC folds over the codebook dim: a query from a different embedding
     // space would silently score garbage (shorter) or drop its tail
     // components (longer) — fail loudly instead
@@ -838,9 +845,14 @@ object Similarity {
       centroidEvery: Int = 50, kmeansIters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxCells: Int = 4096, spill: Int = 2, trainIters: Int = 2,
-      rerank: Int = 24): DataFrame = {
-    val cb = trainPqCodebooks(corpus, m, codebookSize, trainIters, idCol,
-      vecCol)
+      rerank: Int = 24,
+      codebooks: Array[Array[Array[Float]]] = null): DataFrame = {
+    // prebuilt codebooks skip training (see pqTopK) — the knob sweeps in
+    // RecallReport share one training so each point times retrieval only
+    val cb =
+      if (codebooks != null) codebooks
+      else trainPqCodebooks(corpus, m, codebookSize, trainIters, idCol,
+        vecCol)
     requireVectorDim(queries, vecCol, m * cb.head.head.length, "ivfPqTopK")
     // seed count decides whether Lloyd passes are worth paying — under
     // full probe the centroid VALUES are dead (only the count matters),
