@@ -138,6 +138,20 @@ object RecallReport {
       s""""m_$m":{"recall":${recallOf(got, exactMips)},"sec":$sec,"train_sec":${trained(m)._2}}"""
     } :+ s""""m_8_seed":{"recall":${recallOf(pqSeed8, exactMips)}}"""
 
+    // training-convergence sweep at the committed m=8: does more Lloyd
+    // buy more recall, or does the PQ floor at this compression plateau?
+    // (This corpus is near-isotropic — see the PCA caveat above — which
+    // is also PQ's worst case: subspaces have no cluster structure for
+    // Lloyd to find, so the honest expectation is a fast plateau, and
+    // the recall path at m=8 is the RERANK stage, not more training.)
+    val pqIters = for (it <- Seq(0, 2, 4, 8, 16)) yield {
+      val cb = Similarity.trainPqCodebooks(emb, m = 8, k = 256, iters = it)
+      val got = pairSet(
+        Similarity.pqTopK(emb, queries, k = 5, m = 8, codebookSize = 256,
+          codebooks = cb), "query_id", "neighbor_id")
+      s""""iters_$it":${recallOf(got, exactMips)}"""
+    }
+
     // v17: IVF-gated PQ at the COMMITTED defaults (m=8, trained
     // codebooks, rerank=24 exact refine) across nProbe — the curve a
     // caller actually gets. Two recalls per point: `recall` is the
@@ -185,7 +199,7 @@ object RecallReport {
     // (recall@5 moved ≤ 0.01 at fixed nProbe), while spill=2 moved
     // 0.78 → ≈0.94 — border vectors, not unprobed-cell distance, dominate
     // the loss when cells barely cluster.
-    println(s"""{"metric":"recall","sf":"$sfDir","defaults":{"nprobe":16,"ivfpq_nprobe":20,"ivfpq_rerank":24,"knn_nassign":16,"semdedup_nassign":8,"spill":2,"pca_kpca":16,"pca_shortlist":200},"ivf_recall_at_5":{${ivf.mkString(",")}},"mips_recall_at_5":{${mips.mkString(",")}},"knn_graph_recall":{${v7.mkString(",")}},"semdedup_pair_recall":{${d11.mkString(",")}},"pca_recall_at_5":{${pca.mkString(",")}},"pq_recall_at_5":{${pq.mkString(",")}},"ivfpq_recall_at_5":{${ivfpq.mkString(",")}},"ivfpq_rerank_sweep":{${ivfpqRr.mkString(",")}},"exact_topk_pairs":${exactTopK.size},"exact_mips_pairs":${exactMips.size},"exact_graph_pairs":${exactGraph.size},"exact_semantic_pairs":${exactPairs.size}}""")
+    println(s"""{"metric":"recall","sf":"$sfDir","defaults":{"nprobe":16,"ivfpq_nprobe":20,"ivfpq_rerank":24,"knn_nassign":16,"semdedup_nassign":8,"spill":2,"pca_kpca":16,"pca_shortlist":200},"ivf_recall_at_5":{${ivf.mkString(",")}},"mips_recall_at_5":{${mips.mkString(",")}},"knn_graph_recall":{${v7.mkString(",")}},"semdedup_pair_recall":{${d11.mkString(",")}},"pca_recall_at_5":{${pca.mkString(",")}},"pq_recall_at_5":{${pq.mkString(",")}},"pq_train_sweep_m8":{${pqIters.mkString(",")}},"ivfpq_recall_at_5":{${ivfpq.mkString(",")}},"ivfpq_rerank_sweep":{${ivfpqRr.mkString(",")}},"exact_topk_pairs":${exactTopK.size},"exact_mips_pairs":${exactMips.size},"exact_graph_pairs":${exactGraph.size},"exact_semantic_pairs":${exactPairs.size}}""")
     spark.stop()
   }
 }

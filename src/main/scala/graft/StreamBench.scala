@@ -205,9 +205,10 @@ object StreamBench {
       .orderBy("doc_id").limit(nBatches * batchRows)
       .collect().map(r => (r.getLong(0), r.getString(1)))
 
-    // (corpusRows, lmModelRows, buildSec, perBatchLat, accepted, rejected)
+    // (corpusRows, lmModelRows, buildSec, perBatchLat, accepted,
+    //  rejected, minLmC6, minDsirC6)
     def run(tag: String, nRep: Int, batches: Int):
-        (Long, Long, Double, Seq[Double], Long, Long) = {
+        (Long, Long, Double, Seq[Double], Long, Long, Long, Long) = {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_scaledcur_$tag").toString
       // the DSIR fit needs each doc's lang (target-vs-raw split);
@@ -227,11 +228,26 @@ object StreamBench {
       val buildSec = (System.nanoTime() - t0) / 1e9
       corpus.unpersist()
       val lmRows = spark.read.parquet(s"$dir/lm").count()
+      // CALIBRATED thresholds: a fixed absolute cut-off tuned at 1×
+      // rejects EVERYTHING under the grown model (21× vocabulary →
+      // lower per-doc log-probs), degenerating the routing half of the
+      // benchmark. Each side takes its thresholds as the MEDIAN of its
+      // own model's scores over the same calibration slice (the first
+      // batch's docs), so both sides accept comparable fractions and
+      // every gate branch does real work in the timed loop.
+      val cal = spark.createDataFrame(
+        feed.take(batchRows).toIndexedSeq).toDF("doc_id", "text")
+      val med = graft.streaming.StreamScore.gateScoresDsir(spark,
+          s"$dir/lm", s"$dir/dsir", cal, Long.MinValue, Long.MinValue)
+        .agg(expr("percentile(lm_c6, 0.5)"), expr("percentile(dsir_c6, 0.5)"))
+        .head()
+      val minLm = math.floor(med.getDouble(0)).toLong
+      val minDsir = math.floor(med.getDouble(1)).toLong
       val input = MemoryStream[(Long, String)]
       val gq = graft.streaming.StreamScore.curationGate(
         input.toDF().toDF("doc_id", "text"), s"$dir/lm", s"$dir/dsir",
         s"$dir/accept", s"$dir/reject", s"$dir/ckpt",
-        minLmC6 = -3400000L, minDsirC6 = -8000000L)
+        minLmC6 = minLm, minDsirC6 = minDsir)
       val lat = try {
         feed.grouped(batchRows).take(batches).map { rows =>
           val b0 = System.nanoTime()
@@ -242,31 +258,34 @@ object StreamBench {
       } finally gq.stop()
       val acc = spark.read.parquet(s"$dir/accept").count()
       val rej = spark.read.parquet(s"$dir/reject").count()
-      (corpusRows, lmRows, buildSec, lat, acc, rej)
+      (corpusRows, lmRows, buildSec, lat, acc, rej, minLm, minDsir)
     }
 
     // throwaway warmup run: JIT + codegen for the whole gate path land
     // here, not on whichever timed run goes first (the r10 lesson —
     // control-first ordering flattered big_over_small)
     run("warm", 1, math.min(2, nBatches))
-    val (smallRows, smallLm, smallBuild, smallLat, _, _) =
-      run("small", 1, nBatches)
-    val (bigRows, bigLm, bigBuild, bigLat, bigAcc, bigRej) =
-      run("big", replicas, nBatches)
-    def side(rows: Long, lm: Long, build: Double,
-        lat: Seq[Double]): String =
+    val (smallRows, smallLm, smallBuild, smallLat, smallAcc, smallRej,
+      smallMinLm, smallMinDsir) = run("small", 1, nBatches)
+    val (bigRows, bigLm, bigBuild, bigLat, bigAcc, bigRej,
+      bigMinLm, bigMinDsir) = run("big", replicas, nBatches)
+    def side(rows: Long, lm: Long, build: Double, lat: Seq[Double],
+        acc: Long, rej: Long, minLm: Long, minDsir: Long): String =
       s"""{"corpus_rows":$rows,"lm_model_rows":$lm,""" +
       s""""model_build_sec":${f"$build%.1f"},""" +
       s""""latency_sec":${arr(lat)},""" +
       s""""steady_records_per_sec":${f"${steadyRps(lat, batchRows)}%.1f"},""" +
-      s""""steady_trend":${f"${steadyTrend(lat)}%.3f"}}"""
+      s""""steady_trend":${f"${steadyTrend(lat)}%.3f"},""" +
+      s""""accepted_rows":$acc,"rejected_rows":$rej,""" +
+      s""""cal_min_lm_c6":$minLm,"cal_min_dsir_c6":$minDsir}"""
     println(
       s"""{"metric":"stream_curation_scaled","sf":"$sfDir",""" +
       s""""batch_rows":$batchRows,"batches":$nBatches,""" +
       s""""warmup_batches":$WarmupBatches,""" +
-      s""""big":${side(bigRows, bigLm, bigBuild, bigLat)},""" +
-      s""""small":${side(smallRows, smallLm, smallBuild, smallLat)},""" +
-      s""""big_accepted":$bigAcc,"big_rejected":$bigRej,""" +
+      s""""big":${side(bigRows, bigLm, bigBuild, bigLat, bigAcc, bigRej,
+        bigMinLm, bigMinDsir)},""" +
+      s""""small":${side(smallRows, smallLm, smallBuild, smallLat,
+        smallAcc, smallRej, smallMinLm, smallMinDsir)},""" +
       s""""big_over_small":${
         f"${steady(bigLat).sum / steady(smallLat).sum}%.3f"}}""")
   }
