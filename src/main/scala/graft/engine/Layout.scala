@@ -93,11 +93,25 @@ object Layout {
     // the now-dirless catalog entry — DROP tolerates a missing location
     // (verified against the in-memory catalog); Spark forbids flipping
     // the entry to EXTERNAL, so the move must come first
+    // install target = the live table's CATALOG location: after a
+    // compactBucketed pointer swap the data dir is a versioned sibling,
+    // not the name-derived default — appending into the default would
+    // land files in a dead directory no scan reads
     val staged = new org.apache.hadoop.fs.Path(
-      st.appendInto(tableLocation(spark, table).toString))
+      st.appendInto(currentTableLocation(spark, table).toString))
     require(fs.rename(src, staged), s"cannot stage $src")
     spark.sql(s"DROP TABLE IF EXISTS `$stage`")
   }
+
+  /** The table's CURRENT data directory from the catalog — NOT the
+    * name-derived default: after a [[compactBucketed]] pointer swap the
+    * live data lives in a versioned sibling directory.
+    */
+  private[graft] def currentTableLocation(spark: SparkSession,
+      table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
 
   /** Compact a bucketed table back to ONE file per bucket. Each
     * [[appendBucketed]] adds a file per non-empty bucket, and at
@@ -106,31 +120,81 @@ object Layout {
     * table-form twin. The rewrite repartitions on the bucket key with the
     * bucket count (Spark's bucket id IS `pmod(murmur3, buckets)`, the
     * same hash family `repartition` uses), so every task holds exactly
-    * one bucket's rows and writes exactly one file; the swap is
-    * drop-then-rename on the catalog. Crash windows: before the drop the
-    * original is untouched; between drop and rename the data lives only
-    * in `<table>__compacting`, and the recovery step at entry (rename if
-    * the live name is missing) completes the swap on rerun.
+    * one bucket's rows and writes exactly one file.
+    *
+    * The install is an ATOMIC METADATA POINTER SWAP — the move a table
+    * format makes, expressed in catalog DDL: the rewrite lands in a
+    * fresh versioned sibling directory (`<table>__c<k>`, scaffolded
+    * under a throwaway catalog entry of that name), then ONE
+    * `ALTER TABLE … SET LOCATION` repoints the live name. The previous
+    * protocol (drop-then-rename) was loud-or-correct in PROSE only: a
+    * managed DROP deletes the old directory file by file, so a
+    * concurrent reader listing mid-delete saw a surviving SUBSET and
+    * returned a silently short count (caught by CompactionRaceSpec),
+    * and a listing after the directory vanished read silently empty.
+    * Under the pointer swap the live name always resolves to a
+    * COMPLETE directory; stale listings hold old-version file paths
+    * whose deletion is DEFERRED to the next compaction's sweep, so a
+    * raced reader either returns the exact pre-compaction answer or
+    * fails loudly on a dead path — never a subset.
+    *
+    * Crash windows (each repaired by the entry sweep on rerun): after
+    * the rewrite but before the swap → scaffold entry dropped with its
+    * directory; after the swap but before the scaffold detach → the
+    * scaffold entry shares the live directory and is detached to a husk
+    * before dropping (dropping it outright would delete live data);
+    * superseded directories from any earlier compaction are swept here
+    * too. The `<table>__c<k>` name family is reserved for this protocol.
     */
   def compactBucketed(spark: SparkSession, table: String, key: String,
       buckets: Int, sorted: Boolean = true): Unit = {
     require(!table.contains("."),
       s"compactBucketed: unqualified table name required, got '$table'")
-    val tmp = table + "__compacting"
+    val cat = spark.sessionState.catalog
     if (!spark.catalog.tableExists(table)) {
-      // crashed between drop and rename: the tmp table holds the only
-      // copy — install it and return
-      require(spark.catalog.tableExists(tmp),
-        s"compactBucketed: neither $table nor $tmp exists")
-      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+      // pre-r12 drop-then-rename crash state: the only copy is parked
+      // under the legacy scaffold name — install it and return
+      val legacy = table + "__compacting"
+      require(spark.catalog.tableExists(legacy),
+        s"compactBucketed: neither $table nor $legacy exists")
+      spark.sql(s"ALTER TABLE `$legacy` RENAME TO `$table`")
       return
     }
-    spark.sql(s"DROP TABLE IF EXISTS `$tmp`") // incomplete rewrite, discard
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.catalog.getDatabase(spark.catalog.currentDatabase).locationUri,
-      tmp.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    val liveLoc = currentTableLocation(spark, table)
+    val fs = liveLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def qual(p: org.apache.hadoop.fs.Path) = fs.makeQualified(p)
+
+    // ---- entry sweep: crash leftovers + deferred deletes ----
+    val db = cat.getCurrentDatabase
+    cat.listTables(db, s"${table}__c*")
+      .filter(id => !cat.isTempView(id)).foreach { id =>
+        val entryLoc =
+          new org.apache.hadoop.fs.Path(cat.getTableMetadata(id).location)
+        if (qual(entryLoc) == qual(liveLoc)) {
+          // crashed between pointer swap and detach: the scaffold entry
+          // shares the LIVE directory — repoint it at an empty husk so
+          // the drop deletes nothing that matters
+          val husk = new org.apache.hadoop.fs.Path(
+            liveLoc.getParent, id.table + "__husk")
+          fs.mkdirs(husk)
+          spark.sql(s"ALTER TABLE `${id.table}` SET LOCATION '$husk'")
+        }
+        spark.sql(s"DROP TABLE `${id.table}`")
+      }
+    // superseded or partial version directories (this table's reserved
+    // family: the bare default dir and __c<k> siblings) that are not the
+    // live directory — the previous compaction deferred these so no
+    // in-flight listing could race a file delete
+    val whPath = new org.apache.hadoop.fs.Path(
+      cat.getDatabaseMetadata(db).locationUri)
+    val family =
+      s"^${java.util.regex.Pattern.quote(table.toLowerCase)}(__c\\d+)?$$"
+    if (fs.exists(whPath)) fs.listStatus(whPath).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.matches(family) &&
+        qual(st.getPath) != qual(liveLoc)) fs.delete(st.getPath, true)
+    }
+
+    // ---- rewrite into the next versioned scaffold ----
     // RANGE-repartition on the BUCKET ID (pmod(murmur3, buckets) — the
     // same function the bucket writer assigns files by): contiguous id
     // ranges keep every bucket wholly in one task (one file per bucket)
@@ -139,12 +203,27 @@ object Layout {
     // others holding 2-3 whole buckets — lost parallelism at exactly the
     // scale compaction targets.
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val ver = "__c(\\d+)$".r.findFirstMatchIn(liveLoc.getName)
+      .map(_.group(1).toInt).getOrElse(0)
+    val next = s"${table}__c${ver + 1}"
     val w = spark.table(table)
       .repartitionByRange(buckets, pmod(hash(col(key)), lit(buckets)))
       .write.mode("overwrite").format("parquet").bucketBy(buckets, key)
-    (if (sorted) w.sortBy(key) else w).saveAsTable(tmp)
-    spark.sql(s"DROP TABLE `$table`")
-    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    (if (sorted) w.sortBy(key) else w).saveAsTable(next)
+    val nextLoc = currentTableLocation(spark, next)
+
+    // ---- atomic install: one catalog CAS ----
+    spark.sql(s"ALTER TABLE `$table` SET LOCATION '$nextLoc'")
+    // detach + drop the scaffold entry (crash between these two lines
+    // leaves the shared-location state the entry sweep repairs)
+    val husk = new org.apache.hadoop.fs.Path(
+      nextLoc.getParent, next + "__husk")
+    fs.mkdirs(husk)
+    spark.sql(s"ALTER TABLE `$next` SET LOCATION '$husk'")
+    spark.sql(s"DROP TABLE `$next`")
+    // liveLoc (now superseded) is deliberately NOT deleted here — a
+    // reader that resolved the old pointer moments ago may be listing
+    // it right now; the next compaction's sweep collects it
   }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)

@@ -603,7 +603,12 @@ class PlanShapeSpec extends SparkSpec {
     graft.engine.Layout.writeBucketed(keyed.filter(col("_bb") % 3 === 0), tbl, "_bb", 4)
     graft.engine.Layout.appendBucketed(keyed.filter(col("_bb") % 3 === 1), tbl, "_bb", 4)
     graft.engine.Layout.appendBucketed(keyed.filter(col("_bb") % 3 === 2), tbl, "_bb", 4)
-    def files = fs.listStatus(wh).count(_.getPath.getName.endsWith(".parquet"))
+    // count at the CATALOG location: the pointer-swap install leaves
+    // the live data in a versioned sibling dir (and defers deleting the
+    // superseded one), so the name-derived path is not the table
+    def files = fs
+      .listStatus(graft.engine.Layout.currentTableLocation(spark, tbl))
+      .count(_.getPath.getName.endsWith(".parquet"))
     val before = spark.table(tbl).collect().map(_.getLong(0)).sorted
     assert(files > 4, s"expected append accretion, got $files files")
     graft.engine.Layout.compactBucketed(spark, tbl, "_bb", 4)
@@ -645,6 +650,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(spark.catalog.tableExists(tbl))
     assert(!spark.catalog.tableExists(s"${tbl}__compacting"))
     assert(spark.table(tbl).count() === keyed.count())
+  }
+
+  test("bucketed compaction recovers when the scaffold entry shares the " +
+      "live directory (crash between pointer swap and detach)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tbl = "compact_bucketed_crash_swap"
+    val fs = new org.apache.hadoop.fs.Path("/tmp/graft-test-warehouse")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(tbl, s"${tbl}__c1", s"${tbl}__c2").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"/tmp/graft-test-warehouse/$t")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val keyed = docs.select(col("doc_id").as("_bb"), col("source"))
+    graft.engine.Layout.writeBucketed(keyed, tbl, "_bb", 4)
+    val expected = spark.table(tbl).count()
+    // reproduce the exact crash state: a completed rewrite under the
+    // scaffold name, the live pointer already swapped onto its
+    // directory, the scaffold entry never detached/dropped — and the
+    // superseded original directory still on disk
+    graft.engine.Layout.writeBucketed(keyed, s"${tbl}__c1", "_bb", 4)
+    val c1Loc = graft.engine.Layout.currentTableLocation(spark, s"${tbl}__c1")
+    spark.sql(s"ALTER TABLE $tbl SET LOCATION '$c1Loc'")
+    assert(spark.catalog.tableExists(s"${tbl}__c1"))
+    // rerun must repair WITHOUT losing the live data (dropping the
+    // scaffold outright would delete the shared directory)
+    graft.engine.Layout.compactBucketed(spark, tbl, "_bb", 4)
+    assert(spark.table(tbl).count() === expected)
+    assert(!spark.catalog.tableExists(s"${tbl}__c1"))
+    assert(graft.engine.Layout.currentTableLocation(spark, tbl)
+      .getName.endsWith("__c2"))
+    // the pre-swap original dir was swept (deferred delete collected)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"/tmp/graft-test-warehouse/$tbl")))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   test("compaction recovers from a crash between the two swap renames") {
