@@ -71,9 +71,15 @@ object KsqlServer {
     // scan STRING TOKENS, not substrings: '"ksql"' inside another
     // field's value (e.g. {"note":"about \"ksql\"","ksql":"..."}) must
     // not bind as the key, so the key test is "complete string token
-    // whose decoded value is ksql, followed by ':'". A malformed \u
-    // escape returns None (→ the caller's 400), never an exception.
+    // whose decoded value is ksql, followed by ':'" — AND only at
+    // nesting depth 1: a ksql key buried in a sub-object
+    // (e.g. {"streamsProperties":{"ksql":"..."}}) is some other
+    // field's payload, not a statement, and executing it would let a
+    // property bag smuggle SQL past a proxy that inspects only the
+    // top-level field. A malformed \u escape returns None (→ the
+    // caller's 400), never an exception.
     var i = 0
+    var depth = 0
     def skipWs(): Unit =
       while (i < body.length && body.charAt(i).isWhitespace) i += 1
     // decodes the string token starting at body(i) == '"'; leaves i one
@@ -103,17 +109,24 @@ object KsqlServer {
       if (i >= body.length) None else { i += 1; Some(sb.result()) }
     }
     while (i < body.length) {
-      if (body.charAt(i) == '"') {
-        val tok = stringToken().getOrElse(return None)
-        val before = i
-        skipWs()
-        if (tok == "ksql" && i < body.length && body.charAt(i) == ':') {
-          i += 1; skipWs()
-          if (i >= body.length || body.charAt(i) != '"') return None
-          return stringToken()
-        }
-        i = before // a value string: resume right after it
-      } else i += 1
+      body.charAt(i) match {
+        case '"' =>
+          val tok = stringToken().getOrElse(return None)
+          val before = i
+          skipWs()
+          if (depth == 1 && tok == "ksql" && i < body.length &&
+            body.charAt(i) == ':') {
+            i += 1; skipWs()
+            if (i >= body.length || body.charAt(i) != '"') return None
+            return stringToken()
+          }
+          i = before // a value string: resume right after it
+        // string contents never reach here (stringToken consumed them),
+        // so every brace/bracket seen is structural
+        case '{' | '[' => depth += 1; i += 1
+        case '}' | ']' => depth -= 1; i += 1
+        case _ => i += 1
+      }
     }
     None
   }
@@ -301,34 +314,31 @@ object KsqlServer {
             .getBytes(StandardCharsets.UTF_8))
           os.flush()
           // poll-and-stream: every new changelog row becomes one chunk.
-          // Chunk order is emission order because the memory sink table
-          // appends per micro-batch; `sent` indexes into that log. The
-          // batchId gate keeps an IDLE poll at one driver field read —
-          // the memory-sink scan (driver-local, bounded by the changelog
-          // the sink already holds) runs only when a micro-batch has
-          // actually landed since the last poll, so a connection held
-          // open on a quiet stream costs no Spark work per tick. The
-          // blank heartbeat makes a closed client surface as IOException
-          // on flush even when no rows are arriving.
-          var sent = 0
-          var seenBatch = Long.MinValue
-          while (true) {
-            h.processAllAvailable()
-            val p = h.query.lastProgress
-            val batch = if (p == null) -1L else p.batchId
-            if (batch != seenBatch) {
-              seenBatch = batch
-              val rows = h.emissions.collect()
-              while (sent < rows.length) {
-                val cells = rows(sent).toSeq.map(jsonValue)
-                  .mkString("[", ",", "]")
-                os.write((s"""{"row":{"columns":$cells}}""" + "\n")
-                  .getBytes(StandardCharsets.UTF_8))
-                sent += 1
-              }
+          // Chunk order is emission order because the memory sink
+          // appends per micro-batch and [[PushHandle.drainSince]] walks
+          // its batch list in order. Each poll is INCREMENTAL — O(rows
+          // landed since the last poll), driver-only, zero Spark jobs —
+          // so a long-lived connection's total serving cost is O(rows
+          // emitted), not O(changelog²). The stream's own trigger
+          // advances micro-batches; the loop never calls
+          // processAllAvailable, it only observes the sink. The blank
+          // heartbeat makes a closed client surface as IOException on
+          // flush even when no rows are arriving, and a query stopped
+          // under the handler (engine shutdown) ends the response after
+          // one final drain instead of spinning until a write fails.
+          var cursor = -1L
+          var more = true
+          while (more) {
+            more = h.query.isActive
+            val (rows, next) = h.drainSince(cursor)
+            cursor = next
+            rows.foreach { r =>
+              val cells = r.toSeq.map(jsonValue).mkString("[", ",", "]")
+              os.write((s"""{"row":{"columns":$cells}}""" + "\n")
+                .getBytes(StandardCharsets.UTF_8))
             }
             os.write('\n'.toInt); os.flush()
-            Thread.sleep(100)
+            if (more) Thread.sleep(100)
           }
         } catch {
           case _: java.io.IOException => () // client closed: normal end

@@ -18,6 +18,36 @@ final case class PushHandle(spark: SparkSession, name: String,
   def processAllAvailable(): Unit = query.processAllAvailable()
   /** Every emitted row (append rows, or the update-mode changelog). */
   def emissions: DataFrame = spark.table(name)
+
+  private lazy val memSink = query
+    .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+    .streamingQuery.sink
+    .asInstanceOf[org.apache.spark.sql.execution.streaming.sources.MemorySink]
+
+  /** Drain changelog rows from batches PAST `cursor` (a batchId; -1 =
+    * from the beginning), returning `(rows, newCursor)`. O(new rows)
+    * and driver-only — no Spark job, no sink-table scan: it reads the
+    * memory sink's own batch list, so a long-lived `/query` connection
+    * pays each poll for what landed since its last poll, not for the
+    * whole changelog (which is O(n²) over the connection's lifetime).
+    * Both sink reads happen under the sink's monitor (its accessors are
+    * `synchronized` methods), making `(rows, newCursor)` one consistent
+    * snapshot — a batch landing between unlocked reads would otherwise
+    * be duplicated or skipped.
+    *
+    * Changelog retention: the memory sink keeps every batch of a
+    * STANDING query (that is the push-query contract — the changelog IS
+    * the result), so sink memory grows with emissions until the query
+    * stops. Bound a standing query's lifetime (or its input rate)
+    * accordingly; the drain being incremental means only MEMORY grows,
+    * not per-batch serving cost.
+    */
+  def drainSince(cursor: Long): (Seq[Row], Long) = {
+    val s = memSink
+    s.synchronized {
+      (s.dataSinceBatch(cursor), s.latestBatchId.getOrElse(cursor))
+    }
+  }
   def stop(): Unit = query.stop()
 }
 

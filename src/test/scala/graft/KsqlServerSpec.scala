@@ -104,6 +104,17 @@ class KsqlServerSpec extends SparkSpec {
     assert(extractKsqlField(
       """{"a":"\"ksql\":","ksql":"SELECT 'A';"}""")
       === Some("SELECT 'A';"))
+    // NESTED "ksql" keys are some other field's payload, never the
+    // statement: binding at any depth would let a property bag smuggle
+    // SQL past a proxy inspecting only the top-level field
+    assert(extractKsqlField(
+      """{"streamsProperties":{"ksql":"SELECT 1;"}}""") === None)
+    assert(extractKsqlField(
+      """{"configs":[{"ksql":"SELECT 1;"}]}""") === None)
+    // ... and a nested decoy before the REAL top-level key still binds
+    assert(extractKsqlField(
+      """{"props":{"ksql":"DECOY;"},"ksql":"SHOW TOPICS;"}""")
+      === Some("SHOW TOPICS;"))
     // malformed \u escape: None (the endpoint answers 400), no throw
     assert(extractKsqlField(
       """{"ksql":"bad !uZZ99 escape"}""".replace('!', '\\')) === None)

@@ -58,6 +58,48 @@ class KsqlStreamingSpec extends SparkSpec {
     } finally h.stop()
   }
 
+  test("drainSince is incremental: only rows past the cursor, zero Spark jobs") {
+    val e = freshEngine
+    ddl(e)
+    val h = e.execute(
+      "SELECT id, event_type FROM match_event EMIT CHANGES;").get
+    try {
+      insert(e, Tutorial.canonicalEvents.take(3))
+      h.processAllAvailable()
+      val (first, c1) = h.drainSince(-1L)
+      assert(first.size === 3)
+      // drained-to-the-end cursor: nothing new → empty, cursor stable
+      val (empty, c2) = h.drainSince(c1)
+      assert(empty.isEmpty && c2 === c1)
+      insert(e, Tutorial.canonicalEvents.slice(3, 7))
+      h.processAllAvailable()
+      // O(new rows), not O(changelog): the second drain returns ONLY the
+      // four new rows — a full-changelog re-collect would return seven
+      val (second, c3) = h.drainSince(c2)
+      assert(second.size === 4)
+      assert(c3 > c2)
+      // order and content match the full changelog (the sink's batch
+      // list IS the emission log)
+      assert((first ++ second).map(_.toSeq) ===
+        h.emissions.collect().toSeq.map(_.toSeq))
+      // driver-only: a drain schedules NO Spark job (the /query serving
+      // loop may poll forever on a quiet connection — it must observe
+      // the sink, not run the cluster)
+      @volatile var jobs = 0
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        (1 to 50).foreach(_ => h.drainSince(c3))
+        Thread.sleep(300) // let any (forbidden) job events surface
+        assert(jobs === 0, "drainSince must not schedule Spark jobs")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally h.stop()
+  }
+
   test("streaming CSAS + player_stats with exact COUNT_DISTINCT (all.sql:129-160)") {
     val e = freshEngine
     ddl(e)
