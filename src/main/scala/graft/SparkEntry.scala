@@ -751,6 +751,27 @@ object SparkEntry {
         minLmC6 = CurationMinLmC6, minDsirC6 = CurationMinDsirC6)
         .select(col("doc_id"),
           coalesce(col("reject_reason"), lit("accepted")).as("decision"))),
+    // T32: the CALIBRATED gate decision — per-side thresholds re-derived
+    // from the CURRENT models over a deterministic calibration slice
+    // (doc_id % 4 = 0) by the explicit rank rule (ceil(q·n)-th smallest
+    // non-null score), then the t31 decision applied with them. This is
+    // the recalibrate-on-retrain operator the r11 bench proved necessary
+    // (fixed absolute thresholds reject 100 % under a 21×-grown
+    // vocabulary); the emitted thresholds ride as columns so the oracle
+    // hash covers the calibration itself, not just the routing.
+    "t32_calibrated_gate" -> ((s, d) => {
+      val docs = table(s, d, "documents").select("doc_id", "text")
+      val th = graft.streaming.StreamScore.calibrateGate(s, lmIngest(s, d),
+        dsirIngest(s, d),
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0)).head()
+      graft.streaming.StreamScore.gateScoresDsir(s, lmIngest(s, d),
+        dsirIngest(s, d), docs, th.getAs[Long]("min_lm_c6"),
+        th.getAs[Long]("min_dsir_c6"))
+        .select(col("doc_id"),
+          coalesce(col("reject_reason"), lit("accepted")).as("decision"),
+          lit(th.getAs[Long]("min_lm_c6")).as("min_lm_c6"),
+          lit(th.getAs[Long]("min_dsir_c6")).as("min_dsir_c6"))
+    }),
     "t9_repetition" -> ((s, d) =>
       TextAnalysis.repetitionScore(table(s, d, "documents"))),
     "t10_quality_filter" -> ((s, d) =>
@@ -832,6 +853,32 @@ object SparkEntry {
     // recurrence scoped to (source, md5-shard) for parallelism.
     "t28_greedy_pack" -> ((s, d) =>
       TextAnalysis.greedyPack(table(s, d, "documents"))),
+    // T33: deterministic subword (BPE) tokenization against the prebuilt
+    // 32-rank merge table (train-once, the lm/dsir pattern) — subword
+    // strings, vocab ids, and the subword count every token-denominated
+    // operator should really be priced in. The apply path is one narrow
+    // codegen'd projection (merges fold in as literals); the oracle
+    // replays the TRAINING recurrence itself as 32 unrolled SQL stages.
+    // (registered form stringifies the token arrays — the oracle compare
+    // hashes scalar cells, so the arrays ride as delimiter joins; the
+    // operator API itself returns real array columns)
+    "t33_bpe_tokenize" -> ((s, d) =>
+      TextAnalysis.bpeTokenizeIndexed(s, bpeIngest(s, d),
+        table(s, d, "documents").select("doc_id", "text"))
+        .select(col("doc_id"),
+          array_join(col("tokens"), " ").as("tokens"),
+          array_join(transform(col("token_ids"),
+            x => x.cast("string")), ",").as("token_ids"),
+          col("n_tokens_bpe"))),
+    // T34: t28's greedy non-straddling pack priced in SUBWORD tokens
+    // (budget 2048) — the packing an LLM data pipeline actually ships,
+    // where context windows are BPE-denominated. Counting happens inside
+    // the pack's own single pass (no tokenizer self-join).
+    "t34_bpe_pack" -> ((s, d) => {
+      val toks = TextAnalysis.bpeTokensExpr(s, bpeIngest(s, d))
+      TextAnalysis.greedyPackCounts(table(s, d, "documents"),
+        size(toks(col("text"))), budget = 2048)
+    }),
     // T11: the capstone composition — quality gate → exact dedup →
     // decontamination (src0 = benchmark) → deterministic split, one plan.
     "t11_curation_pipeline" -> ((s, d) => {
@@ -1554,6 +1601,9 @@ object SparkEntry {
     "t30_dsir_resample" -> dsirResampleOracle,
     // t31: the composed gate decision — each stage's oracle as a subquery
     "t31_curation_decision" -> curationDecisionOracle,
+    // t32: the calibrated decision — t31's stage oracles + an explicit
+    // rank-rule threshold replay over the calibration slice
+    "t32_calibrated_gate" -> calibratedGateOracle,
     // d3's LSH is candidate generation + EXACT jaccard verification, so its
     // output equals the exhaustive all-pairs answer whenever every
     // qualifying pair shares a band bucket (P(miss) = (1-s^4)^16 ≤ 2e-4 at
@@ -2242,6 +2292,10 @@ object SparkEntry {
         |SELECT doc_id, source, shard, n_tokens,
         |  CAST(pack_seq AS INTEGER) AS pack_seq
         |FROM pack""".stripMargin,
+    // t33/t34: BPE training replayed as 32 unrolled stages, then the
+    // tokenization flatten resp. the t28 pack recursion at budget 2048
+    "t33_bpe_tokenize" -> bpeTokenizeOracle,
+    "t34_bpe_pack" -> bpePackOracle,
     "t6_dataset_split" ->
       """SELECT doc_id,
         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80 THEN 'train'
@@ -2687,6 +2741,26 @@ object SparkEntry {
     dir.toString
   }
 
+  /** Once-per-(source data, session) BPE merge model backing t33/t34
+    * ([[TextAnalysis.buildBpeModel]], numMerges = [[BpeNumMerges]]).
+    */
+  private def bpeIngest(s: SparkSession, sfDir: String): String = {
+    val (dir, fs) = layoutDir(s, sfDir, "documents", "bpemodel")
+    gatedBuild(fs, dir) {
+      TextAnalysis.buildBpeModel(table(s, sfDir, "documents"), dir.toString,
+        numMerges = BpeNumMerges)
+    }
+    dir.toString
+  }
+
+  /** t33/t34's committed merge count — the Spark trainer and the
+    * unrolled-stage oracle must agree on it. 32 keeps the generated
+    * oracle tractable while exercising every recurrence branch
+    * (multi-level merges consuming earlier outputs appear well before
+    * rank 32 on this corpus).
+    */
+  private val BpeNumMerges = 32
+
   /** Once-per-(source data, session) BM25 corpus stats backing t23b:
     * term df table + 1-row (N, avgdl) ([[TextAnalysis.buildBm25Stats]]).
     */
@@ -3071,6 +3145,40 @@ object SparkEntry {
   private val CurationMinLmC6 = -3400000L
   private val CurationMinDsirC6 = -8000000L
 
+  /** The CALIBRATED gate decision (t32): replays
+    * [[graft.streaming.StreamScore.calibrateGate]]'s explicit rank rule —
+    * threshold = the ceil(0.5·n)-th smallest non-null score over the
+    * doc_id % 4 = 0 calibration slice, per side — as a `row_number`
+    * window over the SAME stage oracles t31 composes, then the decision
+    * CASE with the derived thresholds. Per-doc LM/DSIR scores depend
+    * only on (doc, model), so scoring the slice inside the full-corpus
+    * oracle equals scoring it as its own batch.
+    */
+  private def calibratedGateOracle: String = {
+    def disc(inner: String, c: String): String =
+      s"""SELECT $c FROM (
+         |  SELECT $c, row_number() OVER (ORDER BY $c) AS rn,
+         |         count(*) OVER () AS n
+         |  FROM ($inner) sl WHERE sl.doc_id % 4 = 0) rk
+         |WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)""".stripMargin
+    val lmTh = disc(baseLmOracle, "lm_c6")
+    val dsTh = disc(baseDsirOracle, "dsir_c6")
+    s"""SELECT d.doc_id,
+       |  ($lmTh) AS min_lm_c6,
+       |  ($dsTh) AS min_dsir_c6,
+       |  CASE WHEN q.reason <> 'ok' THEN q.reason
+       |       WHEN lmr.lm_c6 IS NULL THEN 'oov'
+       |       WHEN lmr.lm_c6 < ($lmTh) THEN 'low_lm'
+       |       WHEN w.dsir_c6 IS NULL OR w.dsir_c6 < ($dsTh)
+       |         THEN 'off_target'
+       |       ELSE 'accepted' END AS decision
+       |FROM documents d
+       |LEFT JOIN ($baseQualityReasonOracle
+       |           SELECT doc_id, reason FROM r) q ON q.doc_id = d.doc_id
+       |LEFT JOIN ($baseLmOracle) lmr ON lmr.doc_id = d.doc_id
+       |LEFT JOIN ($baseDsirOracle) w ON w.doc_id = d.doc_id""".stripMargin
+  }
+
   /** Shared CTE chain of the DSIR oracles: md5-hash-bucketed
     * unigram+bigram features, add-1-smoothed target/raw distributions,
     * micro-unit log-ratios. The only float ops are one
@@ -3211,6 +3319,154 @@ object SparkEntry {
       |  CAST(sum(d.n) AS BIGINT) AS n_bigrams
       |FROM db d JOIN lp p ON p.x = d.x AND p.y = d.y
       |GROUP BY 1""".stripMargin
+
+  /** Shared CTE chain of the BPE oracles (t33/t34): replays the TRAINING
+    * recurrence as [[BpeNumMerges]] unrolled stages (the fixed iteration
+    * count is what makes Lloyd-style training SQL-expressible — the v16
+    * trick), then maps every doc's words through the final vocabulary
+    * segmentation. Stage k: count adjacent symbol pairs weighted by word
+    * frequency over v{k-1}, pick the max (ties (l, r) ascending), apply
+    * it with plain `replace` over the sentinel-delimited segmentation —
+    * byte-identical semantics to the Spark trainer's fold. The LEFT JOIN
+    * ON TRUE keeps vocab intact if the vocabulary exhausts early (the
+    * Spark trainer stops; the oracle's remaining stages no-op).
+    *
+    * Every chain CTE is `AS MATERIALIZED`: DuckDB inlines plain CTEs,
+    * and v_k references v_{k-1} twice (directly and via b_k → p_k), so
+    * an un-materialized 32-stage chain inlines 2^32 copies of the
+    * documents scan — the query dies on file handles before it dies on
+    * CPU. Materialization makes the replay cost what the recurrence
+    * costs: 32 linear passes over the distinct-word table.
+    */
+  private def bpeCtes(recursive: Boolean): String = {
+    val d1 = "chr(1)"
+    val d2 = "chr(2)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH ${if (recursive) "RECURSIVE " else ""}tokw AS MATERIALIZED (
+         |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         |  FROM documents),
+         |words AS MATERIALIZED (
+         |  SELECT w, count(*) AS freq FROM tokw WHERE length(w) > 0
+         |  GROUP BY 1),
+         |v0 AS MATERIALIZED (
+         |  SELECT w, freq,
+         |    array_to_string(list_transform(generate_series(1, length(w)),
+         |      i -> $d1 || w[i] || $d2), '') AS seg
+         |  FROM words),
+         |""".stripMargin)
+    for (k <- 1 to BpeNumMerges) {
+      sb.append(
+        s"""p$k AS MATERIALIZED (
+           |  SELECT syms[j] AS l, syms[j + 1] AS r, sum(freq) AS c
+           |  FROM (
+           |    SELECT freq, syms,
+           |      unnest(generate_series(1, len(syms) - 1)) AS j
+           |    FROM (SELECT freq, string_split(trim(seg, $d1 || $d2),
+           |            $d2 || $d1) AS syms FROM v${k - 1}))
+           |  GROUP BY 1, 2),
+           |b$k AS MATERIALIZED (
+           |  SELECT l, r FROM p$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+           |v$k AS MATERIALIZED (
+           |  SELECT w, freq,
+           |    CASE WHEN b.l IS NULL THEN seg
+           |         ELSE replace(seg, $d1 || b.l || $d2 || $d1 || b.r || $d2,
+           |                      $d1 || b.l || b.r || $d2) END AS seg
+           |  FROM v${k - 1} LEFT JOIN b$k b ON TRUE),
+           |""".stripMargin)
+    }
+    val unions = (1 to BpeNumMerges)
+      .map(k => s"SELECT ${k - 1} AS rank, l, r FROM b$k")
+      .mkString("\n  UNION ALL ")
+    sb.append(
+      s"""mrg AS MATERIALIZED (
+         |  $unions),
+         |alpha AS MATERIALIZED (
+         |  SELECT c, row_number() OVER (ORDER BY c) - 1 AS id FROM (
+         |    SELECT DISTINCT w[i] AS c FROM (
+         |      SELECT w, unnest(generate_series(1, length(w))) AS i
+         |      FROM words))),
+         |na AS (SELECT count(*) AS a FROM alpha),
+         |vocab AS MATERIALIZED (
+         |  SELECT symbol, min(id) AS id FROM (
+         |    SELECT c AS symbol, id FROM alpha
+         |    UNION ALL
+         |    SELECT l || r AS symbol, a + rank AS id FROM mrg CROSS JOIN na)
+         |  GROUP BY 1),
+         |dpos AS (
+         |  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+')
+         |          AS t FROM documents)),
+         |dtok AS (SELECT doc_id, i, t[i] AS w FROM dpos
+         |         WHERE length(t[i]) > 0),
+         |dseg AS MATERIALIZED (
+         |  SELECT d.doc_id, d.i,
+         |    string_split(trim(v.seg, $d1 || $d2), $d2 || $d1) AS syms
+         |  FROM dtok d JOIN v$BpeNumMerges v ON v.w = d.w),
+         |""".stripMargin)
+    sb.toString
+  }
+
+  /** t33: the tokenization replay — ordered flatten of per-word
+    * segmentations, ids via the vocab table (-1 = apply-time-only
+    * symbol, impossible here since the model trains on the same corpus,
+    * but the branch is the operator's contract).
+    */
+  private def bpeTokenizeOracle: String =
+    bpeCtes(recursive = false) +
+      """dflat AS (
+        |  SELECT doc_id, flatten(list(syms ORDER BY i)) AS tokens
+        |  FROM dseg GROUP BY 1),
+        |tid AS (
+        |  SELECT doc_id, i2, COALESCE(vc.id, -1) AS tid
+        |  FROM (SELECT doc_id, tokens,
+        |          unnest(generate_series(1, len(tokens))) AS i2
+        |        FROM dflat) e
+        |  LEFT JOIN vocab vc ON vc.symbol = e.tokens[i2]),
+        |tids AS (SELECT doc_id, list(tid ORDER BY i2) AS token_ids
+        |         FROM tid GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(array_to_string(f.tokens, ' '), '') AS tokens,
+        |  COALESCE(array_to_string(t.token_ids, ','), '') AS token_ids,
+        |  CAST(COALESCE(len(f.tokens), 0) AS BIGINT) AS n_tokens_bpe
+        |FROM documents d
+        |LEFT JOIN dflat f ON f.doc_id = d.doc_id
+        |LEFT JOIN tids t ON t.doc_id = d.doc_id""".stripMargin
+
+  /** t34: the t28 greedy-pack recursion priced by the BPE replay's
+    * per-doc subword counts (budget 2048).
+    */
+  private def bpePackOracle: String =
+    bpeCtes(recursive = true) +
+      """dcnt AS (
+        |  SELECT doc_id, CAST(sum(len(syms)) AS INTEGER) AS n_tokens
+        |  FROM dseg GROUP BY 1),
+        |tokc AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |      % 4 AS INTEGER) AS shard,
+        |    CAST(COALESCE(c.n_tokens, 0) AS INTEGER) AS n_tokens
+        |  FROM documents d LEFT JOIN dcnt c ON c.doc_id = d.doc_id),
+        |ord AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY source, shard ORDER BY doc_id) AS rn
+        |  FROM tokc),
+        |pack AS (
+        |  SELECT doc_id, source, shard, n_tokens, rn,
+        |    0 AS pack_seq, 2048 - n_tokens AS rem
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.source, o.shard, o.n_tokens, o.rn,
+        |    CASE WHEN o.n_tokens > p.rem THEN p.pack_seq + 1
+        |         ELSE p.pack_seq END,
+        |    CASE WHEN o.n_tokens > p.rem THEN 2048 - o.n_tokens
+        |         ELSE p.rem - o.n_tokens END
+        |  FROM ord o
+        |  JOIN pack p ON o.source = p.source AND o.shard = p.shard
+        |    AND o.rn = p.rn + 1)
+        |SELECT doc_id, source, shard, n_tokens,
+        |  CAST(pack_seq AS INTEGER) AS pack_seq
+        |FROM pack""".stripMargin
 
   private def baseCovOracle: String =
     """WITH comp AS (

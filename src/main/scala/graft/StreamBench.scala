@@ -231,23 +231,26 @@ object StreamBench {
       // CALIBRATED thresholds: a fixed absolute cut-off tuned at 1×
       // rejects EVERYTHING under the grown model (21× vocabulary →
       // lower per-doc log-probs), degenerating the routing half of the
-      // benchmark. Each side takes its thresholds as the MEDIAN of its
-      // own model's scores over the same calibration slice (the first
-      // batch's docs), so both sides accept comparable fractions and
-      // every gate branch does real work in the timed loop.
+      // benchmark. Since r12 the calibration is the PRODUCTION operator
+      // ([[graft.streaming.StreamScore.writeGateThresholds]], the t32
+      // rank rule) and the gate under test is the calibrated form that
+      // re-reads the threshold artifact per batch — the bench now times
+      // exactly what a recalibrating deployment runs. The calibration
+      // slice is the first batch's docs, which the timed loop also
+      // replays — deliberate (the slice must look like the feed), and
+      // harmless for a throughput bench: routing fractions, not
+      // held-out generalization, are what the timing needs.
       val cal = spark.createDataFrame(
         feed.take(batchRows).toIndexedSeq).toDF("doc_id", "text")
-      val med = graft.streaming.StreamScore.gateScoresDsir(spark,
-          s"$dir/lm", s"$dir/dsir", cal, Long.MinValue, Long.MinValue)
-        .agg(expr("percentile(lm_c6, 0.5)"), expr("percentile(dsir_c6, 0.5)"))
-        .head()
-      val minLm = math.floor(med.getDouble(0)).toLong
-      val minDsir = math.floor(med.getDouble(1)).toLong
+      graft.streaming.StreamScore.writeGateThresholds(spark,
+        s"$dir/lm", s"$dir/dsir", cal, s"$dir/thresholds")
+      val thRow = spark.read.parquet(s"$dir/thresholds")
+        .select("min_lm_c6", "min_dsir_c6").head()
+      val (minLm, minDsir) = (thRow.getLong(0), thRow.getLong(1))
       val input = MemoryStream[(Long, String)]
-      val gq = graft.streaming.StreamScore.curationGate(
+      val gq = graft.streaming.StreamScore.curationGateCalibrated(
         input.toDF().toDF("doc_id", "text"), s"$dir/lm", s"$dir/dsir",
-        s"$dir/accept", s"$dir/reject", s"$dir/ckpt",
-        minLmC6 = minLm, minDsirC6 = minDsir)
+        s"$dir/thresholds", s"$dir/accept", s"$dir/reject", s"$dir/ckpt")
       val lat = try {
         feed.grouped(batchRows).take(batches).map { rows =>
           val b0 = System.nanoTime()
@@ -410,20 +413,24 @@ object StreamBench {
     val scaledReplicas =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALED_REPLICAS", "0").toInt
     if (scaledReplicas > 0) {
-      // _SCALED_MODE selects a subset (ingest|retrieval|both) so each
-      // section can be regenerated without re-running the other
+      // _SCALED_MODE selects a subset (ingest|retrieval|curation|all) so
+      // each section can be regenerated without re-running the others;
+      // the no-env default runs EVERY scaled section ("both" is kept as
+      // a legacy alias of ingest+retrieval — pre-r11 artifacts were
+      // regenerated under that name)
       val mode =
-        sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALED_MODE", "both")
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALED_MODE", "all")
       // a typo'd mode must fail loudly, never print an empty green run
       // (the same rule ScaleBench applies to SPARK_GRAFT_ONLY)
-      require(Set("ingest", "retrieval", "curation", "both").contains(mode),
+      require(
+        Set("ingest", "retrieval", "curation", "both", "all").contains(mode),
         s"unknown SPARK_GRAFT_STREAM_SCALED_MODE '$mode' " +
-          "(expected ingest|retrieval|curation|both)")
-      if (mode == "ingest" || mode == "both")
+          "(expected ingest|retrieval|curation|both|all)")
+      if (mode == "ingest" || mode == "both" || mode == "all")
         scaledIngest(spark, sfDir, scaledReplicas, nBatches, batchRows)
-      if (mode == "retrieval" || mode == "both")
+      if (mode == "retrieval" || mode == "both" || mode == "all")
         scaledRetrieval(spark, sfDir, scaledReplicas, nBatches, batchRows)
-      if (mode == "curation")
+      if (mode == "curation" || mode == "all")
         scaledCuration(spark, sfDir, scaledReplicas, nBatches, batchRows)
       spark.stop()
       return

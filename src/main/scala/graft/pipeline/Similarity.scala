@@ -1336,14 +1336,21 @@ object Similarity {
     * (cosine-preserving), so the result is [[bruteCosineTopK]] — the
     * registered exact twin rides v1's oracle.
     *
-    * Defaults meet the ≥ 0.75 recall target on MEASURED worst-case data
-    * (RECALL_r09: near-isotropic synthetic embeddings — recall@5 = 0.75
-    * at kPca=16/shortlist=200, vs 0.27 at 8/50): real embedding corpora
-    * have decaying spectra where smaller knobs reach the same recall,
-    * so these defaults are conservative, not optimistic.
+    * Defaults meet the repo's ≥ 0.9 ANN-default standard (the r10 bar
+    * applied to IVF/kNN/SemDeDup, r11 to IVFPQ) on MEASURED worst-case
+    * data (RECALL_r12, near-isotropic synthetic embeddings — PCA's worst
+    * case, a flat eigenspectrum): recall@5 = 0.972 at kPca=16/
+    * shortlist=800. The shortlist axis is the cheap one — the exact
+    * re-rank join is |queries|·shortlist-bounded, so 200 → 800 moved
+    * cost < 3 % while recall went 0.754 → 0.972; the kPca axis is the
+    * expensive one (projection work is kPca·dim per corpus row — kPca=32
+    * points measured ~40 % slower for no recall the larger shortlist
+    * doesn't already buy). Real embedding corpora have decaying spectra
+    * where smaller knobs reach the same recall, so these defaults are
+    * conservative, not optimistic.
     */
   def pcaCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      kPca: Int = 16, shortlist: Int = 200, idCol: String = "vec_id",
+      kPca: Int = 16, shortlist: Int = 800, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val (_, comps) = pcaComponents(corpus, kPca, vecCol)
     def proj(v: Column): Column = {

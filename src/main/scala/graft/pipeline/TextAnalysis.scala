@@ -1124,7 +1124,17 @@ object TextAnalysis {
     * `mapPartitions` outside codec IO.
     */
   def greedyPack(documents: DataFrame, budget: Int = 512,
-      shards: Int = 4): DataFrame = {
+      shards: Int = 4): DataFrame =
+    greedyPackCounts(documents, size(tokens(col("text"))), budget, shards)
+
+  /** [[greedyPack]] generalized over the token-count column: the packing
+    * recurrence doesn't care which tokenizer priced the docs, so the
+    * BPE-budgeted variant (t34 — real context-window budgets are
+    * SUBWORD-denominated) shares this single serial kernel instead of
+    * forking it.
+    */
+  def greedyPackCounts(documents: DataFrame, nTokens: Column,
+      budget: Int = 512, shards: Int = 4): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     require(shards >= 1, s"shards must be >= 1, got $shards")
@@ -1133,7 +1143,7 @@ object TextAnalysis {
         .cast("int") % shards).as("shard")
     documents
       .select(col("doc_id").cast("long"), col("source"), shard,
-        size(tokens(col("text"))).cast("int").as("n_tokens"))
+        nTokens.cast("int").as("n_tokens"))
       .as[(Long, String, Int, Int)]
       .repartition(col("source"), col("shard"))
       .sortWithinPartitions("source", "shard", "doc_id")
@@ -1154,5 +1164,184 @@ object TextAnalysis {
         }
       }
       .toDF("doc_id", "source", "shard", "n_tokens", "pack_seq")
+  }
+
+  // ======== deterministic subword (BPE) tokenization (t33/t34) ========
+  //
+  // Every token-denominated operator upstream (t1 counts, t14/t28 packing
+  // budgets, t16 rarity, BM25 doc lengths) priced docs in whitespace
+  // tokens; real LLM-pipeline budgets are SUBWORD-denominated. This block
+  // is byte-pair encoding as the engine does models everywhere else:
+  // train ONCE into a merge-rank table (model-as-data, the lm/dsir
+  // pattern), then tokenize as a pure narrow projection — the merge table
+  // rides as literals folded into codegen, so the corpus never shuffles
+  // and there is no UDF on the hot path.
+  //
+  // Segmentations travel as sentinel-delimited strings: every symbol is
+  // wrapped \u0001sym\u0002, so merging pair (l, r) is ONE native
+  // `replace(seg, "\u0001l\u0002\u0001r\u0002", "\u0001lr\u0002")` —
+  // adjacent matches share no bytes (unlike a single-separator encoding),
+  // which makes replace-all exactly the left-to-right non-overlapping
+  // merge BPE specifies, in Spark and DuckDB alike. The sentinels assume
+  // text free of \u0001/\u0002 (true of the corpus; a deployment over
+  // arbitrary bytes would strip them in normalization first).
+
+  private[graft] val BpeL = "\u0001"
+  private[graft] val BpeR = "\u0002"
+
+  /** Non-empty lower-cased whitespace words — BPE's pre-tokenization. */
+  private def bpeWords(text: Column): Column =
+    filter(tokens(text), w => length(w) > 0)
+
+  /** "low" → ␁l␂␁o␂␁w␂ — the rank-0 all-characters segmentation. */
+  private def bpeSeg0(w: Column): Column =
+    regexp_replace(w, "(.)", BpeL + "$1" + BpeR)
+
+  /** Split a segmentation string back into its symbols. */
+  private def bpeSymbols(seg: Column): Column =
+    split(regexp_replace(seg, s"^$BpeL|$BpeR$$", ""), BpeR + BpeL)
+
+  /** Train a BPE merge table: `numMerges` rounds of "count adjacent
+    * symbol pairs weighted by word frequency, merge the most frequent"
+    * (ties broken (left, right) ascending so the table is a pure
+    * function of the corpus — DuckDB replays the whole recurrence).
+    * Stops early if the vocabulary is fully merged.
+    *
+    * Scale shape: state on the driver is the merge list itself
+    * (model-bounded, ≤ numMerges pairs); each round is one narrow
+    * aggregation over the DISTINCT-WORD table (already a tiny fraction
+    * of corpus bytes) plus a 1-row collect, and each round's re-segmented
+    * vocabulary is eagerly `localCheckpoint`ed — NOT merely persisted —
+    * so round k's LINEAGE restarts from round k-1's materialized rows.
+    * The distinction is load-bearing: with persist the logical plan
+    * still nests all prior rounds, and Spark's plan-string/AQE machinery
+    * over a 32-deep cached-subtree tower stalls the driver for minutes;
+    * checkpointing keeps every round's plan one scan + one projection.
+    * This is the train-once half — it runs per corpus snapshot, never
+    * per query ([[buildBpeModel]] gates it behind a layout key upstream).
+    */
+  def trainBpeMerges(documents: DataFrame,
+      numMerges: Int = 32): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    var vocab = documents
+      .select(explode(bpeWords(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"), bpeSeg0(col("w")).as("seg"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    try {
+      var exhausted = false
+      while (merges.size < numMerges && !exhausted) {
+        val syms = bpeSymbols(col("seg"))
+        val best = vocab
+          .select(col("freq"), syms.as("s"))
+          .filter(size(col("s")) >= 2)
+          .select(col("freq"), explode(transform(
+            sequence(lit(0), size(col("s")) - 2),
+            j => struct(element_at(col("s"), j + 1).as("l"),
+              element_at(col("s"), j + 2).as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("freq").as("c"))
+          .orderBy(col("c").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, r) = (best(0).getString(0), best(0).getString(1))
+          merges += ((l, r))
+          val updated = vocab.select(col("w"), col("freq"),
+            replace(col("seg"), lit(BpeL + l + BpeR + BpeL + r + BpeR),
+              lit(BpeL + l + r + BpeR)).as("seg"))
+            .localCheckpoint()
+          vocab.unpersist(blocking = false)
+          vocab = updated
+        }
+      }
+      merges.toSeq
+    } finally vocab.unpersist(blocking = false)
+  }
+
+  /** Train-once artifact: `path/merges` = (rank, left, right) in learn
+    * order, `path/vocab` = (id, symbol) — ids 0..A-1 are the corpus
+    * alphabet in binary order, id A+rank is merge `rank`'s output (a
+    * symbol reachable two ways — e.g. "abc" via (ab,c) and (a,bc) —
+    * keeps its SMALLEST id). Both tables are model-bounded: ≤ numMerges
+    * rows resp. |alphabet| + numMerges rows.
+    */
+  def buildBpeModel(documents: DataFrame, path: String,
+      numMerges: Int = 32): Unit = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val merges = trainBpeMerges(documents, numMerges)
+    // alphabet-bounded collect (distinct characters of the corpus)
+    val alphabet = documents
+      .select(explode(bpeWords(col("text"))).as("w"))
+      .select(explode(split(col("w"), "")).as("c"))
+      .distinct().orderBy("c").collect().map(_.getString(0))
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    val vocab = (alphabet.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) } ++
+      merges.zipWithIndex
+        .map { case ((l, r), i) => ((alphabet.length + i).toLong, l + r) })
+      .groupBy(_._2).map { case (sym, ids) => (ids.map(_._1).min, sym) }
+      .toSeq
+    vocab.toDF("id", "symbol")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Tokenize against a prebuilt [[buildBpeModel]] artifact: per doc,
+    * `tokens` (subword strings), `token_ids` (vocab ids, -1 for a symbol
+    * outside the training vocabulary — an apply-time-only char), and
+    * `n_tokens_bpe`.
+    *
+    * The apply path is ONE narrow codegen'd projection: merges load once
+    * per call (model-bounded collect) and fold into the plan as an
+    * `aggregate` over an array literal — applying merges in RANK ORDER,
+    * which equals the re-scan-for-lowest-rank algorithm because BPE
+    * training can only learn a merge AFTER its constituent merges (a
+    * consuming merge always ranks later than what it consumes). The id
+    * map is a `map` literal (|vocab| entries). No join, no shuffle, no
+    * UDF: corpus cost is bytes-linear and the model broadcasts inside
+    * the expression tree exactly like [[Similarity]] component literals.
+    */
+  def bpeTokenizeIndexed(spark: org.apache.spark.sql.SparkSession,
+      modelPath: String, documents: DataFrame): DataFrame = {
+    val vocab = spark.read.parquet(s"$modelPath/vocab")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val idMap = map_from_arrays(
+      typedLit(vocab.map(_._2).toSeq), typedLit(vocab.map(_._1).toSeq))
+    val toks = bpeTokensExpr(spark, modelPath)
+    documents
+      .select(col("doc_id"), toks(col("text")).as("tokens"))
+      .select(col("doc_id"), col("tokens"),
+        transform(col("tokens"),
+          t => coalesce(element_at(idMap, t), lit(-1L))).as("token_ids"),
+        size(col("tokens")).cast("long").as("n_tokens_bpe"))
+  }
+
+  /** The text→subword-tokens EXPRESSION against a loaded merge table —
+    * shared by [[bpeTokenizeIndexed]] and budget consumers (the t34
+    * pack prices docs with `size(expr(text))` in its own single pass
+    * instead of self-joining the tokenizer's output back to the corpus).
+    */
+  def bpeTokensExpr(spark: org.apache.spark.sql.SparkSession,
+      modelPath: String): Column => Column = {
+    val merges = spark.read.parquet(s"$modelPath/merges")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def tokensOf(w: Column): Column =
+      if (merges.isEmpty) bpeSymbols(bpeSeg0(w))
+      else {
+        val mergeLit = array(merges.toIndexedSeq.map { case (l, r) =>
+          struct(lit(BpeL + l + BpeR + BpeL + r + BpeR).as("pat"),
+            lit(BpeL + l + r + BpeR).as("rep"))
+        }: _*)
+        bpeSymbols(aggregate(mergeLit, bpeSeg0(w),
+          (s, m) => replace(s, m.getField("pat"), m.getField("rep"))))
+      }
+    text => coalesce(flatten(transform(bpeWords(text), w => tokensOf(w))),
+      typedLit(Seq.empty[String]))
   }
 }

@@ -80,6 +80,101 @@ object StreamScore {
             lit("off_target"))))
   }
 
+  /** Per-side gate thresholds CALIBRATED from a scored slice — the fix
+    * for the failure mode StreamBench measured in r11: a fixed absolute
+    * cut-off tuned against one model vocabulary rejects 100 % after the
+    * model retrains on a grown corpus (more vocabulary → lower per-doc
+    * log-probs), silently degenerating the gate. Calibration re-derives
+    * the cut-offs FROM the current models: score `slice` with both gates
+    * open, then take the discrete `quantile` of each side's non-null
+    * scores. Output is ONE row `(quantile, min_lm_c6, min_dsir_c6,
+    * n_lm_scored, n_dsir_scored)` — integer thresholds plus the sample
+    * sizes they rest on, carried as DATA next to the models (the DSIR
+    * bucket-count pattern: a threshold that can disagree with the model
+    * it was fit against is the silent-misroute class).
+    *
+    * The quantile is an EXPLICIT rank rule, not a builtin: threshold =
+    * the `ceil(q·n)`-th smallest non-null score (ties share a value, so
+    * the result is deterministic) — chosen over interpolating
+    * `percentile` because it returns an OBSERVED integer score and
+    * replays exactly in any SQL engine (`row_number` over the scored
+    * slice; t32's DuckDB oracle does precisely that). By construction
+    * ~`(1-q)` of calibration-like docs clear each side.
+    *
+    * Scale shape: the slice is calibration-sized (a micro-batch or a
+    * sample — a 100 TB deployment calibrates on a sample, not the
+    * corpus); scoring it is the per-batch gate shape, and the rank pass
+    * is a single-column sort of |slice| rows. The window is
+    * deliberately unpartitioned: n is the WHOLE slice's count, and the
+    * slice is driver-bounded by contract.
+    */
+  def calibrateGate(spark: org.apache.spark.sql.SparkSession,
+      lmModelPath: String, dsirModelPath: String, slice: DataFrame,
+      quantile: Double = 0.5): DataFrame = {
+    require(quantile > 0 && quantile <= 1, s"quantile must be in (0,1]: $quantile")
+    val scored = gateScoresDsir(spark, lmModelPath, dsirModelPath, slice,
+      Long.MinValue, Long.MinValue)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def disc(c: String): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+        scored.filter(col(c).isNotNull)
+          .select(col(c), row_number().over(w).as("_rn"),
+            count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy()).as("_n"))
+          .filter(col("_rn") === ceil(lit(quantile) * col("_n")).cast("long"))
+          .select(col(c).as("_th"), col("_n"))
+      }
+      def one(c: String): org.apache.spark.sql.Row =
+        disc(c).collect() match {
+          case Array(r) => r
+          // empty = NO doc in the slice produced a score on this side —
+          // a threshold fit on nothing would silently reject everything,
+          // exactly the degenerate gate calibration exists to prevent
+          case _ => throw new IllegalArgumentException(
+            s"calibrateGate: calibration slice has no non-null $c scores " +
+              "(slice too small, or disjoint from the model vocabulary)")
+        }
+      val lm = one("lm_c6")
+      val ds = one("dsir_c6")
+      import spark.implicits._
+      Seq((quantile, lm.getLong(0), ds.getLong(0), lm.getLong(1),
+        ds.getLong(1)))
+        .toDF("quantile", "min_lm_c6", "min_dsir_c6", "n_lm_scored",
+          "n_dsir_scored")
+    } finally scored.unpersist(blocking = false)
+  }
+
+  /** [[calibrateGate]] persisted next to the models: the thresholds ride
+    * as a one-row parquet the standing gate re-reads per batch, so a
+    * recalibration (after a model retrain) lands on the next micro-batch
+    * without restarting the query — the same hot-swap contract the model
+    * tables already have.
+    */
+  def writeGateThresholds(spark: org.apache.spark.sql.SparkSession,
+      lmModelPath: String, dsirModelPath: String, slice: DataFrame,
+      thresholdsPath: String, quantile: Double = 0.5): Unit =
+    calibrateGate(spark, lmModelPath, dsirModelPath, slice, quantile)
+      .coalesce(1).write.mode("overwrite").parquet(thresholdsPath)
+
+  /** The CALIBRATED standing gate: [[curationGate]]'s landing protocol,
+    * but the per-side thresholds come from the [[writeGateThresholds]]
+    * artifact instead of caller constants — read per batch (one-row
+    * scan) like the models themselves, so thresholds can never be stale
+    * relative to an operator that recalibrates on retrain.
+    */
+  def curationGateCalibrated(stream: DataFrame, lmModelPath: String,
+      dsirModelPath: String, thresholdsPath: String, acceptPath: String,
+      rejectPath: String, checkpointDir: String): StreamingQuery =
+    gateLoop(stream, acceptPath, rejectPath, checkpointDir,
+      (spark, batch) => {
+        val th = spark.read.parquet(thresholdsPath)
+          .select("min_lm_c6", "min_dsir_c6").head()
+        gateScoresDsir(spark, lmModelPath, dsirModelPath, batch,
+          th.getLong(0), th.getLong(1))
+      })
+
   /** Start the standing gate: accepted rows (with their `lm_c6`) append
     * to `acceptPath`, rejects (with `reject_reason`) to `rejectPath`.
     */

@@ -405,8 +405,12 @@ class StreamingTutorialSpec extends SparkSpec {
       assert(corpusIds === Set(1L, 3L, 11L))
       assert(indexIds === Set(1L, 3L, 11L))
       // compactEvery=1 ran after every batch (and blocking survived it, per
-      // the asserts above): the band table must be back to ≤ 1 file/bucket
-      val files = fs.listStatus(wh).count(_.getPath.getName.endsWith(".parquet"))
+      // the asserts above): the band table must be back to ≤ 1 file/bucket.
+      // Count at the CATALOG location — the pointer-swap install leaves
+      // live data in a versioned sibling of the name-derived dir
+      val files = fs
+        .listStatus(graft.engine.Layout.currentTableLocation(spark, tbl))
+        .count(_.getPath.getName.endsWith(".parquet"))
       assert(files <= 8, s"compaction did not bound accretion: $files files")
     } finally q.stop()
   }
@@ -791,6 +795,94 @@ class StreamingTutorialSpec extends SparkSpec {
     assert(gotReject.values.toSet.contains("off_target"))
     assert(gotAccept.nonEmpty)
     assert(accepted.columns.contains("dsir_c6"))
+  }
+
+  test("calibrated gate: rank-rule thresholds, streaming parity, hot recalibration") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_calgate").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    graft.pipeline.TextAnalysis.buildLmModel(
+      docs.select("doc_id", "text"), s"$dir/lm")
+    graft.pipeline.TextAnalysis.buildDsirModel(docs, s"$dir/dsir")
+    val slice = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      .select("doc_id", "text")
+    val th = graft.streaming.StreamScore.calibrateGate(spark,
+      s"$dir/lm", s"$dir/dsir", slice).head()
+    // the rank rule vs an INDEPENDENT replay (sort + index, no windows):
+    // threshold must be the ceil(q·n)-th smallest non-null score
+    val scored = graft.streaming.StreamScore.gateScoresDsir(spark,
+      s"$dir/lm", s"$dir/dsir", slice, Long.MinValue, Long.MinValue)
+      .persist()
+    def replay(c: String, q: Double): (Long, Long) = {
+      val v = scored.filter(col(c).isNotNull)
+        .select(c).collect().map(_.getLong(0)).sorted
+      (v(math.ceil(q * v.length).toInt - 1), v.length.toLong)
+    }
+    val (lmTh, lmN) = replay("lm_c6", 0.5)
+    val (dsTh, dsN) = replay("dsir_c6", 0.5)
+    assert(th.getAs[Long]("min_lm_c6") === lmTh)
+    assert(th.getAs[Long]("min_dsir_c6") === dsTh)
+    assert(th.getAs[Long]("n_lm_scored") === lmN)
+    assert(th.getAs[Long]("n_dsir_scored") === dsN)
+    // a non-median quantile must move through the same rule
+    val th9 = graft.streaming.StreamScore.calibrateGate(spark,
+      s"$dir/lm", s"$dir/dsir", slice, quantile = 0.9).head()
+    assert(th9.getAs[Long]("min_lm_c6") === replay("lm_c6", 0.9)._1)
+    scored.unpersist()
+
+    // streaming parity + HOT RECALIBRATION: the calibrated gate re-reads
+    // the threshold artifact per batch, so thresholds rewritten between
+    // batches must govern the NEXT batch without a query restart
+    graft.streaming.StreamScore.writeGateThresholds(spark,
+      s"$dir/lm", s"$dir/dsir", slice, s"$dir/th", quantile = 0.25)
+    val thA = spark.read.parquet(s"$dir/th")
+      .select("min_lm_c6", "min_dsir_c6").head()
+    val real = docs.filter(col("doc_id") < 30).select("doc_id", "text")
+    val rows = real.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamScore.curationGateCalibrated(
+      input.toDF().toDF("doc_id", "text"), s"$dir/lm", s"$dir/dsir",
+      s"$dir/th", s"$dir/accept", s"$dir/reject", s"$dir/ckpt")
+    val (batch1, batch2) = rows.splitAt(15)
+    val thB = try {
+      input.addData(batch1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // recalibrate mid-stream: a much stricter quantile so the second
+      // batch's routing observably differs from thA's
+      graft.streaming.StreamScore.writeGateThresholds(spark,
+        s"$dir/lm", s"$dir/dsir", slice, s"$dir/th", quantile = 0.95)
+      spark.catalog.refreshByPath(s"$dir/th")
+      val t = spark.read.parquet(s"$dir/th")
+        .select("min_lm_c6", "min_dsir_c6").head()
+      input.addData(batch2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      t
+    } finally q.stop()
+    assert(thB.getLong(0) > thA.getLong(0),
+      "the 0.95 quantile must sit strictly above the 0.25 one on this corpus")
+    def decide(batch: Array[(Long, String)], t: org.apache.spark.sql.Row) =
+      graft.streaming.StreamScore.gateScoresDsir(spark,
+        s"$dir/lm", s"$dir/dsir",
+        spark.createDataFrame(batch.toIndexedSeq).toDF("doc_id", "text"),
+        t.getLong(0), t.getLong(1))
+        .select(col("doc_id"), col("reject_reason")).collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val expected = decide(batch1, thA) ++ decide(batch2, thB)
+    spark.catalog.refreshByPath(s"$dir/accept")
+    spark.catalog.refreshByPath(s"$dir/reject")
+    val gotAccept = spark.read.parquet(s"$dir/accept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotReject = spark.read.parquet(s"$dir/reject")
+      .select(col("doc_id"), col("reject_reason"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotAccept === expected.filter(_._2.isEmpty).keySet)
+    assert(gotReject === expected.collect { case (id, Some(r)) => id -> r })
+    // the recalibration must have CHANGED at least one doc's routing
+    // relative to an all-thA replay, or the hot-swap claim is untested
+    val allThA = decide(batch1, thA) ++ decide(batch2, thA)
+    assert(expected !== allThA,
+      "stricter thresholds must re-route at least one second-batch doc")
   }
 
   test("streaming moment monitor: state bit-identical to one-shot, drift emitted") {
