@@ -93,6 +93,15 @@ object ScaleBench {
     // explode (output-linear), t28 one exchange + a serial walk per
     // (source, shard) group — group count is the parallelism lever
     "t27_mixture_resample", "t28_greedy_pack",
+    // BPE-budgeted packing: the t28 kernel with the subword tokenizer
+    // expression priced IN-PASS (the t34−t28 delta IS the tokenizer's
+    // corpus cost — merge table folds in as literals, text never
+    // shuffles). t33 itself is deliberately NOT swept: this sweep times
+    // .count(), and t33 is a pure projection whose token arrays Catalyst
+    // prunes under a count — the row would time a bare documents scan
+    // (the same reason t31's join chain is not swept); t34's shuffle key
+    // and packing walk CONSUME the token counts, so nothing prunes
+    "t34_bpe_pack",
     // train-once/score-many: the stats/model ingests build their tables
     // once per session; the timed rows are the recurring score-a-batch
     // cost (vs t23/t24's retrain-every-invocation baselines)
@@ -183,6 +192,25 @@ object ScaleBench {
     marker.createNewFile()
   }
 
+  /** The host-speed reference row: a fixed, shuffle-heavy, multi-second
+    * query run FIRST and LAST in every forked sweep. r11 lost cross-round
+    * sweep comparability to a throttled host window and proved it only by
+    * forensic isolated re-runs of unchanged code; this makes the probe
+    * systematic — `host_factor` = median(reference runs) / anchor rides
+    * in the JSON, so a skewed window flags itself. Anchors are the r12
+    * calm-window medians of this row (recorded 2026-08-15, idle host);
+    * a reading far from 1 means normalize or re-run, and a missing
+    * anchor (unswept replica count) publishes null, never a guess.
+    */
+  private[graft] val HostRefRow = "x6_salted_join"
+  /** Calm-window anchor seconds per replica count (median of three
+    * isolated fresh-JVM runs of [[HostRefRow]], idle host, 2026-08-15 —
+    * 1.171/3.876 s; note r11's throttled-window artifact carried 9.956 s
+    * for the same row at 100×, a 2.6× skew this field now surfaces).
+    */
+  private val HostAnchor: Map[Int, Double] = Map(
+    10 -> 1.171, 100 -> 3.876)
+
   /** Fork-per-row sweep (SPARK_GRAFT_FORK=1): one fresh child JVM per
     * headline query, each a plain `SPARK_GRAFT_ONLY=<name>` run of this
     * main. Same-HEAD single-JVM sweeps scattered 13–34 s on tail rows
@@ -193,6 +221,12 @@ object ScaleBench {
     * inherit this JVM's flags (the --add-opens set) and classpath;
     * per-session disk state (scaled data, mtime-gated layouts) is built
     * by the parent / first child and reused by the rest.
+    *
+    * `SPARK_GRAFT_RUNS=N` (default 1) repeats the whole sweep N times
+    * and publishes the PER-ROW MEDIAN (`"per_row":"median"`, plus
+    * `run_totals` and every run's host-reference readings) — the merge
+    * that produced the committed BENCH_sf* artifacts, in-repo so the
+    * artifact is regenerable by one command instead of a by-hand step.
     */
   private def forkedSweep(headline: Seq[String], outDir: String,
       replicas: Int, cpus: String, passes: Int): Unit = {
@@ -203,7 +237,7 @@ object ScaleBench {
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xrunjdwp"))
     val cp = System.getProperty("java.class.path")
     val entryRe = """"queries":\{(.*?)\},"n_ok"""".r
-    val entries = headline.map { name =>
+    def runChild(name: String): String = {
       val pb = new ProcessBuilder(
         (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.ScaleBench")).asJava)
       pb.environment().put("SPARK_GRAFT_ONLY", name)
@@ -222,13 +256,46 @@ object ScaleBench {
       entryRe.findFirstMatchIn(out).map(_.group(1)).getOrElse(
         s""""$name":{"sec":0,"err":"child exited $rc without a result line"}""")
     }
-    val ok = entries.filterNot(_.contains("\"err\""))
     val secRe = """:(?:\{"sec":)?([0-9.eE+-]+)""".r
-    val total = ok.flatMap(e =>
-      secRe.findFirstMatchIn(e).map(_.group(1).toDouble)).sum
-    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","queries":${
+    def secOf(entry: String): Option[Double] =
+      if (entry.contains("\"err\"")) None
+      else secRe.findFirstMatchIn(entry).map(_.group(1).toDouble)
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt
+    require(nRuns >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $nRuns")
+    // each run: host reference row, the sweep, host reference row again
+    val all = (1 to nRuns).map { _ =>
+      val refFirst = secOf(runChild(HostRefRow))
+      val entries = headline.map(name => name -> runChild(name))
+      val refLast = secOf(runChild(HostRefRow))
+      (entries, Seq(refFirst, refLast).flatten)
+    }
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0
+      else { val s = xs.sorted; s((s.size - 1) / 2) }
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    // per-row median across runs; a row with any err keeps its first
+    // err entry so failures stay loud in the merged artifact
+    val entries = headline.indices.map { i =>
+      val row = all.map(_._1(i)._2)
+      val secs = row.flatMap(secOf)
+      row.find(_.contains("\"err\"")).getOrElse(
+        s""""${headline(i)}":${r3(median(secs))}""")
+    }
+    val ok = entries.filterNot(_.contains("\"err\""))
+    val total = ok.flatMap(secOf).sum
+    val runTotals = all.map { case (es, _) =>
+      r3(es.map(_._2).flatMap(secOf).sum) }
+    val refs = all.flatMap(_._2)
+    val factor = HostAnchor.get(replicas)
+      .filter(_ => refs.nonEmpty)
+      .map(a => r3(median(refs) / a)).map(_.toString).getOrElse("null")
+    val merged = if (nRuns == 1) ""
+      else s""","runs":$nRuns,"per_row":"median","run_totals":[${
+        runTotals.mkString(",")}]"""
+    println(s"""{"metric":"scale_total","value":${r3(total)},"unit":"sec","queries":${
       entries.mkString("{", ",", "}")},"n_ok":${ok.size},"n_err":${
-      entries.size - ok.size},"sf":"$outDir","replicas":$replicas,"cpus":$cpus,"passes":$passes,"forked":true}""")
+      entries.size - ok.size},"sf":"$outDir","replicas":$replicas,"cpus":$cpus,"passes":$passes,"forked":true$merged,"host_ref":{"name":"$HostRefRow","runs":[${
+      refs.map(r3).mkString(",")}]},"host_factor":$factor}""")
     if (entries.size != ok.size) sys.exit(1)
   }
 
