@@ -30,8 +30,14 @@ object RecallReport {
     // SPARK_GRAFT_RECALL_ONLY=pca,ivf — iterate on one sweep section
     // without paying for the rest (skipped sections emit empty maps;
     // the published artifact is always a no-env full run)
+    val sections = Set("ivf", "knn", "mips", "semdedup", "pca", "pq", "ivfpq")
     val only = sys.env.get("SPARK_GRAFT_RECALL_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd section must fail loudly, never print an all-empty
+    // structurally-green artifact (the ScaleBench SPARK_GRAFT_ONLY rule)
+    only.foreach(o => require(o.nonEmpty && o.subsetOf(sections),
+      s"unknown SPARK_GRAFT_RECALL_ONLY sections: ${o.diff(sections)} " +
+        s"(expected any of ${sections.toSeq.sorted.mkString(",")})"))
     def want(section: String): Boolean = only.forall(_.contains(section))
 
     // every sweep point reports recall AND wall seconds — the cost curve
@@ -136,18 +142,24 @@ object RecallReport {
     // cost paid once per corpus, and folding it into every sweep point
     // would drown the query-path cost each knob actually trades
     val pqMs = Seq(8, 16, 32)
-    lazy val trained = pqMs.map { m =>
+    // per-m memoized, NOT whole-map lazy: ONLY=ivfpq needs just m=8, and
+    // forcing a map-valued lazy val would train and sweep all three m's
+    // — most of the cost the section filter exists to skip
+    val trainedCache =
+      scala.collection.mutable.Map.empty[Int, (Array[Array[Array[Float]]], Double)]
+    def trained(m: Int) = trainedCache.getOrElseUpdate(m, {
       val t0 = System.nanoTime()
       val cb = Similarity.trainPqCodebooks(emb, m = m, k = 256)
-      m -> (cb, math.rint((System.nanoTime() - t0) / 1e6) / 1e3)
-    }.toMap
-    lazy val pqSets = pqMs.map { m =>
-      val (got, sec) = timed(pairSet(
+      (cb, math.rint((System.nanoTime() - t0) / 1e6) / 1e3)
+    })
+    val pqSetCache =
+      scala.collection.mutable.Map.empty[Int, (Set[(Long, Long)], Double)]
+    def pqSets(m: Int) = pqSetCache.getOrElseUpdate(m, {
+      timed(pairSet(
         Similarity.pqTopK(emb, queries, k = 5, m = m, codebookSize = 256,
           codebooks = trained(m)._1),
         "query_id", "neighbor_id"))
-      m -> (got, sec)
-    }.toMap
+    })
     val pq = if (!want("pq")) Seq() else {
       val pqSeed8 = pairSet(
         Similarity.pqTopK(emb, queries, k = 5, m = 8, codebookSize = 256,

@@ -244,8 +244,8 @@ object StreamBench {
         feed.take(batchRows).toIndexedSeq).toDF("doc_id", "text")
       graft.streaming.StreamScore.writeGateThresholds(spark,
         s"$dir/lm", s"$dir/dsir", cal, s"$dir/thresholds")
-      val thRow = spark.read.parquet(s"$dir/thresholds")
-        .select("min_lm_c6", "min_dsir_c6").head()
+      val thRow = graft.streaming.StreamScore.readGateThresholds(spark,
+        s"$dir/thresholds")
       val (minLm, minDsir) = (thRow.getLong(0), thRow.getLong(1))
       val input = MemoryStream[(Long, String)]
       val gq = graft.streaming.StreamScore.curationGateCalibrated(

@@ -165,9 +165,15 @@ object Layout {
     def qual(p: org.apache.hadoop.fs.Path) = fs.makeQualified(p)
 
     // ---- entry sweep: crash leftovers + deferred deletes ----
+    // the glob is a catalog-side prefilter only; the STRICT family regex
+    // below decides what gets dropped — "<table>__c*" alone would match
+    // (and managed-DROP would destroy) an unrelated user table named
+    // e.g. `<table>__cache`
     val db = cat.getCurrentDatabase
+    val familyName = s"^${java.util.regex.Pattern.quote(table.toLowerCase)}__c\\d+$$"
     cat.listTables(db, s"${table}__c*")
-      .filter(id => !cat.isTempView(id)).foreach { id =>
+      .filter(id => !cat.isTempView(id) &&
+        id.table.toLowerCase.matches(familyName)).foreach { id =>
         val entryLoc =
           new org.apache.hadoop.fs.Path(cat.getTableMetadata(id).location)
         if (qual(entryLoc) == qual(liveLoc)) {

@@ -151,12 +151,61 @@ object StreamScore {
     * recalibration (after a model retrain) lands on the next micro-batch
     * without restarting the query — the same hot-swap contract the model
     * tables already have.
+    *
+    * The artifact is VERSIONED (`v<k>/` + completion marker), never
+    * overwritten in place: a plain `mode("overwrite")` deletes before it
+    * commits, so a micro-batch reading in that window would crash the
+    * standing query — the hot-swap claim would be exactly the crash
+    * window. Writers land `v<k+1>` beside the live version, mark it
+    * complete, then prune all but the two newest COMPLETE versions
+    * (deferred, the compaction discipline: the one version a reader can
+    * be holding is never the one being deleted). Readers take the
+    * newest complete version, so a half-written recalibration is
+    * invisible until its marker lands.
     */
   def writeGateThresholds(spark: org.apache.spark.sql.SparkSession,
       lmModelPath: String, dsirModelPath: String, slice: DataFrame,
-      thresholdsPath: String, quantile: Double = 0.5): Unit =
+      thresholdsPath: String, quantile: Double = 0.5): Unit = {
+    val root = new org.apache.hadoop.fs.Path(thresholdsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = completeVersions(fs, root).lastOption
+      .map(_._1 + 1).getOrElse(1L)
+    val dir = new org.apache.hadoop.fs.Path(root, f"v$next%019d")
     calibrateGate(spark, lmModelPath, dsirModelPath, slice, quantile)
-      .coalesce(1).write.mode("overwrite").parquet(thresholdsPath)
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    fs.create(new org.apache.hadoop.fs.Path(dir, CompleteMarker), true)
+      .close()
+    completeVersions(fs, root).dropRight(2)
+      .foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** The newest COMPLETE thresholds version as one Row
+    * `(min_lm_c6, min_dsir_c6)` — the read side of the versioned
+    * [[writeGateThresholds]] artifact.
+    */
+  def readGateThresholds(spark: org.apache.spark.sql.SparkSession,
+      thresholdsPath: String): org.apache.spark.sql.Row = {
+    val root = new org.apache.hadoop.fs.Path(thresholdsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, dir) = completeVersions(fs, root).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"no complete gate-thresholds version under $thresholdsPath — " +
+          "run writeGateThresholds first"))
+    spark.read.parquet(dir.toString)
+      .select("min_lm_c6", "min_dsir_c6").head()
+  }
+
+  private val CompleteMarker = "_GRAFT_COMPLETE"
+
+  /** Complete `v<k>` version dirs under `root`, ascending by k. */
+  private def completeVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, CompleteMarker)))
+      .map(s => (s.getPath.getName.drop(1).toLong, s.getPath))
+      .sortBy(_._1)
 
   /** The CALIBRATED standing gate: [[curationGate]]'s landing protocol,
     * but the per-side thresholds come from the [[writeGateThresholds]]
@@ -169,8 +218,7 @@ object StreamScore {
       rejectPath: String, checkpointDir: String): StreamingQuery =
     gateLoop(stream, acceptPath, rejectPath, checkpointDir,
       (spark, batch) => {
-        val th = spark.read.parquet(thresholdsPath)
-          .select("min_lm_c6", "min_dsir_c6").head()
+        val th = readGateThresholds(spark, thresholdsPath)
         gateScoresDsir(spark, lmModelPath, dsirModelPath, batch,
           th.getLong(0), th.getLong(1))
       })

@@ -836,8 +836,16 @@ class StreamingTutorialSpec extends SparkSpec {
     // batches must govern the NEXT batch without a query restart
     graft.streaming.StreamScore.writeGateThresholds(spark,
       s"$dir/lm", s"$dir/dsir", slice, s"$dir/th", quantile = 0.25)
-    val thA = spark.read.parquet(s"$dir/th")
-      .select("min_lm_c6", "min_dsir_c6").head()
+    val thA = graft.streaming.StreamScore.readGateThresholds(spark, s"$dir/th")
+    // a half-written version (no completion marker) must be invisible:
+    // the reader serves the newest COMPLETE version, never a partial one
+    val fsTh = new org.apache.hadoop.fs.Path(s"$dir/th")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsTh.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/th/v0000000000000000099"))
+    assert(graft.streaming.StreamScore.readGateThresholds(spark, s"$dir/th")
+      .getLong(0) === thA.getLong(0))
+    fsTh.delete(
+      new org.apache.hadoop.fs.Path(s"$dir/th/v0000000000000000099"), true)
     val real = docs.filter(col("doc_id") < 30).select("doc_id", "text")
     val rows = real.collect().map(r => (r.getLong(0), r.getString(1)))
     val input = MemoryStream[(Long, String)]
@@ -852,9 +860,8 @@ class StreamingTutorialSpec extends SparkSpec {
       // batch's routing observably differs from thA's
       graft.streaming.StreamScore.writeGateThresholds(spark,
         s"$dir/lm", s"$dir/dsir", slice, s"$dir/th", quantile = 0.95)
-      spark.catalog.refreshByPath(s"$dir/th")
-      val t = spark.read.parquet(s"$dir/th")
-        .select("min_lm_c6", "min_dsir_c6").head()
+      val t = graft.streaming.StreamScore.readGateThresholds(spark,
+        s"$dir/th")
       input.addData(batch2.toIndexedSeq: _*)
       q.processAllAvailable()
       t
