@@ -147,6 +147,12 @@ class KsqlEngine(
         s"INSERT arity ${values.length} != ${order.length}")
       val byName = order.zip(values).map { case (c, v) => c.toLowerCase -> v }.toMap
       val declByName = d.cols.map(c => c.name.toLowerCase -> c).toMap
+      // a typo'd column must fail loudly, exactly as the streaming plane
+      // does — the lookup below resolves by DECLARED names only, so an
+      // unvalidated unknown column would silently land an all-null row
+      // and the value would vanish
+      order.filterNot(c => declByName.contains(c.toLowerCase)).foreach(c =>
+        throw new IllegalArgumentException(s"unknown column $c in ${d.name}"))
       // the appended Row unions POSITIONALLY against the TOPIC schema —
       // align by name, not by declaration order (a decl over a
       // connector-fed topic may list columns in a different order, or a
@@ -258,20 +264,11 @@ class KsqlEngine(
       })
   }
 
-  /** The WINDOW kind a query effectively runs under: its own clause, or
-    * one inherited from a derived (CSAS/CTAS) view it reads — the batch
-    * mirror of the streaming engine's resolution, so EMIT FINAL over a
-    * windowed view gets the same verdict on both planes. Recurses
-    * through derived-of-derived; cycles cut by `seen`.
-    */
-  private def effectiveWindowKind(select: String,
-      seen: Set[String] = Set.empty): Option[String] =
-    windowKind(select).orElse(
-      fromSources(select).iterator
-        .map(_._1.toLowerCase).filterNot(seen)
-        .flatMap(n => derived.get(n)
-          .flatMap(d => effectiveWindowKind(d.select, seen + n)))
-        .nextOption())
+  // effectiveWindowKind lives on the shared trait (one resolution, so
+  // EMIT FINAL over a windowed view gets the same verdict on both
+  // planes); this engine only supplies the derived-view select lookup
+  override protected def derivedSelect(name: String): Option[String] =
+    derived.get(name).map(_.select)
 
   /** Reject removing a collection some remaining derived query reads —
     * otherwise every later refreshViews() would throw resolving the

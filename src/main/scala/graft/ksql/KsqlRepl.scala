@@ -172,13 +172,15 @@ object KsqlRepl {
       val engine = new KsqlStreamingEngine(spark,
         connectorProvider = provider, livePolling = live)
       try run(stmt => engine.execute(stmt).map { h =>
-          // drain, snapshot, STOP: the memory-sink table outlives the
-          // query, and a leaked active query would pin its MemoryStream
-          // attachments so every later INSERT pays dead fan-out and the
-          // buffers are never pruned (O(queries × records) growth)
+          // drain, snapshot, RELEASE: a leaked active query would pin
+          // its MemoryStream attachments (every later INSERT pays dead
+          // fan-out), and a stopped-but-registered sink table would pin
+          // its whole changelog for the session's lifetime. The
+          // snapshot DataFrame is analyzed BEFORE the release, so the
+          // dropped temp view doesn't affect rendering it.
           h.processAllAvailable()
           val snapshot = h.emissions
-          h.stop()
+          engine.release(h)
           snapshot
         }, in, System.out, interactive)
       finally engine.stopAll()

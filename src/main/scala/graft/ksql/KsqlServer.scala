@@ -240,25 +240,30 @@ object KsqlServer {
           case None =>
             respond(ex, 400, """{"error":"body must be {\"ksql\": \"...\"}"}""")
           case Some(script) =>
-            val results = KsqlParser.splitStatements(script).map { s =>
-              try {
-                val out = engine.synchronized {
-                  engine.execute(KsqlParser.parse(s))
-                } match {
-                  case Some(h) =>
-                    // drain, snapshot, STOP (the streaming REPL rule): a
-                    // leaked active query would pin MemoryStream buffers
-                    h.processAllAvailable()
-                    val snap = h.emissions
-                    val r = Some(snap)
-                    h.stop()
-                    r
-                  case None => None
+            // serialize the WHOLE script, not per statement — the batch
+            // plane does, and per-statement locking let another client's
+            // statements interleave into this script's
+            // create/insert/select sequence (half-built catalog reads)
+            val results = engine.synchronized {
+              KsqlParser.splitStatements(script).map { s =>
+                try {
+                  val out = engine.execute(KsqlParser.parse(s)) match {
+                    case Some(h) =>
+                      // drain, snapshot, RELEASE (the streaming REPL
+                      // rule): a leaked active query would pin
+                      // MemoryStream buffers, and a stopped-but-kept
+                      // sink table would pin its whole changelog
+                      h.processAllAvailable()
+                      val r = Some(resultJson(s, Some(h.emissions)))
+                      engine.release(h)
+                      r
+                    case None => None
+                  }
+                  out.getOrElse(resultJson(s, None))
+                } catch { case e: Exception =>
+                  s"""{"statement":${jsonValue(s)},""" +
+                    s""""error":${jsonValue(e.getMessage)}}"""
                 }
-                resultJson(s, out)
-              } catch { case e: Exception =>
-                s"""{"statement":${jsonValue(s)},""" +
-                  s""""error":${jsonValue(e.getMessage)}}"""
               }
             }
             respond(ex, 200, results.mkString("[", ",", "]"))
@@ -343,7 +348,10 @@ object KsqlServer {
         } catch {
           case _: java.io.IOException => () // client closed: normal end
         } finally {
-          h.stop()
+          // release, not stop: the memory sink's table holds this
+          // connection's full changelog — a server field-tested only by
+          // short tests would leak one changelog per connection served
+          engine.release(h)
           try os.close() catch { case _: java.io.IOException => () }
         }
       } finally ex.close()

@@ -99,8 +99,8 @@ class KsqlStreamingEngine(
   spark.udf.register("graft_exact_count_distinct",
     org.apache.spark.sql.functions.udaf(new graft.functions.ExactCountDistinct))
 
-  // COUNT_DISTINCT is rewritten in [[translate]] (needs a closing CAST
-  // paren, beyond the trait's simple prefix replacement)
+  // COUNT_DISTINCT rewriting is the trait's depth-matched rewriteCall
+  // with this engine's countDistinctRender (the exact Aggregator)
 
   /** A declared stream: the durable record buffer (the topic log) plus
     * every MemoryStream currently attached to it. Each push query gets
@@ -239,20 +239,18 @@ class KsqlStreamingEngine(
       .createOrReplaceTempView(td.name)
   }
 
-  /** The WINDOW kind a push query effectively runs under: its own
-    * clause, or one inherited from a derived (CSAS/CTAS) view it reads —
-    * `CREATE TABLE s AS SELECT … WINDOW SESSION(…) …; SELECT * FROM s`
-    * is a session-windowed aggregation even though the outer text has no
-    * WINDOW. Recurses through derived-of-derived; cycles cut by `seen`.
+  // effectiveWindowKind lives on the shared trait; this engine only
+  // supplies the derived-view select lookup it recurses through
+  override protected def derivedSelect(name: String): Option[String] =
+    derivedDefs.get(name).map(_.select)
+
+  /** Exact streaming count-distinct: Spark rejects native
+    * count(DISTINCT) under streaming aggregation, so the argument (whole
+    * — it may contain calls/parens) casts to STRING into the exact
+    * Aggregator.
     */
-  private def effectiveWindowKind(select: String,
-      seen: Set[String] = Set.empty): Option[String] =
-    windowKind(select).orElse(
-      fromSources(select).iterator
-        .map(_._1.toLowerCase).filterNot(seen)
-        .flatMap(n => derivedDefs.get(n)
-          .flatMap(dd => effectiveWindowKind(dd.select, seen + n)))
-        .nextOption())
+  override protected def countDistinctRender(args: String): String =
+    s"graft_exact_count_distinct(CAST(($args) AS STRING))"
 
   /** Re-register derived (CSAS/CTAS) views against the current stream
     * views, in declaration order.
@@ -365,9 +363,17 @@ class KsqlStreamingEngine(
       None
 
     case CreateCollection("STREAM", name, cols, props) =>
-      val d = StreamDecl(name, cols,
-        props.getOrElse("KAFKA_TOPIC", props.getOrElse("kafka_topic", name)),
-        mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty)
+      val topic =
+        props.getOrElse("KAFKA_TOPIC", props.getOrElse("kafka_topic", name))
+      // ONE log per topic: a second stream declared over the same
+      // KAFKA_TOPIC shares the first's record buffer (same rows, same
+      // offsets, history replayed) — two consumers of one Kafka topic,
+      // not two topics that happen to share a name. Without the share,
+      // INSERT INTO s1 was invisible to s2, a silent plane divergence
+      // from the batch engine (whose topic log is keyed by topic).
+      val buffer = streamDecls.values.find(_.topic == topic).map(_.buffer)
+        .getOrElse(mutable.ArrayBuffer.empty[(String, Long)])
+      val d = StreamDecl(name, cols, topic, buffer, mutable.ArrayBuffer.empty)
       streamDecls(name.toLowerCase) = d
       attachStream(d) // initial view: CSAS validation + metadata queries
       None
@@ -410,14 +416,15 @@ class KsqlStreamingEngine(
         "\"" + cd.name + "\":" + KsqlEngine.jsonEncode(
           KsqlEngine.convertLiteral(v, cd.dataType), cd.dataType)
       }.mkString("{", ",", "}")
-      // offsets key must match the decl key (lowercase): a mixed-case
-      // INSERT target would otherwise get its own counter and mint
-      // duplicate offsets into one log
-      val off = offsets(target.toLowerCase)
-      offsets(target.toLowerCase) = off + 1
-      d.buffer += ((json, off))
-      pruneDead(d)
-      d.attached.foreach(_.input.addData((json, off)))
+      // offsets are PER TOPIC (lowercased): same-topic streams read one
+      // log, so they must see one offset sequence — a per-stream (or
+      // mixed-case) counter would mint duplicate offsets into one log
+      val off = offsets(d.topic.toLowerCase)
+      offsets(d.topic.toLowerCase) = off + 1
+      d.buffer += ((json, off)) // the buffer instance is shared per topic
+      val sameTopic = streamDecls.values.filter(_.topic == d.topic).toSeq
+      sameTopic.foreach(pruneDead)
+      sameTopic.foreach(_.attached.foreach(_.input.addData((json, off))))
       None
 
     case PushQuery(select, emitFinal) =>
@@ -491,19 +498,25 @@ class KsqlStreamingEngine(
   /** COUNT_DISTINCT needs a closing paren for the CAST wrapper; rewrites
     * stay outside string literals like every other token rewrite.
     */
-  private def translate(select: String, injectOffset: Boolean = false): String = {
-    import KsqlTranslator.replaceOutsideQuotes
-    val pre = replaceOutsideQuotes(
-      replaceOutsideQuotes(select,
-        "(?i)(?<![\\w])COUNT_DISTINCT\\s*\\(\\(([^()]*)\\)\\)",
-        "graft_exact_count_distinct(CAST(($1) AS STRING))"),
-      "(?i)(?<![\\w])COUNT_DISTINCT\\s*\\(([^()]*)\\)",
-      "graft_exact_count_distinct(CAST(($1) AS STRING))")
-    translateSelect(pre, injectOffset)
+  private def translate(select: String, injectOffset: Boolean = false): String =
+    translateSelect(select, injectOffset)
+
+  /** Stop a push query and RELEASE its driver-side footprint: the
+    * memory sink's temp table (which holds the query's FULL changelog)
+    * and the handle registration. Serving planes running
+    * drain-snapshot-stop must use this, not bare `stop()` — a
+    * long-lived server otherwise grows by every changelog ever emitted
+    * across all queries it served (the sink table and handle were kept
+    * forever even after the query stopped).
+    */
+  def release(h: PushHandle): Unit = {
+    h.stop()
+    spark.catalog.dropTempView(h.name)
+    handles -= h
   }
 
   def stopAll(): Unit = {
-    handles.foreach(h => if (h.query.isActive) h.stop())
+    handles.toSeq.foreach(release)
     pollers.foreach(p => if (p.isActive) p.stop())
     streamDecls.values.foreach(pruneDead)
   }

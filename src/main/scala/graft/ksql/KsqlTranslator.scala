@@ -25,8 +25,35 @@ trait KsqlTranslator {
   /** Output columns of a collection (without `_offset`). */
   protected def viewColumns(name: String): Seq[String]
 
-  /** SQL replacement for `COUNT_DISTINCT(` — engine-specific. */
-  protected def countDistinctSql: String = "count(DISTINCT "
+  /** Render a `COUNT_DISTINCT(args)` call — engine-specific (batch uses
+    * native count-distinct; streaming substitutes the exact Aggregator,
+    * which Spark's unsupported-operation check requires).
+    */
+  protected def countDistinctRender(args: String): String =
+    s"count(DISTINCT $args)"
+
+  /** The select text of a derived (CSAS/CTAS) view, if `name` is one —
+    * the lookup [[effectiveWindowKind]] recurses through.
+    */
+  protected def derivedSelect(name: String): Option[String] = None
+
+  /** The WINDOW kind a query effectively runs under: its own clause, or
+    * one inherited from a derived (CSAS/CTAS) view it reads —
+    * `CREATE TABLE s AS SELECT … WINDOW SESSION(…) …; SELECT * FROM s`
+    * is a session-windowed aggregation even though the outer text has no
+    * WINDOW. Recurses through derived-of-derived; cycles cut by `seen`.
+    * ONE implementation on the shared trait: both planes must give the
+    * same verdict on the same statement, which two copy-pasted bodies
+    * can only promise until one is edited.
+    */
+  private[ksql] def effectiveWindowKind(select: String,
+      seen: Set[String] = Set.empty): Option[String] =
+    windowKind(select).orElse(
+      fromSources(select).iterator
+        .map(_._1.toLowerCase).filterNot(seen)
+        .flatMap(n => derivedSelect(n)
+          .flatMap(sel => effectiveWindowKind(sel, seen + n)))
+        .nextOption())
 
   /** Whether collection views expose the `_rowtime` record timestamp
     * (required for WINDOW clauses and ROWTIME).
@@ -76,18 +103,24 @@ trait KsqlTranslator {
 
   private[ksql] def translateSelect(select0: String,
       injectOffset: Boolean = false): String = {
-    import KsqlTranslator.replaceOutsideQuotes
+    import KsqlTranslator.{replaceOutsideQuotes, rewriteCall}
     var s = select0.replaceAll("(?is)\\s+EMIT\\s+CHANGES\\s*$", "").trim
-    s = replaceOutsideQuotes(s, "(?i)(?<![\\w])COUNT_DISTINCT\\s*\\(",
-      java.util.regex.Matcher.quoteReplacement(countDistinctSql))
+    // depth-matched call rewrite, not a [^()]* regex: COUNT_DISTINCT's
+    // argument may itself contain calls (ABS(v)), and the streaming
+    // render needs the whole argument inside a CAST — a paren-blind
+    // pattern either misses the call (leaving count(DISTINCT …), which
+    // Spark rejects under streaming aggregation) or cuts the argument
+    s = rewriteCall(s, "COUNT_DISTINCT", countDistinctRender)
     KsqlTranslator.FunctionRenames.foreach { case (ksql, sparkFn) =>
       s = replaceOutsideQuotes(s, s"(?i)(?<![\\w])$ksql\\s*\\(", sparkFn + "(")
     }
     // ksqlDB's STRINGTOTIMESTAMP returns BIGINT epoch-millis, not a
-    // TIMESTAMP — wrap rather than rename (single-level args only)
-    s = replaceOutsideQuotes(s,
-      "(?i)(?<![\\w])STRINGTOTIMESTAMP\\s*\\(([^()]*)\\)",
-      "unix_millis(to_timestamp($1))")
+    // TIMESTAMP — wrap rather than rename. Depth-matched: the standard
+    // two-arg form carries a QUOTED format string, which a
+    // segment-by-quote regex rewrite can never cross (the call used to
+    // survive untranslated whenever a format argument was present)
+    s = rewriteCall(s, "STRINGTOTIMESTAMP",
+      args => s"unix_millis(to_timestamp($args))")
     // ---- windowed aggregation (WINDOW TUMBLING/HOPPING/SESSION) --------
     windowMatch(s).foreach { m =>
       require(rowtimeSupported,
@@ -143,33 +176,84 @@ trait KsqlTranslator {
         .orElse(sources.headOption.map(_._2))
         .getOrElse(throw new IllegalArgumentException(
           s"LATEST_BY_OFFSET without a FROM source: $select0"))
-      s = KsqlTranslator.replaceOutsideQuotes(s,
-        "(?i)LATEST_BY_OFFSET\\s*\\(([^()]*)\\)",
-        s"graft_latest_by_offset($$1, $streamRef._offset)")
+      s = KsqlTranslator.rewriteCall(s, "LATEST_BY_OFFSET",
+        args => s"graft_latest_by_offset($args, $streamRef._offset)")
     }
-    // SELECT * expansion: single source -> declared columns; join -> each
-    // side's columns prefixed with its reference (ksqlDB output naming)
-    if (s.matches("(?is)^SELECT\\s+\\*\\s+FROM\\b.*")) {
-      val cols = sources match {
-        case Seq((name, ref)) =>
-          viewColumns(name).map(c => s"$ref.$c AS $c")
-        case multi => multi.flatMap { case (name, ref) =>
-          viewColumns(name).map(c => s"$ref.$c AS ${ref}_$c") }
+    // Star expansion, ITEM-WISE over the select list (ksqlDB output
+    // naming): `*` and `ref.*` items expand to declared columns — a
+    // whole-text `^SELECT \* FROM` match would leave `SELECT *, expr`
+    // and `SELECT a.*` to Spark's native star, which expands against
+    // the registered views and leaks the internal _offset/_rowtime
+    // columns into client-visible results
+    run {
+      val masked = KsqlTranslator.maskLiterals(s)
+      val selRe = "(?is)^SELECT\\s+".r
+      for (sm <- selRe.findPrefixMatchOf(masked);
+           fm <- FromRe.findFirstMatchIn(masked)) {
+        def expandAll: Seq[String] = sources match {
+          case Seq((name, ref)) => viewColumns(name).map(c => s"$ref.$c AS $c")
+          case multi => multi.flatMap { case (name, ref) =>
+            viewColumns(name).map(c => s"$ref.$c AS ${ref}_$c") }
+        }
+        def expandRef(r: String): Option[Seq[String]] =
+          sources.collectFirst { case (name, ref)
+              if ref.equalsIgnoreCase(r) =>
+            if (sources.sizeIs == 1) viewColumns(name).map(c => s"$ref.$c AS $c")
+            else viewColumns(name).map(c => s"$ref.$c AS ${ref}_$c")
+          }
+        // split the select list at depth-0 commas of the MASKED text so
+        // literal/paren commas never split an item; spans index into s
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var depth = 0
+        var start = sm.end
+        (sm.end until fm.start).foreach { i =>
+          masked.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 0 => spans += ((start, i)); start = i + 1
+            case _ => ()
+          }
+        }
+        spans += ((start, fm.start))
+        val starRe = "^(?:(\\w+)\\.)?\\*$".r
+        var expanded = false
+        val items = spans.map { case (a, b) =>
+          val item = s.substring(a, b).trim
+          starRe.findFirstMatchIn(item) match {
+            case Some(m) if m.group(1) == null =>
+              expanded = true; expandAll.mkString(", ")
+            case Some(m) => expandRef(m.group(1)) match {
+              case Some(cols) => expanded = true; cols.mkString(", ")
+              case None => item
+            }
+            case None => item
+          }
+        }
+        if (expanded)
+          s = s.substring(0, sm.end) + items.mkString(", ") + " " +
+            s.substring(fm.start)
       }
-      s = s.replaceFirst("(?is)^SELECT\\s+\\*", "SELECT " + cols.mkString(", "))
     }
-    if (injectOffset && !s.toUpperCase.contains("GROUP BY")) {
+    // GROUP BY detection and the FROM splice both run on the MASKED
+    // text: a literal 'GROUP BY' must not suppress injection, a literal
+    // 'FROM x' must not take the splice (positions index into the
+    // original because masking is length-preserving)
+    if (injectOffset && "(?i)\\bGROUP\\s+BY\\b".r
+        .findFirstIn(KsqlTranslator.maskLiterals(s)).isEmpty) {
       // derived streams carry the source offset through (Kafka offset
       // analogue) so downstream LATEST_BY_OFFSET keeps arrival order —
       // and the record timestamp, so downstream WINDOW clauses still work
       val ref = sources.headOption.map(_._2).getOrElse("")
       val extra = s", $ref._offset AS _offset " +
         (if (rowtimeSupported) s", $ref._rowtime AS _rowtime " else "")
-      s = FromRe.replaceFirstIn(s,
-        java.util.regex.Matcher.quoteReplacement(extra) + "FROM $1 $2")
+      FromRe.findFirstMatchIn(KsqlTranslator.maskLiterals(s)).foreach { fm =>
+        s = s.substring(0, fm.start) + extra + s.substring(fm.start)
+      }
     }
     s
   }
+
+  private def run(body: => Unit): Unit = body
 }
 
 object KsqlTranslator {
@@ -215,6 +299,50 @@ object KsqlTranslator {
     }
     flush()
     out.result()
+  }
+
+  /** Rewrite every `fn(args)` call via a depth-matched argument scan on
+    * the literal-masked text: the call's parens are found structurally
+    * (literal parens don't count, nested calls don't cut the argument),
+    * and `render` receives the RAW argument text verbatim — so a quoted
+    * format string or a nested function survives, which the
+    * segment-by-quote regex rewrites cannot promise (they never see a
+    * pattern spanning a literal). Unbalanced parens leave the text
+    * untouched for Spark's parser to report. Rescans from just past each
+    * rewritten call head so calls nested inside arguments rewrite too.
+    */
+  private[ksql] def rewriteCall(s0: String, fn: String,
+      render: String => String): String = {
+    val headRe = s"(?i)(?<![\\w])${java.util.regex.Pattern.quote(fn)}\\s*\\(".r
+    var s = s0
+    var from = 0
+    var continue = true
+    while (continue) {
+      val masked = maskLiterals(s)
+      headRe.findFirstMatchIn(masked.substring(from)) match {
+        case None => continue = false
+        case Some(m) =>
+          val open = from + m.end - 1
+          var i = open + 1
+          var depth = 1
+          while (i < masked.length && depth > 0) {
+            masked.charAt(i) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ => ()
+            }
+            if (depth > 0) i += 1
+          }
+          if (depth != 0) continue = false // unbalanced: leave as-is
+          else {
+            val args = s.substring(open + 1, i)
+            s = s.substring(0, from + m.start) + render(args) +
+              s.substring(i + 1)
+            from = from + m.start + 1
+          }
+      }
+    }
+    s
   }
 
   /** Replace every single-quoted literal's content (quotes included) with

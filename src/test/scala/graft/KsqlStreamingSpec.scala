@@ -58,6 +58,37 @@ class KsqlStreamingSpec extends SparkSpec {
     } finally h.stop()
   }
 
+  test("two streams over one KAFKA_TOPIC share the record log (and " +
+      "COUNT_DISTINCT takes nested-call arguments under streaming)") {
+    val e = freshEngine
+    e.execute("""CREATE STREAM s1 (
+      id VARCHAR KEY, event_type VARCHAR, player_id VARCHAR, home boolean)
+      WITH (KAFKA_TOPIC='shared_t');""")
+    e.execute("""CREATE STREAM s2 (
+      id VARCHAR KEY, event_type VARCHAR, player_id VARCHAR, home boolean)
+      WITH (KAFKA_TOPIC='shared_t');""")
+    e.execute("INSERT INTO s1 VALUES ('1', 'GOAL', '9', true);")
+    // a consumer of the same topic must see rows produced via the OTHER
+    // stream — one log per topic, as on the batch plane and in Kafka
+    val h = e.execute(
+      // nested-call argument: the old [^()]* rewrite fell through to
+      // count(DISTINCT …), which Spark rejects under streaming aggs
+      """SELECT event_type, COUNT_DISTINCT(UCASE(player_id)) AS n
+        FROM s2 GROUP BY event_type EMIT CHANGES;""").get
+    try {
+      e.execute("INSERT INTO s1 VALUES ('2', 'GOAL', '7', false);")
+      e.execute("INSERT INTO s2 VALUES ('3', 'GOAL', '7', true);")
+      h.processAllAvailable()
+      val last = h.emissions.collect().map(r =>
+        (r.getString(0), r.getLong(1))).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.last._2 }
+      assert(last === Map("GOAL" -> 2L)) // players 9 and 7, via both streams
+    } finally e.release(h)
+    // release dropped the changelog table — a long-lived server must not
+    // retain one table per query ever served
+    assert(!spark.catalog.tableExists(h.name))
+  }
+
   test("drainSince is incremental: only rows past the cursor, zero Spark jobs") {
     val e = freshEngine
     ddl(e)

@@ -230,6 +230,53 @@ class KsqlTutorialSpec extends SparkSpec {
       Seq(("LEN(x)", "ROWTIME")))
   }
 
+  test("translator edge cases: quoted-arg calls, star variants, literal " +
+      "FROM/GROUP BY never take a splice, typo'd INSERT columns throw") {
+    val e = engine
+    e.execute("""CREATE STREAM match_event (
+      id VARCHAR KEY, event_type VARCHAR, player_id VARCHAR, home boolean)
+      WITH (KAFKA_TOPIC='match_event');""")
+    e.execute("INSERT INTO match_event VALUES ('1', 'GOAL', '9', true);")
+    // STRINGTOTIMESTAMP's standard TWO-ARG form (quoted format string):
+    // the segment-by-quote rewrite could never cross the literal, so the
+    // call used to reach Spark untranslated and fail as undefined
+    val ts = e.execute(
+      """SELECT STRINGTOTIMESTAMP('2021-03-01 07:30:00',
+        'yyyy-MM-dd HH:mm:ss') AS ms FROM match_event EMIT CHANGES;""")
+      .get.collect().head.getLong(0)
+    assert(ts === java.sql.Timestamp.valueOf("2021-03-01 07:30:00").getTime)
+    // SELECT *, expr — the internal _offset/_rowtime columns must NOT
+    // leak through Spark's native star over the registered view
+    val star = e.execute(
+      "SELECT *, UCASE(event_type) AS u FROM match_event EMIT CHANGES;").get
+    assert(star.columns.map(_.toLowerCase).toSet ===
+      Set("id", "event_type", "player_id", "home", "u"))
+    // alias.* likewise
+    val aliasStar = e.execute(
+      "SELECT m.* FROM match_event m EMIT CHANGES;").get
+    assert(aliasStar.columns.map(_.toLowerCase).toSet ===
+      Set("id", "event_type", "player_id", "home"))
+    // a literal containing 'FROM <word>' before the real FROM must not
+    // take the derived-stream offset splice (it corrupted the literal
+    // and dropped _offset), and a literal 'GROUP BY' must not suppress
+    // injection — LATEST_BY_OFFSET downstream proves _offset arrived
+    e.execute("""CREATE STREAM noted AS
+      SELECT 'copied FROM players GROUP BY x' AS note, id, player_id
+      FROM match_event;""")
+    e.execute("INSERT INTO match_event VALUES ('2', 'GOAL', '7', false);")
+    val derived = e.execute(
+      """SELECT note, LATEST_BY_OFFSET(id) AS last_id FROM noted
+        GROUP BY note EMIT CHANGES;""").get.collect()
+    assert(derived.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("copied FROM players GROUP BY x", "2")))
+    // a typo'd INSERT column is an error, not a silent all-null row
+    // (the streaming plane already threw; the planes must agree)
+    val err = intercept[IllegalArgumentException] {
+      e.execute("INSERT INTO match_event (vlaue) VALUES ('5');")
+    }
+    assert(err.getMessage.contains("unknown column"))
+  }
+
   test("EXPLAIN returns the Spark physical plan for a KSQL query") {
     val e = engine
     e.execute("""CREATE STREAM match_event (
