@@ -305,11 +305,16 @@ object KsqlServer {
             respond(ex, 400,
               s"""{"error":${jsonValue(e.getMessage)}}"""); return
           }
-        ex.getResponseHeaders.set("Content-Type",
-          "application/json; charset=utf-8")
-        ex.sendResponseHeaders(200, 0) // length 0 => chunked, held open
-        val os = ex.getResponseBody
+        // from here on the handle exists: EVERYTHING — including the
+        // chunked handshake, which throws IOException if the client
+        // already disconnected — runs inside the try whose finally
+        // releases, or the aborted connection leaks a standing query
         try {
+          ex.getResponseHeaders.set("Content-Type",
+            "application/json; charset=utf-8")
+          ex.sendResponseHeaders(200, 0) // length 0 => chunked, held open
+          val os = ex.getResponseBody
+          try {
           h.processAllAvailable()
           val cols = h.emissions.columns
             .map(c => s""""${jsonEscape(c.toUpperCase)}"""")
@@ -345,6 +350,9 @@ object KsqlServer {
             os.write('\n'.toInt); os.flush()
             if (more) Thread.sleep(100)
           }
+          } finally {
+            try os.close() catch { case _: java.io.IOException => () }
+          }
         } catch {
           case _: java.io.IOException => () // client closed: normal end
         } finally {
@@ -352,7 +360,6 @@ object KsqlServer {
           // connection's full changelog — a server field-tested only by
           // short tests would leak one changelog per connection served
           engine.release(h)
-          try os.close() catch { case _: java.io.IOException => () }
         }
       } finally ex.close()
     })

@@ -509,14 +509,20 @@ class KsqlStreamingEngine(
     * across all queries it served (the sink table and handle were kept
     * forever even after the query stopped).
     */
-  def release(h: PushHandle): Unit = {
+  def release(h: PushHandle): Unit = synchronized {
+    // under the engine lock: the server's /query handlers release from
+    // their own connection threads while /ksql threads execute (and
+    // register handles) under `engine.synchronized` — an unsynchronized
+    // ArrayBuffer -= racing a += can lose a handle (re-leaking the
+    // changelog this method exists to free). Reentrant, so the /ksql
+    // path's release-under-lock is unaffected.
     h.stop()
     spark.catalog.dropTempView(h.name)
     handles -= h
   }
 
   def stopAll(): Unit = {
-    handles.toSeq.foreach(release)
+    synchronized(handles.toSeq).foreach(release)
     pollers.foreach(p => if (p.isActive) p.stop())
     streamDecls.values.foreach(pruneDead)
   }

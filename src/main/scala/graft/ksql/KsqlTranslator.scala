@@ -185,7 +185,7 @@ trait KsqlTranslator {
     // and `SELECT a.*` to Spark's native star, which expands against
     // the registered views and leaks the internal _offset/_rowtime
     // columns into client-visible results
-    run {
+    locally {
       val masked = KsqlTranslator.maskLiterals(s)
       val selRe = "(?is)^SELECT\\s+".r
       for (sm <- selRe.findPrefixMatchOf(masked);
@@ -252,8 +252,6 @@ trait KsqlTranslator {
     }
     s
   }
-
-  private def run(body: => Unit): Unit = body
 }
 
 object KsqlTranslator {

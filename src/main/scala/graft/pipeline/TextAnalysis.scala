@@ -1193,9 +1193,14 @@ object TextAnalysis {
   private def bpeWords(text: Column): Column =
     filter(tokens(text), w => length(w) > 0)
 
-  /** "low" → ␁l␂␁o␂␁w␂ — the rank-0 all-characters segmentation. */
+  /** "low" → ␁l␂␁o␂␁w␂ — the rank-0 all-characters segmentation.
+    * `(?s)` so `.` also wraps Unicode line separators (U+0085/U+2028/
+    * U+2029): Java's ASCII `\s+` word split leaves them INSIDE words,
+    * and an unwrapped character would leak raw sentinels into a symbol
+    * — the DuckDB oracle wraps every character unconditionally.
+    */
   private def bpeSeg0(w: Column): Column =
-    regexp_replace(w, "(.)", BpeL + "$1" + BpeR)
+    regexp_replace(w, "(?s)(.)", BpeL + "$1" + BpeR)
 
   /** Split a segmentation string back into its symbols. */
   private def bpeSymbols(seg: Column): Column =

@@ -625,6 +625,40 @@ class PipelineSpec extends SparkSpec {
     assert(got(10L) === ((0L, 0L)))
   }
 
+  test("bpe: tokens reconstruct every word, ids cover the training " +
+      "alphabet, and Unicode line separators never leak sentinels") {
+    import spark.implicits._
+    // U+2028 sits INSIDE a word: Java's ASCII \s+ split keeps it there,
+    // so segmentation must wrap it like any other char ((?s) in bpeSeg0)
+    // — an unwrapped char would emit raw \u0001/\u0002 sentinel bytes
+    // into the client-visible tokens
+    val d = Seq(
+      (1L, "low low low lower lower newest newest newest newest widest"),
+      (2L, "low lowest newest widest widest a\u2028b"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_model").toString
+    TextAnalysis.buildBpeModel(d, dir, numMerges = 8)
+    val out = TextAnalysis.bpeTokenizeIndexed(spark, dir, d).collect()
+    val toks = out.map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(toks.values.flatten.forall(t =>
+      !t.contains("\u0001") && !t.contains("\u0002")))
+    // concatenated subwords reconstruct the (lower-cased) text sans spaces
+    assert(toks(1L).mkString ===
+      "lowlowlowlowerlowernewestnewestnewestnewestwidest")
+    assert(toks(2L).mkString === "lowlowestnewestwidestwidesta\u2028b")
+    // every symbol seen in training (incl. \u2028) has a vocab id
+    assert(out.flatMap(_.getSeq[Long](2)).forall(_ >= 0L))
+    // n_tokens_bpe is the token count, and merges actually merged:
+    // "newest" (freq 5) must be fewer than its 6 characters
+    assert(out.forall(r => r.getLong(3) === r.getSeq[String](1).size.toLong))
+    assert(toks(1L).size < "lowlowlowlowerlowernewestnewestnewestnewestwidest".length)
+    // apply-time-only characters id as -1 but still tokenize
+    val oov = TextAnalysis.bpeTokenizeIndexed(spark, dir,
+      Seq((9L, "zq low")).toDF("doc_id", "text")).collect().head
+    assert(oov.getSeq[String](1).mkString === "zqlow")
+    assert(oov.getSeq[Long](2).contains(-1L))
+  }
+
   test("sourceCap keeps the `cap` longest docs per source") {
     import spark.implicits._
     val d = (1L to 6L).map(i => (i, "w " * i.toInt, "en", if (i <= 4) "A" else "B"))
