@@ -28,8 +28,11 @@ import org.apache.spark.sql.functions._
   *    Exception: d12's continuous-ingest shape IS swept, via
   *    d12_incremental_scale, whose batch is pinned to replica-0 keys so
   *    only the corpus side replicates (linear input, linear output);
-  *  - session-stamped layout ingests (x7/x9/x10) and the tiny tutorial
-  *    fixtures (s-/ksql rows), which measure setup, not throughput;
+  *  - session-stamped layout ingests (x7/x9/x10/x11) and the tiny
+  *    tutorial fixtures (s-/ksql rows), which measure setup, not
+  *    throughput;
+  *  - retrieval-metric/selection twins whose cost is their upstream
+  *    retrievers, already swept (v19 = v1+v6; v20 = v12's shape);
   *  - media synthesis (m1–m3), whose cost is the synthetic byte generator.
   *
   * Usage: SPARK_GRAFT_SCALE_DIR=/tmp/graft_sfscale SPARK_GRAFT_REPLICAS=10

@@ -470,6 +470,28 @@ object SparkEntry {
     // basis is genuinely orthonormal and spanning.
     "v14b_pca_outlier_contract" -> ((s, d) =>
       Similarity.pcaOutlierContract(table(s, d, "embeddings"))),
+    // V19: retrieval-quality metrics as an operator — per-query
+    // recall@5 / MRR / hit count of the int8-quantized retriever (v6)
+    // against exact brute force (v1). Continuous index-quality
+    // monitoring belongs in-plan at 100 TB (re-measure after every
+    // append/retrain); both ranking inputs are |queries|·k rows, the
+    // metrics join broadcasts, and every stage is deterministic, so the
+    // whole chain — both retrievers AND the metric arithmetic —
+    // hash-checks against a single SQL replay.
+    "v19_retrieval_metrics" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+      Similarity.retrievalMetrics(
+        Similarity.bruteCosineTopK(emb, qs, k = 5),
+        Similarity.int8CosineTopK(emb, qs, k = 5), k = 5)
+    }),
+    // V20: prototypicality-stratified pruning (SSL-prune) — per label,
+    // the 10 LEAST prototypical vectors by centroid cosine (the
+    // keep-hard-examples curation regime). Bounded-heap selection: no
+    // per-label sort, no corpus window — each map task forwards ≤ 10
+    // entries per label.
+    "v20_prototype_select" -> ((s, d) =>
+      Similarity.prototypeSelect(table(s, d, "embeddings"), nKeep = 10)),
     // V15: covariance from INCREMENTALLY maintained moment state — the
     // embeddings ingested in three batches through the StreamMoments
     // monoid fold; exact Long arithmetic makes the result bit-identical
@@ -674,6 +696,20 @@ object SparkEntry {
         .toString + "/customer"
       graft.engine.Sinks.toCsv(cust, tmp)
       graft.engine.Sources.fromCsv(s, tmp, cust.schema)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
+    }),
+    // S14: ORC round trip — Spark's second native columnar format; the
+    // write is the stock distributed ORC sink (hand-rolling a serde here
+    // would re-implement what the engine already codegens — the opposite
+    // call from s12/s13, where owning the text serde IS the point).
+    // Oracle = the parquet original, so a hash match proves losslessness.
+    "s14_orc_roundtrip" -> ((s, d) => {
+      val cust = table(s, d, "customer")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+        .toString + "/customer"
+      cust.write.mode("overwrite").orc(tmp)
+      s.read.schema(cust.schema).orc(tmp)
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
           "c_mktsegment")
     }),
@@ -1051,6 +1087,26 @@ object SparkEntry {
       s.read.parquet(dir)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+    // X11: Z-order-clustered scan (Layout.zorderWrite) — lineitem laid
+    // out by the Morton interleave of (l_partkey, l_suppkey), scanned
+    // with a 2-d rectangle predicate. Directory partitioning (x9) prunes
+    // ONE column hierarchy; z-order makes parquet min/max tight on BOTH
+    // keys, so either-column predicates skip most row groups — the
+    // multi-column pruning lever at 100 TB. The emitted sum_z also
+    // hash-checks the bit-interleave arithmetic itself against a SQL
+    // replay; data content must match the flat-parquet twin (layout
+    // never changes data — the x9/x10 contract). Locality is asserted
+    // separately in PlanShapeSpec (per-file bounding boxes).
+    "x11_zorder_scan" -> ((s, d) => {
+      val dir = zorderIngest(s, d)
+      s.read.parquet(dir)
+        .filter(col("l_partkey") <= 64 && col("l_suppkey") <= 8)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(graft.engine.Layout.zvalue(
+            col("l_partkey"), col("l_suppkey"))).as("sum_z"))
     }),
     // A12: GROUPING SETS — the explicit-set cousin of ROLLUP/CUBE (a9/a10):
     // (lang), (source), and the grand total in one pass; Catalyst expands
@@ -2037,6 +2093,85 @@ object SparkEntry {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "s13_csv_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    "s14_orc_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    // v19: both rankings replayed in full (v1's exact chain + v6's
+    // requantized chain), then the metric join/agg — rank arithmetic
+    // only, so recall/MRR hash-check end to end.
+    "v19_retrieval_metrics" ->
+      """WITH xv AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |xq AS (SELECT vec_id AS query_id, v AS qv FROM xv WHERE vec_id < 20),
+        |xs AS (
+        |  SELECT query_id, xv.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(qv, xv.v), 6) AS cosine
+        |  FROM xv, xq WHERE xv.vec_id <> query_id),
+        |xt AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |    FROM xs)
+        |  WHERE rank <= 5),
+        |sc AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM xv),
+        |qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |      ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS qv
+        |  FROM sc),
+        |aq AS (SELECT vec_id AS query_id, qv FROM qz WHERE vec_id < 20),
+        |axs AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(aq.qv, c.qv), 6) AS cosine
+        |  FROM qz c, aq WHERE c.vec_id <> query_id),
+        |axt AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |    FROM axs)
+        |  WHERE rank <= 5),
+        |j AS (
+        |  SELECT x.query_id, x.rank AS x_rank, a.rank AS a_rank
+        |  FROM xt x LEFT JOIN axt a
+        |    ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id)
+        |SELECT query_id,
+        |  CAST(count(a_rank) AS BIGINT) AS n_hits,
+        |  round(CAST(count(a_rank) AS DOUBLE) / 5, 6) AS recall_at_k,
+        |  round(coalesce(max(CASE WHEN x_rank = 1
+        |    THEN CAST(1 AS DOUBLE) / a_rank END), 0), 6) AS mrr
+        |FROM j GROUP BY query_id""".stripMargin,
+    // v20: the v12 affinity chain + an ascending row_number replay of the
+    // bounded-heap selection (ties to the smaller vec_id, the heap's
+    // contract).
+    "v20_prototype_select" ->
+      """WITH comp AS (
+        |  SELECT label, vec_id, CAST(i - 1 AS INTEGER) AS i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        |  FROM embeddings, generate_series(1, 64) AS g(i)),
+        |cent AS (
+        |  SELECT label,
+        |    list(CAST(sq AS DOUBLE) / (CAST(nv AS DOUBLE) * 1000000.0)
+        |      ORDER BY i) AS c
+        |  FROM (SELECT label, i, CAST(sum(q) AS BIGINT) AS sq,
+        |          CAST(count(*) AS BIGINT) AS nv
+        |        FROM comp GROUP BY label, i)
+        |  GROUP BY label),
+        |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x
+        |      FROM embeddings),
+        |aff AS (
+        |  SELECT v.vec_id, v.label,
+        |    round(list_dot_product(v.x, c.c) /
+        |      (sqrt(list_dot_product(v.x, v.x)) *
+        |       sqrt(list_dot_product(c.c, c.c))), 6) AS cos_centroid
+        |  FROM v JOIN cent c ON v.label = c.label)
+        |SELECT label, vec_id, CAST(rank AS INTEGER) AS rank_in_label,
+        |       cos_centroid
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY label ORDER BY cos_centroid ASC, vec_id) AS rank
+        |      FROM aff)
+        |WHERE rank <= 10""".stripMargin,
     // t20: same shingle CASE as the d8 oracle (docs of ≤ 3 tokens have one
     // whole-text gram); df threshold compares count(double) against
     // n_docs · 0.01 — one IEEE multiply+compare, identical both engines.
@@ -2431,6 +2566,21 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |GROUP BY source""".stripMargin,
+    // x11 reads the z-ordered layout; the oracle reads the flat source
+    // AND replays the Morton interleave per row — layout must never
+    // change data, and the z arithmetic must agree bit for bit.
+    "x11_zorder_scan" ->
+      """WITH z AS (
+        |  SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS q,
+        |    list_sum(list_transform(range(0, 16), i ->
+        |      (((l_partkey >> i) & 1) << (2 * i)) +
+        |      (((l_suppkey >> i) & 1) << (2 * i + 1)))) AS zval
+        |  FROM lineitem
+        |  WHERE l_partkey <= 64 AND l_suppkey <= 8)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(q) AS BIGINT) AS sum_qty,
+        |  CAST(sum(zval) AS BIGINT) AS sum_z
+        |FROM z GROUP BY l_returnflag""".stripMargin,
     "a12_grouping_sets" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -2681,6 +2831,20 @@ object SparkEntry {
         .count(st => st.getPath.getName.endsWith(".parquet"))
       require(nFiles <= targetFiles,
         s"compact left $nFiles files at $dir, expected <= $targetFiles")
+    }
+    dir.toString
+  }
+
+  /** Once-per-(source data, session) Z-order-clustered lineitem copy
+    * backing x11: 32 files range-partitioned and sorted by the Morton
+    * interleave of (l_partkey, l_suppkey), so min/max stats are tight on
+    * BOTH keys and a 2-d rectangle scan prunes most row groups.
+    */
+  private def zorderIngest(s: SparkSession, sfDir: String): String = {
+    val (dir, fs) = layoutDir(s, sfDir, "lineitem", "zorder")
+    gatedBuild(fs, dir) {
+      graft.engine.Layout.zorderWrite(table(s, sfDir, "lineitem"),
+        dir.toString, targetFiles = 32, "l_partkey", "l_suppkey")
     }
     dir.toString
   }

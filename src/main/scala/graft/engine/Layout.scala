@@ -359,4 +359,53 @@ object Layout {
     }
     fs.delete(old, true)
   }
+
+  /** Morton (Z-order) value: interleave the low `bits` bits of two
+    * non-negative integer columns — bit i of `a` lands at position 2i,
+    * bit i of `b` at 2i+1. Rows close in z-value are close in BOTH
+    * dimensions, which is what makes [[zorderWrite]] prune on either
+    * column. Pure codegen'd built-ins (shifts/masks/adds folded into one
+    * projection); inputs are masked to `bits` bits, so callers whose
+    * domain exceeds 2^`bits` should scale or bucket first (interleaving
+    * only the low bits of a wider domain destroys locality — the same
+    * contract as Delta's OPTIMIZE ZORDER, which range-buckets first).
+    */
+  def zvalue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"zvalue: need 1 <= bits <= 31 (got $bits)")
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    val al = a.cast("long"); val bl = b.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(al, i) % 2, 2 * i) +
+        shiftleft(shiftright(bl, i) % 2, 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Z-order clustered write: lay `df` out in `targetFiles` parquet files
+    * range-partitioned AND sorted by [[zvalue]] of two columns, so each
+    * file (and each row group inside it) covers a small rectangle of the
+    * (a, b) plane — parquet min/max stats on BOTH columns become tight,
+    * and a scan with a predicate on either column (or a 2-d rectangle)
+    * skips most row groups at the reader. This is the multi-column
+    * pruning lever directory partitioning can't give: partitioning prunes
+    * on ONE hierarchy; z-order trades perfect single-column pruning for
+    * good pruning on both (the Delta/Iceberg OPTIMIZE ZORDER idea,
+    * expressed as a plain repartitionByRange + sortWithinPartitions —
+    * no table format needed).
+    *
+    * The z column itself is dropped before the write: it is derivable,
+    * and persisting it would change the schema contract. Range boundaries
+    * come from Spark's reservoir sample, so FILE boundaries may vary
+    * across runs while content never does — consumers must not depend on
+    * file identity (same contract as every layout helper here).
+    */
+  def zorderWrite(df: DataFrame, path: String, targetFiles: Int,
+      colA: String, colB: String, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(targetFiles >= 1, s"zorderWrite: targetFiles >= 1 (got $targetFiles)")
+    val z = zvalue(col(colA), col(colB), bits)
+    df.repartitionByRange(targetFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(path)
+  }
 }

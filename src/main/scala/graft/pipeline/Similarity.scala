@@ -1430,4 +1430,74 @@ object Similarity {
       (abs(norm2 - projEnergy) <= lit(1e-6) * greatest(norm2, lit(1e-12)))
         .as("recon_zero"))
   }
+
+  /** Retrieval-quality metrics: join an EXACT top-k ranking against an
+    * APPROXIMATE one — both `(query_id, neighbor_id, rank, …)` tables in
+    * the shape every retriever here emits — and report, per query,
+    * `n_hits` (ids the approximate list recovered), `recall_at_k`
+    * (n_hits / k), and `mrr` (reciprocal of the approximate rank of the
+    * exact TOP-1 neighbor; 0 when the top hit is missed entirely).
+    *
+    * This is the repo's recall standard (RECALL_r* sweeps) promoted to a
+    * first-class operator: a 100 TB pipeline re-measures its ANN indexes
+    * continuously (after every append/retrain), so index-quality
+    * monitoring belongs in-plan, not in a report script. Both inputs are
+    * ≤ |queries|·k rows — the approximate side broadcasts, the join and
+    * aggregate never touch the corpus; the expensive parts are the two
+    * upstream rankings, which are whatever retrievers you point at it.
+    * Fully deterministic (rank arithmetic only), so exact-twin pairs
+    * (e.g. int8 vs brute) hash-check end to end.
+    */
+  def retrievalMetrics(exact: DataFrame, approx: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 0, s"retrievalMetrics: need k > 0 (got $k)")
+    val x = exact.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("_x_rank"))
+    val a = approx.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("_a_rank"))
+    x.join(broadcast(a), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(col("_a_rank")).as("n_hits"),
+        round(count(col("_a_rank")).cast("double") / k, 6)
+          .as("recall_at_k"),
+        round(coalesce(max(when(col("_x_rank") === 1,
+          lit(1.0) / col("_a_rank"))), lit(0.0)), 6).as("mrr"))
+  }
+
+  /** Prototypicality-stratified selection (SSL-prune, Sorscher et al.,
+    * NeurIPS 2022): per label, keep the `nKeep` vectors ranked by cosine
+    * to their label centroid — `hardest = true` keeps the LEAST
+    * prototypical tail (the pruning regime when data is abundant:
+    * easy/redundant examples go), `false` keeps the most prototypical
+    * (the low-data / denoising regime). Emits
+    * `(label, vec_id, rank_in_label, cos_centroid)`.
+    *
+    * Scale shape: affinity is [[centroidAffinity]] (label×dim-bounded
+    * centroid shuffle + broadcast join back — the corpus never
+    * shuffles); selection is the bounded-heap `topKByScore` aggregate,
+    * so each map task forwards ≤ nKeep entries per label to the
+    * exchange — NO per-label full sort, no window over the corpus, the
+    * shape a window-function `row_number` cannot give you at 100 TB.
+    * Ties (equal 6dp-rounded cosine) break to the smaller id, matching
+    * the oracle's `ORDER BY cos ASC|DESC, vec_id` replay exactly.
+    */
+  def prototypeSelect(embeddings: DataFrame, nKeep: Int,
+      hardest: Boolean = true, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    require(nKeep > 0, s"prototypeSelect: need nKeep > 0 (got $nKeep)")
+    // heap keeps MAXIMAL scores; negate for the ascending (hardest) tail.
+    // cos_centroid is 6dp-rounded upstream, so negate-then-negate is exact
+    // (and -0.0 round-trips back to 0.0).
+    val sgn = if (hardest) lit(-1.0) else lit(1.0)
+    embeddings
+      .transform(centroidAffinity(_, idCol, vecCol, labelCol))
+      .groupBy(col(labelCol))
+      .agg(gagg.topKByScore(col("cos_centroid") * sgn, col(idCol), nKeep)
+        .as("_top"))
+      .select(col(labelCol), posexplode(col("_top")))
+      .select(col(labelCol), col("col.id").as(idCol),
+        (col("pos") + 1).cast("int").as("rank_in_label"),
+        (col("col.score") * sgn).as("cos_centroid"))
+  }
 }

@@ -1646,4 +1646,56 @@ class PipelineSpec extends SparkSpec {
       assert(err16 <= err8 + 1e-6, s"vec $id: err16 $err16 > err8 $err8")
     }
   }
+
+  test("retrieval metrics: known overlaps give exact recall/MRR; " +
+      "self-comparison is perfect") {
+    import spark.implicits._
+    // hand-built rankings: q0 full agreement; q1 top-1 found at approx
+    // rank 3, one other hit; q2 disjoint
+    def ranking(rows: (Long, Long, Int)*) =
+      rows.toDF("query_id", "neighbor_id", "rank")
+    val exact = ranking(
+      (0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3),
+      (1L, 20L, 1), (1L, 21L, 2), (1L, 22L, 3),
+      (2L, 30L, 1), (2L, 31L, 2), (2L, 32L, 3))
+    val approx = ranking(
+      (0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3),
+      (1L, 22L, 1), (1L, 99L, 2), (1L, 20L, 3),
+      (2L, 90L, 1), (2L, 91L, 2), (2L, 92L, 3))
+    val got = Similarity.retrievalMetrics(exact, approx, k = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      0L -> ((3L, 1.0, 1.0)),
+      1L -> ((2L, round6(2.0 / 3), round6(1.0 / 3))),
+      2L -> ((0L, 0.0, 0.0))))
+    // a retriever measured against itself is perfect on every metric
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.bruteCosineTopK(
+      emb, emb.filter($"vec_id" < 5), k = 5)
+    val self = Similarity.retrievalMetrics(brute, brute, k = 5).collect()
+    assert(self.length === 5 && self.forall(r =>
+      r.getLong(1) === 5L && r.getDouble(2) === 1.0 && r.getDouble(3) === 1.0))
+  }
+
+  test("prototype select: bounded-heap selection equals the sorted " +
+      "driver-side recompute, both tails") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val aff = Similarity.centroidAffinity(emb).collect()
+      .map(r => (r.getInt(1), r.getLong(0), r.getDouble(2)))
+    def expect(hardest: Boolean, n: Int) = aff.groupBy(_._1).toSeq.flatMap {
+      case (label, rows) =>
+        val sorted = rows.toSeq.sortBy(r =>
+          (if (hardest) r._3 else -r._3, r._2)).take(n)
+        sorted.zipWithIndex.map { case ((_, id, c), i) =>
+          (label, id, i + 1, c) }
+    }.toSet
+    for (hardest <- Seq(true, false)) {
+      val got = Similarity.prototypeSelect(emb, nKeep = 10, hardest = hardest)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSet
+      assert(got === expect(hardest, 10), s"hardest=$hardest mismatch")
+    }
+  }
 }

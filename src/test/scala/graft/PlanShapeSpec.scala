@@ -845,4 +845,42 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(after === before, "healed rebuild changed the result")
   }
+
+  test("zvalue interleaves bits; zorderWrite clusters both keys so a " +
+      "2-d rectangle touches few files") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Layout
+    // bit-interleave ground truth: a=5 (101), b=3 (011) →
+    // positions 0,1,3,4 set = 27; 16 ones in `a` hit every even position
+    val one = spark.range(1).toDF("i")
+    def z(a: Int, b: Int): Long = one
+      .select(Layout.zvalue(lit(a), lit(b)).as("z")).head().getLong(0)
+    assert(z(0, 0) === 0L)
+    assert(z(5, 3) === 27L)
+    assert(z(3, 5) === 39L)
+    assert(z(65535, 0) === 0x55555555L)
+    assert(z(0, 65535) === 0xAAAAAAAAL)
+    // locality: z-ordered 16-file layout vs a hash layout of the same data
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_partkey", "l_suppkey")
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder")
+    val zDir = s"$base/z"; val hDir = s"$base/h"
+    Layout.zorderWrite(li, zDir, targetFiles = 16, "l_partkey", "l_suppkey")
+    li.repartition(16).write.parquet(hDir)
+    // per-FILE bounding boxes; a file can serve the rectangle scan only
+    // if its box intersects (l_partkey <= 64 AND l_suppkey <= 8) — the
+    // same skip decision parquet makes per row group from min/max stats
+    def touched(dir: String): Long = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_partkey").as("min_p"), min("l_suppkey").as("min_s"))
+      .filter(col("min_p") <= 64 && col("min_s") <= 8)
+      .count()
+    val (zt, ht) = (touched(zDir), touched(hDir))
+    // hash scatters small keys across every file; z-order confines the
+    // rectangle to a contiguous z-range spanning a handful of files
+    assert(ht >= 12, s"hash layout unexpectedly clustered: $ht/16 files")
+    assert(zt * 2 <= ht, s"z-order pruned poorly: $zt vs hash $ht")
+    // layout never changes data
+    assert(spark.read.parquet(zDir).count() === li.count())
+  }
 }

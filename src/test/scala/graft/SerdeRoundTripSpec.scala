@@ -54,6 +54,19 @@ class SerdeRoundTripSpec extends SparkSpec {
     assert(b === a)
   }
 
+  test("ORC round trip reproduces the customer table exactly") {
+    val cust = spark.read
+      .parquet("/root/testdata/sf0.001/customer.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_orc_spec")
+      .toString + "/customer"
+    cust.write.mode("overwrite").orc(path)
+    val back = spark.read.schema(cust.schema).orc(path)
+    assert(back.schema === cust.schema)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.toSeq).toSet
+    assert(key(back) === key(cust))
+  }
+
   test("corrupt CSV rows land in _corrupt_record instead of failing the read") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_csv_bad")
