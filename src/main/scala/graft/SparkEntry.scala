@@ -2095,53 +2095,25 @@ object SparkEntry {
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
     "s14_orc_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
-    // v19: both rankings replayed in full (v1's exact chain + v6's
-    // requantized chain), then the metric join/agg — rank arithmetic
-    // only, so recall/MRR hash-check end to end.
+    // v19: both rankings replayed in full from the SHARED chains (v1's
+    // exact chain + v6's requantized chain — the same strings those
+    // oracles ride, so the contracts cannot drift apart), then the
+    // metric join/agg — rank arithmetic only, so recall/MRR hash-check
+    // end to end.
     "v19_retrieval_metrics" ->
-      """WITH xv AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |xq AS (SELECT vec_id AS query_id, v AS qv FROM xv WHERE vec_id < 20),
-        |xs AS (
-        |  SELECT query_id, xv.vec_id AS neighbor_id,
-        |         round(list_cosine_similarity(qv, xv.v), 6) AS cosine
-        |  FROM xv, xq WHERE xv.vec_id <> query_id),
-        |xt AS (
-        |  SELECT query_id, neighbor_id, rank FROM (
-        |    SELECT *, row_number() OVER (
-        |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-        |    FROM xs)
-        |  WHERE rank <= 5),
-        |sc AS (
-        |  SELECT vec_id, v,
-        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-        |  FROM xv),
-        |qz AS (
-        |  SELECT vec_id,
-        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
-        |      ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS qv
-        |  FROM sc),
-        |aq AS (SELECT vec_id AS query_id, qv FROM qz WHERE vec_id < 20),
-        |axs AS (
-        |  SELECT query_id, c.vec_id AS neighbor_id,
-        |         round(list_cosine_similarity(aq.qv, c.qv), 6) AS cosine
-        |  FROM qz c, aq WHERE c.vec_id <> query_id),
-        |axt AS (
-        |  SELECT query_id, neighbor_id, rank FROM (
-        |    SELECT *, row_number() OVER (
-        |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-        |    FROM axs)
-        |  WHERE rank <= 5),
-        |j AS (
-        |  SELECT x.query_id, x.rank AS x_rank, a.rank AS a_rank
-        |  FROM xt x LEFT JOIN axt a
-        |    ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id)
-        |SELECT query_id,
-        |  CAST(count(a_rank) AS BIGINT) AS n_hits,
-        |  round(CAST(count(a_rank) AS DOUBLE) / 5, 6) AS recall_at_k,
-        |  round(coalesce(max(CASE WHEN x_rank = 1
-        |    THEN CAST(1 AS DOUBLE) / a_rank END), 0), 6) AS mrr
-        |FROM j GROUP BY query_id""".stripMargin,
+      s"""WITH $vecCTE,
+         |$exactRankCTEs,
+         |$int8RankCTEs,
+         |j AS (
+         |  SELECT x.query_id, x.rank AS x_rank, a.rank AS a_rank
+         |  FROM xt x LEFT JOIN axt a
+         |    ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id)
+         |SELECT query_id,
+         |  CAST(count(a_rank) AS BIGINT) AS n_hits,
+         |  round(CAST(count(a_rank) AS DOUBLE) / 5, 6) AS recall_at_k,
+         |  round(coalesce(max(CASE WHEN x_rank = 1
+         |    THEN CAST(1 AS DOUBLE) / a_rank END), 0), 6) AS mrr
+         |FROM j GROUP BY query_id""".stripMargin,
     // v20: the v12 affinity chain + an ascending row_number replay of the
     // bounded-heap selection (ties to the smaller vec_id, the heap's
     // contract).
@@ -2683,30 +2655,14 @@ object SparkEntry {
     // v10b: full-probe augmented IVF ≡ brute MIPS (see the queries comment)
     "v10b_ivf_mips_full_probe" -> baseMipsOracle,
     // v6: the v1 ranking recomputed over SQL-requantized vectors — the
-    // scales cancel in cosine, so quantized retrieval is exactly checkable.
+    // scales cancel in cosine, so quantized retrieval is exactly
+    // checkable. Composed from the shared int8 chain (one quantization
+    // contract, also ridden by v19's replay).
     "v6_int8_topk" ->
-      """WITH v AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |sc AS (
-        |  SELECT vec_id, v,
-        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-        |  FROM v),
-        |qz AS (
-        |  SELECT vec_id,
-        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
-        |      ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS qv
-        |  FROM sc),
-        |q AS (SELECT vec_id AS query_id, qv FROM qz WHERE vec_id < 20),
-        |c AS (SELECT vec_id AS neighbor_id, qv AS cv FROM qz),
-        |s AS (
-        |  SELECT query_id, neighbor_id,
-        |         round(list_cosine_similarity(qv, cv), 6) AS cosine
-        |  FROM c, q WHERE neighbor_id <> query_id)
-        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
-        |FROM (SELECT *, row_number() OVER (
-        |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-        |      FROM s)
-        |WHERE rank <= 5""".stripMargin
+      s"""WITH $vecCTE,
+         |$int8RankCTEs
+         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+         |FROM axt""".stripMargin
   // exhaustive IVF must reproduce the brute-force answer bit-for-bit
   ) + ("v2b_ivf_full_probe" -> baseV1Oracle) +
     ("v8_ivf_indexed" -> baseV1Oracle) +
@@ -3650,19 +3606,63 @@ object SparkEntry {
       |JOIN s sa ON sa.i = gm.i
       |JOIN s sb ON sb.i = gm.j""".stripMargin
 
+  /** Shared replay fragments for the brute/int8 retrieval oracles. One
+    * definition each for the DOUBLE[] cast, the exact cosine ranking, and
+    * the symmetric-int8 requantized ranking — baseV1Oracle (ridden by
+    * v1/v2b/v8/v13b), the v6 oracle, and the v19 metrics replay all
+    * compose these, so a change to the rounding/tie-break/quantization
+    * contract has exactly one edit site. DuckDB evaluates only the CTEs a
+    * query references, so composing an unused chain costs nothing.
+    */
+  private def vecCTE: String =
+    """xv AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
+      .stripMargin
+
+  /** Exact cosine top-5 over [[vecCTE]] → `xt(query_id, neighbor_id,
+    * rank, cosine)`.
+    */
+  private def exactRankCTEs: String =
+    """xq AS (SELECT vec_id AS query_id, v AS qv FROM xv WHERE vec_id < 20),
+      |xs AS (
+      |  SELECT query_id, xv.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(qv, xv.v), 6) AS cosine
+      |  FROM xv, xq WHERE xv.vec_id <> query_id),
+      |xt AS (
+      |  SELECT query_id, neighbor_id, rank, cosine FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |    FROM xs)
+      |  WHERE rank <= 5)""".stripMargin
+
+  /** Symmetric-int8 requantization of [[vecCTE]] + cosine top-5 over the
+    * quantized vectors → `axt(query_id, neighbor_id, rank, cosine)`.
+    */
+  private def int8RankCTEs: String =
+    """sc AS (
+      |  SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |  FROM xv),
+      |qz AS (
+      |  SELECT vec_id,
+      |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+      |      ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS qv
+      |  FROM sc),
+      |aq AS (SELECT vec_id AS query_id, qv FROM qz WHERE vec_id < 20),
+      |axs AS (
+      |  SELECT query_id, c.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(aq.qv, c.qv), 6) AS cosine
+      |  FROM qz c, aq WHERE c.vec_id <> query_id),
+      |axt AS (
+      |  SELECT query_id, neighbor_id, rank, cosine FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |    FROM axs)
+      |  WHERE rank <= 5)""".stripMargin
+
   private def baseV1Oracle: String =
-    """WITH q AS (
-      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-      |  FROM embeddings WHERE vec_id < 20),
-      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-      |      FROM embeddings),
-      |s AS (
-      |  SELECT query_id, neighbor_id,
-      |         round(list_cosine_similarity(qv, cv), 6) AS cosine
-      |  FROM c, q WHERE neighbor_id <> query_id)
-      |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
-      |FROM (SELECT *, row_number() OVER (
-      |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-      |      FROM s)
-      |WHERE rank <= 5""".stripMargin
+    s"""WITH $vecCTE,
+       |$exactRankCTEs
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+       |FROM xt""".stripMargin
 }

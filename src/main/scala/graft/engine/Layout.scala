@@ -361,23 +361,28 @@ object Layout {
   }
 
   /** Morton (Z-order) value: interleave the low `bits` bits of two
-    * non-negative integer columns — bit i of `a` lands at position 2i,
-    * bit i of `b` at 2i+1. Rows close in z-value are close in BOTH
-    * dimensions, which is what makes [[zorderWrite]] prune on either
-    * column. Pure codegen'd built-ins (shifts/masks/adds folded into one
-    * projection); inputs are masked to `bits` bits, so callers whose
-    * domain exceeds 2^`bits` should scale or bucket first (interleaving
-    * only the low bits of a wider domain destroys locality — the same
-    * contract as Delta's OPTIMIZE ZORDER, which range-buckets first).
+    * integer columns — bit i of `a` lands at position 2i, bit i of `b`
+    * at 2i+1. Rows close in z-value are close in BOTH dimensions, which
+    * is what makes [[zorderWrite]] prune on either column. Pure
+    * codegen'd built-ins (shifts/masks/adds folded into one projection);
+    * inputs are masked to their low `bits` two's-complement bits
+    * (arithmetic shift + `& 1` — the identical extraction DuckDB's
+    * `(x >> i) & 1` performs, so the SQL replay agrees even on negative
+    * inputs), so callers whose domain exceeds 2^`bits` should scale or
+    * bucket first (interleaving only the low bits of a wider domain
+    * destroys locality — the same contract as Delta's OPTIMIZE ZORDER,
+    * which range-buckets first).
     */
   def zvalue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
       bits: Int = 16): org.apache.spark.sql.Column = {
     require(bits >= 1 && bits <= 31, s"zvalue: need 1 <= bits <= 31 (got $bits)")
-    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    import org.apache.spark.sql.functions.{shiftleft, shiftright}
     val al = a.cast("long"); val bl = b.cast("long")
+    // & 1, NOT % 2: remainder sign-extends on negative inputs (-1 bits),
+    // a mask extracts the two's-complement bit like the SQL replay does
     (0 until bits).map { i =>
-      shiftleft(shiftright(al, i) % 2, 2 * i) +
-        shiftleft(shiftright(bl, i) % 2, 2 * i + 1)
+      shiftleft(shiftright(al, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(bl, i).bitwiseAND(1), 2 * i + 1)
     }.reduce(_ + _)
   }
 

@@ -860,6 +860,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(z(3, 5) === 39L)
     assert(z(65535, 0) === 0x55555555L)
     assert(z(0, 65535) === 0xAAAAAAAAL)
+    // negative inputs mask their two's-complement low bits (-1 = all
+    // ones), the same extraction SQL's (x >> i) & 1 performs — a
+    // remainder-based bit pick would sign-extend to garbage here
+    assert(z(-1, 0) === 0x55555555L)
     // locality: z-ordered 16-file layout vs a hash layout of the same data
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select("l_partkey", "l_suppkey")

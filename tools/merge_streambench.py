@@ -54,11 +54,16 @@ def main(base_path, scaled_path, out_path=None):
             retrieval.append(obj)
             merged_any = True
     # serving regime uses the small per-batch feed; a second retrieval run
-    # at a larger batch_rows is the deliberately saturated regime
+    # at a larger batch_rows is the deliberately saturated regime — equal
+    # batch_rows would make the assignment input-order-dependent, so
+    # refuse instead of silently committing a duplicate as "saturated"
     retrieval.sort(key=lambda o: o.get("batch_rows", 0))
     if retrieval:
         base["scaled_retrieval"] = retrieval[0]
     if len(retrieval) > 1:
+        if retrieval[0].get("batch_rows") == retrieval[1].get("batch_rows"):
+            sys.exit("two stream_retrieval_scaled runs with equal "
+                     "batch_rows — serving vs saturated is ambiguous")
         base["scaled_retrieval_saturated"] = retrieval[1]
     if len(retrieval) > 2:
         sys.exit("more than two stream_retrieval_scaled runs — ambiguous")
