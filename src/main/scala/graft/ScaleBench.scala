@@ -282,17 +282,12 @@ object ScaleBench {
       val refLast = secOf(runChild(HostRefRow))
       (entries, Seq(refFirst, refLast).flatten)
     }
-    // true median (even counts average the middle pair — StreamBench's
-    // definition): with the default single run the host refs are TWO
-    // readings, and taking the lower one would hide a mid-sweep
-    // throttle, the exact skew the reference row exists to surface
-    def median(xs: Seq[Double]): Double =
-      if (xs.isEmpty) 0.0
-      else {
-        val s = xs.sorted
-        if (s.size % 2 == 1) s(s.size / 2)
-        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-      }
+    // true median (even counts average the middle pair — the ONE shared
+    // definition in StreamBench.median): with the default single run the
+    // host refs are TWO readings, and taking the lower one would hide a
+    // mid-sweep throttle, the exact skew the reference row exists to
+    // surface
+    def median(xs: Seq[Double]): Double = StreamBench.median(xs)
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     // per-row median across runs; a row with any err keeps its first
     // err entry so failures stay loud in the merged artifact

@@ -45,7 +45,13 @@ object StreamBench {
     if (xs.size > WarmupBatches + 2) xs.drop(WarmupBatches) else xs
   private def arr(xs: Seq[Double]): String =
     xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-  private def median(xs: Seq[Double]): Double = {
+  /** Median with even-count middle-pair averaging; 0 on empty. ONE
+    * definition for every artifact (StreamBench trends, ScaleBench's
+    * per-row and host-reference medians) — a drifted copy would change
+    * `host_factor` depending on which path computed it. The Python twin
+    * in tools/recompute_host_factor.py must stay byte-consistent.
+    */
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) 0.0
     else if (s.size % 2 == 1) s(s.size / 2)

@@ -160,6 +160,24 @@ object Layout {
       spark.sql(s"ALTER TABLE `$legacy` RENAME TO `$table`")
       return
     }
+    // compaction is a LAYOUT rewrite, never a re-bucketing: the pointer
+    // swap leaves the live catalog entry's bucket spec untouched, so a
+    // (buckets, key, sorted) differing from the table's spec would write
+    // files the catalog metadata contradicts — bucket ids the planner
+    // drops silently, sorts SortMergeJoin wrongly skips. Refuse loudly;
+    // re-bucketing is writeBucketed to a fresh table.
+    cat.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
+      .foreach { spec =>
+        require(spec.numBuckets == buckets &&
+          spec.bucketColumnNames == Seq(key) &&
+          spec.sortColumnNames == (if (sorted) Seq(key) else Nil),
+          s"compactBucketed: table `$table` is bucketed as " +
+            s"(${spec.numBuckets}, ${spec.bucketColumnNames.mkString(",")}" +
+            s", sort=${spec.sortColumnNames.mkString(",")}) but was asked " +
+            s"for ($buckets, $key, sorted=$sorted) — compaction cannot " +
+            "change the bucket spec; write a new table instead")
+      }
     val liveLoc = currentTableLocation(spark, table)
     val fs = liveLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def qual(p: org.apache.hadoop.fs.Path) = fs.makeQualified(p)
@@ -170,7 +188,13 @@ object Layout {
     // (and managed-DROP would destroy) an unrelated user table named
     // e.g. `<table>__cache`
     val db = cat.getCurrentDatabase
-    val familyName = s"^${java.util.regex.Pattern.quote(table.toLowerCase)}__c\\d+$$"
+    // the strict family: this protocol's versioned scaffolds AND the
+    // pre-r12 rename protocol's `__compacting` scaffold — when the live
+    // table exists, a surviving legacy scaffold is a superseded copy
+    // from a pre-r12 crash (the old code dropped it at entry; without
+    // this arm it would zombie forever, its data directory included)
+    val familyName = s"^${java.util.regex.Pattern.quote(table.toLowerCase)
+      }(__c\\d+|__compacting)$$"
     cat.listTables(db, s"${table}__c*")
       .filter(id => !cat.isTempView(id) &&
         id.table.toLowerCase.matches(familyName)).foreach { id =>
@@ -194,7 +218,8 @@ object Layout {
     val whPath = new org.apache.hadoop.fs.Path(
       cat.getDatabaseMetadata(db).locationUri)
     val family =
-      s"^${java.util.regex.Pattern.quote(table.toLowerCase)}(__c\\d+)?$$"
+      s"^${java.util.regex.Pattern.quote(table.toLowerCase)
+        }(__c\\d+|__compacting)?$$"
     if (fs.exists(whPath)) fs.listStatus(whPath).foreach { st =>
       if (st.isDirectory && st.getPath.getName.matches(family) &&
         qual(st.getPath) != qual(liveLoc)) fs.delete(st.getPath, true)

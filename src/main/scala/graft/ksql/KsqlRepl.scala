@@ -176,12 +176,14 @@ object KsqlRepl {
           // its MemoryStream attachments (every later INSERT pays dead
           // fan-out), and a stopped-but-registered sink table would pin
           // its whole changelog for the session's lifetime. The
-          // snapshot DataFrame is analyzed BEFORE the release, so the
-          // dropped temp view doesn't affect rendering it.
-          h.processAllAvailable()
-          val snapshot = h.emissions
-          engine.release(h)
-          snapshot
+          // snapshot DataFrame is analyzed BEFORE the release (inside
+          // the try), so the dropped temp view doesn't affect rendering
+          // it; the release rides a finally so a drain that throws
+          // (runtime error in the micro-batch) cannot leak the handle.
+          try {
+            h.processAllAvailable()
+            h.emissions
+          } finally engine.release(h)
         }, in, System.out, interactive)
       finally engine.stopAll()
     } else {

@@ -243,7 +243,15 @@ object KsqlServer {
             // serialize the WHOLE script, not per statement — the batch
             // plane does, and per-statement locking let another client's
             // statements interleave into this script's
-            // create/insert/select sequence (half-built catalog reads)
+            // create/insert/select sequence (half-built catalog reads).
+            // KNOWN TRADEOFF: the lock is held across the push-query
+            // drain/snapshot too (a script's SELECT must see exactly the
+            // script's own INSERTs — draining outside the lock would let
+            // another client's rows into the snapshot), so a script with
+            // a slow push query stalls other clients and /query
+            // teardowns (release shares this monitor, reentrant). Fine
+            // for the interactive statement plane this models; a
+            // high-concurrency deployment wants per-session engines.
             val results = engine.synchronized {
               KsqlParser.splitStatements(script).map { s =>
                 try {
@@ -252,11 +260,16 @@ object KsqlServer {
                       // drain, snapshot, RELEASE (the streaming REPL
                       // rule): a leaked active query would pin
                       // MemoryStream buffers, and a stopped-but-kept
-                      // sink table would pin its whole changelog
-                      h.processAllAvailable()
-                      val r = Some(resultJson(s, Some(h.emissions)))
-                      engine.release(h)
-                      r
+                      // sink table would pin its whole changelog. The
+                      // release rides a finally: a drain/collect that
+                      // throws (runtime error in the micro-batch) must
+                      // not leak the handle it was about to release —
+                      // one leaked changelog per failing statement on a
+                      // long-lived server, the /query leak class.
+                      try {
+                        h.processAllAvailable()
+                        Some(resultJson(s, Some(h.emissions)))
+                      } finally engine.release(h)
                     case None => None
                   }
                   out.getOrElse(resultJson(s, None))

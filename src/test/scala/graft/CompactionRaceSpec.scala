@@ -89,4 +89,41 @@ class CompactionRaceSpec extends SparkSpec {
       expected,
       () => (1 to 4).foreach(_ => Layout.compact(spark, dir, 2)))
   }
+
+  test("compactBucketed refuses a bucket-spec change; the pointer swap " +
+      "never silently contradicts catalog metadata") {
+    import spark.implicits._
+    val tbl = "graft_spec_guard"
+    Layout.writeBucketed(
+      (0L until 100L).map(i => (i, i % 7)).toDF("k", "v"), tbl, "k", 4)
+    // changing buckets, key, or sortedness through compaction would
+    // leave the live entry claiming the OLD spec over new files
+    for ((b, key, s) <- Seq((8, "k", true), (4, "v", true), (4, "k", false)))
+      intercept[IllegalArgumentException] {
+        Layout.compactBucketed(spark, tbl, key, b, sorted = s)
+      }
+    // the matching spec still compacts fine
+    Layout.compactBucketed(spark, tbl, "k", 4)
+    assert(spark.table(tbl).count() === 100L)
+    spark.sql(s"DROP TABLE `$tbl`")
+  }
+
+  test("a pre-r12 __compacting scaffold is swept when the live table " +
+      "also survived the crash") {
+    import spark.implicits._
+    val tbl = "graft_legacy_zombie"
+    Layout.writeBucketed(
+      (0L until 60L).map(i => (i, i)).toDF("k", "v"), tbl, "k", 4)
+    // simulate the old protocol's crash-before-DROP state: both the live
+    // table and the rename scaffold exist (the scaffold is a superseded
+    // copy the old code dropped at entry)
+    Layout.writeBucketed(
+      (0L until 10L).map(i => (i, i)).toDF("k", "v"),
+      tbl + "__compacting", "k", 4)
+    Layout.compactBucketed(spark, tbl, "k", 4)
+    assert(!spark.catalog.tableExists(tbl + "__compacting"),
+      "legacy scaffold must be dropped, not zombie forever")
+    assert(spark.table(tbl).count() === 60L)
+    spark.sql(s"DROP TABLE `$tbl`")
+  }
 }
