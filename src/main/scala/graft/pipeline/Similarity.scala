@@ -30,7 +30,7 @@ object Similarity {
   /** Expand a grouped top-k array (`struct<id, score>` best-first) into
     * (query_id, neighbor_id, rank, cosine) rows.
     */
-  private def explodeTopK(grouped: DataFrame,
+  private[graft] def explodeTopK(grouped: DataFrame,
       scoreName: String = "cosine"): DataFrame =
     grouped
       .select(col("query_id"), posexplode(col("_top")))
@@ -169,12 +169,105 @@ object Similarity {
     * grow at a low cap is what turns this operator superlinear; size
     * `maxCells ≈ N / centroidEvery` beyond that (the cap bounds
     * driver-resident centroids: 64k cells ≈ 16 MB at dim 64).
+    *
+    * `collapseDuplicates` (default true): EXACT-duplicate vectors are
+    * collapsed to one representative before the celled core runs, then
+    * expanded back combinatorially — provably exact, because identical
+    * vectors probe identical cells and score identically against any
+    * candidate, so a duplicate class's members' true neighbors are (a)
+    * the k smallest other member ids at the self-cosine (1.0) and (b)
+    * the members of the class-level top-k neighbor classes. Without
+    * this, a duplicate-heavy corpus (the norm BEFORE dedup runs — and
+    * the r12 100× sweep's replicas by construction) saturates the
+    * k-means seed space: duplicate seeds collapse to dead cells, live
+    * cells cap at the DISTINCT count, occupancy grows with N, and pair
+    * volume goes O(N²/distinct) — measured 22.3× pairs for 10× rows
+    * (V7Decompose, r13) before the collapse, linear after. On all-
+    * distinct data the wrapper is an identity (singleton classes; the
+    * core sees the same rows and seeds) at the cost of one extra
+    * vector-keyed exchange + two bounded joins — ~linear, paid for the
+    * corpora where the direct form degrades quadratically.
     */
   def knnGraph(embeddings: DataFrame, k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding", centroidEvery: Int = 50,
       kmeansIters: Int = 2, singleCell: Boolean = false,
       materialize: Boolean = true, maxCells: Int = 65536,
-      nAssign: Int = 16, spill: Int = 2): DataFrame = {
+      nAssign: Int = 16, spill: Int = 2,
+      collapseDuplicates: Boolean = true): DataFrame = {
+    if (!collapseDuplicates)
+      return knnGraphDirect(embeddings, k, idCol, vecCol, centroidEvery,
+        kmeansIters, singleCell, materialize, maxCells, nAssign, spill)
+    // ---- exact-duplicate collapse (see scaladoc) -----------------------
+    // one row per distinct vector VALUE: representative id = the class's
+    // smallest member id, the k+1 smallest member ids (bounded agg — k
+    // own-class neighbors survive self-exclusion), and the class's own
+    // self-cosine computed the same way the direct path would score an
+    // identical pair (1.0 after 6dp rounding for any non-zero vector;
+    // a zero vector reproduces the direct path's NaN rather than a lie)
+    val classes = embeddings
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .groupBy("_v")
+      .agg(min(col("_id")).as("_rep"),
+        gagg.topKByScore((-col("_id")).cast("double"), col("_id"), k + 1)
+          .as("_own"))
+      .withColumn("_selfcos",
+        round(gvec.cosinePre(col("_v"), col("_v"),
+          gvec.norm(col("_v")), gvec.norm(col("_v"))), 6))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // class-level graph over DISTINCT vectors only: every quadratic-ish
+    // term (k-means, probe ranking, the cell join's pair volume) now
+    // scales with the distinct count, not the row count
+    val dg = knnGraphDirect(
+      classes.select(col("_rep").as(idCol), col("_v").as(vecCol)),
+      k, idCol, vecCol, centroidEvery, kmeansIters, singleCell,
+      materialize = true, maxCells, nAssign, spill)
+    // member → class mapping: the one full-corpus exchange the wrapper
+    // adds (an equi-join keyed by the vector value; identical values
+    // hash identically, so this is an ordinary shuffle join)
+    val members = embeddings
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .join(classes, Seq("_v"))
+      .select(col("_id"), col("_rep"), col("_own"), col("_selfcos"))
+    // own-class candidates: the k smallest OTHER member ids at the
+    // self-cosine score (k+1 kept, self filtered; extras trimmed by the
+    // final top-k)
+    val own = members
+      .select(col("_id").as("query_id"), col("_selfcos").as("cosine"),
+        explode(col("_own")).as("_c"))
+      .filter(col("_c.id") =!= col("query_id"))
+      .select(col("query_id"), col("_c.id").as("neighbor_id"), col("cosine"))
+    // cross-class candidates: each of the query class's top-k neighbor
+    // classes expands to its k smallest member ids at the class score.
+    // Class-level top-k with rep-ascending tiebreak provably contains the
+    // member-level top-k (any class above the member's class in
+    // (score desc, rep asc) order contributes a member that outranks it)
+    val cross = members.select(col("_id").as("query_id"), col("_rep"))
+      .join(dg.select(col("query_id").as("_rep"),
+        col("neighbor_id").as("_nrep"), col("cosine")), Seq("_rep"))
+      .join(classes.select(col("_rep").as("_nrep"),
+        slice(col("_own"), 1, k).as("_nown")), Seq("_nrep"))
+      .select(col("query_id"), explode(col("_nown")).as("_c"), col("cosine"))
+      .select(col("query_id"), col("_c.id").as("neighbor_id"), col("cosine"))
+    // candidates are distinct by construction (own class ∩ neighbor
+    // classes = ∅; classes are disjoint), so no dedup needed here
+    val graph = explodeTopK(
+      own.unionByName(cross).groupBy("query_id")
+        .agg(gagg.topKByScore(col("cosine"), col("neighbor_id"), k)
+          .as("_top")))
+    if (materialize) Scratch.materializeThenFree(graph, classes) else graph
+  }
+
+  /** The celled kNN-graph core over rows assumed DISTINCT-enough that
+    * cell occupancy stays near `centroidEvery` — [[knnGraph]] without the
+    * duplicate collapse. Public entry points should go through
+    * [[knnGraph]]; this form exists for the wrapper and for A/B tests of
+    * the collapse itself.
+    */
+  private[graft] def knnGraphDirect(embeddings: DataFrame, k: Int,
+      idCol: String, vecCol: String, centroidEvery: Int,
+      kmeansIters: Int, singleCell: Boolean,
+      materialize: Boolean, maxCells: Int,
+      nAssign: Int, spill: Int): DataFrame = {
     val cents =
       if (singleCell) Array.empty[(Long, Array[Float])]
       else kmeansCentroids(embeddings, centroidEvery, kmeansIters,

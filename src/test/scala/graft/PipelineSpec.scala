@@ -1490,6 +1490,37 @@ class PipelineSpec extends SparkSpec {
       r.getLong(0) != r.getLong(1)))
   }
 
+  test("knn graph: duplicate collapse is exact vs the direct path") {
+    // duplicate-heavy corpus: 3 copies of A, 2 of B, 1 each of C/D —
+    // the regime where the direct path's cells saturate. singleCell on
+    // both sides = full candidate set, so collapse+expand must reproduce
+    // the direct output EXACTLY (same rows, ranks, 6dp scores).
+    val e = vecsDF(
+      1L -> Seq(1f, 0f), 4L -> Seq(1f, 0f), 7L -> Seq(1f, 0f),
+      2L -> Seq(0.99f, 0.1f), 5L -> Seq(0.99f, 0.1f),
+      3L -> Seq(0f, 1f), 6L -> Seq(-0.5f, 0.5f))
+    def rows(collapse: Boolean) =
+      Similarity.knnGraph(e, k = 3, singleCell = true,
+        collapseDuplicates = collapse).collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+    val collapsed = rows(collapse = true)
+    val direct = rows(collapse = false)
+    assert(collapsed === direct)
+    // own-class members rank first at cosine 1.0, smallest id first:
+    // query 1 (class {1,4,7}) → neighbors 4, 7 at 1.0, then 2 or 5
+    val byQ = collapsed.groupBy(_._1)
+    assert(byQ(1L).take(2).map(t => (t._3, t._4)).toSeq ===
+      Seq((4L, 1.0), (7L, 1.0)))
+    assert(byQ(4L).take(2).map(t => (t._3, t._4)).toSeq ===
+      Seq((1L, 1.0), (7L, 1.0)))
+    // the celled path also survives duplicates (k+1-smallest own ids +
+    // class-level top-k expansion, bounded everywhere)
+    val celled = Similarity.knnGraph(e, k = 3, centroidEvery = 2).collect()
+    assert(celled.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(celled.groupBy(_.getLong(0)).forall(_._2.length <= 3))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
