@@ -5,16 +5,41 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON metric line. A query that throws is recorded with an
   * "err" field and excluded from the total — a regression can never
   * masquerade as a speedup (round-1 verdict, What's wrong #3).
+  *
+  * Publication form (round 13, closes the r12 "single-run artifact"
+  * finding): `SPARK_GRAFT_RUNS` (default 3) full timed passes over the
+  * suite, per-row MEDIAN published — r12's t24b row read 6.19 s on a
+  * one-run artifact against 1.19 s (r11) and ~2 s (same-HEAD sweeps),
+  * pure scheduling noise that cost a review cycle to disprove. The
+  * sf0.1 rows are small enough that noise, not work, dominates any
+  * single reading; the median is the cheapest honest estimator. Each
+  * pass also times the fixed host-reference row (ScaleBench.HostRefRow)
+  * first and last, so a throttled host window flags itself in the
+  * artifact (`host_factor` vs the calm-window anchor) instead of
+  * masquerading as a code regression — the r11 failure mode.
   */
 object Bench {
+  /** Calm-window anchor for the sf0.1 host-reference readings: median of
+    * the in-pass x6_salted_join timings from the r13 development run
+    * (2026-08-16, idle host, cpus=4). Same contract as
+    * ScaleBench.HostAnchor: factor ≈ 1 means comparable window; ≳ 2.5
+    * sustained means the window is throttled and cross-round absolute
+    * comparisons are invalid. `tools/recompute_host_factor.py` re-derives
+    * the field from the artifact's own raw readings if this anchor is
+    * ever corrected.
+    */
+  private val HostAnchorSf01 = 0.55
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
     val spark = GraftSession.local(cpus)
     // JMH-style warmup: one untimed pass over every query so the timed
-    // pass measures steady state (JIT, codegen cache, file listings)
-    // instead of charging first-query session costs to whichever query
-    // sorts first alphabetically
+    // passes measure steady state (JIT, codegen cache, file listings,
+    // per-session ingest builds) instead of charging first-query session
+    // costs to whichever query sorts first alphabetically
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       // NonFatal only: after an OOM/linkage error the JVM is unreliable —
       // fail the run rather than time every later query in a broken
@@ -27,12 +52,33 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def timeOne(name: String): (Double, Option[String]) = {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
                 catch { case scala.util.control.NonFatal(e) =>
                   Some(e.toString.take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    // each pass: host reference row, the suite, host reference row again
+    // (mirrors ScaleBench.forkedSweep — a mid-pass throttle skews the
+    // closing reading away from the opening one)
+    val passes = (1 to runs).map { _ =>
+      val refFirst = timeOne(ScaleBench.HostRefRow)
+      val rows = names.map(n => timeOne(n))
+      val refLast = timeOne(ScaleBench.HostRefRow)
+      (rows, Seq(refFirst, refLast).collect { case (t, None) => t })
+    }
+    def median(xs: Seq[Double]): Double = StreamBench.median(xs)
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    // per-row median over successful passes; a row that failed in ANY
+    // pass keeps its first err so failures stay loud in the artifact
+    val results = names.indices.map { i =>
+      val row = passes.map(_._1(i))
+      val err = row.flatMap(_._2).headOption
+      val good = row.collect { case (t, None) => t }
+      (names(i), r3(median(if (good.nonEmpty) good else row.map(_._1))), err)
     }
     val qs = results.map {
       case (k, v, None) => s""""$k":$v"""
@@ -40,8 +86,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val ok = results.collect { case (_, v, None) => v }
     val nErr = results.count(_._3.isDefined)
-    val total = ok.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${ok.size},"n_err":$nErr,"sf":"$sfDir"}""")
+    val runTotals = passes.map { case (rows, _) =>
+      r3(rows.collect { case (t, None) => t }.sum) }
+    val refs = passes.flatMap(_._2)
+    val factor =
+      if (refs.isEmpty) "null" else r3(median(refs) / HostAnchorSf01).toString
+    println(s"""{"metric":"total","value":${r3(ok.sum)},"unit":"sec","queries":$qs,"n_ok":${ok.size},"n_err":$nErr,"sf":"$sfDir","runs":$runs,"per_row":"median","run_totals":[${
+      runTotals.mkString(",")}],"host_ref":{"name":"${ScaleBench.HostRefRow}","runs":[${
+      refs.map(r3).mkString(",")}]},"host_factor":$factor}""")
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }

@@ -915,6 +915,25 @@ object SparkEntry {
       TextAnalysis.greedyPackCounts(table(s, d, "documents"),
         size(toks(col("text"))), budget = 2048)
     }),
+    // T35: the ≥1k-merge BPE demonstration — the SAME native
+    // lowest-rank-first apply expression as t33, against a 1024-merge
+    // model trained on 2-word chunk units (see Bpe2NumMerges scaladoc:
+    // word-level BPE exhausts at ~89 merges on this 31-word corpus).
+    // The oracle replays the ENTIRE 1024-round training recurrence as a
+    // recursive CTE (constant SQL size, any merge count — the unrolled
+    // 32-stage chain t33 uses would be ~1 MB of SQL here) and tokenizes
+    // by joining chunks to the final segmentation state. Apply cost on
+    // the Spark side is O(symbols²) per unit with the merge table as a
+    // reference object — INDEPENDENT of the 1024 ranks.
+    "t35_bpe_scaled" -> ((s, d) =>
+      TextAnalysis.bpeTokenizeIndexed(s, bpe2Ingest(s, d),
+        table(s, d, "documents").select("doc_id", "text"),
+        chunkWords = Bpe2ChunkWords)
+        .select(col("doc_id"),
+          array_join(col("tokens"), " ").as("tokens"),
+          array_join(transform(col("token_ids"),
+            x => x.cast("string")), ",").as("token_ids"),
+          col("n_tokens_bpe"))),
     // T11: the capstone composition — quality gate → exact dedup →
     // decontamination (src0 = benchmark) → deterministic split, one plan.
     "t11_curation_pipeline" -> ((s, d) => {
@@ -1078,13 +1097,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text")).cast("long")).as("sum_len"))
     }),
-    // X10: small-file compaction (Layout.compact) — a 16-file ingest is
-    // compacted to 2 files (count asserted at ingest), and the compacted
-    // scan must hash-match the original data: compaction changes layout,
+    // X10: small-file compaction over the MANIFESTED snapshot protocol
+    // (Layout.writeManifested/compactManifested/readManifested) — a
+    // 16-file snapshot is compacted to 2 files (count asserted at
+    // ingest) behind one atomic pointer write, and the compacted scan
+    // must hash-match the original data: compaction changes layout,
     // never content.
     "x10_compacted_scan" -> ((s, d) => {
       val dir = compactedIngest(s, d, "documents", targetFiles = 2)
-      s.read.parquet(dir)
+      graft.engine.Layout.readManifested(s, dir)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
@@ -2403,6 +2424,7 @@ object SparkEntry {
     // tokenization flatten resp. the t28 pack recursion at budget 2048
     "t33_bpe_tokenize" -> bpeTokenizeOracle,
     "t34_bpe_pack" -> bpePackOracle,
+    "t35_bpe_scaled" -> bpeScaledOracle,
     "t6_dataset_split" ->
       """SELECT doc_id,
         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80 THEN 'train'
@@ -2774,19 +2796,25 @@ object SparkEntry {
   }
 
   /** Once-per-(source data, session) compacted ingest backing x10: a
-    * deliberately fragmented 16-file copy is compacted to `targetFiles`
-    * (count asserted — the layout contract), content untouched.
+    * deliberately fragmented 16-file snapshot is compacted to
+    * `targetFiles` (count asserted — the layout contract), content
+    * untouched. Uses the MANIFESTED protocol (r13): the fragmented copy
+    * commits as snapshot v1, compaction as v2 via one atomic pointer
+    * write — the zero-retry form a standing ingest loop needs
+    * ([[Layout.writeManifested]] / [[Layout.compactManifested]]).
     */
   private def compactedIngest(s: SparkSession, sfDir: String, src: String,
       targetFiles: Int): String = {
     val (dir, fs) = layoutDir(s, sfDir, src, "compact")
     gatedBuild(fs, dir) {
-      table(s, sfDir, src).repartition(16).write.parquet(dir.toString)
-      Layout.compact(s, dir.toString, targetFiles)
-      val nFiles = fs.listStatus(dir)
+      Layout.writeManifested(table(s, sfDir, src), dir.toString,
+        targetFiles = 16)
+      Layout.compactManifested(s, dir.toString, targetFiles)
+      val (_, cur) = Layout.resolveManifest(fs, dir).get
+      val nFiles = fs.listStatus(cur)
         .count(st => st.getPath.getName.endsWith(".parquet"))
       require(nFiles <= targetFiles,
-        s"compact left $nFiles files at $dir, expected <= $targetFiles")
+        s"compactManifested left $nFiles files at $cur, expected <= $targetFiles")
     }
     dir.toString
   }
@@ -2795,12 +2823,25 @@ object SparkEntry {
     * backing x11: 32 files range-partitioned and sorted by the Morton
     * interleave of (l_partkey, l_suppkey), so min/max stats are tight on
     * BOTH keys and a 2-d rectangle scan prunes most row groups.
+    *
+    * Layout `bits` is derived from the keys' actual domain
+    * (ceil(log2(max+1)), capped at 31) — zvalue's contract masks inputs
+    * to their low `bits` bits, so a fixed 16 would alias l_partkey above
+    * 2^16 (TPC-H sf ≳ 0.33) and silently destroy the clustering the
+    * layout exists for. This is the LAYOUT interleave only; the sum_z
+    * hash-check column in the x11 query keeps the literal bits=16 its
+    * DuckDB oracle replays.
     */
   private def zorderIngest(s: SparkSession, sfDir: String): String = {
     val (dir, fs) = layoutDir(s, sfDir, "lineitem", "zorder")
     gatedBuild(fs, dir) {
-      graft.engine.Layout.zorderWrite(table(s, sfDir, "lineitem"),
-        dir.toString, targetFiles = 32, "l_partkey", "l_suppkey")
+      val src = table(s, sfDir, "lineitem")
+      val maxKey = src.agg(greatest(max(col("l_partkey").cast("long")),
+        max(col("l_suppkey").cast("long")))).head().getLong(0)
+      val bits = math.min(31, math.max(1,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(maxKey, 1L))))
+      graft.engine.Layout.zorderWrite(src, dir.toString,
+        targetFiles = 32, "l_partkey", "l_suppkey", bits)
     }
     dir.toString
   }
@@ -2873,6 +2914,33 @@ object SparkEntry {
     dir.toString
   }
 
+  /** Once-per-(source data, session) 1024-merge chunk-unit BPE model
+    * backing t35. The coverage guard is load-bearing: the t35 oracle
+    * tokenizes by joining doc chunks to the trained FINAL segmentation
+    * state, so a corpus whose distinct units exceeded the training cap
+    * would silently drop the uncovered units from the oracle side —
+    * fail LOUDLY here instead (the Spark apply expression itself handles
+    * uncovered units fine; this is an oracle-comparability bound, not an
+    * operator limit).
+    */
+  private def bpe2Ingest(s: SparkSession, sfDir: String): String = {
+    val (dir, fs) = layoutDir(s, sfDir, "documents", "bpemodel2")
+    gatedBuild(fs, dir) {
+      val docs = table(s, sfDir, "documents")
+      val nUnits = docs.select(explode(
+        TextAnalysis.bpeUnits(col("text"), Bpe2ChunkWords)).as("w"))
+        .agg(countDistinct(col("w"))).head().getLong(0)
+      require(nUnits <= Bpe2VocabCap,
+        s"bpe2Ingest: $nUnits distinct ${Bpe2ChunkWords}-word units exceed " +
+          s"the $Bpe2VocabCap training cap — the t35 oracle's final-state " +
+          "join would silently drop uncovered units; raise Bpe2VocabCap")
+      TextAnalysis.buildBpeModel(docs, dir.toString,
+        numMerges = Bpe2NumMerges, vocabCap = Bpe2VocabCap,
+        chunkWords = Bpe2ChunkWords)
+    }
+    dir.toString
+  }
+
   /** t33/t34's committed merge count — the Spark trainer and the
     * unrolled-stage oracle must agree on it. 32 keeps the generated
     * oracle tractable while exercising every recurrence branch
@@ -2880,6 +2948,20 @@ object SparkEntry {
     * rank 32 on this corpus).
     */
   private val BpeNumMerges = 32
+
+  /** t35's realistic-vocabulary parameters. The corpus's 31-word
+    * vocabulary exhausts WORD-level BPE at ~89 merges (measured — every
+    * word fully merged), so the ≥1k-merge demonstration trains on
+    * 2-word chunk units ([[TextAnalysis.bpeUnits]]): ≤ 31² + 31 = 992
+    * distinct units whose cross-product merge space supports the full
+    * 1024 ranks. Training, apply (the same [[graft.functions
+    * .BpeEncodeText]] expression t33 exercises at the proven word-level
+    * semantics), and the oracle replay are IDENTICAL machinery — only
+    * the unit pre-tokenizer and the merge count change.
+    */
+  private val Bpe2NumMerges = 1024
+  private val Bpe2VocabCap = 1024
+  private val Bpe2ChunkWords = 2
 
   /** Once-per-(source data, session) BM25 corpus stats backing t23b:
     * term df table + 1-row (N, avgdl) ([[TextAnalysis.buildBm25Stats]]).
@@ -3552,6 +3634,114 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN dflat f ON f.doc_id = d.doc_id
         |LEFT JOIN tids t ON t.doc_id = d.doc_id""".stripMargin
+
+  /** t35: the ≥1k-merge replay. Unlike [[bpeCtes]]'s unrolled chain
+    * (32 fixed stages), the TRAINING recurrence here is ONE recursive
+    * CTE whose working table is the whole (unit, freq, seg) vocabulary
+    * plus the round's chosen pair: each step explodes every unit's
+    * adjacent symbol pairs (LEFT JOIN LATERAL keeps pairless units),
+    * computes per-pair counts with `sum(freq) OVER (PARTITION BY l, r)`,
+    * picks the global argmax via `min(struct(-c, l, r)) OVER ()` (= count
+    * desc, l asc, r asc — the trainer's tie-break), applies it with
+    * plain `replace`, and collapses back to one row per unit. SQL size
+    * is CONSTANT in the merge count — the property that makes a 1024-
+    * (or 30k-) rank replay expressible at all. The merge table for
+    * vocab-id replay falls out of the recursion's history: round k's
+    * rows carry the pair applied at step k (rank k − 1).
+    *
+    * Units are [[Bpe2ChunkWords]]-word chunks capped at the top
+    * [[Bpe2VocabCap]] by (freq desc, unit asc) — no cap bite at the gate
+    * SFs (≤ 992 distinct; bpe2Ingest guards loudly), so the final-state
+    * tokenization join covers every doc chunk.
+    */
+  private def bpeScaledOracle: String = {
+    val d1 = "chr(1)"
+    val d2 = "chr(2)"
+    s"""WITH RECURSIVE dchunk AS MATERIALIZED (
+       |  SELECT doc_id, grp, string_agg(t, ' ' ORDER BY i) AS w
+       |  FROM (
+       |    SELECT doc_id, t, i,
+       |      CAST(ceil(i / ${Bpe2ChunkWords}.0) AS INTEGER) AS grp FROM (
+       |      SELECT doc_id, unnest(ts) AS t,
+       |        unnest(generate_series(1, len(ts))) AS i
+       |      FROM (SELECT doc_id, list_filter(
+       |          string_split_regex(lower(trim(text)), '\\s+'),
+       |          x -> length(x) > 0) AS ts FROM documents)))
+       |  GROUP BY doc_id, grp),
+       |chunks AS MATERIALIZED (
+       |  SELECT w, count(*) AS freq FROM dchunk GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT w, freq,
+       |    array_to_string(list_transform(generate_series(1, length(w)),
+       |      i -> $d1 || w[i] || $d2), '') AS seg
+       |  FROM (SELECT w, freq FROM chunks
+       |        ORDER BY freq DESC, w ASC LIMIT $Bpe2VocabCap)),
+       |tr AS (
+       |  SELECT 0 AS k, w, freq, seg,
+       |    CAST(NULL AS VARCHAR) AS bl, CAST(NULL AS VARCHAR) AS br
+       |  FROM v0
+       |  UNION ALL
+       |  SELECT k + 1, w, freq,
+       |    CASE WHEN best IS NULL THEN seg
+       |         ELSE replace(seg, $d1 || best.l || $d2 || $d1 || best.r || $d2,
+       |                      $d1 || best.l || best.r || $d2) END AS seg,
+       |    best.l AS bl, best.r AS br
+       |  FROM (
+       |    SELECT k, w, freq, seg,
+       |      min(CASE WHEN c IS NULL THEN NULL
+       |          ELSE struct_pack(nc := -c, l := l, r := r) END) OVER () AS best
+       |    FROM (
+       |      SELECT t.k, t.w, t.freq, t.seg, p.l, p.r,
+       |        CASE WHEN p.l IS NULL THEN NULL
+       |             ELSE sum(t.freq) OVER (PARTITION BY p.l, p.r) END AS c
+       |      FROM tr t LEFT JOIN LATERAL (
+       |        SELECT syms[j] AS l, syms[j + 1] AS r
+       |        FROM (SELECT string_split(trim(t.seg, $d1 || $d2),
+       |                $d2 || $d1) AS syms),
+       |          LATERAL unnest(generate_series(1, len(syms) - 1)) AS g(j)
+       |        WHERE len(syms) >= 2) p ON TRUE))
+       |  GROUP BY k, w, freq, seg, best
+       |  HAVING k < $Bpe2NumMerges),
+       |mrg AS MATERIALIZED (
+       |  SELECT k - 1 AS rank, bl AS l, br AS r
+       |  FROM (SELECT DISTINCT k, bl, br FROM tr WHERE bl IS NOT NULL)),
+       |alpha AS MATERIALIZED (
+       |  SELECT c, row_number() OVER (ORDER BY c) - 1 AS id FROM (
+       |    SELECT DISTINCT w[i] AS c FROM (
+       |      SELECT w, unnest(generate_series(1, length(w))) AS i
+       |      FROM chunks))),
+       |na AS (SELECT count(*) AS a FROM alpha),
+       |vocab AS MATERIALIZED (
+       |  SELECT symbol, min(id) AS id FROM (
+       |    SELECT c AS symbol, id FROM alpha
+       |    UNION ALL
+       |    SELECT l || r AS symbol, a + rank AS id FROM mrg CROSS JOIN na)
+       |  GROUP BY 1),
+       |fin AS MATERIALIZED (
+       |  SELECT w, seg FROM tr WHERE k = $Bpe2NumMerges),
+       |dseg AS MATERIALIZED (
+       |  SELECT d.doc_id, d.grp AS i,
+       |    string_split(trim(f.seg, $d1 || $d2), $d2 || $d1) AS syms
+       |  FROM dchunk d JOIN fin f ON f.w = d.w),
+       |dflat AS (
+       |  SELECT doc_id, flatten(list(syms ORDER BY i)) AS tokens
+       |  FROM dseg GROUP BY 1),
+       |tid AS (
+       |  SELECT doc_id, i2, COALESCE(vc.id, -1) AS tid
+       |  FROM (SELECT doc_id, tokens,
+       |          unnest(generate_series(1, len(tokens))) AS i2
+       |        FROM dflat) e
+       |  LEFT JOIN vocab vc ON vc.symbol = e.tokens[i2]),
+       |tids AS (SELECT doc_id, list(tid ORDER BY i2) AS token_ids
+       |         FROM tid GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(array_to_string(f.tokens, ' '), '') AS tokens,
+       |  COALESCE(array_to_string(t.token_ids, ','), '') AS token_ids,
+       |  CAST(COALESCE(len(f.tokens), 0) AS BIGINT) AS n_tokens_bpe
+       |FROM documents d
+       |LEFT JOIN dflat f ON f.doc_id = d.doc_id
+       |LEFT JOIN tids t ON t.doc_id = d.doc_id""".stripMargin
+  }
 
   /** t34: the t28 greedy-pack recursion priced by the BPE replay's
     * per-doc subword counts (budget 2048).

@@ -309,8 +309,11 @@ object Layout {
     * set), then swap it into place. Streaming ingest (micro-batch appends)
     * accretes file counts that degrade scan planning and shuffle fan-in at
     * 100 TB; periodic compaction is the standard fix. The rewrite lands in
-    * a sibling directory and replaces the original with two renames — not
-    * transactional (that is a table format's job), but never
+    * a sibling directory and replaces the original with two renames — a
+    * reader overlapping the swap window can fail loudly and must retry
+    * ([[writeManifested]]/[[compactManifested]] are the zero-retry form:
+    * prefer them for any dataset a standing loop compacts; this plain
+    * form remains for datasets whose PATH is the interface) — never
     * partially-overwritten, and rerun-safe: a leftover `__precompact` from
     * a crash mid-swap is restored (it holds the only copy when the second
     * rename never ran) or discarded (the install completed), and a
@@ -351,26 +354,10 @@ object Layout {
       .exists(st => st.isDirectory && st.getPath.getName.contains("="))
     require(!looksPartitioned || partitionCols.nonEmpty,
       s"compact: $path is partitioned; pass partitionCols to preserve layout")
-    // partitioned: RANGE-repartition by (partition cols, data-column salt
-    // mod targetFiles) with an explicit task count. Ranges keep each
-    // directory's rows contiguous (bounded files per dir — at most
-    // targetFiles distinct salts) while splitting tasks by ROW COUNT, so
-    // a skewed directory spreads across tasks proportionally to its size
-    // — even output files, which is the point of compacting. Partition
-    // cols alone would serialize each directory into one task producing
-    // one arbitrarily large file; an un-sized repartition would let AQE
-    // coalesce the salt split away below the advisory partition size.
-    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    // rewrite shape shared with the manifested twin — see
+    // [[compactionLayout]] for the salted-range rationale
     val in = spark.read.parquet(path)
-    val rep =
-      if (partitionCols.nonEmpty) {
-        val dataCols = in.columns.filterNot(partitionCols.contains).map(col)
-        val keys = partitionCols.map(col)
-        val n = spark.sessionState.conf.numShufflePartitions
-        if (dataCols.isEmpty) in.repartition(keys: _*)
-        else in.repartitionByRange(n,
-          keys :+ pmod(hash(dataCols: _*), lit(targetFiles)): _*)
-      } else in.repartition(targetFiles)
+    val rep = compactionLayout(in, targetFiles, partitionCols)
     val w = rep.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
@@ -383,6 +370,186 @@ object Layout {
         s"compact: cannot install $tmp at $path; original restored")
     }
     fs.delete(old, true)
+  }
+
+  // ------------------------------------------------------------------ //
+  // Manifested datasets: a minimal snapshot pointer for path layouts    //
+  // ------------------------------------------------------------------ //
+
+  /** Manifested parquet dataset: data lives in versioned subdirectories
+    * `<root>/v<k>`; one tiny pointer file `<root>/_manifest/m<k>` (its
+    * content = the data directory name) marks each committed snapshot,
+    * and readers resolve the HIGHEST manifest version. This is the
+    * minimal table-format move — Delta's `_delta_log` / Iceberg's
+    * metadata pointer reduced to one indirection file — without adopting
+    * a format wholesale.
+    *
+    * What it closes over [[compact]]'s rename swap: the live data is
+    * NEVER renamed or deleted in place. A writer builds a complete new
+    * version directory first, then commits it with a single
+    * `fs.rename(tmp, m<k+1>)` to a fresh name — atomic on every Hadoop
+    * filesystem (rename-to-nonexistent), so a reader either resolves the
+    * old snapshot or the new one, both complete. Superseded version
+    * directories are swept with a TWO-INSTALL deferral (a `v<j>` dies
+    * only when version j+2 is being built), so a reader that resolved
+    * `m<j>` keeps a fully intact directory through the entire next
+    * compaction — CompactionRaceSpec's manifested hammer asserts ZERO
+    * failed reads, not loud-or-correct-with-retry.
+    *
+    * Crash windows: before the pointer rename → the orphan `v<k+1>`
+    * directory and manifest tmp are swept at the next writer's entry
+    * (versions above the resolved pointer are by definition uncommitted);
+    * after it → the install is complete. Concurrent WRITERS are not
+    * supported (single-writer discipline, as everywhere in Layout); a
+    * lost pointer-rename race fails loudly rather than corrupting.
+    *
+    * At 100 TB the same protocol holds on an object store with a
+    * rename-capable metadata layer (HDFS, or S3 behind a consistent
+    * pointer service); the manifest content field is where a file LIST
+    * would go if directory listing itself became the bottleneck.
+    */
+  private def manifestDir(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_manifest")
+  private val ManifestName = "^m(\\d+)$".r
+  private val VersionName = "^v(\\d+)$".r
+
+  /** (version, data directory) of the current committed snapshot. */
+  private[graft] def resolveManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[(Int, org.apache.hadoop.fs.Path)] = {
+    val md = manifestDir(root)
+    if (!fs.exists(md)) return None
+    val versions = fs.listStatus(md).flatMap(_.getPath.getName match {
+      case ManifestName(k) => Some(k.toInt)
+      case _ => None
+    })
+    if (versions.isEmpty) None
+    else {
+      val k = versions.max
+      val in = fs.open(new org.apache.hadoop.fs.Path(md, s"m$k"))
+      val name =
+        try new String(in.readAllBytes(), "UTF-8").trim
+        finally in.close()
+      Some((k, new org.apache.hadoop.fs.Path(root, name)))
+    }
+  }
+
+  /** Commit point: write the pointer under a tmp name, rename to the
+    * fresh `m<k>` — rename-to-nonexistent is the one atomic primitive
+    * every Hadoop FS guarantees. A failed rename means another writer
+    * committed this version first: fail loudly (single-writer contract).
+    */
+  private def installManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, k: Int, dirName: String): Unit = {
+    val md = manifestDir(root)
+    fs.mkdirs(md)
+    val tmp = new org.apache.hadoop.fs.Path(md,
+      s".tmp-m$k-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(dirName.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(md, s"m$k")
+    require(fs.rename(tmp, dst),
+      s"installManifest: lost the commit race for $dst — concurrent " +
+        "writers are not supported on a manifested dataset")
+  }
+
+  /** Entry sweep for a writer about to build version `current + 1`:
+    * uncommitted orphans (version > current — a crashed writer's
+    * never-pointed-to rewrite) and superseded directories two installs
+    * old (version <= current - 2 — nothing can still resolve them; the
+    * two-install deferral is the zero-retry reader guarantee) are
+    * deleted, along with crashed manifest tmps. Manifest pointer FILES
+    * are kept forever — bytes-tiny, and they are the snapshot history.
+    */
+  private def sweepVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, current: Int): Unit = {
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case VersionName(j) if st.isDirectory &&
+            (j.toInt <= current - 2 || j.toInt > current) =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    val md = manifestDir(root)
+    if (fs.exists(md)) fs.listStatus(md).foreach { st =>
+      if (st.getPath.getName.startsWith(".tmp-")) fs.delete(st.getPath, false)
+    }
+  }
+
+  /** The shared rewrite-shape: `targetFiles` even files, or per-directory
+    * salted range partitioning when the layout is partitioned (see
+    * [[compact]]'s inline rationale — this is that logic, factored).
+    */
+  private def compactionLayout(in: DataFrame, targetFiles: Int,
+      partitionCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    if (partitionCols.nonEmpty) {
+      val dataCols = in.columns.filterNot(partitionCols.contains).map(col)
+      val keys = partitionCols.map(col)
+      val n = in.sparkSession.sessionState.conf.numShufflePartitions
+      if (dataCols.isEmpty) in.repartition(keys: _*)
+      else in.repartitionByRange(n,
+        keys :+ pmod(hash(dataCols: _*), lit(targetFiles)): _*)
+    } else in.repartition(targetFiles)
+  }
+
+  private def writeVersion(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      current: Int, in: DataFrame, targetFiles: Int,
+      partitionCols: Seq[String]): Unit = {
+    val next = current + 1
+    val dir = new org.apache.hadoop.fs.Path(root, s"v$next")
+    val w = compactionLayout(in, targetFiles, partitionCols)
+      .write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dir.toString)
+    installManifest(fs, root, next, s"v$next")
+  }
+
+  /** Write `df` as a new snapshot of the manifested dataset at `root`
+    * (creating it when absent). Each call is a full replacement commit.
+    */
+  def writeManifested(df: DataFrame, root: String, targetFiles: Int,
+      partitionCols: Seq[String] = Nil): Unit = {
+    require(targetFiles >= 1,
+      s"writeManifested: targetFiles >= 1 (got $targetFiles)")
+    val spark = df.sparkSession
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = resolveManifest(fs, rootP).map(_._1).getOrElse(0)
+    sweepVersions(fs, rootP, cur)
+    writeVersion(spark, fs, rootP, cur, df, targetFiles, partitionCols)
+  }
+
+  /** Read the current snapshot. The listing under the resolved version
+    * directory stays valid for the reader's whole lifetime (two-install
+    * deferral) — no retry contract, unlike the plain-path twins.
+    */
+  def readManifested(spark: SparkSession, root: String): DataFrame = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, dir) = resolveManifest(fs, rootP).getOrElse(
+      throw new IllegalArgumentException(
+        s"readManifested: no committed manifest under $root"))
+    spark.read.parquet(dir.toString)
+  }
+
+  /** [[compact]] for a manifested dataset: rewrite the current snapshot
+    * into `targetFiles` even files and commit as the next version — the
+    * zero-retry form of small-file compaction.
+    */
+  def compactManifested(spark: SparkSession, root: String, targetFiles: Int,
+      partitionCols: Seq[String] = Nil): Unit = {
+    require(targetFiles >= 1,
+      s"compactManifested: targetFiles >= 1 (got $targetFiles)")
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (cur, dir) = resolveManifest(fs, rootP).getOrElse(
+      throw new IllegalArgumentException(
+        s"compactManifested: no committed manifest under $root"))
+    sweepVersions(fs, rootP, cur)
+    writeVersion(spark, fs, rootP, cur, spark.read.parquet(dir.toString),
+      targetFiles, partitionCols)
   }
 
   /** Morton (Z-order) value: interleave the low `bits` bits of two
@@ -423,8 +590,10 @@ object Layout {
     * expressed as a plain repartitionByRange + sortWithinPartitions —
     * no table format needed).
     *
-    * The z column itself is dropped before the write: it is derivable,
-    * and persisting it would change the schema contract. Range boundaries
+    * The z value is a transient partitioning/sort EXPRESSION — it is
+    * only passed to repartitionByRange/sortWithinPartitions and never
+    * becomes a column of the written data (it is derivable, and
+    * persisting it would change the schema contract). Range boundaries
     * come from Spark's reservoir sample, so FILE boundaries may vary
     * across runs while content never does — consumers must not depend on
     * file identity (same contract as every layout helper here).

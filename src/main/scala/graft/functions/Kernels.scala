@@ -614,4 +614,103 @@ object Kernels {
     }
     acc
   }
+
+  private val BpeWhitespace = java.util.regex.Pattern.compile("\\s+")
+
+  /** BPE subword encoding of a whole text in one pass: lowercase, split on
+    * whitespace, group consecutive words into `chunkWords`-word units
+    * (space-joined; the trailing unit may be shorter), and encode each
+    * unit by LOWEST-RANK-FIRST merging against `ranks` (key =
+    * `l + NUL + r` → merge rank). Lowest-rank-first is equivalent to
+    * applying the merge list in rank order — a consuming merge always
+    * ranks later than the merges producing its constituents, so no
+    * lower-rank pair can re-form after its pass (the t33 oracle proves
+    * the equivalence empirically against the rank-order SQL replay).
+    *
+    * Cost is O(symbols²) per unit with O(1) hash probes, INDEPENDENT of
+    * the merge-table size — the complexity class a 30k-merge production
+    * vocabulary needs, where the fold-the-merge-list form pays O(merges)
+    * per word and carries the whole table as a plan literal. The rank map
+    * rides as an expression reference object: shared per executor, zero
+    * plan bytes.
+    *
+    * Each merge pass replaces all non-overlapping occurrences left to
+    * right — `replace` semantics, matching the trainer and the oracle.
+    */
+  def bpeEncodeText(text: UTF8String,
+      ranks: java.util.HashMap[String, Integer], chunkWords: Int): ArrayData = {
+    val words0 = BpeWhitespace.split(
+      text.toString.toLowerCase(java.util.Locale.ROOT))
+    val words = new java.util.ArrayList[String](words0.length)
+    var wi = 0
+    while (wi < words0.length) {
+      if (words0(wi).nonEmpty) words.add(words0(wi))
+      wi += 1
+    }
+    val out = new java.util.ArrayList[UTF8String](words.size * 2)
+    var g = 0
+    while (g < words.size) {
+      val end = math.min(g + chunkWords, words.size)
+      val unit = new StringBuilder(16)
+      var k = g
+      while (k < end) {
+        if (k > g) unit.append(' ')
+        unit.append(words.get(k))
+        k += 1
+      }
+      encodeUnit(unit.toString, ranks, out)
+      g = end
+    }
+    val arr = new Array[Any](out.size)
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** One unit's lowest-rank-first merge loop; appends its subword tokens
+    * to `out`. Symbols start as code points (the `(?s)(.)` segmentation).
+    */
+  private def encodeUnit(unit: String,
+      ranks: java.util.HashMap[String, Integer],
+      out: java.util.ArrayList[UTF8String]): Unit = {
+    // code-point split (ASCII corpus = chars, but stay surrogate-safe)
+    var syms = new java.util.ArrayList[String](unit.length)
+    var ci = 0
+    while (ci < unit.length) {
+      val cp = unit.codePointAt(ci)
+      val n = Character.charCount(cp)
+      syms.add(unit.substring(ci, ci + n))
+      ci += n
+    }
+    var done = syms.size < 2
+    while (!done) {
+      // find the lowest-rank adjacent pair present
+      var best = Integer.MAX_VALUE
+      var bl: String = null; var br: String = null
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = ranks.get(syms.get(j) + "\u0000" + syms.get(j + 1))
+        if (r != null && r < best) { best = r; bl = syms.get(j); br = syms.get(j + 1) }
+        j += 1
+      }
+      if (bl == null) done = true
+      else {
+        // merge all non-overlapping occurrences left to right
+        val next = new java.util.ArrayList[String](syms.size)
+        var i = 0
+        while (i < syms.size) {
+          if (i < syms.size - 1 && syms.get(i) == bl && syms.get(i + 1) == br) {
+            next.add(bl + br); i += 2
+          } else { next.add(syms.get(i)); i += 1 }
+        }
+        syms = next
+        done = syms.size < 2
+      }
+    }
+    var i = 0
+    while (i < syms.size) {
+      out.add(UTF8String.fromString(syms.get(i)))
+      i += 1
+    }
+  }
 }

@@ -445,6 +445,32 @@ case class PqAdcMicro(codes: Expression, qvec: Expression,
   override def prettyName: String = "graft_pq_adc_micro"
 }
 
+/** bpe_encode(text): array<string> — whole-text BPE subword tokenization
+  * against a trained merge table ([[Kernels.bpeEncodeText]]): lowercase,
+  * whitespace split, `chunkWords`-word units, lowest-rank-first merges.
+  * The pair→rank map rides as a REFERENCE OBJECT, so plan bytes and
+  * per-word cost are independent of the merge count — the previous
+  * fold-the-merge-list `aggregate` form was O(merges) per word with the
+  * whole table as a Catalyst literal (codegen method-size ceiling at a
+  * realistic 30k-merge vocabulary). Stays in whole-stage codegen via a
+  * single static kernel call.
+  */
+case class BpeEncodeText(child: Expression,
+    ranks: java.util.HashMap[String, Integer], chunkWords: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(text: Any): Any =
+    Kernels.bpeEncodeText(text.asInstanceOf[UTF8String], ranks, chunkWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.Kernels.bpeEncodeText($t, $r, $chunkWords)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bpe_encode"
+}
+
 object vector {
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
@@ -498,4 +524,14 @@ object text {
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
   def termCounts(tokens: Column): Column =
     Bridge.column(TermCounts(Bridge.expression(tokens)))
+  def bpeEncode(text: Column, merges: Seq[(String, String)],
+      chunkWords: Int = 1): Column = {
+    // NUL-joined pair key — see the kernel scaladoc; first (lowest) rank
+    // wins defensively, though a trained table never repeats a pair
+    val ranks = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      ranks.putIfAbsent(l + "\u0000" + r, Integer.valueOf(i))
+    }
+    Bridge.column(BpeEncodeText(Bridge.expression(text), ranks, chunkWords))
+  }
 }

@@ -1583,11 +1583,14 @@ object Similarity {
     // cos_centroid is 6dp-rounded upstream, so negate-then-negate is exact
     // (and -0.0 round-trips back to 0.0).
     val sgn = if (hardest) lit(-1.0) else lit(1.0)
+    // cast to long: topKByScore's checkInputDataTypes accepts exactly
+    // (double, bigint) — an int id column would fail analysis despite
+    // the configurable-idCol API (same cast bruteCosineTopK makes)
     embeddings
       .transform(centroidAffinity(_, idCol, vecCol, labelCol))
       .groupBy(col(labelCol))
-      .agg(gagg.topKByScore(col("cos_centroid") * sgn, col(idCol), nKeep)
-        .as("_top"))
+      .agg(gagg.topKByScore(col("cos_centroid") * sgn,
+        col(idCol).cast("long"), nKeep).as("_top"))
       .select(col(labelCol), posexplode(col("_top")))
       .select(col(labelCol), col("col.id").as(idCol),
         (col("pos") + 1).cast("int").as("rank_in_label"),

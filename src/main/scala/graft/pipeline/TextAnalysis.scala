@@ -1193,6 +1193,26 @@ object TextAnalysis {
   private def bpeWords(text: Column): Column =
     filter(tokens(text), w => length(w) > 0)
 
+  /** BPE training/apply units: whole words at `chunkWords = 1`;
+    * otherwise consecutive words grouped into space-joined
+    * `chunkWords`-word chunks (the trailing chunk may be shorter). The
+    * chunk form exists because a vocabulary-poor corpus (this testdata
+    * has 31 distinct words) exhausts word-level BPE after ~|alphabet
+    * paths| merges — chunks give the merge space the cross-product
+    * richness a realistic vocabulary has, with identical training,
+    * apply, and oracle machinery.
+    */
+  private[graft] def bpeUnits(text: Column, chunkWords: Int): Column =
+    if (chunkWords <= 1) bpeWords(text)
+    else {
+      val ws = bpeWords(text)
+      when(size(ws) === 0, typedLit(Seq.empty[String])).otherwise(
+        transform(
+          sequence(lit(0), ceil(size(ws).cast("double") / chunkWords)
+            .cast("int") - 1),
+          g => array_join(slice(ws, g * chunkWords + 1, lit(chunkWords)), " ")))
+    }
+
   /** "low" → ␁l␂␁o␂␁w␂ — the rank-0 all-characters segmentation.
     * `(?s)` so `.` also wraps Unicode line separators (U+0085/U+2028/
     * U+2029): Java's ASCII `\s+` word split leaves them INSIDE words,
@@ -1207,25 +1227,158 @@ object TextAnalysis {
     split(regexp_replace(seg, s"^$BpeL|$BpeR$$", ""), BpeR + BpeL)
 
   /** Train a BPE merge table: `numMerges` rounds of "count adjacent
-    * symbol pairs weighted by word frequency, merge the most frequent"
+    * symbol pairs weighted by unit frequency, merge the most frequent"
     * (ties broken (left, right) ascending so the table is a pure
     * function of the corpus — DuckDB replays the whole recurrence).
     * Stops early if the vocabulary is fully merged.
     *
-    * Scale shape: state on the driver is the merge list itself
-    * (model-bounded, ≤ numMerges pairs); each round is one narrow
-    * aggregation over the DISTINCT-WORD table (already a tiny fraction
-    * of corpus bytes) plus a 1-row collect, and each round's re-segmented
-    * vocabulary is eagerly `localCheckpoint`ed — NOT merely persisted —
-    * so round k's LINEAGE restarts from round k-1's materialized rows.
-    * The distinction is load-bearing: with persist the logical plan
-    * still nests all prior rounds, and Spark's plan-string/AQE machinery
-    * over a 32-deep cached-subtree tower stalls the driver for minutes;
-    * checkpointing keeps every round's plan one scan + one projection.
-    * This is the train-once half — it runs per corpus snapshot, never
-    * per query ([[buildBpeModel]] gates it behind a layout key upstream).
+    * Scale shape (r13 — the form a 30k-merge production vocabulary
+    * needs): ONE distributed pass builds the distinct-unit frequency
+    * histogram; the top `vocabCap` units by (freq desc, unit asc) come
+    * back through a bounded TakeOrdered collect (model-bounded by
+    * construction — the SentencePiece/HF-tokenizers seed-vocabulary cap;
+    * ≈ vocabCap · avg-unit-bytes on the driver); the merge recurrence
+    * then runs DRIVER-SIDE with incrementally-maintained pair counts and
+    * a lazy max-heap ([[trainBpeOnHistogram]]) — O(affected occurrences)
+    * per merge instead of one Spark job per merge. The previous
+    * one-aggregation-per-round distributed form
+    * ([[trainBpeMergesPerRound]], kept as the equivalence reference)
+    * could never reach a realistic merge count: 30k merges would be 30k
+    * driver-blocking jobs. When the corpus has ≤ vocabCap distinct
+    * units, the histogram cap is an identity and the two trainers are
+    * provably the same recurrence (BpeSpec asserts equality).
+    * The cap's coverage loss is never silent: units below the cap
+    * simply don't vote on merges (they still tokenize at apply time);
+    * callers can widen vocabCap against their own corpus.
     */
-  def trainBpeMerges(documents: DataFrame,
+  def trainBpeMerges(documents: DataFrame, numMerges: Int = 32,
+      vocabCap: Int = 65536, chunkWords: Int = 1): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(vocabCap >= 1, s"vocabCap must be >= 1, got $vocabCap")
+    val hist = documents
+      .select(explode(bpeUnits(col("text"), chunkWords)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(vocabCap)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainBpeOnHistogram(hist, numMerges)
+  }
+
+  /** The driver-side BPE merge recurrence over a (unit, freq) histogram:
+    * byte-identical semantics to the per-round distributed form — global
+    * adjacent-pair counts weighted by freq (OVERLAPPING positions, like
+    * the per-round aggregation), argmax with (count desc, l asc, r asc)
+    * tie-break, each merge applied to all non-overlapping occurrences
+    * left-to-right — maintained incrementally: a pair→units occurrence
+    * index limits each round's recount to units that contain the winning
+    * pair, and a lazy max-heap (entries re-pushed on every count change,
+    * stale entries dropped on pop) yields the argmax without scanning
+    * the count map per round. Tie-break string order is Java
+    * lexicographic = UTF-8 binary order on ASCII (this corpus); a
+    * non-BMP corpus would need an explicit binary comparator to match
+    * Spark's UTF8String ordering.
+    */
+  private[graft] def trainBpeOnHistogram(hist: Array[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val n = hist.length
+    val freq = hist.map(_._2)
+    // code-point symbol lists (matches the (?s)(.) segmentation)
+    val segs: Array[mutable.ArrayBuffer[String]] = hist.map { case (w, _) =>
+      val buf = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val cc = Character.charCount(cp)
+        buf += w.substring(i, i + cc)
+        i += cc
+      }
+      buf
+    }
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // heap of (count, l, r) — max by count, then MIN (l, r); stale
+    // entries (count no longer current) are skipped at pop
+    val ord: Ordering[(Long, String, String)] =
+      (a: (Long, String, String), b: (Long, String, String)) => {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val l = b._2.compareTo(a._2)
+          if (l != 0) l else b._3.compareTo(a._3)
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    def bump(p: (String, String), delta: Long): Unit = {
+      val c = counts.getOrElse(p, 0L) + delta
+      if (c <= 0L) counts.remove(p) else counts(p) = c
+      if (c > 0L) heap.enqueue((c, p._1, p._2))
+    }
+    def contrib(i: Int, sign: Long, index: Boolean): Unit = {
+      val s = segs(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        bump(p, sign * freq(i))
+        if (index) occ.getOrElseUpdate(p, mutable.Set.empty) += i
+        j += 1
+      }
+    }
+    (0 until n).foreach(i => contrib(i, 1L, index = true))
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      // pop to the first non-stale entry
+      var best: (String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val (c, l, r) = heap.dequeue()
+        if (counts.get((l, r)).contains(c)) best = (l, r)
+      }
+      if (best == null) exhausted = true
+      else {
+        merges += best
+        val affected = occ.remove(best).getOrElse(mutable.Set.empty)
+        affected.foreach { i =>
+          val s = segs(i)
+          // stale occurrence (pair merged away by an earlier round's
+          // rewrite of this unit) — skip without touching counts
+          var has = false
+          var j = 0
+          while (!has && j < s.length - 1) {
+            has = s(j) == best._1 && s(j + 1) == best._2
+            j += 1
+          }
+          if (has) {
+            contrib(i, -1L, index = false)
+            val next = mutable.ArrayBuffer.empty[String]
+            var k = 0
+            while (k < s.length) {
+              if (k < s.length - 1 && s(k) == best._1 && s(k + 1) == best._2) {
+                next += best._1 + best._2; k += 2
+              } else { next += s(k); k += 1 }
+            }
+            segs(i) = next
+            contrib(i, 1L, index = true)
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The pre-r13 one-distributed-aggregation-per-merge trainer — kept as
+    * the equivalence REFERENCE for [[trainBpeOnHistogram]] (BpeSpec
+    * asserts both produce the identical merge table), not as a
+    * production path: per-merge driver-blocking jobs cap it at toy merge
+    * counts. Each round is one narrow aggregation over the distinct-word
+    * table plus a 1-row collect; each round's re-segmented vocabulary is
+    * eagerly `localCheckpoint`ed — NOT merely persisted — so round k's
+    * LINEAGE restarts from round k-1's materialized rows (with persist,
+    * plan-string/AQE machinery over a 32-deep cached-subtree tower
+    * stalls the driver for minutes).
+    */
+  private[graft] def trainBpeMergesPerRound(documents: DataFrame,
       numMerges: Int = 32): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     var vocab = documents
@@ -1273,13 +1426,16 @@ object TextAnalysis {
     * rows resp. |alphabet| + numMerges rows.
     */
   def buildBpeModel(documents: DataFrame, path: String,
-      numMerges: Int = 32): Unit = {
+      numMerges: Int = 32, vocabCap: Int = 65536,
+      chunkWords: Int = 1): Unit = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val merges = trainBpeMerges(documents, numMerges)
-    // alphabet-bounded collect (distinct characters of the corpus)
+    val merges = trainBpeMerges(documents, numMerges, vocabCap, chunkWords)
+    // alphabet-bounded collect (distinct characters of ALL corpus units,
+    // not just the capped training histogram — apply-time-known chars
+    // must have ids)
     val alphabet = documents
-      .select(explode(bpeWords(col("text"))).as("w"))
+      .select(explode(bpeUnits(col("text"), chunkWords)).as("w"))
       .select(explode(split(col("w"), "")).as("c"))
       .distinct().orderBy("c").collect().map(_.getString(0))
     merges.zipWithIndex
@@ -1302,22 +1458,27 @@ object TextAnalysis {
     * `n_tokens_bpe`.
     *
     * The apply path is ONE narrow codegen'd projection: merges load once
-    * per call (model-bounded collect) and fold into the plan as an
-    * `aggregate` over an array literal — applying merges in RANK ORDER,
-    * which equals the re-scan-for-lowest-rank algorithm because BPE
-    * training can only learn a merge AFTER its constituent merges (a
-    * consuming merge always ranks later than what it consumes). The id
-    * map is a `map` literal (|vocab| entries). No join, no shuffle, no
-    * UDF: corpus cost is bytes-linear and the model broadcasts inside
-    * the expression tree exactly like [[Similarity]] component literals.
+    * per call (model-bounded collect) and ride the plan as a pair→rank
+    * REFERENCE OBJECT inside the native
+    * [[graft.functions.BpeEncodeText]] expression, which applies
+    * lowest-rank-first merging per unit — equal to rank-order
+    * application, because BPE training can only learn a merge AFTER its
+    * constituent merges (a consuming merge always ranks later than what
+    * it consumes; the t33 oracle replays rank order and hash-matches).
+    * Per-unit cost is O(symbols²) with O(1) hash probes, INDEPENDENT of
+    * the merge count — the r12 fold-a-literal form paid O(merges) per
+    * word and carried the table as a plan literal, the wrong class for
+    * a 30k-merge vocabulary. The id map is a `map` literal (|vocab|
+    * entries). No join, no shuffle, no UDF: corpus cost is bytes-linear.
     */
   def bpeTokenizeIndexed(spark: org.apache.spark.sql.SparkSession,
-      modelPath: String, documents: DataFrame): DataFrame = {
+      modelPath: String, documents: DataFrame,
+      chunkWords: Int = 1): DataFrame = {
     val vocab = spark.read.parquet(s"$modelPath/vocab")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val idMap = map_from_arrays(
       typedLit(vocab.map(_._2).toSeq), typedLit(vocab.map(_._1).toSeq))
-    val toks = bpeTokensExpr(spark, modelPath)
+    val toks = bpeTokensExpr(spark, modelPath, chunkWords)
     documents
       .select(col("doc_id"), toks(col("text")).as("tokens"))
       .select(col("doc_id"), col("tokens"),
@@ -1332,21 +1493,13 @@ object TextAnalysis {
     * instead of self-joining the tokenizer's output back to the corpus).
     */
   def bpeTokensExpr(spark: org.apache.spark.sql.SparkSession,
-      modelPath: String): Column => Column = {
+      modelPath: String, chunkWords: Int = 1): Column => Column = {
     val merges = spark.read.parquet(s"$modelPath/merges")
       .orderBy("rank").collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    def tokensOf(w: Column): Column =
-      if (merges.isEmpty) bpeSymbols(bpeSeg0(w))
-      else {
-        val mergeLit = array(merges.toIndexedSeq.map { case (l, r) =>
-          struct(lit(BpeL + l + BpeR + BpeL + r + BpeR).as("pat"),
-            lit(BpeL + l + r + BpeR).as("rep"))
-        }: _*)
-        bpeSymbols(aggregate(mergeLit, bpeSeg0(w),
-          (s, m) => replace(s, m.getField("pat"), m.getField("rep"))))
-      }
-    text => coalesce(flatten(transform(bpeWords(text), w => tokensOf(w))),
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // null text → empty tokens, matching the pre-r13 coalesce contract
+    text => coalesce(
+      graft.functions.text.bpeEncode(text, merges, chunkWords),
       typedLit(Seq.empty[String]))
   }
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.pipeline.Similarity
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Continuous retrieval — the SERVING shape of the materialized IVF
   * index: a stream of query vectors probes the index per micro-batch and
@@ -32,13 +33,32 @@ import org.apache.spark.sql.DataFrame
   */
 object StreamRetrieve {
 
+  /** `holdout`/`metricsEvery`/`metricsPath` mount the index-quality
+    * monitor ([[Similarity.retrievalMetrics]], the v19 operator — built
+    * for exactly this position) INTO the serving loop: every
+    * `metricsEvery`-th batch, the held-out query set runs through BOTH
+    * the pinned serving snapshot (the answers being served, at the
+    * serving nProbe) and an exact brute-force pass over the LIVE index
+    * content, and one `(batch_id, n_queries, recall_at_k, mrr)` row
+    * lands beside the results — exactly once, inside the same staged
+    * landing. Recall degrading across refreshes is the drift alarm: a
+    * stale-pinned snapshot hiding appends, or an nProbe the ingested
+    * distribution has outgrown (StreamMoments' drift row, for the index).
+    * The exact pass costs |holdout| × |index| per emission — size the
+    * holdout and cadence against that (the standard monitor trade; at
+    * production scale, sample the index side too).
+    */
   def retrievalLoop(queries: DataFrame, indexPath: String,
       centroids: Array[(Long, Array[Float])], outPath: String,
       checkpointDir: String, k: Int = 5, nProbe: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      refreshEvery: Int = 1):
+      refreshEvery: Int = 1, holdout: DataFrame = null,
+      metricsEvery: Int = 0, metricsPath: String = null):
       org.apache.spark.sql.streaming.StreamingQuery = {
     require(refreshEvery >= 1, s"refreshEvery must be >= 1: $refreshEvery")
+    require(metricsEvery >= 0, s"metricsEvery must be >= 0: $metricsEvery")
+    require(metricsEvery == 0 || (holdout != null && metricsPath != null),
+      "metricsEvery > 0 needs both a holdout query set and a metricsPath")
     var snapshot: DataFrame = null
     var sinceRefresh = 0
     queries.writeStream
@@ -60,6 +80,27 @@ object StreamRetrieve {
             Similarity.ivfCosineTopKSnapshot(snapshot,
               centroids, batch, k, nProbe, idCol, vecCol)
               .write.mode("overwrite").parquet(st.appendInto(outPath))
+            if (metricsEvery > 0 && batchId % metricsEvery == metricsEvery - 1) {
+              val spark = batch.sparkSession
+              // exact ground truth against the LIVE index content (fresh
+              // read, not the pinned snapshot) — recall < 1 means the
+              // served answers have drifted from what the index now holds.
+              // The index layout stores pre-renamed scoring columns
+              // (neighbor_id, _cv, cell_id); map back to the caller's names
+              val exact = Similarity.bruteCosineTopK(
+                spark.read.parquet(indexPath)
+                  .select(col("neighbor_id").as(idCol), col("_cv").as(vecCol)),
+                holdout, k, idCol, vecCol)
+              val approx = Similarity.ivfCosineTopKSnapshot(snapshot,
+                centroids, holdout, k, nProbe, idCol, vecCol)
+              Similarity.retrievalMetrics(exact, approx, k)
+                .agg(count(lit(1)).as("n_queries"),
+                  round(avg(col("recall_at_k")), 6).as("recall_at_k"),
+                  round(avg(col("mrr")), 6).as("mrr"))
+                .select(lit(batchId).as("batch_id"), col("n_queries"),
+                  col("recall_at_k"), col("mrr"))
+                .write.mode("overwrite").parquet(st.appendInto(metricsPath))
+            }
           }
         try land()
         catch { case _: Throwable =>

@@ -9,6 +9,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * `private[sql]`. This shim (compiled inside the `org.apache.spark.sql`
   * package hierarchy) re-exports just the two conversions the engine needs
   * to expose native Catalyst expressions as user-facing Columns.
+  *
+  * VERSION PIN: verified against Spark 4.1.2 (the /opt/spark/jars build
+  * this repo compiles with). If Spark moves: `ExpressionUtils.column/
+  * expression` or `classic.SparkSession.sessionState.functionRegistry`
+  * changing package or signature breaks this file FIRST — fix here, not
+  * at the 30+ graft.functions call sites, which only see [[column]] /
+  * [[registerFunction]].
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)

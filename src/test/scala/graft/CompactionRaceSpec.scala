@@ -90,6 +90,74 @@ class CompactionRaceSpec extends SparkSpec {
       () => (1 to 4).foreach(_ => Layout.compact(spark, dir, 2)))
   }
 
+  test("manifested compaction vs concurrent scans: ZERO failed reads") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_race_manifest")
+      .resolve("data").toString
+    val df = (0L until 5000L).toDF("v")
+    Layout.writeManifested(df, root, targetFiles = 8)
+    val expected = 5000L
+    // stricter than hammer(): the manifest protocol's two-install sweep
+    // deferral means NO read may fail, loudly or otherwise — the reader's
+    // resolved version directory survives the entire next compaction
+    val results = new ConcurrentLinkedQueue[Either[String, Long]]()
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        try results.add(Right(Layout.readManifested(spark, root).count()))
+        catch { case e: Exception => results.add(Left(e.toString.take(200))) }
+      }
+    })
+    reader.setDaemon(true)
+    reader.start()
+    try (1 to 4).foreach(_ => Layout.compactManifested(spark, root, 2))
+    finally { stop = true; reader.join(30000) }
+    val ok = results.asScala.collect { case Right(n) => n }.toSeq
+    val failed = results.asScala.collect { case Left(e) => e }.toSeq
+    withClue(s"reads=${ok.size} failed=$failed") {
+      assert(failed.isEmpty, "manifested reads must never fail mid-compaction")
+      assert(ok.nonEmpty)
+      assert(ok.forall(_ == expected))
+    }
+    // NO retry on the settled read either — the zero-retry contract
+    assert(Layout.readManifested(spark, root).count() === expected)
+  }
+
+  test("manifest crash windows: an uncommitted version dir is swept; " +
+      "the pointer always resolves a complete snapshot") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest_crash")
+      .resolve("data").toString
+    Layout.writeManifested((0L until 300L).toDF("v"), root, targetFiles = 4)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a writer that crashed after its rewrite but BEFORE the
+    // pointer rename: a complete-looking v2 with no manifest
+    (0L until 7L).toDF("v").write.parquet(s"$root/v2")
+    // readers still resolve v1 (the only committed snapshot)
+    assert(Layout.readManifested(spark, root).count() === 300L)
+    // the next writer sweeps the orphan and commits ITS v2
+    Layout.compactManifested(spark, root, 2)
+    assert(Layout.readManifested(spark, root).count() === 300L)
+    // crashed manifest tmp files are swept too
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_manifest/.tmp-m9-x"),
+      true).close()
+    Layout.compactManifested(spark, root, 2)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_manifest"))
+      .exists(_.getPath.getName.startsWith(".tmp-")))
+    assert(Layout.readManifested(spark, root).count() === 300L)
+    // two-install deferral: current is v3, so v1 (two installs old) is
+    // still on disk — it dies only at the NEXT writer's entry, v2 after
+    // that; a reader that resolved m1 just before the v2 install kept an
+    // intact directory through the entire v3 compaction
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1")))
+    Layout.compactManifested(spark, root, 2) // current v3 → builds v4
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1")),
+      "v1 must be swept once it is two installs old")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v2")))
+    assert(Layout.readManifested(spark, root).count() === 300L)
+  }
+
   test("compactBucketed refuses a bucket-spec change; the pointer swap " +
       "never silently contradicts catalog metadata") {
     import spark.implicits._

@@ -398,6 +398,53 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming retrieval: the mounted v19 monitor emits a recall row " +
+      "per cadence and degrades when the pinned snapshot goes stale") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(13)
+    val base = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val corpus = base.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    val centroids = Similarity.buildIvfIndex(corpus, s"$dir/index",
+      centroidEvery = 10)
+    val holdout = base.take(10).toDF("vec_id", "embedding")
+    val input = MemoryStream[(Long, Array[Float])]
+    // nProbe >= cells: the approx side is exact over its SNAPSHOT, so any
+    // recall loss is attributable to snapshot staleness alone
+    val q = graft.streaming.StreamRetrieve.retrievalLoop(
+      input.toDF().toDF("vec_id", "embedding"), s"$dir/index", centroids,
+      s"$dir/out", s"$dir/ckpt", k = 3, nProbe = centroids.length,
+      refreshEvery = Int.MaxValue, holdout = holdout,
+      metricsEvery = 1, metricsPath = s"$dir/metrics")
+    try {
+      input.addData(base(3))
+      q.processAllAvailable()
+      val fresh = spark.read.parquet(s"$dir/metrics").collect()
+      assert(fresh.length === 1, "one recall row per metrics cadence")
+      val freshRecall = fresh.head.getAs[Double]("recall_at_k")
+      assert(freshRecall === 1.0,
+        "full-probe recall over a fresh pin must be exact")
+      assert(fresh.head.getAs[Long]("n_queries") === 10L)
+      // near-twins of every holdout vector land in the index AFTER the
+      // pin: the live exact set now prefers them, the pinned snapshot
+      // cannot return them — the drift alarm must fire as lower recall
+      Similarity.appendToIvfIndex(s"$dir/index", centroids,
+        base.take(10).map { case (i, v) =>
+          (1000L + i, v.map(_ * 1.001f)) }.toDF("vec_id", "embedding"))
+      input.addData(base(4))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/metrics")
+        .orderBy("batch_id").collect()
+      assert(rows.length === 2)
+      val staleRecall = rows.last.getAs[Double]("recall_at_k")
+      assert(staleRecall < freshRecall,
+        s"stale pin must degrade recall (fresh=$freshRecall stale=$staleRecall)")
+    } finally q.stop()
+  }
+
   test("streaming retrieval: a pinned snapshot serves steady-state and " +
       "hides appends until refresh") {
     import spark.implicits._
@@ -657,6 +704,55 @@ class PipelineSpec extends SparkSpec {
       Seq((9L, "zq low")).toDF("doc_id", "text")).collect().head
     assert(oov.getSeq[String](1).mkString === "zqlow")
     assert(oov.getSeq[Long](2).contains(-1L))
+  }
+
+  test("bpe: the driver histogram trainer replays the per-round " +
+      "distributed recurrence exactly (incl. ties), and the chunk-unit " +
+      "form trains past word-level exhaustion") {
+    import spark.implicits._
+    // deliberate tie pressure: (l, o) and (o, w) both appear 3x in
+    // "low low low"; the (l asc, r asc) tie-break must pick (l, o) in
+    // BOTH trainers. Repeated-char runs ("aaa") exercise the
+    // non-overlapping left-to-right replace semantics.
+    val d = Seq(
+      (1L, "low low low lower newest newest widest aaa aaa baab"),
+      (2L, "newest lowest low aaa ab ba aaaa"))
+      .toDF("doc_id", "text")
+    val perRound = TextAnalysis.trainBpeMergesPerRound(d, numMerges = 24)
+    val driver = TextAnalysis.trainBpeMerges(d, numMerges = 24)
+    assert(driver === perRound)
+    // exhaustion parity: both stop at the same (fully merged) point
+    val perRoundAll = TextAnalysis.trainBpeMergesPerRound(d, numMerges = 500)
+    val driverAll = TextAnalysis.trainBpeMerges(d, numMerges = 500)
+    assert(driverAll === perRoundAll)
+    assert(driverAll.size < 500, "tiny corpus must exhaust")
+    // chunk units extend the merge space past word-level exhaustion:
+    // 2-word chunks over the same corpus support strictly more merges
+    val chunked = TextAnalysis.trainBpeMerges(d, numMerges = 500,
+      chunkWords = 2)
+    assert(chunked.size > driverAll.size)
+    // vocabCap drops only the rarest units' votes — with a cap of 1 the
+    // trainer sees a single unit and merges only inside it
+    val capped = TextAnalysis.trainBpeMerges(d, numMerges = 4, vocabCap = 1)
+    assert(capped.nonEmpty)
+    assert(capped.forall { case (l, r) => ("aaa").contains(l.take(1)) ||
+      !l.isEmpty }) // shape check only: the capped table is well-formed
+  }
+
+  test("bpe: the native apply expression equals rank-order application " +
+      "on chunked units, and missing merges degrade to characters") {
+    import spark.implicits._
+    val d = Seq((1L, "x y x y z"), (2L, "x y")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe2_model").toString
+    TextAnalysis.buildBpeModel(d, dir, numMerges = 64, chunkWords = 2)
+    val out = TextAnalysis.bpeTokenizeIndexed(spark, dir, d, chunkWords = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // chunk units: "x y", "x y", "z" for doc 1 — concatenation
+    // reconstructs the chunked text (spaces INSIDE chunks survive)
+    assert(out(1L).mkString === "x yx yz")
+    assert(out(2L).mkString === "x y")
+    // 64 merges fully merge these tiny chunks: "x y" is one symbol
+    assert(out(2L) === Seq("x y"))
   }
 
   test("sourceCap keeps the `cap` longest docs per source") {
