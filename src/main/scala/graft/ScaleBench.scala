@@ -99,11 +99,13 @@ object ScaleBench {
     // BPE-budgeted packing: the t28 kernel with the subword tokenizer
     // expression priced IN-PASS (the t34−t28 delta IS the tokenizer's
     // corpus cost — merge table folds in as literals, text never
-    // shuffles). t33 itself is deliberately NOT swept: this sweep times
-    // .count(), and t33 is a pure projection whose token arrays Catalyst
-    // prunes under a count — the row would time a bare documents scan
-    // (the same reason t31's join chain is not swept); t34's shuffle key
-    // and packing walk CONSUME the token counts, so nothing prunes
+    // shuffles). t33 (and its 1024-merge twin t35) are deliberately NOT
+    // swept: this sweep times .count(), and both are pure projections
+    // whose token arrays Catalyst prunes under a count — the row would
+    // time a bare documents scan (the same reason t31's join chain is
+    // not swept); t34's shuffle key and packing walk CONSUME the token
+    // counts, so nothing prunes. t35's apply cost at scale is priced by
+    // BPESWEEP_r13 (an agg over size(tokens) forces the kernel per row)
     "t34_bpe_pack",
     // train-once/score-many: the stats/model ingests build their tables
     // once per session; the timed rows are the recurring score-a-batch
