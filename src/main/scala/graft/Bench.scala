@@ -71,7 +71,7 @@ object Bench {
       (rows, Seq(refFirst, refLast).collect { case (t, None) => t })
     }
     def median(xs: Seq[Double]): Double = StreamBench.median(xs)
-    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    def r3(x: Double): Double = BenchUtil.r3(x)
     // per-row median over successful passes; a row that failed in ANY
     // pass keeps its first err so failures stay loud in the artifact
     val results = names.indices.map { i =>

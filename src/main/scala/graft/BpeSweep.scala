@@ -33,11 +33,8 @@ object BpeSweep {
     docs.persist().count()
     val chunkWords = 2
     val cap = 65536
-    def timed[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
-    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    def timed[T](f: => T): (T, Double) = BenchUtil.timed(f)
+    def r3(x: Double): Double = BenchUtil.r3(x)
     // JIT/codegen warmup for both paths
     TextAnalysis.trainBpeMerges(docs, 8, cap, chunkWords)
     val counts = Seq(32, 128, 512, 1024, 4096)

@@ -290,7 +290,7 @@ object ScaleBench {
     // mid-sweep throttle, the exact skew the reference row exists to
     // surface
     def median(xs: Seq[Double]): Double = StreamBench.median(xs)
-    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    def r3(x: Double): Double = BenchUtil.r3(x)
     // per-row median across runs; a row with any err keeps its first
     // err entry so failures stay loud in the merged artifact
     val entries = headline.indices.map { i =>

@@ -33,10 +33,7 @@ object V7Decompose {
 
     val emb = TestdataAdapter.table(spark, dir, "embeddings")
     val n = emb.count()
-    def timed[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
+    def timed[T](f: => T): (T, Double) = BenchUtil.timed(f)
     // warmup: JIT + file listings (one full DIRECT run, result discarded —
     // the stage replays below decompose the direct path)
     Similarity.knnGraph(emb, k = 5, collapseDuplicates = false).count()
@@ -108,7 +105,7 @@ object V7Decompose {
     val (_, tFull) = timed(Similarity.knnGraph(emb, k = 5).count())
     val distinct = emb.select(vecCol).distinct().count()
 
-    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    def r3(x: Double): Double = BenchUtil.r3(x)
     println(s"""{"metric":"v7_decompose","dir":"$dir","rows":$n,"distinct":$distinct,"cells":${
       cents.length},"pairs":$pairs,"stage_sec":{"seeds":${r3(tSeeds)},"lloyd":${
       r3(tLloyd)},"assign_persist":${r3(tAssign)},"join_only":${

@@ -396,12 +396,17 @@ object Layout {
     * compaction — CompactionRaceSpec's manifested hammer asserts ZERO
     * failed reads, not loud-or-correct-with-retry.
     *
-    * Crash windows: before the pointer rename → the orphan `v<k+1>`
+    * Crash windows: before the pointer rename → the orphan version
     * directory and manifest tmp are swept at the next writer's entry
-    * (versions above the resolved pointer are by definition uncommitted);
+    * (a version dir no manifest names is by definition uncommitted);
     * after it → the install is complete. Concurrent WRITERS are not
-    * supported (single-writer discipline, as everywhere in Layout); a
-    * lost pointer-rename race fails loudly rather than corrupting.
+    * supported (single-writer discipline, as everywhere in Layout), and
+    * a lost race cannot corrupt: each writer builds its own
+    * UUID-SUFFIXED version directory (`v<k>-<uuid8>` — the manifest
+    * content, not the name pattern, is what readers resolve), so two
+    * racers for version k+1 write disjoint directories and the loser
+    * fails loudly at the pointer rename; its orphan dir is swept at the
+    * next entry.
     *
     * At 100 TB the same protocol holds on an object store with a
     * rename-capable metadata layer (HDFS, or S3 behind a consistent
@@ -411,25 +416,35 @@ object Layout {
   private def manifestDir(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "_manifest")
   private val ManifestName = "^m(\\d+)$".r
-  private val VersionName = "^v(\\d+)$".r
+  // both the r13.0 bare form (v3) and the uuid-suffixed form (v3-1a2b3c4d)
+  private val VersionName = "^v(\\d+)(?:-[0-9a-f]{8})?$".r
+
+  private def readManifestName(fs: org.apache.hadoop.fs.FileSystem,
+      md: org.apache.hadoop.fs.Path, k: Int): String = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(md, s"m$k"))
+    try new String(in.readAllBytes(), "UTF-8").trim
+    finally in.close()
+  }
+
+  private[graft] def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Array[Int] = {
+    val md = manifestDir(root)
+    if (!fs.exists(md)) Array.empty
+    else fs.listStatus(md).flatMap(_.getPath.getName match {
+      case ManifestName(k) => Some(k.toInt)
+      case _ => None
+    })
+  }
 
   /** (version, data directory) of the current committed snapshot. */
   private[graft] def resolveManifest(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Option[(Int, org.apache.hadoop.fs.Path)] = {
-    val md = manifestDir(root)
-    if (!fs.exists(md)) return None
-    val versions = fs.listStatus(md).flatMap(_.getPath.getName match {
-      case ManifestName(k) => Some(k.toInt)
-      case _ => None
-    })
+    val versions = manifestVersions(fs, root)
     if (versions.isEmpty) None
     else {
       val k = versions.max
-      val in = fs.open(new org.apache.hadoop.fs.Path(md, s"m$k"))
-      val name =
-        try new String(in.readAllBytes(), "UTF-8").trim
-        finally in.close()
-      Some((k, new org.apache.hadoop.fs.Path(root, name)))
+      Some((k, new org.apache.hadoop.fs.Path(root,
+        readManifestName(fs, manifestDir(root), k))))
     }
   }
 
@@ -453,24 +468,30 @@ object Layout {
   }
 
   /** Entry sweep for a writer about to build version `current + 1`:
-    * uncommitted orphans (version > current — a crashed writer's
-    * never-pointed-to rewrite) and superseded directories two installs
-    * old (version <= current - 2 — nothing can still resolve them; the
-    * two-install deferral is the zero-retry reader guarantee) are
-    * deleted, along with crashed manifest tmps. Manifest pointer FILES
-    * are kept forever — bytes-tiny, and they are the snapshot history.
+    * every version-family directory that is NOT one of the last two
+    * COMMITTED snapshots (the dirs manifests `m<current>` and
+    * `m<current-1>` name) is deleted — that covers uncommitted orphans
+    * (crashed or race-losing writers' never-pointed-to rewrites, any
+    * version number) and superseded snapshots two installs old (nothing
+    * can still resolve them; keeping exactly the last two IS the
+    * zero-retry reader guarantee). Crashed manifest tmps go too.
+    * Manifest pointer FILES are kept forever — bytes-tiny, and they are
+    * the snapshot history.
     */
   private def sweepVersions(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, current: Int): Unit = {
+    val md = manifestDir(root)
+    val keep: Set[String] = Seq(current, current - 1)
+      .filter(k => k >= 1 &&
+        fs.exists(new org.apache.hadoop.fs.Path(md, s"m$k")))
+      .map(k => readManifestName(fs, md, k)).toSet
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       st.getPath.getName match {
-        case VersionName(j) if st.isDirectory &&
-            (j.toInt <= current - 2 || j.toInt > current) =>
+        case n @ VersionName(_) if st.isDirectory && !keep.contains(n) =>
           fs.delete(st.getPath, true)
         case _ => ()
       }
     }
-    val md = manifestDir(root)
     if (fs.exists(md)) fs.listStatus(md).foreach { st =>
       if (st.getPath.getName.startsWith(".tmp-")) fs.delete(st.getPath, false)
     }
@@ -498,12 +519,17 @@ object Layout {
       current: Int, in: DataFrame, targetFiles: Int,
       partitionCols: Seq[String]): Unit = {
     val next = current + 1
-    val dir = new org.apache.hadoop.fs.Path(root, s"v$next")
+    // uuid suffix: two writers racing for the same `next` build DISJOINT
+    // directories — the loser's pointer rename fails loudly and its
+    // orphan is swept, but it can never overwrite a directory a
+    // committed pointer already references
+    val name = s"v$next-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = new org.apache.hadoop.fs.Path(root, name)
     val w = compactionLayout(in, targetFiles, partitionCols)
       .write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dir.toString)
-    installManifest(fs, root, next, s"v$next")
+    installManifest(fs, root, next, name)
   }
 
   /** Write `df` as a new snapshot of the manifested dataset at `root`
@@ -547,6 +573,14 @@ object Layout {
     val (cur, dir) = resolveManifest(fs, rootP).getOrElse(
       throw new IllegalArgumentException(
         s"compactManifested: no committed manifest under $root"))
+    // same guard as [[compact]]: rewriting a partitioned snapshot without
+    // re-declaring partitionCols would silently flatten the layout (and
+    // with it, partition pruning) while preserving content
+    val looksPartitioned = fs.exists(dir) && fs.listStatus(dir)
+      .exists(st => st.isDirectory && st.getPath.getName.contains("="))
+    require(!looksPartitioned || partitionCols.nonEmpty,
+      s"compactManifested: the current snapshot at $dir is partitioned; " +
+        "pass partitionCols to preserve the layout")
     sweepVersions(fs, rootP, cur)
     writeVersion(spark, fs, rootP, cur, spark.read.parquet(dir.toString),
       targetFiles, partitionCols)

@@ -617,11 +617,23 @@ object Kernels {
 
   private val BpeWhitespace = java.util.regex.Pattern.compile("\\s+")
 
+  /** Unambiguous pair key for the BPE rank map: the left symbol's length
+    * prefixes the concatenation, so the (l, r) split point is part of the
+    * key — `("a ","b")` and `("a"," b")` cannot collide the way
+    * any separator-joined form can for symbols containing the separator.
+    * ONE definition for the map builder ([[graft.functions.text.bpeEncode]])
+    * and the lookup below.
+    */
+  def bpePairKey(l: String, r: String): String =
+    l.length.toString + ":" + l + r
+
   /** BPE subword encoding of a whole text in one pass: lowercase, split on
     * whitespace, group consecutive words into `chunkWords`-word units
     * (space-joined; the trailing unit may be shorter), and encode each
     * unit by LOWEST-RANK-FIRST merging against `ranks` (key =
-    * `l + NUL + r` → merge rank). Lowest-rank-first is equivalent to
+    * [[bpePairKey]] → merge rank — length-prefixed, so no symbol
+    * content can alias two distinct pairs). Lowest-rank-first is
+    * equivalent to
     * applying the merge list in rank order — a consuming merge always
     * ranks later than the merges producing its constituents, so no
     * lower-rank pair can re-form after its pass (the t33 oracle proves
@@ -639,8 +651,12 @@ object Kernels {
     */
   def bpeEncodeText(text: UTF8String,
       ranks: java.util.HashMap[String, Integer], chunkWords: Int): ArrayData = {
-    val words0 = BpeWhitespace.split(
-      text.toString.toLowerCase(java.util.Locale.ROOT))
+    // UTF8String.toLowerCase — the SAME lowercasing Spark's lower() does
+    // at training time (bpeUnits → tokens → lower). Java's
+    // String.toLowerCase differs on locale/Unicode-special characters
+    // (e.g. U+0130), and a train/apply divergence there would make
+    // trained merges silently never match.
+    val words0 = BpeWhitespace.split(text.toLowerCase.toString)
     val words = new java.util.ArrayList[String](words0.length)
     var wi = 0
     while (wi < words0.length) {
@@ -689,7 +705,7 @@ object Kernels {
       var bl: String = null; var br: String = null
       var j = 0
       while (j < syms.size - 1) {
-        val r = ranks.get(syms.get(j) + "\u0000" + syms.get(j + 1))
+        val r = ranks.get(bpePairKey(syms.get(j), syms.get(j + 1)))
         if (r != null && r < best) { best = r; bl = syms.get(j); br = syms.get(j + 1) }
         j += 1
       }

@@ -526,11 +526,12 @@ object text {
     Bridge.column(TermCounts(Bridge.expression(tokens)))
   def bpeEncode(text: Column, merges: Seq[(String, String)],
       chunkWords: Int = 1): Column = {
-    // NUL-joined pair key — see the kernel scaladoc; first (lowest) rank
-    // wins defensively, though a trained table never repeats a pair
+    // length-prefixed pair key (Kernels.bpePairKey — unambiguous for any
+    // symbol content); first (lowest) rank wins defensively, though a
+    // trained table never repeats a pair
     val ranks = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((l, r), i) =>
-      ranks.putIfAbsent(l + "\u0000" + r, Integer.valueOf(i))
+      ranks.putIfAbsent(Kernels.bpePairKey(l, r), Integer.valueOf(i))
     }
     Bridge.column(BpeEncodeText(Bridge.expression(text), ranks, chunkWords))
   }

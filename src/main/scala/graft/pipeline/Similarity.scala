@@ -204,7 +204,12 @@ object Similarity {
     // self-cosine computed the same way the direct path would score an
     // identical pair (1.0 after 6dp rounding for any non-zero vector;
     // a zero vector reproduces the direct path's NaN rather than a lie)
-    val classes = embeddings
+    // persist only on the materialized path: `classes` feeds three
+    // consumers, but materialize = false is the lazy/explain contract
+    // (PlanShapeSpec, ExplainAll) — an eager persist + the inner
+    // checkpoint there would run jobs at plan CONSTRUCTION and pin a
+    // cached relation no caller could ever free
+    val classesBase = embeddings
       .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
       .groupBy("_v")
       .agg(min(col("_id")).as("_rep"),
@@ -213,14 +218,17 @@ object Similarity {
       .withColumn("_selfcos",
         round(gvec.cosinePre(col("_v"), col("_v"),
           gvec.norm(col("_v")), gvec.norm(col("_v"))), 6))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val classes =
+      if (materialize)
+        classesBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else classesBase
     // class-level graph over DISTINCT vectors only: every quadratic-ish
     // term (k-means, probe ranking, the cell join's pair volume) now
     // scales with the distinct count, not the row count
     val dg = knnGraphDirect(
       classes.select(col("_rep").as(idCol), col("_v").as(vecCol)),
       k, idCol, vecCol, centroidEvery, kmeansIters, singleCell,
-      materialize = true, maxCells, nAssign, spill)
+      materialize, maxCells, nAssign, spill)
     // member → class mapping: the one full-corpus exchange the wrapper
     // adds (an equi-join keyed by the vector value; identical values
     // hash identically, so this is an ordinary shuffle join)

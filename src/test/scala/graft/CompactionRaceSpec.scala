@@ -131,14 +131,21 @@ class CompactionRaceSpec extends SparkSpec {
     Layout.writeManifested((0L until 300L).toDF("v"), root, targetFiles = 4)
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // version dirs are uuid-suffixed (v<k>-<uuid8>); assert by prefix
+    def verDirs(prefix: String): Seq[String] =
+      fs.listStatus(rootP).toSeq.map(_.getPath.getName)
+        .filter(n => n == prefix || n.startsWith(prefix + "-"))
     // simulate a writer that crashed after its rewrite but BEFORE the
-    // pointer rename: a complete-looking v2 with no manifest
+    // pointer rename: a complete-looking v2 dir no manifest names (the
+    // bare legacy name is still in the swept family)
     (0L until 7L).toDF("v").write.parquet(s"$root/v2")
     // readers still resolve v1 (the only committed snapshot)
     assert(Layout.readManifested(spark, root).count() === 300L)
     // the next writer sweeps the orphan and commits ITS v2
     Layout.compactManifested(spark, root, 2)
     assert(Layout.readManifested(spark, root).count() === 300L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v2")),
+      "the uncommitted orphan must be swept at the next writer's entry")
     // crashed manifest tmp files are swept too
     fs.create(new org.apache.hadoop.fs.Path(s"$root/_manifest/.tmp-m9-x"),
       true).close()
@@ -150,12 +157,33 @@ class CompactionRaceSpec extends SparkSpec {
     // still on disk — it dies only at the NEXT writer's entry, v2 after
     // that; a reader that resolved m1 just before the v2 install kept an
     // intact directory through the entire v3 compaction
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1")))
+    assert(verDirs("v1").nonEmpty)
     Layout.compactManifested(spark, root, 2) // current v3 → builds v4
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1")),
+    assert(verDirs("v1").isEmpty,
       "v1 must be swept once it is two installs old")
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v2")))
+    assert(verDirs("v2").nonEmpty)
     assert(Layout.readManifested(spark, root).count() === 300L)
+  }
+
+  test("compactManifested refuses to flatten a partitioned snapshot, " +
+      "and preserves the layout when partitionCols is re-declared") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest_part")
+      .resolve("data").toString
+    val df = (0L until 400L).map(i => (i, s"p${i % 4}")).toDF("v", "p")
+    Layout.writeManifested(df, root, targetFiles = 4, Seq("p"))
+    assert(Layout.readManifested(spark, root).count() === 400L)
+    // omitting partitionCols would silently flatten the p= layout
+    intercept[IllegalArgumentException] {
+      Layout.compactManifested(spark, root, 2)
+    }
+    Layout.compactManifested(spark, root, 2, Seq("p"))
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, cur) = Layout.resolveManifest(fs, rootP).get
+    assert(fs.listStatus(cur)
+      .count(st => st.isDirectory && st.getPath.getName.startsWith("p=")) === 4)
+    assert(Layout.readManifested(spark, root).count() === 400L)
   }
 
   test("compactBucketed refuses a bucket-spec change; the pointer swap " +

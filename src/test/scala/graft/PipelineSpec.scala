@@ -732,11 +732,10 @@ class PipelineSpec extends SparkSpec {
       chunkWords = 2)
     assert(chunked.size > driverAll.size)
     // vocabCap drops only the rarest units' votes — with a cap of 1 the
-    // trainer sees a single unit and merges only inside it
+    // trainer sees ONLY the top-frequency unit ("low": freq 4), so the
+    // merge table must be exactly that word's derivation
     val capped = TextAnalysis.trainBpeMerges(d, numMerges = 4, vocabCap = 1)
-    assert(capped.nonEmpty)
-    assert(capped.forall { case (l, r) => ("aaa").contains(l.take(1)) ||
-      !l.isEmpty }) // shape check only: the capped table is well-formed
+    assert(capped === Seq(("l", "o"), ("lo", "w")))
   }
 
   test("bpe: the native apply expression equals rank-order application " +
