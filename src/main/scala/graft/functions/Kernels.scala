@@ -619,7 +619,7 @@ object Kernels {
 
   /** Unambiguous pair key for the BPE rank map: the left symbol's length
     * prefixes the concatenation, so the (l, r) split point is part of the
-    * key — `("a ","b")` and `("a"," b")` cannot collide the way
+    * key — `("a<NUL>","b")` and `("a","<NUL>b")` cannot collide the way
     * any separator-joined form can for symbols containing the separator.
     * ONE definition for the map builder ([[graft.functions.text.bpeEncode]])
     * and the lookup below.
