@@ -52,7 +52,31 @@ object BpeSweep {
       val apply = StreamBench.median(applyRuns)
       s""""m$m":{"merges_trained":${merges.size},"train_sec":${r3(train)},"apply_sec":${r3(apply)}}"""
     }
-    println(s"""{"metric":"bpe_sweep","sf":"$sfDir","chunk_words":$chunkWords,"vocab_cap":$cap,"rows":{${rows.mkString(",")}}}""")
+    // CHARACTER-WINDOW unit mode (r14): word/chunk units cap the merge
+    // space at the corpus's n-gram vocabulary (m4096 above trains ~1060
+    // real merges); 64-char windows make nearly every unit distinct, so
+    // the trainer demonstrates a production-sized merge table on this
+    // corpus. Flatness is judged WITHIN the mode (c32 is the char-mode
+    // baseline) — char windows are longer units than 2-word chunks, so
+    // their absolute apply cost is its own curve.
+    val unitChars = 64
+    TextAnalysis.trainBpeMerges(docs, 8, cap, unitChars = unitChars) // warmup
+    val charCounts = Seq(32, 8192, 16384)
+    val charRows = charCounts.map { m =>
+      val (merges, t1) = timed(
+        TextAnalysis.trainBpeMerges(docs, m, cap, unitChars = unitChars))
+      val (_, t2) = timed(
+        TextAnalysis.trainBpeMerges(docs, m, cap, unitChars = unitChars))
+      val train = math.min(t1, t2)
+      val applyExpr = graft.functions.text.bpeEncodeChars(col("text"),
+        merges, unitChars)
+      val applyRuns = (1 to 3).map { _ =>
+        timed(docs.agg(sum(size(applyExpr))).head().getLong(0))._2
+      }
+      val apply = StreamBench.median(applyRuns)
+      s""""c$m":{"merges_trained":${merges.size},"train_sec":${r3(train)},"apply_sec":${r3(apply)}}"""
+    }
+    println(s"""{"metric":"bpe_sweep","sf":"$sfDir","chunk_words":$chunkWords,"vocab_cap":$cap,"rows":{${rows.mkString(",")}},"unit_chars":$unitChars,"char_rows":{${charRows.mkString(",")}}}""")
     spark.stop()
   }
 }

@@ -77,6 +77,14 @@ object ScaleBench {
     "v1_brute_cosine_topk", "v2_ivf_cosine_topk", "v2b_ivf_full_probe",
     "v3_label_centroid", "v5_int8_quantize", "v6_int8_topk",
     "v16_pq_topk", "v17_ivfpq_topk", "v7_knn_graph",
+    // the celled kNN core measured on ALL-DISTINCT data (r13 Next #2):
+    // replication makes every vector an exact N-way duplicate, so the
+    // committed v7 row measures the duplicate-collapse wrapper while the
+    // core sees a CONSTANT distinct set; this row salts each replica
+    // vector by id-seeded per-component jitter (every copy distinct —
+    // the StreamBench text-salting idea applied to vectors), so the
+    // wrapper is an identity and the core's own growth is what's timed
+    "v7_knn_graph_salted",
     "v8_ivf_indexed", "v18_ivfpq_indexed", "v9_random_projection",
     // one-pass corpus statistics: v11 is the gram/covariance reduction
     // (O(dim²) partials per task, single merge exchange); v12 is a
@@ -138,6 +146,32 @@ object ScaleBench {
     // scoped AllPairs: replica-bucketed form — bucket count scales, bucket
     // size constant, output exactly N× base (see the d21s registration)
     "d21_scoped_scale")
+
+  /** Replica-offset ids give every copy a DISTINCT vector: deterministic
+    * per-(id, component) jitter in ±0.02 added to each float — small
+    * enough to preserve neighborhood structure (V7SALTED recall vs exact
+    * stays ≥ 0.9), large enough that no two replicas collide, so the
+    * duplicate-collapse wrapper is an identity and knnGraph's CELLED CORE
+    * carries the load. Shared by the `v7_knn_graph_salted` sweep row and
+    * the [[V7Salted]] recall harness — one definition, or the recall
+    * claim would be measured on different data than the timing.
+    */
+  private[graft] def saltedEmbeddings(spark: SparkSession,
+      dir: String): DataFrame =
+    TestdataAdapter.table(spark, dir, "embeddings")
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, i) -> CAST(x + " +
+          "(pmod(xxhash64(vec_id, i), 401L) - 200L) / 10000.0D AS FLOAT))"))
+
+  /** Sweep rows that are measurement harnesses of already-verified
+    * operators rather than operators themselves — they run in ScaleBench
+    * only, so the correctness artifact doesn't grow rows-only entries
+    * for what is exactness-covered elsewhere (v7's twin v7b).
+    */
+  private[graft] val ScaleOnly:
+      Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v7_knn_graph_salted" -> ((s, d) =>
+      graft.pipeline.Similarity.knnGraph(saltedEmbeddings(s, d))))
 
   /** Max mtime over the source tables — regenerated source data must
     * invalidate a previously scaled copy (same contract as
@@ -337,7 +371,8 @@ object ScaleBench {
       return
     }
     val spark = GraftSession.local(cpus)
-    val missing = Headline.filterNot(SparkEntry.queries.contains)
+    val missing = Headline.filterNot(n =>
+      SparkEntry.queries.contains(n) || ScaleOnly.contains(n))
     require(missing.isEmpty, s"unknown headline queries: $missing")
     generate(spark, srcDir, outDir, replicas, cpus.toInt)
     // SPARK_GRAFT_ONLY=q1,q2 reruns a subset — for isolating one query's
@@ -348,7 +383,8 @@ object ScaleBench {
     only.foreach(o => require(o.forall(Headline.contains),
       s"SPARK_GRAFT_ONLY names not in Headline: ${o.filterNot(Headline.contains)}"))
     val headline = only.fold(Headline)(o => Headline.filter(o))
-    val qs = headline.map(n => n -> SparkEntry.queries(n))
+    val qs = headline.map(n =>
+      n -> SparkEntry.queries.getOrElse(n, ScaleOnly(n)))
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString

@@ -2811,8 +2811,8 @@ object SparkEntry {
         targetFiles = 16)
       Layout.compactManifested(s, dir.toString, targetFiles)
       val (_, cur) = Layout.resolveManifest(fs, dir).get
-      val nFiles = fs.listStatus(cur)
-        .count(st => st.getPath.getName.endsWith(".parquet"))
+      val nFiles = cur.map(d => fs.listStatus(d)
+        .count(st => st.getPath.getName.endsWith(".parquet"))).sum
       require(nFiles <= targetFiles,
         s"compactManifested left $nFiles files at $cur, expected <= $targetFiles")
     }

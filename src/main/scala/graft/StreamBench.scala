@@ -92,7 +92,7 @@ object StreamBench {
     * for batch-dedup sweeps, wrong for growing a real corpus). doc_ids
     * offset by the ScaleBench stride so ids never collide.
     */
-  private def saltedReplicas(spark: SparkSession, sfDir: String,
+  private[graft] def saltedReplicas(spark: SparkSession, sfDir: String,
       replicas: Seq[Int]): org.apache.spark.sql.DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long"), col("text"))
@@ -626,9 +626,16 @@ object StreamBench {
     // monitor batch costs over a plain one (the exact pass is |holdout| ×
     // |index| — the cadence knob's price tag).
     val monEvery = 4
+    // r14 (verdict Next #7): holdout raised 20 → 100 (recall@k over 20
+    // queries moves in 0.05 steps — too coarse for a drift ALARM), and
+    // the loop runs long enough for ≥ 3 emissions so drift has a TREND,
+    // cycling the feed groups when nBatches alone wouldn't reach that
+    val monHoldoutRows = 100
     val holdout = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").cast("long"), col("embedding"))
-      .orderBy("vec_id").limit(20)
+      .orderBy("vec_id").limit(monHoldoutRows)
+    val monBatches = math.max(nBatches, 3 * monEvery)
+    val monGroups = efeed.grouped(batchRows).take(nBatches).toSeq
     val moninput = MemoryStream[(Long, Array[Float])]
     val monq = graft.streaming.StreamRetrieve.retrievalLoop(
       moninput.toDF().toDF("vec_id", "embedding"), s"$dir/ivfindex",
@@ -636,7 +643,7 @@ object StreamBench {
       holdout = holdout, metricsEvery = monEvery,
       metricsPath = s"$dir/retr_metrics")
     val monLat = try {
-      efeed.grouped(batchRows).take(nBatches).map { rows =>
+      Iterator.continually(monGroups).flatten.take(monBatches).map { rows =>
         val t0 = System.nanoTime()
         moninput.addData(rows.toIndexedSeq: _*)
         monq.processAllAvailable()
@@ -654,6 +661,15 @@ object StreamBench {
     val monOver =
       if (monB.isEmpty || plainB.isEmpty) "null"
       else f"${median(monB.map(_._1)) / median(plainB.map(_._1))}%.3f"
+    // amortized per-batch tax of mounting the monitor at cadence c,
+    // DERIVED from the same medians: (mon + (c-1)·plain) / (c·plain) —
+    // the number a deployment sizing its cadence actually pays
+    def amortized(c: Int): String =
+      if (monB.isEmpty || plainB.isEmpty) "null"
+      else {
+        val m = median(monB.map(_._1)); val p = median(plainB.map(_._1))
+        f"${(m + (c - 1) * p) / (c * p)}%.3f"
+      }
 
     println(
       s"""{"metric":"stream_throughput","sf":"$sfDir",""" +
@@ -691,10 +707,12 @@ object StreamBench {
       s""""topk_rows":$topkRows},""" +
       s""""retrieval_monitor":{"batch_rows":$batchRows,""" +
       s""""batches":${monLat.size},"metrics_every":$monEvery,""" +
-      s""""holdout_rows":20,"latency_sec":${arr(monLat)},""" +
+      s""""holdout_rows":$monHoldoutRows,"latency_sec":${arr(monLat)},""" +
       s""""recall_rows":${monRecalls.size},""" +
       s""""recall_at_k":${arr(monRecalls)},""" +
-      s""""monitor_batch_over_plain":$monOver}}""")
+      s""""monitor_batch_over_plain":$monOver,""" +
+      s""""amortized_overhead_c4":${amortized(4)},""" +
+      s""""amortized_overhead_c8":${amortized(8)}}}""")
     spark.stop()
   }
 }

@@ -63,6 +63,17 @@ object BatchLedger {
       val p = new Path(root, s"r$n"); n += 1
       ops += (("R", p.toString, destDir)); p.toString
     }
+    /** A fresh staging dir whose contents will be committed as ONE new
+      * SEGMENT of the manifested dataset at `rootDir` — the
+      * [[Layout.appendManifested]] landing shape, with the manifest
+      * pointer commit riding the ledger's install phase
+      * ([[Layout.installStagedSegment]] — idempotent across every crash
+      * window, so the append stays exactly-once AND zero-retry-readable).
+      */
+    def segmentInto(rootDir: String): String = {
+      val p = new Path(root, s"s$n"); n += 1
+      ops += (("M", p.toString, rootDir)); p.toString
+    }
   }
 
   private def isData(name: String): Boolean =
@@ -111,6 +122,7 @@ object BatchLedger {
     op match {
       case ("A", s, d) => installAppend(fs, new Path(s), new Path(d))
       case ("R", s, d) => installReplace(fs, new Path(s), new Path(d))
+      case ("M", s, d) => Layout.installStagedSegment(fs, new Path(s), new Path(d))
       case (o, _, _) => throw new IllegalArgumentException(s"unknown op $o")
     }
 

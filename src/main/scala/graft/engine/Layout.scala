@@ -376,42 +376,63 @@ object Layout {
   // Manifested datasets: a minimal snapshot pointer for path layouts    //
   // ------------------------------------------------------------------ //
 
-  /** Manifested parquet dataset: data lives in versioned subdirectories
-    * `<root>/v<k>`; one tiny pointer file `<root>/_manifest/m<k>` (its
-    * content = the data directory name) marks each committed snapshot,
-    * and readers resolve the HIGHEST manifest version. This is the
-    * minimal table-format move — Delta's `_delta_log` / Iceberg's
-    * metadata pointer reduced to one indirection file — without adopting
-    * a format wholesale.
+  /** Manifested parquet dataset: data lives in versioned SEGMENT
+    * subdirectories `<root>/v<k>-<uuid8>`; one tiny pointer file
+    * `<root>/_manifest/m<k>` — its content a newline-separated LIST of
+    * the segment directory names that make up the snapshot — marks each
+    * committed version, and readers resolve the HIGHEST manifest. This
+    * is the minimal table-format move — Delta's `_delta_log` / Iceberg's
+    * manifest list reduced to one indirection file — without adopting a
+    * format wholesale.
     *
-    * What it closes over [[compact]]'s rename swap: the live data is
-    * NEVER renamed or deleted in place. A writer builds a complete new
-    * version directory first, then commits it with a single
-    * `fs.rename(tmp, m<k+1>)` to a fresh name — atomic on every Hadoop
-    * filesystem (rename-to-nonexistent), so a reader either resolves the
-    * old snapshot or the new one, both complete. Superseded version
-    * directories are swept with a TWO-INSTALL deferral (a `v<j>` dies
-    * only when version j+2 is being built), so a reader that resolved
-    * `m<j>` keeps a fully intact directory through the entire next
-    * compaction — CompactionRaceSpec's manifested hammer asserts ZERO
-    * failed reads, not loud-or-correct-with-retry.
+    * The list is what makes APPEND a metadata commit ([[appendManifested]]):
+    * an ingest batch writes ONLY its own new segment directory and
+    * commits a manifest naming old segments + the new one — no data
+    * rewrite, O(batch) I/O per landing. [[compactManifested]] is then a
+    * manifest swap in the other direction: rewrite the union into one
+    * segment and commit a one-line manifest that retires the old list.
     *
-    * Crash windows: before the pointer rename → the orphan version
-    * directory and manifest tmp are swept at the next writer's entry
-    * (a version dir no manifest names is by definition uncommitted);
-    * after it → the install is complete. Concurrent WRITERS are not
-    * supported (single-writer discipline, as everywhere in Layout), and
-    * a lost race cannot corrupt: each writer builds its own
-    * UUID-SUFFIXED version directory (`v<k>-<uuid8>` — the manifest
-    * content, not the name pattern, is what readers resolve), so two
-    * racers for version k+1 write disjoint directories and the loser
-    * fails loudly at the pointer rename; its orphan dir is swept at the
-    * next entry.
+    * What it closes over [[compact]]'s rename swap: live data is NEVER
+    * renamed or deleted in place. A writer builds complete new segment
+    * directories first, then commits with a single `fs.rename(tmp,
+    * m<k+1>)` to a fresh name — atomic on every Hadoop filesystem
+    * (rename-to-nonexistent), so a reader either resolves the old
+    * snapshot or the new one, both complete. Superseded segments are
+    * swept with a TWO-INSTALL deferral (a segment dies only once neither
+    * of the last two committed manifests names it), so a reader that
+    * resolved `m<j>` keeps every directory in its list intact through
+    * the entire next install — CompactionRaceSpec's manifested hammers
+    * (compaction AND append) assert ZERO failed reads, not
+    * loud-or-correct-with-retry.
+    *
+    * Crash windows: before the pointer rename → the orphan segment
+    * directory and manifest tmp are swept by a later writer (a version
+    * dir no kept manifest names is by definition dead); after it → the
+    * install is complete. Concurrent WRITERS are not supported
+    * (single-writer discipline, as everywhere in Layout), and a lost
+    * race cannot corrupt: each writer builds its own UUID-SUFFIXED
+    * segment directory (`v<k>-<uuid8>` — the manifest content, not the
+    * name pattern, is what readers resolve), so two racers for version
+    * k+1 write disjoint directories and the loser fails loudly at the
+    * pointer rename. The entry sweep only ever touches version numbers
+    * ≤ the sweeping writer's OWN current version — a racer's in-flight
+    * `v<current+1>-…` build is never deleted by the other racer's entry
+    * (the r13 sweep deleted any unreferenced version number, which could
+    * destroy a directory the race WINNER was about to commit); a loser's
+    * orphan is collected one install later, once current has advanced
+    * past it.
+    *
+    * Manifest pointer files are bytes-tiny but the listing must stay
+    * bounded at ingest frequency: the sweep retains the newest
+    * [[ManifestHistoryKeep]] pointers (far more than the two the reader
+    * guarantee needs) and deletes older ones.
     *
     * At 100 TB the same protocol holds on an object store with a
     * rename-capable metadata layer (HDFS, or S3 behind a consistent
-    * pointer service); the manifest content field is where a file LIST
-    * would go if directory listing itself became the bottleneck.
+    * pointer service); segment directories keep listing cost O(segments
+    * since last compaction), and per-FILE lists inside each segment line
+    * would be the next step if directory listing itself became the
+    * bottleneck.
     */
   private def manifestDir(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "_manifest")
@@ -419,11 +440,21 @@ object Layout {
   // both the r13.0 bare form (v3) and the uuid-suffixed form (v3-1a2b3c4d)
   private val VersionName = "^v(\\d+)(?:-[0-9a-f]{8})?$".r
 
-  private def readManifestName(fs: org.apache.hadoop.fs.FileSystem,
-      md: org.apache.hadoop.fs.Path, k: Int): String = {
+  /** Newest-first retained manifest pointers per dataset. Two is what the
+    * reader guarantee needs; the rest is recent history for forensics.
+    */
+  private[graft] val ManifestHistoryKeep = 64
+
+  /** The segment directory names manifest `m<k>` commits (oldest first —
+    * append order; a one-line manifest is a full-replacement snapshot,
+    * which also keeps every r13-era pointer readable).
+    */
+  private def readManifestNames(fs: org.apache.hadoop.fs.FileSystem,
+      md: org.apache.hadoop.fs.Path, k: Int): Seq[String] = {
     val in = fs.open(new org.apache.hadoop.fs.Path(md, s"m$k"))
-    try new String(in.readAllBytes(), "UTF-8").trim
-    finally in.close()
+    val txt = try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+    txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
   private[graft] def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
@@ -436,15 +467,15 @@ object Layout {
     })
   }
 
-  /** (version, data directory) of the current committed snapshot. */
+  /** (version, segment directories) of the current committed snapshot. */
   private[graft] def resolveManifest(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Option[(Int, org.apache.hadoop.fs.Path)] = {
+      root: org.apache.hadoop.fs.Path): Option[(Int, Seq[org.apache.hadoop.fs.Path])] = {
     val versions = manifestVersions(fs, root)
     if (versions.isEmpty) None
     else {
       val k = versions.max
-      Some((k, new org.apache.hadoop.fs.Path(root,
-        readManifestName(fs, manifestDir(root), k))))
+      Some((k, readManifestNames(fs, manifestDir(root), k)
+        .map(new org.apache.hadoop.fs.Path(root, _))))
     }
   }
 
@@ -454,13 +485,14 @@ object Layout {
     * committed this version first: fail loudly (single-writer contract).
     */
   private def installManifest(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, k: Int, dirName: String): Unit = {
+      root: org.apache.hadoop.fs.Path, k: Int, dirNames: Seq[String]): Unit = {
     val md = manifestDir(root)
     fs.mkdirs(md)
     val tmp = new org.apache.hadoop.fs.Path(md,
       s".tmp-m$k-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write(dirName.getBytes("UTF-8")) finally out.close()
+    try out.write(dirNames.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
     val dst = new org.apache.hadoop.fs.Path(md, s"m$k")
     require(fs.rename(tmp, dst),
       s"installManifest: lost the commit race for $dst — concurrent " +
@@ -468,15 +500,22 @@ object Layout {
   }
 
   /** Entry sweep for a writer about to build version `current + 1`:
-    * every version-family directory that is NOT one of the last two
-    * COMMITTED snapshots (the dirs manifests `m<current>` and
-    * `m<current-1>` name) is deleted — that covers uncommitted orphans
-    * (crashed or race-losing writers' never-pointed-to rewrites, any
-    * version number) and superseded snapshots two installs old (nothing
-    * can still resolve them; keeping exactly the last two IS the
-    * zero-retry reader guarantee). Crashed manifest tmps go too.
-    * Manifest pointer FILES are kept forever — bytes-tiny, and they are
-    * the snapshot history.
+    * every version-family directory with version number ≤ `current` that
+    * neither of the last two COMMITTED manifests (`m<current>`,
+    * `m<current-1>`) names is deleted — that covers uncommitted orphans
+    * (crashed or race-losing writers' never-pointed-to builds) and
+    * superseded segments two installs old (nothing can still resolve
+    * them; keeping everything the last two manifests name IS the
+    * zero-retry reader guarantee). The `≤ current` bound is load-bearing
+    * for the single-corruption race that survived r13: a concurrent
+    * racer's IN-FLIGHT `v<current+1>-…` build is unreferenced by any
+    * manifest while it is being written, and sweeping it would let that
+    * racer's subsequent pointer rename commit a deleted directory; bound
+    * the sweep and a winner's directory is untouchable, while a loser's
+    * orphan is collected one install later once current has advanced.
+    * Crashed manifest tmps go too, and pointer files older than the
+    * newest [[ManifestHistoryKeep]] are deleted so the `_manifest`
+    * listing stays bounded at ingest frequency.
     */
   private def sweepVersions(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, current: Int): Unit = {
@@ -484,16 +523,22 @@ object Layout {
     val keep: Set[String] = Seq(current, current - 1)
       .filter(k => k >= 1 &&
         fs.exists(new org.apache.hadoop.fs.Path(md, s"m$k")))
-      .map(k => readManifestName(fs, md, k)).toSet
+      .flatMap(k => readManifestNames(fs, md, k)).toSet
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       st.getPath.getName match {
-        case n @ VersionName(_) if st.isDirectory && !keep.contains(n) =>
+        case n @ VersionName(k) if st.isDirectory && k.toInt <= current &&
+            !keep.contains(n) =>
           fs.delete(st.getPath, true)
         case _ => ()
       }
     }
     if (fs.exists(md)) fs.listStatus(md).foreach { st =>
-      if (st.getPath.getName.startsWith(".tmp-")) fs.delete(st.getPath, false)
+      st.getPath.getName match {
+        case n if n.startsWith(".tmp-") => fs.delete(st.getPath, false)
+        case ManifestName(k) if k.toInt <= current - ManifestHistoryKeep =>
+          fs.delete(st.getPath, false)
+        case _ => ()
+      }
     }
   }
 
@@ -514,26 +559,36 @@ object Layout {
     } else in.repartition(targetFiles)
   }
 
-  private def writeVersion(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
-      current: Int, in: DataFrame, targetFiles: Int,
-      partitionCols: Seq[String]): Unit = {
-    val next = current + 1
-    // uuid suffix: two writers racing for the same `next` build DISJOINT
-    // directories — the loser's pointer rename fails loudly and its
-    // orphan is swept, but it can never overwrite a directory a
-    // committed pointer already references
+  /** Write one complete segment directory for version `next` and return
+    * its name (NOT yet committed — the caller's [[installManifest]] is
+    * the commit point). The uuid suffix keeps two racers for the same
+    * `next` in DISJOINT directories: the loser's pointer rename fails
+    * loudly and its orphan is swept once current advances past it, but
+    * it can never overwrite a directory a committed pointer references.
+    */
+  private def writeSegment(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, next: Int, in: DataFrame,
+      targetFiles: Int, partitionCols: Seq[String]): String = {
     val name = s"v$next-${java.util.UUID.randomUUID().toString.take(8)}"
     val dir = new org.apache.hadoop.fs.Path(root, name)
     val w = compactionLayout(in, targetFiles, partitionCols)
       .write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dir.toString)
-    installManifest(fs, root, next, name)
+    name
   }
 
+  /** True when any committed segment carries a `col=value` partition
+    * layout — the guard input for the silently-flattened-layout check.
+    */
+  private def anyPartitioned(fs: org.apache.hadoop.fs.FileSystem,
+      dirs: Seq[org.apache.hadoop.fs.Path]): Boolean =
+    dirs.exists(d => fs.exists(d) && fs.listStatus(d)
+      .exists(st => st.isDirectory && st.getPath.getName.contains("=")))
+
   /** Write `df` as a new snapshot of the manifested dataset at `root`
-    * (creating it when absent). Each call is a full replacement commit.
+    * (creating it when absent). Each call is a full replacement commit;
+    * continuous ingest should use [[appendManifested]] instead.
     */
   def writeManifested(df: DataFrame, root: String, targetFiles: Int,
       partitionCols: Seq[String] = Nil): Unit = {
@@ -544,25 +599,106 @@ object Layout {
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = resolveManifest(fs, rootP).map(_._1).getOrElse(0)
     sweepVersions(fs, rootP, cur)
-    writeVersion(spark, fs, rootP, cur, df, targetFiles, partitionCols)
+    val name = writeSegment(fs, rootP, cur + 1, df, targetFiles,
+      partitionCols)
+    installManifest(fs, rootP, cur + 1, Seq(name))
   }
 
-  /** Read the current snapshot. The listing under the resolved version
-    * directory stays valid for the reader's whole lifetime (two-install
-    * deferral) — no retry contract, unlike the plain-path twins.
+  /** APPEND `df` to the manifested dataset at `root` as a metadata
+    * commit: only the batch's own segment directory is written, and the
+    * new manifest names the old segments plus the new one — no data
+    * rewrite, O(batch) I/O per landing. This is the incremental-ingest
+    * form 100 TB demands (a full-replacement commit per batch rewrites
+    * the corpus every time); accreted segments are repaid periodically by
+    * [[compactManifested]], which folds the list back to one directory.
+    * Creates the dataset when absent (= [[writeManifested]]).
+    */
+  def appendManifested(df: DataFrame, root: String, targetFiles: Int,
+      partitionCols: Seq[String] = Nil): Unit = {
+    require(targetFiles >= 1,
+      s"appendManifested: targetFiles >= 1 (got $targetFiles)")
+    val spark = df.sparkSession
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    resolveManifest(fs, rootP) match {
+      case None => writeManifested(df, root, targetFiles, partitionCols)
+      case Some((cur, dirs)) =>
+        // appending a flat segment onto a partitioned snapshot (or the
+        // reverse) would fail only at read time, far from the bug —
+        // enforce layout agreement at the write
+        require(anyPartitioned(fs, dirs) == partitionCols.nonEmpty,
+          "appendManifested: partitionCols must match the committed " +
+            s"snapshot's layout at $root")
+        sweepVersions(fs, rootP, cur)
+        val name = writeSegment(fs, rootP, cur + 1, df, targetFiles,
+          partitionCols)
+        installManifest(fs, rootP, cur + 1,
+          dirs.map(_.getName) :+ name)
+    }
+  }
+
+  /** Idempotent install of a ledger-staged segment as an append commit
+    * ([[BatchLedger.Staging.segmentInto]]): move the staged directory
+    * under `root` as the next version's segment and commit a manifest
+    * naming old segments + new. Replay-safe across every crash window
+    * because the segment name is DERIVED from the staging path, not
+    * random: a crash between the data rename and the pointer rename
+    * replays with the staged dir gone but the named segment present —
+    * the manifest commit completes; a replay after the pointer committed
+    * finds the segment already named and does nothing. (Random names
+    * would re-install a second copy of the batch on exactly that window,
+    * which is the duplicate the ledger exists to prevent.)
+    */
+  private[engine] def installStagedSegment(
+      fs: org.apache.hadoop.fs.FileSystem, src: org.apache.hadoop.fs.Path,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val cur = resolveManifest(fs, root)
+    val k = cur.map(_._1).getOrElse(0)
+    val curNames = cur.map(_._2.map(_.getName)).getOrElse(Seq.empty)
+    val suffix = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(src.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+    }
+    if (curNames.exists(_.endsWith(s"-$suffix"))) {
+      // committed on a previous attempt — the replay only cleans up
+      fs.delete(src, true)
+      return
+    }
+    val name = s"v${k + 1}-$suffix"
+    val dst = new org.apache.hadoop.fs.Path(root, name)
+    if (fs.exists(src)) {
+      fs.mkdirs(root)
+      require(fs.rename(src, dst),
+        s"installStagedSegment: cannot install $dst")
+    }
+    require(fs.exists(dst),
+      s"installStagedSegment: staged segment $src neither present nor " +
+        s"already installed at $dst")
+    installManifest(fs, root, k + 1, curNames :+ name)
+  }
+
+  /** Read the current snapshot (the union of its committed segments).
+    * Every directory in the resolved list stays intact through the
+    * ENTIRE NEXT install or compaction (two-install sweep deferral) — no
+    * retry contract, unlike the plain-path twins. A lazy handle held
+    * across TWO subsequent installs outlives the guarantee and must
+    * re-resolve.
     */
   def readManifested(spark: SparkSession, root: String): DataFrame = {
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (_, dir) = resolveManifest(fs, rootP).getOrElse(
+    val (_, dirs) = resolveManifest(fs, rootP).getOrElse(
       throw new IllegalArgumentException(
         s"readManifested: no committed manifest under $root"))
-    spark.read.parquet(dir.toString)
+    spark.read.parquet(dirs.map(_.toString): _*)
   }
 
   /** [[compact]] for a manifested dataset: rewrite the current snapshot
-    * into `targetFiles` even files and commit as the next version — the
-    * zero-retry form of small-file compaction.
+    * (all committed segments) into `targetFiles` even files and commit a
+    * ONE-SEGMENT manifest that retires the old list — the zero-retry
+    * form of small-file compaction, and the periodic repayment of
+    * [[appendManifested]]'s segment accretion.
     */
   def compactManifested(spark: SparkSession, root: String, targetFiles: Int,
       partitionCols: Seq[String] = Nil): Unit = {
@@ -570,20 +706,20 @@ object Layout {
       s"compactManifested: targetFiles >= 1 (got $targetFiles)")
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (cur, dir) = resolveManifest(fs, rootP).getOrElse(
+    val (cur, dirs) = resolveManifest(fs, rootP).getOrElse(
       throw new IllegalArgumentException(
         s"compactManifested: no committed manifest under $root"))
     // same guard as [[compact]]: rewriting a partitioned snapshot without
     // re-declaring partitionCols would silently flatten the layout (and
     // with it, partition pruning) while preserving content
-    val looksPartitioned = fs.exists(dir) && fs.listStatus(dir)
-      .exists(st => st.isDirectory && st.getPath.getName.contains("="))
-    require(!looksPartitioned || partitionCols.nonEmpty,
-      s"compactManifested: the current snapshot at $dir is partitioned; " +
+    require(!anyPartitioned(fs, dirs) || partitionCols.nonEmpty,
+      s"compactManifested: the current snapshot at $root is partitioned; " +
         "pass partitionCols to preserve the layout")
     sweepVersions(fs, rootP, cur)
-    writeVersion(spark, fs, rootP, cur, spark.read.parquet(dir.toString),
-      targetFiles, partitionCols)
+    val name = writeSegment(fs, rootP, cur + 1,
+      spark.read.parquet(dirs.map(_.toString): _*), targetFiles,
+      partitionCols)
+    installManifest(fs, rootP, cur + 1, Seq(name))
   }
 
   /** Morton (Z-order) value: interleave the low `bits` bits of two

@@ -615,6 +615,52 @@ object Kernels {
     acc
   }
 
+  /** ADC micro-unit scores of ONE corpus row's codes against EVERY query's
+    * precomputed lookup table in one call: `out(q) = Σ_s luts(q)(s)(code_s)`.
+    * `luts(q)(s)(j)` = `floor(1e6 · dot(query_q_subslice_s, codebook_s_j))`
+    * with the identical left-associative Double fold [[pqAdcMicro]] uses, so
+    * every score is bit-identical to the per-pair kernel — the LUT is the
+    * classic ADC table (Jégou et al. §IV-A): per-pair cost falls from
+    * m·(dim/m) float mults to m integer table reads.
+    *
+    * This exists for the broadcast-query retrieval shape (v16): scoring all
+    * queries inside ONE per-row expression keeps the expensive
+    * [[pqEncode]] upstream of it evaluated once per corpus row — the
+    * join-based shape deferred the encode into the per-query join loop
+    * under whole-stage codegen (the join condition didn't reference the
+    * codes column, so its lazily-emitted code landed inside the
+    * build-row loop), silently multiplying encode work by the query count.
+    */
+  def pqAdcAllMicro(codes: ArrayData,
+      luts: Array[Array[Array[Long]]]): ArrayData = {
+    val nq = luts.length
+    val m = codes.numElements()
+    var s = 0
+    while (s < m) {
+      // same loud-failure contract as pqAdcMicro: a null element would
+      // read as code 0 on unsafe rows — silently wrong scores
+      if (codes.isNullAt(s))
+        throw new IllegalArgumentException(
+          s"pq_adc_all_micro: null code at subspace $s — codes must be " +
+            "non-null array<int> of length " + m)
+      s += 1
+    }
+    val out = new Array[Any](nq)
+    var q = 0
+    while (q < nq) {
+      val lut = luts(q)
+      var acc = 0L
+      var i = 0
+      while (i < m) {
+        acc += lut(i)(codes.getInt(i))
+        i += 1
+      }
+      out(q) = acc
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val BpeWhitespace = java.util.regex.Pattern.compile("\\s+")
 
   /** Unambiguous pair key for the BPE rank map: the left symbol's length
@@ -675,6 +721,49 @@ object Kernels {
         k += 1
       }
       encodeUnit(unit.toString, ranks, out)
+      g = end
+    }
+    val arr = new Array[Any](out.size)
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** CHARACTER-WINDOW BPE encoding (the r14 unit mode): lowercase,
+    * collapse whitespace runs to single spaces (the same normalized
+    * stream the word units see, re-chunked at character granularity —
+    * GPT-2-style byte-level pre-tokenization reduced to this corpus's
+    * ASCII reality, spaces included as ordinary symbols so merges cross
+    * word boundaries), split into consecutive `win`-char windows, and
+    * encode each window with the same lowest-rank-first loop. Cost is
+    * O(win²) per window independent of the merge count — the same
+    * flatness class as [[bpeEncodeText]]. Windows split on UTF-16 units
+    * with a surrogate-pair guard; on a non-BMP corpus the SQL-side
+    * trainer windows (code-point substring) could differ by one position
+    * per window — an apply-quality nuance, not a correctness seam, and
+    * moot on this ASCII corpus (same caveat class as the trainer's
+    * tie-break note).
+    */
+  def bpeEncodeTextChars(text: UTF8String,
+      ranks: java.util.HashMap[String, Integer], win: Int): ArrayData = {
+    val words0 = BpeWhitespace.split(text.toLowerCase.toString)
+    val norm = new StringBuilder(text.numBytes())
+    var wi = 0
+    while (wi < words0.length) {
+      if (words0(wi).nonEmpty) {
+        if (norm.nonEmpty) norm.append(' ')
+        norm.append(words0(wi))
+      }
+      wi += 1
+    }
+    val s = norm.toString
+    val out = new java.util.ArrayList[UTF8String](s.length / 4 + 4)
+    var g = 0
+    while (g < s.length) {
+      var end = math.min(g + win, s.length)
+      if (end < s.length && Character.isHighSurrogate(s.charAt(end - 1)))
+        end += 1
+      encodeUnit(s.substring(g, end), ranks, out)
       g = end
     }
     val arr = new Array[Any](out.size)

@@ -445,6 +445,41 @@ case class PqAdcMicro(codes: Expression, qvec: Expression,
   override def prettyName: String = "graft_pq_adc_micro"
 }
 
+/** pq_adc_all_micro(codes): array<bigint> — one corpus row's ADC
+  * micro-unit scores against EVERY query's precomputed lookup table
+  * ([[Kernels.pqAdcAllMicro]]). The query LUTs ride as a reference
+  * object (queries × m × codebookSize longs — broadcast-query-set
+  * sized); scoring all queries inside one expression is what keeps the
+  * upstream [[PqEncode]] evaluated once per corpus row instead of once
+  * per (row, query) pair — see the kernel's scaladoc for the
+  * deferred-codegen trap this closes.
+  */
+case class PqAdcAllMicro(codes: Expression,
+    luts: Array[Array[Array[Long]]]) extends UnaryExpression {
+  override def child: Expression = codes
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    codes.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<int> codes, got ${other.sql} " +
+            "(cast with CAST(codes AS ARRAY<INT>))")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(c: Any): Any =
+    Kernels.pqAdcAllMicro(c.asInstanceOf[ArrayData], luts)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("pqAdcLuts", luts, "long[][][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.pqAdcAllMicro($c, $l)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(codes = newChild)
+  override def prettyName: String = "graft_pq_adc_all_micro"
+}
+
 /** bpe_encode(text): array<string> — whole-text BPE subword tokenization
   * against a trained merge table ([[Kernels.bpeEncodeText]]): lowercase,
   * whitespace split, `chunkWords`-word units, lowest-rank-first merges.
@@ -469,6 +504,30 @@ case class BpeEncodeText(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_bpe_encode"
+}
+
+/** bpe_encode_chars(text): array<string> — [[BpeEncodeText]]'s
+  * character-window twin ([[Kernels.bpeEncodeTextChars]]): units are
+  * consecutive `unitChars`-character windows of the whitespace-collapsed
+  * text (merges cross word boundaries), the unit mode that lets a
+  * vocabulary-poor corpus train a production-sized merge table. Same
+  * reference-object rank map, same O(window²)-independent-of-merges
+  * flatness class.
+  */
+case class BpeEncodeTextChars(child: Expression,
+    ranks: java.util.HashMap[String, Integer], unitChars: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(text: Any): Any =
+    Kernels.bpeEncodeTextChars(text.asInstanceOf[UTF8String], ranks, unitChars)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.Kernels.bpeEncodeTextChars($t, $r, $unitChars)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bpe_encode_chars"
 }
 
 object vector {
@@ -505,6 +564,8 @@ object vector {
       codebooks: Array[Array[Array[Float]]]): Column =
     Bridge.column(PqAdcMicro(Bridge.expression(codes), Bridge.expression(qvec),
       codebooks))
+  def pqAdcAllMicro(codes: Column, luts: Array[Array[Array[Long]]]): Column =
+    Bridge.column(PqAdcAllMicro(Bridge.expression(codes), luts))
 }
 
 object text {
@@ -534,5 +595,13 @@ object text {
       ranks.putIfAbsent(Kernels.bpePairKey(l, r), Integer.valueOf(i))
     }
     Bridge.column(BpeEncodeText(Bridge.expression(text), ranks, chunkWords))
+  }
+  def bpeEncodeChars(text: Column, merges: Seq[(String, String)],
+      unitChars: Int): Column = {
+    val ranks = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      ranks.putIfAbsent(Kernels.bpePairKey(l, r), Integer.valueOf(i))
+    }
+    Bridge.column(BpeEncodeTextChars(Bridge.expression(text), ranks, unitChars))
   }
 }

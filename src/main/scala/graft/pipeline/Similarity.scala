@@ -823,29 +823,107 @@ object Similarity {
     * the ranking — approximation and all — is bit-replayable by the
     * DuckDB oracle; ties break to the smaller neighbor id.
     */
-  /** Shared ADC score-and-rank tail of v16/v17/v18: per-pair micro-unit
-    * dot → bounded top-k → (query_id, neighbor_id, rank, dot_est_micro).
-    * ONE definition on purpose — the three entry points hash-check
-    * against the same generated oracle, so their cast/dedup/tie chain
-    * must stay in lockstep. `pairs` carries (query_id, _qv, neighbor_id,
-    * codes); micro-units are integers ≪ 2^53, so the double round-trips
-    * exactly. `dedup` collapses identical scored rows (spilled/probed
-    * duplicates); a no-op on unique candidate sets.
+  /** Shared rank tail of the ADC retrieval family (v16/v17/v18): a scored
+    * relation (query_id, neighbor_id, _s double of exact micro-units) →
+    * self-pair filter → bounded top-k → (query_id, neighbor_id, rank,
+    * dot_est_micro). ONE definition on purpose — the entry points
+    * hash-check against the same generated oracle, so their
+    * cast/dedup/tie chain must stay in lockstep. Micro-units are
+    * integers ≪ 2^53, so the double round-trips exactly. `dedup`
+    * collapses identical scored rows (spilled/probed duplicates); a
+    * no-op on unique candidate sets.
     */
-  private def adcRank(pairs: DataFrame,
-      codebooks: Array[Array[Array[Float]]], k: Int,
+  private def rankScored(scored: DataFrame, k: Int,
       dedup: Boolean): DataFrame =
     explodeTopK(
-      pairs.filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          gvec.pqAdcMicro(col("codes"), col("_qv"), codebooks)
-            .cast("double").as("_s"))
+      scored.filter(col("neighbor_id") =!= col("query_id"))
         .groupBy("query_id")
         .agg(gagg.topKByScore(col("_s"), col("neighbor_id"), k,
           dedup = dedup).as("_top")),
       scoreName = "_sd")
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         col("_sd").cast("long").as("dot_est_micro"))
+
+  /** Per-pair ADC scoring of a gated candidate join (the IVFPQ probe
+    * path): `pairs` carries (query_id, _qv, neighbor_id, codes).
+    */
+  private def adcRank(pairs: DataFrame,
+      codebooks: Array[Array[Array[Float]]], k: Int,
+      dedup: Boolean): DataFrame =
+    rankScored(
+      pairs.select(col("query_id"), col("neighbor_id"),
+        gvec.pqAdcMicro(col("codes"), col("_qv"), codebooks)
+          .cast("double").as("_s")),
+      k, dedup)
+
+  /** One query's ADC lookup table: `lut(s)(j)` = floor(1e6 · dot of the
+    * query's subspace-s slice with code j) using the IDENTICAL
+    * left-associative Double fold [[graft.functions.Kernels.pqAdcMicro]]
+    * performs — table-read scores are bit-equal to per-pair scores, so
+    * the generated SQL oracles replay unchanged.
+    */
+  private def adcLut(q: Array[Float],
+      cb: Array[Array[Array[Float]]]): Array[Array[Long]] = {
+    val m = cb.length
+    val out = new Array[Array[Long]](m)
+    var off = 0
+    var s = 0
+    while (s < m) {
+      val codes = cb(s)
+      val sub = codes(0).length
+      val row = new Array[Long](codes.length)
+      var j = 0
+      while (j < codes.length) {
+        val c = codes(j)
+        var p = 0.0
+        var i = 0
+        while (i < sub) { p += q(off + i).toDouble * c(i).toDouble; i += 1 }
+        row(j) = math.floor(1e6 * p).toLong
+        j += 1
+      }
+      out(s) = row
+      off += sub
+      s += 1
+    }
+    out
+  }
+
+  /** The full ADC scan as ONE per-row expression: every (corpus row,
+    * query) micro-unit score via [[adcLut]] tables riding as a single
+    * reference object, exploded to (query_id, neighbor_id, _s) rows.
+    *
+    * This shape — score-all-queries-per-row + posexplode — replaces the
+    * former codes-crossJoin-broadcast(queries) pair loop because of a
+    * measured whole-stage-codegen trap (the r13 v16 sweep `weak`, 17.4×
+    * cost for 10× data): the join condition referenced only the ids, so
+    * codegen DEFERRED the `pqEncode(vec)` projection variable into the
+    * per-build-row loop and the corpus encode silently ran once per
+    * (row, query) pair — V16Decompose pinned ~86 % of retrieve CPU in
+    * pqEncode frames. Generate evaluates its input eagerly, so here the
+    * encode is structurally once-per-row, and per-pair cost drops from
+    * m·(dim/m) float mults to m table reads. Queries are collected to
+    * the driver — the same query-set-is-small contract the former shape
+    * enforced by broadcasting them.
+    */
+  private def adcScoredAll(corpus: DataFrame, queries: DataFrame,
+      cb: Array[Array[Array[Float]]], idCol: String,
+      vecCol: String): DataFrame = {
+    val qRows = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val qIds = qRows.map(_._1).toSeq
+    val luts = qRows.map(q => adcLut(q._2, cb))
+    corpus
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        posexplode(gvec.pqAdcAllMicro(
+          gvec.pqEncode(col(vecCol), cb), luts)))
+      .select(
+        element_at(typedlit(qIds), col("pos") + 1).as("query_id"),
+        col("neighbor_id"),
+        col("col").cast("double").as("_s"))
+  }
 
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       m: Int = 8, codebookSize: Int = 256, idCol: String = "vec_id",
@@ -863,11 +941,8 @@ object Similarity {
     // space would silently score garbage (shorter) or drop its tail
     // components (longer) — fail loudly instead
     requireVectorDim(queries, vecCol, m * cb.head.head.length, "pqTopK")
-    val codes = pqEncodeView(corpus, cb, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col("codes"))
-    val q = queries.select(col(idCol).cast("long").as("query_id"),
-      col(vecCol).as("_qv"))
-    adcRank(codes.crossJoin(broadcast(q)), cb, k, dedup = false)
+    rankScored(adcScoredAll(corpus, queries, cb, idCol, vecCol), k,
+      dedup = false)
   }
 
   /** Exact re-rank of an ADC shortlist (the standard IVFPQ refinement
@@ -967,35 +1042,42 @@ object Similarity {
       if (nProbe >= seeds.length || kmeansIters == 0) seeds
       else lloydRefine(corpus, seeds, kmeansIters, vecCol)
     val fullProbe = nProbe >= centroids.length
-    // one pass: code + cell(s) per corpus row; under full probe the cell
-    // column is a constant — no assignment work, no spill duplication
-    val codes =
-      if (fullProbe)
-        corpus.select(col(idCol).cast("long").as("neighbor_id"),
-          gvec.pqEncode(col(vecCol), cb).as("codes"), lit(0L).as("cell_id"))
-      else if (spill <= 1)
-        corpus.select(col(idCol).cast("long").as("neighbor_id"),
-          gvec.pqEncode(col(vecCol), cb).as("codes"),
-          cellAssignExpr(centroids, col(vecCol)).as("cell_id"))
-      else
-        corpus.select(col(idCol).cast("long").as("neighbor_id"),
-          gvec.pqEncode(col(vecCol), cb).as("codes"),
-          explode(probeCellsExpr(centroids, col(vecCol),
-            math.min(spill, centroids.length))).as("cell_id"))
-    val probed =
-      if (fullProbe)
-        queries.select(col(idCol).cast("long").as("query_id"),
-          col(vecCol).as("_qv"), lit(0L).as("cell_id"))
-      else
-        probedCellsOf(centroids, queries, nProbe, idCol, vecCol)
-    if (rerank <= 1)
-      adcRank(codes.join(broadcast(probed), Seq("cell_id")), cb, k,
-        dedup = true)
-    else
-      rerankExact(
-        adcRank(codes.join(broadcast(probed), Seq("cell_id")), cb,
-          k * rerank, dedup = true),
+    // under full probe the cell gate admits everything — take the
+    // score-all-queries-per-row LUT scan (the v16 shape; scores are
+    // bit-identical, see adcScoredAll) instead of a constant-cell join
+    // whose codegen would defer the per-row pqEncode into the per-query
+    // match loop (the r13 v16 superlinearity, same mechanism)
+    if (fullProbe) {
+      val scored = adcScoredAll(corpus, queries, cb, idCol, vecCol)
+      if (rerank <= 1) rankScored(scored, k, dedup = true)
+      else rerankExact(rankScored(scored, k * rerank, dedup = true),
         corpus, queries, k, idCol, vecCol)
+    } else {
+      // one pass: code + cell(s) per corpus row. The gated join leaves
+      // pqEncode deferred into the match loop ON PURPOSE: with
+      // nProbe·|queries| broadcast probes over `centroids.length` cells
+      // the expected matches per corpus row are < 1, so lazy evaluation
+      // runs FEWER encodes than an eager per-row projection would
+      val codes =
+        if (spill <= 1)
+          corpus.select(col(idCol).cast("long").as("neighbor_id"),
+            gvec.pqEncode(col(vecCol), cb).as("codes"),
+            cellAssignExpr(centroids, col(vecCol)).as("cell_id"))
+        else
+          corpus.select(col(idCol).cast("long").as("neighbor_id"),
+            gvec.pqEncode(col(vecCol), cb).as("codes"),
+            explode(probeCellsExpr(centroids, col(vecCol),
+              math.min(spill, centroids.length))).as("cell_id"))
+      val probed = probedCellsOf(centroids, queries, nProbe, idCol, vecCol)
+      if (rerank <= 1)
+        adcRank(codes.join(broadcast(probed), Seq("cell_id")), cb, k,
+          dedup = true)
+      else
+        rerankExact(
+          adcRank(codes.join(broadcast(probed), Seq("cell_id")), cb,
+            k * rerank, dedup = true),
+          corpus, queries, k, idCol, vecCol)
+    }
   }
 
   /** Materialize the IVFPQ index: ONE narrow corpus pass emits each

@@ -1213,6 +1213,28 @@ object TextAnalysis {
           g => array_join(slice(ws, g * chunkWords + 1, lit(chunkWords)), " ")))
     }
 
+  /** CHARACTER-WINDOW BPE units (r14): the lower-cased text with
+    * whitespace runs collapsed to single spaces, split into consecutive
+    * `win`-character windows — merges cross word boundaries (the space
+    * is an ordinary symbol), which is GPT-2-style byte-level
+    * pre-tokenization reduced to this corpus's ASCII reality. Exists
+    * because chunked WORD units cap the merge space at the corpus's
+    * n-gram vocabulary (992 distinct 2-word chunks here — BPESWEEP_r13's
+    * m4096 row could only train 1060 real merges); character windows
+    * make nearly every unit distinct, so the trainer can demonstrate a
+    * production-sized (≥ 8k) merge table on this corpus. Mirrors
+    * [[graft.functions.Kernels.bpeEncodeTextChars]]'s apply-side
+    * normalization.
+    */
+  private[graft] def bpeUnitsChars(text: Column, win: Int): Column = {
+    val norm = trim(regexp_replace(lower(text), "\\s+", " "))
+    when(length(norm) === 0, typedLit(Seq.empty[String])).otherwise(
+      transform(
+        sequence(lit(0),
+          ceil(length(norm).cast("double") / win).cast("int") - 1),
+        g => norm.substr(g * win + 1, lit(win))))
+  }
+
   /** "low" → ␁l␂␁o␂␁w␂ — the rank-0 all-characters segmentation.
     * `(?s)` so `.` also wraps Unicode line separators (U+0085/U+2028/
     * U+2029): Java's ASCII `\s+` word split leaves them INSIDE words,
@@ -1252,11 +1274,16 @@ object TextAnalysis {
     * callers can widen vocabCap against their own corpus.
     */
   def trainBpeMerges(documents: DataFrame, numMerges: Int = 32,
-      vocabCap: Int = 65536, chunkWords: Int = 1): Seq[(String, String)] = {
+      vocabCap: Int = 65536, chunkWords: Int = 1,
+      unitChars: Int = 0): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(vocabCap >= 1, s"vocabCap must be >= 1, got $vocabCap")
+    // unitChars > 0 selects character-window units ([[bpeUnitsChars]]) —
+    // the merge-space-rich mode; chunkWords is ignored then
     val hist = documents
-      .select(explode(bpeUnits(col("text"), chunkWords)).as("w"))
+      .select(explode(
+        if (unitChars > 0) bpeUnitsChars(col("text"), unitChars)
+        else bpeUnits(col("text"), chunkWords)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w").asc)
       .limit(vocabCap)

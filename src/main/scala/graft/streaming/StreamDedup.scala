@@ -141,7 +141,8 @@ object StreamDedup {
       threshold: Double = 0.8, dedupWithinBatch: Boolean = true,
       compactEvery: Int = 0, spec: Dedup.BandSpec = Dedup.BandSpec(),
       containTable: Option[String] = None,
-      containThreshold: Double = 0.9, containMaxDf: Int = 5):
+      containThreshold: Double = 0.9, containMaxDf: Int = 5,
+      manifestedCorpus: Boolean = false):
       org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
@@ -152,7 +153,7 @@ object StreamDedup {
             s"$checkpointDir/graft_ledger", batchId)(
           indexedIngestOnce(batch, indexTable, shPath, corpusPath, idCol,
             textCol, threshold, dedupWithinBatch, spec, containTable,
-            containThreshold, containMaxDf))
+            containThreshold, containMaxDf, manifestedCorpus))
         // install lands table files by RENAME, which no Spark write path
         // invalidates: without an explicit table refresh the next probe —
         // and worse, the compaction below — reads a STALE listing, and
@@ -181,6 +182,11 @@ object StreamDedup {
           containTable.foreach(ct =>
             if (spark.catalog.tableExists(ct))
               graft.engine.Layout.compactBucketed(spark, ct, "_s", buckets))
+          // a manifested corpus accretes one segment per landed batch —
+          // fold the list back to one directory on the same cadence (the
+          // same O(corpus/compactEvery) repayment as the bucketed tables)
+          if (manifestedCorpus)
+            graft.engine.Layout.compactManifested(spark, corpusPath, 8)
         }
         ()
       }
@@ -193,7 +199,8 @@ object StreamDedup {
       shPath: String, corpusPath: String, idCol: String, textCol: String,
       threshold: Double, dedupWithinBatch: Boolean, spec: Dedup.BandSpec,
       containTable: Option[String], containThreshold: Double,
-      containMaxDf: Int)(st: graft.engine.BatchLedger.Staging): Unit = {
+      containMaxDf: Int, manifestedCorpus: Boolean = false)(
+      st: graft.engine.BatchLedger.Staging): Unit = {
         val spark = batch.sparkSession
         val hfs = new org.apache.hadoop.fs.Path(shPath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -237,8 +244,14 @@ object StreamDedup {
         if (bootstrapped) {
           // steady state: every landing staged — corpus rows, band rows,
           // shingle sets, containment postings become visible atomically
-          // with the ledger marker, exactly once
-          accepted.write.mode("overwrite").parquet(st.appendInto(corpusPath))
+          // with the ledger marker, exactly once. Manifested mode lands
+          // the batch as an append SEGMENT (manifest commit rides the
+          // ledger install — Layout.installStagedSegment), which readers
+          // resolve with ZERO retries even mid-landing; the flat mode
+          // keeps the plain-path listing contract
+          accepted.write.mode("overwrite").parquet(
+            if (manifestedCorpus) st.segmentInto(corpusPath)
+            else st.appendInto(corpusPath))
           Dedup.stageBandedIndexAppend(accepted, indexTable, shPath, st,
             idCol, textCol, sp.k, sp.bands, sp.shingleW, sp.seed, sp.buckets)
           containTable.foreach { ct =>
@@ -260,7 +273,9 @@ object StreamDedup {
           // isn't landed. At-least-once for this batch only (a crash
           // between the corpus append and the marker can duplicate its
           // corpus rows); every later batch is exactly-once.
-          accepted.write.mode("append").parquet(corpusPath)
+          if (manifestedCorpus)
+            graft.engine.Layout.appendManifested(accepted, corpusPath, 1)
+          else accepted.write.mode("append").parquet(corpusPath)
           Dedup.buildBandedIndex(accepted, indexTable, shPath, idCol,
             textCol, sp.k, sp.bands, sp.shingleW, sp.seed, sp.buckets)
           containTable.foreach(ct => // the build above already put this

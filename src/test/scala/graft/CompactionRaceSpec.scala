@@ -141,23 +141,30 @@ class CompactionRaceSpec extends SparkSpec {
     (0L until 7L).toDF("v").write.parquet(s"$root/v2")
     // readers still resolve v1 (the only committed snapshot)
     assert(Layout.readManifested(spark, root).count() === 300L)
-    // the next writer sweeps the orphan and commits ITS v2
+    // the next writer (current = 1) must LEAVE the v2-family orphan
+    // alone — at entry it is indistinguishable from a racing winner's
+    // in-flight build for version current+1, and sweeping it is how the
+    // r13 protocol could commit a deleted directory — and commit ITS v2
     Layout.compactManifested(spark, root, 2)
     assert(Layout.readManifested(spark, root).count() === 300L)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v2")),
-      "the uncommitted orphan must be swept at the next writer's entry")
-    // crashed manifest tmp files are swept too
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v2")),
+      "an unreferenced dir at version current+1 must survive the entry " +
+        "sweep — it may be a concurrent racer's in-flight build")
+    // crashed manifest tmp files are swept; and now that current (2) has
+    // advanced past the orphan's version, it is provably dead — swept
     fs.create(new org.apache.hadoop.fs.Path(s"$root/_manifest/.tmp-m9-x"),
       true).close()
     Layout.compactManifested(spark, root, 2)
     assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_manifest"))
       .exists(_.getPath.getName.startsWith(".tmp-")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v2")),
+      "the orphan must be swept one install later, once current >= its version")
     assert(Layout.readManifested(spark, root).count() === 300L)
-    // two-install deferral: current is v3, so v1 (two installs old) is
-    // still on disk — it dies only at the NEXT writer's entry, v2 after
-    // that; a reader that resolved m1 just before the v2 install kept an
-    // intact directory through the entire v3 compaction
-    assert(verDirs("v1").nonEmpty)
+    // two-install deferral: current is v3, so v2 (the committed one, one
+    // install old) is still on disk; v1 died at this entry (two installs
+    // old). A reader that resolved m2 just before the v3 install keeps an
+    // intact directory through the entire NEXT compaction
+    assert(verDirs("v2").nonEmpty)
     Layout.compactManifested(spark, root, 2) // current v3 → builds v4
     assert(verDirs("v1").isEmpty,
       "v1 must be swept once it is two installs old")
@@ -181,9 +188,107 @@ class CompactionRaceSpec extends SparkSpec {
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (_, cur) = Layout.resolveManifest(fs, rootP).get
-    assert(fs.listStatus(cur)
+    assert(cur.size === 1, "compaction must retire the list to one segment")
+    assert(fs.listStatus(cur.head)
       .count(st => st.isDirectory && st.getPath.getName.startsWith("p=")) === 4)
     assert(Layout.readManifested(spark, root).count() === 400L)
+  }
+
+  test("appendManifested is a metadata commit: old segments untouched, " +
+      "the new manifest names old+new, reads see the union") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest_app")
+      .resolve("data").toString
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.writeManifested((0L until 300L).toDF("v"), root, targetFiles = 4)
+    val (_, seg1) = Layout.resolveManifest(fs, rootP).get
+    val seg1Files = fs.listStatus(seg1.head).map(_.getPath.getName).toSet
+    Layout.appendManifested((300L until 350L).toDF("v"), root, targetFiles = 2)
+    val (k2, seg2) = Layout.resolveManifest(fs, rootP).get
+    assert(k2 === 2 && seg2.size === 2, "append = manifest naming old+new")
+    assert(seg2.head === seg1.head, "the old segment rides into the new list")
+    // no data rewrite: the original segment's file set is bit-for-bit the one
+    // the first commit wrote
+    assert(fs.listStatus(seg2.head).map(_.getPath.getName).toSet === seg1Files)
+    assert(Layout.readManifested(spark, root).count() === 350L)
+    // a second append accretes again; compaction retires the list
+    Layout.appendManifested((350L until 400L).toDF("v"), root, targetFiles = 2)
+    assert(Layout.resolveManifest(fs, rootP).get._2.size === 3)
+    assert(Layout.readManifested(spark, root).count() === 400L)
+    Layout.compactManifested(spark, root, 2)
+    assert(Layout.resolveManifest(fs, rootP).get._2.size === 1)
+    assert(Layout.readManifested(spark, root).count() === 400L)
+    // layout-mismatch guard: appending a flat segment onto a flat snapshot
+    // with partitionCols declared (or vice versa) fails loudly at the write
+    intercept[IllegalArgumentException] {
+      Layout.appendManifested(
+        (0L until 10L).map(i => (i, s"p${i % 2}")).toDF("v", "p"), root, 1,
+        Seq("p"))
+    }
+  }
+
+  test("manifested appends + compactions vs concurrent scans: ZERO failed " +
+      "reads, every read a committed prefix") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_race_append")
+      .resolve("data").toString
+    Layout.writeManifested((0L until 1000L).toDF("v"), root, targetFiles = 4)
+    // counts a reader may legitimately observe: each committed snapshot is
+    // a prefix of the append sequence (appends of 200 rows × 6, with
+    // compactions interleaved — compaction never changes the count)
+    val valid = (0 to 6).map(i => 1000L + 200L * i).toSet
+    val results = new ConcurrentLinkedQueue[Either[String, Long]]()
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        try results.add(Right(Layout.readManifested(spark, root).count()))
+        catch { case e: Exception => results.add(Left(e.toString.take(200))) }
+      }
+    })
+    reader.setDaemon(true)
+    reader.start()
+    try (1 to 6).foreach { i =>
+      Layout.appendManifested(
+        ((1000L + 200L * (i - 1)) until (1000L + 200L * i)).toDF("v"),
+        root, targetFiles = 2)
+      if (i % 2 == 0) Layout.compactManifested(spark, root, 4)
+    } finally { stop = true; reader.join(30000) }
+    val ok = results.asScala.collect { case Right(n) => n }.toSeq
+    val failed = results.asScala.collect { case Left(e) => e }.toSeq
+    withClue(s"reads=${ok.size} failed=$failed") {
+      assert(failed.isEmpty, "manifested reads must never fail mid-append/compaction")
+      assert(ok.nonEmpty)
+      assert(ok.forall(valid.contains),
+        s"a read saw a non-committed state: ${ok.filterNot(valid.contains).distinct}")
+    }
+    assert(Layout.readManifested(spark, root).count() === 2200L)
+  }
+
+  test("manifest pointer files stay bounded: the sweep retains the newest " +
+      "ManifestHistoryKeep and the dataset still resolves") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest_cap")
+      .resolve("data").toString
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.writeManifested((0L until 50L).toDF("v"), root, targetFiles = 1)
+    // fabricate a long pointer history: m2..m70 each re-commit the SAME
+    // segment (a legitimate idempotent full-replacement snapshot), so the
+    // next real writer enters at current = 70 with 70 pointer files
+    val (_, seg) = Layout.resolveManifest(fs, rootP).get
+    val md = new org.apache.hadoop.fs.Path(root, "_manifest")
+    (2 to 70).foreach { k =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(md, s"m$k"), false)
+      try out.write(seg.head.getName.getBytes("UTF-8")) finally out.close()
+    }
+    Layout.appendManifested((50L until 60L).toDF("v"), root, targetFiles = 1)
+    val kept = Layout.manifestVersions(fs, rootP).sorted
+    assert(kept.max === 71)
+    assert(kept.min >= 71 - Layout.ManifestHistoryKeep,
+      s"pointer files older than the newest ${Layout.ManifestHistoryKeep} " +
+        s"must be swept (min kept: ${kept.min})")
+    assert(Layout.readManifested(spark, root).count() === 60L)
   }
 
   test("compactBucketed refuses a bucket-spec change; the pointer swap " +

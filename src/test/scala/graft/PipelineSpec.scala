@@ -442,6 +442,23 @@ class PipelineSpec extends SparkSpec {
       val staleRecall = rows.last.getAs[Double]("recall_at_k")
       assert(staleRecall < freshRecall,
         s"stale pin must degrade recall (fresh=$freshRecall stale=$staleRecall)")
+      // a SECOND ring of even-nearer twins lands after the pin: the
+      // drift signal must now be a TREND the alarm can act on (r13 Next
+      // #7) — ≥ 3 rows, recall non-increasing as staleness deepens,
+      // strictly below the fresh reading at the end
+      Similarity.appendToIvfIndex(s"$dir/index", centroids,
+        base.take(10).map { case (i, v) =>
+          (2000L + i, v.map(_ * 1.0005f)) }.toDF("vec_id", "embedding"))
+      input.addData(base(5))
+      q.processAllAvailable()
+      val trend = spark.read.parquet(s"$dir/metrics")
+        .orderBy("batch_id").collect()
+        .map(_.getAs[Double]("recall_at_k")).toSeq
+      assert(trend.length === 3, s"expected 3 recall rows, got $trend")
+      assert(trend.sliding(2).forall(p => p(1) <= p(0)),
+        s"recall must be non-increasing as the pin goes staler: $trend")
+      assert(trend.last < trend.head,
+        s"the trend must end strictly below the fresh reading: $trend")
     } finally q.stop()
   }
 
@@ -736,6 +753,34 @@ class PipelineSpec extends SparkSpec {
     // merge table must be exactly that word's derivation
     val capped = TextAnalysis.trainBpeMerges(d, numMerges = 4, vocabCap = 1)
     assert(capped === Seq(("l", "o"), ("lo", "w")))
+  }
+
+  test("bpe: character-window units train merges that cross word " +
+      "boundaries, and the char apply expression reconstructs the " +
+      "normalized text") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "low  low LOW lower newest newest widest aaa aaa baab"),
+      (2L, "newest lowest low aaa ab ba aaaa")).toDF("doc_id", "text")
+    val chars = TextAnalysis.trainBpeMerges(d, numMerges = 10000,
+      unitChars = 8)
+    assert(chars.nonEmpty)
+    // spaces are ordinary symbols inside a window — full exhaustion on
+    // this corpus must produce at least one merge spanning a word break
+    assert(chars.exists { case (l, r) => (l + r).contains(" ") },
+      "char-window mode must allow merges across word boundaries")
+    // apply: tokens concatenate back to the normalized (lower-cased,
+    // single-spaced) text — window boundaries never drop or dup chars
+    val toks = d.select(col("doc_id"),
+        graft.functions.text.bpeEncodeChars(col("text"), chars, 8).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(toks(1L).mkString ===
+      "low low low lower newest newest widest aaa aaa baab")
+    assert(toks(2L).mkString === "newest lowest low aaa ab ba aaaa")
+    // apply-time-only characters degrade to single chars, never crash
+    val oov = d.limit(1).select(graft.functions.text.bpeEncodeChars(
+      lit("zq!? unseen"), chars, 8)).collect().head.getSeq[String](0)
+    assert(oov.mkString === "zq!? unseen")
   }
 
   test("bpe: the native apply expression equals rank-order application " +

@@ -1104,6 +1104,77 @@ class StreamingTutorialSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("manifested dedup ingest: segment landings are exactly-once across " +
+      "both crash windows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_crashman").toString
+    val ledger = s"$dir/ckpt/graft_ledger"
+    val tbl = "band_crash_man"
+    val corpus = s"$dir/corpus"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val spec = graft.pipeline.Dedup.BandSpec()
+    def body(batch: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamDedup.indexedIngestOnce(batch, tbl, s"$dir/sh",
+        corpus, "doc_id", "text", 0.7, true, spec, None, 0.9, 5,
+        manifestedCorpus = true) _
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifest() = graft.engine.Layout.resolveManifest(fs,
+      new org.apache.hadoop.fs.Path(corpus)).get
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val b0 = Seq((1L, base),
+      (3L, (100 to 140).map(i => s"word$i").mkString(" "))).toDF("doc_id", "text")
+    // bootstrap lands via appendManifested (direct, loss-proof order)
+    assert(graft.engine.BatchLedger.stagedLanding(spark, ledger, 0L)(body(b0)))
+    assert(graft.engine.Layout.readManifested(spark, corpus).count() === 2)
+    val (v0, _) = manifest()
+    // window 1: crash BEFORE the marker — the staged segment is invisible
+    // (no manifest advance, corpus content unchanged)
+    val b1 = Seq((10L, base), // near-dup of corpus doc 1 → must drop
+      (11L, (200 to 240).map(i => s"new$i").mkString(" "))).toDF("doc_id", "text")
+    intercept[RuntimeException] {
+      graft.engine.BatchLedger.stagedLanding(spark, ledger, 1L) { st =>
+        body(b1)(st)
+        throw new RuntimeException("crash after all side effects")
+      }
+    }
+    assert(manifest()._1 === v0, "crashed batch advanced the manifest")
+    assert(graft.engine.Layout.readManifested(spark, corpus)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    // replay lands the segment EXACTLY once: one manifest advance, one
+    // new segment naming old+new, doc 10 still dropped
+    assert(graft.engine.BatchLedger.stagedLanding(spark, ledger, 1L)(body(b1)))
+    val (v1, segs1) = manifest()
+    assert(v1 === v0 + 1 && segs1.size === 2,
+      s"append must commit ONE new segment (v$v0 -> v$v1, ${segs1.size} segments)")
+    assert(graft.engine.Layout.readManifested(spark, corpus)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 11L))
+    // window 2: crash AFTER the marker, BEFORE the install — hand-build
+    // the committed-but-uninstalled state with an M op; the replay must
+    // complete the manifest commit without re-running the body, and a
+    // second replay must not commit a duplicate segment
+    val sroot = new org.apache.hadoop.fs.Path(s"$ledger/staging-000000000002")
+    val staged = new org.apache.hadoop.fs.Path(sroot, "s0")
+    Seq((21L, "fresh twenty one")).toDF("doc_id", "text")
+      .write.parquet(staged.toString)
+    val mf = fs.create(new org.apache.hadoop.fs.Path(sroot, "_MANIFEST"), true)
+    mf.write(s"M\t$staged\t$corpus".getBytes("UTF-8")); mf.close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$ledger/batch-000000000002"),
+      false).close()
+    assert(!graft.engine.BatchLedger.stagedLanding(spark, ledger, 2L) { _ =>
+      fail("committed batch must not re-run during install recovery")
+    })
+    val (v2, segs2) = manifest()
+    assert(v2 === v1 + 1 && segs2.size === 3)
+    assert(graft.engine.Layout.readManifested(spark, corpus).count() === 4)
+    assert(!graft.engine.BatchLedger.stagedLanding(spark, ledger, 2L) { _ =>
+      fail("committed batch must not re-run")
+    })
+    assert(manifest()._1 === v2, "recovery re-committed a segment")
+    assert(graft.engine.Layout.readManifested(spark, corpus).count() === 4)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("moment fold: injected crash before the marker cannot double-add") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_crashfold").toString
