@@ -28,8 +28,16 @@ object GraftSession {
       // recompiled inside their timed run — measured r14: v17's in-suite
       // median read 4.1 s vs 1.6 s isolated on identical code, and the
       // delta is recompilation, not execution (a real deployment reuses
-      // hot plans; the bench must too, or it times janino)
-      .config("spark.sql.codegen.cache.maxEntries", "8192")
+      // hot plans; the bench must too, or it times janino).
+      // Trade-off (ADVICE r14): ~80× more retained generated classes =
+      // more metaspace + JIT code-cache residency in a long-lived
+      // session. This factory serves only the repo's bench/diagnostic
+      // mains (its 8 callers), and the env override lets any of them —
+      // or a decomposition run testing the retention itself — dial it
+      // without a rebuild. Library consumers configure their own
+      // sessions; nothing here leaks into user code.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

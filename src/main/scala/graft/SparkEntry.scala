@@ -934,6 +934,26 @@ object SparkEntry {
           array_join(transform(col("token_ids"),
             x => x.cast("string")), ",").as("token_ids"),
           col("n_tokens_bpe"))),
+    // T36: the CHAR-WINDOW BPE path (BpeEncodeTextChars — spaces as
+    // ordinary symbols, merges crossing word boundaries) under a full
+    // hash oracle: t35's recursive-CTE training replay with windows as
+    // units — the merge recurrence, vocab-id assignment, and
+    // tokenization join are IDENTICAL; only the unit pre-tokenizer
+    // changes. This puts the production-vocabulary unit mode (the
+    // BPESWEEP 8k/16k-merge demos ride this apply expression) under the
+    // same driver-checked contract as the word/chunk paths. Note the
+    // joined `tokens` string is for HASHING only — char-mode subwords
+    // can contain spaces, so it is not parseable; the operator API
+    // returns real arrays.
+    "t36_bpe_chars" -> ((s, d) =>
+      TextAnalysis.bpeTokenizeIndexed(s, bpe3Ingest(s, d),
+        table(s, d, "documents").select("doc_id", "text"),
+        unitChars = Bpe3UnitChars)
+        .select(col("doc_id"),
+          array_join(col("tokens"), " ").as("tokens"),
+          array_join(transform(col("token_ids"),
+            x => x.cast("string")), ",").as("token_ids"),
+          col("n_tokens_bpe"))),
     // T11: the capstone composition — quality gate → exact dedup →
     // decontamination (src0 = benchmark) → deterministic split, one plan.
     "t11_curation_pipeline" -> ((s, d) => {
@@ -2425,6 +2445,7 @@ object SparkEntry {
     "t33_bpe_tokenize" -> bpeTokenizeOracle,
     "t34_bpe_pack" -> bpePackOracle,
     "t35_bpe_scaled" -> bpeScaledOracle,
+    "t36_bpe_chars" -> bpeCharsOracle,
     "t6_dataset_split" ->
       """SELECT doc_id,
         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80 THEN 'train'
@@ -2962,6 +2983,52 @@ object SparkEntry {
   private val Bpe2NumMerges = 1024
   private val Bpe2VocabCap = 1024
   private val Bpe2ChunkWords = 2
+
+  /** t36's char-window parameters (r15, closes the r14 "char-mode BPE
+    * has no driver-oracle row" gap): units are consecutive
+    * [[Bpe3UnitChars]]-character windows of the whitespace-collapsed
+    * text with SPACES as ordinary symbols — the production-vocabulary
+    * unit mode BPESWEEP_r14 demonstrated at 8k/16k merges — trained to
+    * [[Bpe3NumMerges]] ranks, kept modest so the DuckDB recursive-CTE
+    * replay (the t35 oracle with char windows as units — the merge
+    * recurrence itself is unchanged) stays cheap at the sf0.01 gate.
+    * The window width is chosen so the corpus's distinct window count
+    * clears [[Bpe3VocabCap]] at the gate SFs (bpe3Ingest guards loudly,
+    * the same oracle-comparability bound as bpe2Ingest): measured
+    * distinct 6-char windows are 2 928 (sf0.001) / 2 910 (sf0.01) /
+    * 3 602 (sf0.1) — wider windows explode past any cap the recursive
+    * oracle can replay (w=12 is 56 733 distinct at sf0.1). Width is an
+    * oracle-tractability choice, not an operator limit: the SAME apply
+    * expression runs the 64-char-window 8k/16k-merge BPESWEEP models.
+    */
+  private val Bpe3NumMerges = 256
+  private val Bpe3VocabCap = 4096
+  private val Bpe3UnitChars = 6
+
+  /** Once-per-(source data, session) char-window BPE model backing t36
+    * ([[TextAnalysis.buildBpeModel]] with `unitChars`). The coverage
+    * guard is the same oracle-comparability bound as [[bpe2Ingest]]:
+    * the oracle tokenizes by joining doc windows to the trained FINAL
+    * segmentation state, so units past the training cap would silently
+    * drop from the oracle side — fail loudly instead.
+    */
+  private def bpe3Ingest(s: SparkSession, sfDir: String): String = {
+    val (dir, fs) = layoutDir(s, sfDir, "documents", "bpemodel3")
+    gatedBuild(fs, dir) {
+      val docs = table(s, sfDir, "documents")
+      val nUnits = docs.select(explode(
+        TextAnalysis.bpeUnitsChars(col("text"), Bpe3UnitChars)).as("w"))
+        .agg(countDistinct(col("w"))).head().getLong(0)
+      require(nUnits <= Bpe3VocabCap,
+        s"bpe3Ingest: $nUnits distinct $Bpe3UnitChars-char windows exceed " +
+          s"the $Bpe3VocabCap training cap — the t36 oracle's final-state " +
+          "join would silently drop uncovered units; raise Bpe3VocabCap")
+      TextAnalysis.buildBpeModel(docs, dir.toString,
+        numMerges = Bpe3NumMerges, vocabCap = Bpe3VocabCap,
+        unitChars = Bpe3UnitChars)
+    }
+    dir.toString
+  }
 
   /** Once-per-(source data, session) BM25 corpus stats backing t23b:
     * term df table + 1-row (N, avgdl) ([[TextAnalysis.buildBm25Stats]]).
@@ -3654,20 +3721,54 @@ object SparkEntry {
     * SFs (≤ 992 distinct; bpe2Ingest guards loudly), so the final-state
     * tokenization join covers every doc chunk.
     */
-  private def bpeScaledOracle: String = {
+  private def bpeScaledOracle: String =
+    bpeRecursiveOracle(
+      s"""SELECT doc_id, grp, string_agg(t, ' ' ORDER BY i) AS w
+         |  FROM (
+         |    SELECT doc_id, t, i,
+         |      CAST(ceil(i / ${Bpe2ChunkWords}.0) AS INTEGER) AS grp FROM (
+         |      SELECT doc_id, unnest(ts) AS t,
+         |        unnest(generate_series(1, len(ts))) AS i
+         |      FROM (SELECT doc_id, list_filter(
+         |          string_split_regex(lower(trim(text)), '\\s+'),
+         |          x -> length(x) > 0) AS ts FROM documents)))
+         |  GROUP BY doc_id, grp""".stripMargin,
+      Bpe2NumMerges, Bpe2VocabCap)
+
+  /** t36: the char-window replay — the SAME recursive-CTE training
+    * recurrence as t35 ([[bpeRecursiveOracle]]), with units =
+    * consecutive [[Bpe3UnitChars]]-character windows of the
+    * whitespace-collapsed lowercased text, spaces as ordinary symbols
+    * (exactly [[TextAnalysis.bpeUnitsChars]]' normalization: lower →
+    * collapse runs to single spaces → trim → fixed-width substr). Only
+    * the unit pre-tokenizer differs; the merge recurrence, vocab-id
+    * assignment, and tokenization join are shared SQL.
+    */
+  private def bpeCharsOracle: String =
+    bpeRecursiveOracle(
+      s"""SELECT doc_id, grp,
+         |    substr(norm, (grp - 1) * $Bpe3UnitChars + 1, $Bpe3UnitChars) AS w
+         |  FROM (
+         |    SELECT doc_id, norm,
+         |      unnest(generate_series(1, CAST(ceil(length(norm) /
+         |        ${Bpe3UnitChars}.0) AS INTEGER))) AS grp
+         |    FROM (SELECT doc_id,
+         |        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |      FROM documents))""".stripMargin,
+      Bpe3NumMerges, Bpe3VocabCap)
+
+  /** The shared ≥1k-merge BPE replay (t35/t36): `unitsCte` yields
+    * `(doc_id, grp, w)` — every document's ordered units — and the rest
+    * is the constant-size recursive training recurrence, vocab-id
+    * table, and final-state tokenization join described in
+    * [[bpeScaledOracle]]'s writeup above.
+    */
+  private def bpeRecursiveOracle(unitsCte: String, numMerges: Int,
+      vocabCap: Int): String = {
     val d1 = "chr(1)"
     val d2 = "chr(2)"
     s"""WITH RECURSIVE dchunk AS MATERIALIZED (
-       |  SELECT doc_id, grp, string_agg(t, ' ' ORDER BY i) AS w
-       |  FROM (
-       |    SELECT doc_id, t, i,
-       |      CAST(ceil(i / ${Bpe2ChunkWords}.0) AS INTEGER) AS grp FROM (
-       |      SELECT doc_id, unnest(ts) AS t,
-       |        unnest(generate_series(1, len(ts))) AS i
-       |      FROM (SELECT doc_id, list_filter(
-       |          string_split_regex(lower(trim(text)), '\\s+'),
-       |          x -> length(x) > 0) AS ts FROM documents)))
-       |  GROUP BY doc_id, grp),
+       |  $unitsCte),
        |chunks AS MATERIALIZED (
        |  SELECT w, count(*) AS freq FROM dchunk GROUP BY 1),
        |v0 AS MATERIALIZED (
@@ -3675,7 +3776,7 @@ object SparkEntry {
        |    array_to_string(list_transform(generate_series(1, length(w)),
        |      i -> $d1 || w[i] || $d2), '') AS seg
        |  FROM (SELECT w, freq FROM chunks
-       |        ORDER BY freq DESC, w ASC LIMIT $Bpe2VocabCap)),
+       |        ORDER BY freq DESC, w ASC LIMIT $vocabCap)),
        |tr AS (
        |  SELECT 0 AS k, w, freq, seg,
        |    CAST(NULL AS VARCHAR) AS bl, CAST(NULL AS VARCHAR) AS br
@@ -3701,7 +3802,7 @@ object SparkEntry {
        |          LATERAL unnest(generate_series(1, len(syms) - 1)) AS g(j)
        |        WHERE len(syms) >= 2) p ON TRUE))
        |  GROUP BY k, w, freq, seg, best
-       |  HAVING k < $Bpe2NumMerges),
+       |  HAVING k < $numMerges),
        |mrg AS MATERIALIZED (
        |  SELECT k - 1 AS rank, bl AS l, br AS r
        |  FROM (SELECT DISTINCT k, bl, br FROM tr WHERE bl IS NOT NULL)),
@@ -3718,7 +3819,7 @@ object SparkEntry {
        |    SELECT l || r AS symbol, a + rank AS id FROM mrg CROSS JOIN na)
        |  GROUP BY 1),
        |fin AS MATERIALIZED (
-       |  SELECT w, seg FROM tr WHERE k = $Bpe2NumMerges),
+       |  SELECT w, seg FROM tr WHERE k = $numMerges),
        |dseg AS MATERIALIZED (
        |  SELECT d.doc_id, d.grp AS i,
        |    string_split(trim(f.seg, $d1 || $d2), $d2 || $d1) AS syms

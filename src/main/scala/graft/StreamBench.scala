@@ -139,9 +139,11 @@ object StreamBench {
       val corpus = saltedReplicas(spark, sfDir, 0 until nRep)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // corpus materialization timed separately from the index build —
-      // one JSON field must not mean two different things across sections
+      // one JSON field must not mean two different things across
+      // sections. Manifested form: the loop lands batches as append
+      // segments, so the pre-built base must be a committed segment too
       val tw = System.nanoTime()
-      corpus.write.mode("overwrite").parquet(s"$dir/corpus")
+      graft.engine.Layout.writeManifested(corpus, s"$dir/corpus", 8)
       val writeSec = (System.nanoTime() - tw) / 1e9
       val t0 = System.nanoTime()
       graft.pipeline.Dedup.buildBandedIndex(corpus, tbl, s"$dir/sh")
@@ -153,7 +155,7 @@ object StreamBench {
       val q = graft.streaming.StreamDedup.incrementalNearDupIndexed(
         input.toDF().toDF("doc_id", "text"), tbl, s"$dir/sh",
         s"$dir/corpus", s"$dir/ckpt", compactEvery = compactEvery,
-        containTable = Some(ctbl))
+        containTable = Some(ctbl), manifestedCorpus = true)
       val lat = try {
         feed.grouped(batchRows).take(batches).map { rows =>
           val b0 = System.nanoTime()
@@ -483,9 +485,14 @@ object StreamBench {
     val ctbl = "graft_streambench_post"
     Seq(tbl, ctbl).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val input = MemoryStream[(Long, String)]
+    // manifestedCorpus: landings are append-commit segments (O(batch)
+    // metadata installs) and the cadence repayment is the size-tiered
+    // tail/full fold — the production shape (r15; the flat mode's plain
+    // file appends are kept for callers that want listing-contract reads)
     val q = graft.streaming.StreamDedup.incrementalNearDupIndexed(
       input.toDF().toDF("doc_id", "text"), tbl, s"$dir/sh", s"$dir/corpus",
-      s"$dir/ckpt", compactEvery = 4, containTable = Some(ctbl))
+      s"$dir/ckpt", compactEvery = 4, containTable = Some(ctbl),
+      manifestedCorpus = true)
     val ingestLat = try {
       feed.grouped(batchRows).take(nBatches).map { rows =>
         val t0 = System.nanoTime()
@@ -494,7 +501,8 @@ object StreamBench {
         (System.nanoTime() - t0) / 1e9
       }.toSeq
     } finally q.stop()
-    val corpusRows = spark.read.parquet(s"$dir/corpus").count()
+    val corpusRows =
+      graft.engine.Layout.readManifested(spark, s"$dir/corpus").count()
     val indexRows = spark.table(tbl).count()
     val postRows = spark.table(ctbl).count()
 

@@ -52,7 +52,17 @@ object Layout {
     val loc = tableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    val w = df.write.mode("overwrite").format("parquet")
+    // ONE file per bucket — the same range-repartition-on-bucket-id
+    // shape [[compactBucketed]] rewrites into (see its inline rationale).
+    // Without it every upstream task writes its own file per bucket it
+    // holds (T tasks → up to T·buckets files from one build), which both
+    // degrades scan listing from the first probe and breaks the
+    // [[compactBucketedMaybe]] base inference (largest-file-per-bucket =
+    // the last fold's output) for never-folded tables.
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val w = df
+      .repartitionByRange(buckets, pmod(hash(col(key)), lit(buckets)))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
@@ -257,6 +267,60 @@ object Layout {
     // it right now; the next compaction's sweep collects it
   }
 
+  /** Size-tiered gate for [[compactBucketed]] — the call an ingest loop
+    * makes on its compaction cadence instead of folding unconditionally.
+    * A fixed-cadence full fold costs O(corpus) every firing, so the
+    * per-batch amortized compaction bill GROWS with the corpus (the r14
+    * `compact_big_over_small` = 2.11 term); the size-tiered rule — full
+    * fold only once the accreted bytes reach `ratio` × the base bytes —
+    * fires inversely-proportionally often, keeping the amortized cost
+    * O(1) per ingested row. Unlike the manifested datasets there is no
+    * O(accretion) tail fold here: a bucketed table is ONE live
+    * directory, and removing/moving files from it would violate the
+    * never-mutate-a-live-listing contract the pointer-swap protocol
+    * exists for — so between folds the table simply accretes one file
+    * per bucket per batch, and `maxFilesPerBucket` caps the listing
+    * growth by forcing the fold regardless of byte tiering.
+    *
+    * Base-vs-accretion split is inferred from filesystem metadata only:
+    * per bucket, the LARGEST file is taken as the last fold's output
+    * (fold outputs are corpus-sized, appends batch-sized — when no fold
+    * has happened yet the heuristic undercounts the base, which only
+    * makes the first fold fire EARLIER, never silently late). Returns
+    * true when the fold fired, so benchmarks can attribute spike
+    * batches.
+    */
+  def compactBucketedMaybe(spark: SparkSession, table: String, key: String,
+      buckets: Int, ratio: Double = 0.5, maxFilesPerBucket: Int = 64,
+      sorted: Boolean = true): Boolean = {
+    require(ratio > 0, s"compactBucketedMaybe: ratio > 0 (got $ratio)")
+    require(maxFilesPerBucket >= 2,
+      s"compactBucketedMaybe: maxFilesPerBucket >= 2 (got $maxFilesPerBucket)")
+    val loc = currentTableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) return false
+    // Spark bucket files carry the bucket id as the _NNNNN name suffix
+    // before the codec extensions; anything else in the directory is
+    // not a bucket data file and does not vote
+    val BucketOf = ".*_(\\d{5})\\..*".r
+    val byBucket = fs.listStatus(loc)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .flatMap(st => st.getPath.getName match {
+        case BucketOf(b) => Some((b.toInt, st.getLen))
+        case _ => None
+      })
+      .groupBy(_._1)
+    if (byBucket.isEmpty) return false
+    val baseBytes = byBucket.values.map(_.map(_._2).max).sum
+    val accreted = byBucket.values.flatten.map(_._2).sum - baseBytes
+    val maxFiles = byBucket.values.map(_.length).max
+    if (accreted >= ratio * baseBytes || maxFiles > maxFilesPerBucket) {
+      compactBucketed(spark, table, key, buckets, sorted)
+      true
+    } else false
+  }
+
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
   /** Directory-partitioned parquet layout on low-cardinality columns
@@ -438,7 +502,11 @@ object Layout {
     new org.apache.hadoop.fs.Path(root, "_manifest")
   private val ManifestName = "^m(\\d+)$".r
   // both the r13.0 bare form (v3) and the uuid-suffixed form (v3-1a2b3c4d)
-  private val VersionName = "^v(\\d+)(?:-[0-9a-f]{8})?$".r
+  // suffix alphabet covers both segment-name families: random uuid8
+  // ([[writeSegment]]) and the staging-identity form
+  // ([[installStagedSegment]], `v<k>-<batchId>-s<n>`) — a staged name
+  // outside this pattern would never be swept once superseded
+  private val VersionName = "^v(\\d+)(?:-[0-9A-Za-z_-]+)?$".r
 
   /** Newest-first retained manifest pointers per dataset. Two is what the
     * reader guarantee needs; the rest is recent history for forensics.
@@ -586,6 +654,22 @@ object Layout {
     dirs.exists(d => fs.exists(d) && fs.listStatus(d)
       .exists(st => st.isDirectory && st.getPath.getName.contains("=")))
 
+  /** True when any committed segment holds a TOP-LEVEL data file — the
+    * flat-layout evidence twin of [[anyPartitioned]] (a partitioned
+    * segment's files live under `col=` subdirectories). A snapshot with
+    * neither is EMPTY (a zero-row partitioned write emits no dirs and no
+    * files; a zero-row flat write still emits part files, so it reads as
+    * flat) and constrains nothing — ADVICE r14: inferring layout from
+    * `anyPartitioned == partitionCols.nonEmpty` alone rejected a
+    * legitimate partitioned append onto an empty partitioned first write
+    * and accepted a flat one.
+    */
+  private def anyFlatData(fs: org.apache.hadoop.fs.FileSystem,
+      dirs: Seq[org.apache.hadoop.fs.Path]): Boolean =
+    dirs.exists(d => fs.exists(d) && fs.listStatus(d)
+      .exists(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")))
+
   /** Write `df` as a new snapshot of the manifested dataset at `root`
     * (creating it when absent). Each call is a full replacement commit;
     * continuous ingest should use [[appendManifested]] instead.
@@ -625,10 +709,15 @@ object Layout {
       case Some((cur, dirs)) =>
         // appending a flat segment onto a partitioned snapshot (or the
         // reverse) would fail only at read time, far from the bug —
-        // enforce layout agreement at the write
-        require(anyPartitioned(fs, dirs) == partitionCols.nonEmpty,
-          "appendManifested: partitionCols must match the committed " +
-            s"snapshot's layout at $root")
+        // enforce layout agreement at the write. Each direction checks
+        // its own POSITIVE evidence ([[anyFlatData]]): an empty snapshot
+        // carries neither and accepts either layout
+        require(!(anyPartitioned(fs, dirs) && partitionCols.isEmpty),
+          "appendManifested: the committed snapshot at " + root +
+            " is partitioned; pass partitionCols to append to it")
+        require(!(anyFlatData(fs, dirs) && partitionCols.nonEmpty),
+          "appendManifested: the committed snapshot at " + root +
+            " is flat; a partitioned append would diverge the layout")
         sweepVersions(fs, rootP, cur)
         val name = writeSegment(fs, rootP, cur + 1, df, targetFiles,
           partitionCols)
@@ -648,6 +737,17 @@ object Layout {
     * finds the segment already named and does nothing. (Random names
     * would re-install a second copy of the batch on exactly that window,
     * which is the duplicate the ledger exists to prevent.)
+    *
+    * The derived name embeds the staging IDENTITY verbatim — ledger
+    * batch id + op index, `…/staging-000000000042/s3` →
+    * `v<k>-000000000042-s3` — and the replay check compares each
+    * committed name's whole post-version component for equality. The
+    * r14 form hashed the path to 4 MD5 bytes and matched with
+    * `endsWith` over ALL committed names, so a compaction segment's
+    * random uuid8 colliding with the hash (~n_segments/2^32 per append)
+    * made a brand-new batch look already-committed and silently deleted
+    * its staged data. Identity, not hash: two distinct staged ops can
+    * never derive the same name, at any segment count (ADVICE r14).
     */
   private[engine] def installStagedSegment(
       fs: org.apache.hadoop.fs.FileSystem, src: org.apache.hadoop.fs.Path,
@@ -655,12 +755,12 @@ object Layout {
     val cur = resolveManifest(fs, root)
     val k = cur.map(_._1).getOrElse(0)
     val curNames = cur.map(_._2.map(_.getName)).getOrElse(Seq.empty)
-    val suffix = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(src.toString.getBytes("UTF-8"))
-        .take(4).map(b => f"$b%02x").mkString
-    }
-    if (curNames.exists(_.endsWith(s"-$suffix"))) {
+    val suffix = (Option(src.getParent).map(_.getName).getOrElse("") +
+      "-" + src.getName)
+      .stripPrefix("staging-")
+      .map(c => if (c.isLetterOrDigit || c == '-' || c == '_') c else '_')
+    if (curNames.exists(_.matches(
+        "^v\\d+-" + java.util.regex.Pattern.quote(suffix) + "$"))) {
       // committed on a previous attempt — the replay only cleans up
       fs.delete(src, true)
       return
@@ -720,6 +820,73 @@ object Layout {
       spark.read.parquet(dirs.map(_.toString): _*), targetFiles,
       partitionCols)
     installManifest(fs, rootP, cur + 1, Seq(name))
+  }
+
+  /** TAIL compaction for a manifested dataset: fold only the ACCRETED
+    * segments — everything after the base (first) segment — into one
+    * new segment and commit `[base, foldedTail]`. I/O is O(accretion),
+    * NOT O(corpus): this is the cadence repayment of
+    * [[appendManifested]] that stays O(batch-window) no matter how big
+    * the base grows, which a fixed-cadence [[compactManifested]] cannot
+    * do (its every-fold cost is the whole corpus — the r14
+    * `compact_big_over_small` = 2.11 term). The base itself is repaid
+    * by [[compactManifestedMaybe]]'s size-tiered full fold. Safe under
+    * the same manifest-pointer protocol as every other install:
+    * segments are immutable, the commit is one pointer rename, and
+    * zero-retry readers keep the two-install guarantee. No-op when the
+    * snapshot has ≤ 2 segments (nothing to fold that isn't the base).
+    */
+  def compactManifestedTail(spark: SparkSession, root: String,
+      targetFiles: Int, partitionCols: Seq[String] = Nil): Unit = {
+    require(targetFiles >= 1,
+      s"compactManifestedTail: targetFiles >= 1 (got $targetFiles)")
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (cur, dirs) = resolveManifest(fs, rootP).getOrElse(
+      throw new IllegalArgumentException(
+        s"compactManifestedTail: no committed manifest under $root"))
+    if (dirs.size <= 2) return
+    require(!anyPartitioned(fs, dirs) || partitionCols.nonEmpty,
+      s"compactManifestedTail: the current snapshot at $root is " +
+        "partitioned; pass partitionCols to preserve the layout")
+    sweepVersions(fs, rootP, cur)
+    val name = writeSegment(fs, rootP, cur + 1,
+      spark.read.parquet(dirs.tail.map(_.toString): _*), targetFiles,
+      partitionCols)
+    installManifest(fs, rootP, cur + 1, Seq(dirs.head.getName, name))
+  }
+
+  /** Size-tiered compaction step for a manifested dataset — the ONE
+    * call an ingest loop makes on its compaction cadence. Policy (the
+    * LSM/size-tiered rule, which keeps amortized compaction cost O(1)
+    * per ingested row): when the accreted tail has grown to
+    * `ratio` × the base segment's bytes, pay the FULL fold
+    * ([[compactManifested]] — O(corpus), but fired inversely-
+    * proportionally often, so the amortized cost per row is constant);
+    * otherwise pay only the O(accretion) tail fold
+    * ([[compactManifestedTail]]). Between full folds a reader unions at
+    * most 2 + batches-per-cadence segments and at most (1 + ratio) × the
+    * base's bytes — the read-amplification trade, priced in SCALE.md.
+    * Returns true when the full fold fired (benchmarks attribute spikes
+    * with it). Byte sizes come from filesystem metadata (one
+    * `getContentSummary` per segment — no data I/O in the decision).
+    */
+  def compactManifestedMaybe(spark: SparkSession, root: String,
+      targetFiles: Int, partitionCols: Seq[String] = Nil,
+      ratio: Double = 0.5): Boolean = {
+    require(ratio > 0, s"compactManifestedMaybe: ratio > 0 (got $ratio)")
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, dirs) = resolveManifest(fs, rootP).getOrElse(return false)
+    if (dirs.size <= 1) return false
+    val sizes = dirs.map(d => fs.getContentSummary(d).getLength)
+    if (sizes.tail.sum >= ratio * sizes.head) {
+      compactManifested(spark, root, targetFiles, partitionCols)
+      true
+    } else {
+      compactManifestedTail(spark, root, targetFiles, partitionCols)
+      false
+    }
   }
 
   /** Morton (Z-order) value: interleave the low `bits` bits of two

@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   * distinct dedup plans should size executor storage accordingly.
   */
 object Dedup {
+  /** Ceiling on the distinct-shingle count a probe batch may broadcast
+    * in [[containmentPairsIndexed]]'s df-pruning semi-join: 4M 64-bit
+    * hashes ≈ 32 MB serialized — comfortably under Spark's broadcast
+    * practical limits at default driver memory, and far above any
+    * micro-batch (a 1k-doc batch of 1k-shingle docs is 1M). Larger
+    * batches fall back to a shuffle semi-join.
+    */
+  private val MaxBroadcastShingles = 4L * 1000 * 1000
+
 
   /** Exact dedup: keep the lowest id per identical (normalized) text.
     * One hash-aggregate shuffle on the md5 fingerprint — never shuffles
@@ -505,9 +514,20 @@ object Dedup {
     // the corpus side exchange-free; aggregation input drops from every
     // posting to Σ df over the batch's shingles — batch-coupled on any
     // corpus whose common shingles the batch doesn't quote wholesale
+    // the broadcast is GATED on the batch's measured distinct-shingle
+    // count (ADVICE r14): this is a public API, and a bulk backfill
+    // batch can carry more distinct 64-bit shingles than the driver or
+    // the broadcast limit tolerate — past the gate the semi-join falls
+    // back to Catalyst's shuffle choice, degrading gracefully the way
+    // the pre-r14 full-table df pass did. The count is one job over the
+    // already-persisted shB, trivial beside the df pass it prunes.
+    val batchSh = shB.select(explode(col("_sh")).as("_s")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probe =
+      if (batchSh.count() <= MaxBroadcastShingles) broadcast(batchSh)
+      else batchSh
     val rare = post
-      .join(broadcast(shB.select(explode(col("_sh")).as("_s")).distinct()),
-        Seq("_s"), "left_semi")
+      .join(probe, Seq("_s"), "left_semi")
       .groupBy("_s")
       .agg(count_distinct(col("_id")).as("_df"))
       .filter(col("_df") <= maxDf).select("_s")
@@ -533,7 +553,8 @@ object Dedup {
       // whose (_id, _sh) row landed twice (at-least-once append crash)
       // must not double its pairs in the output
       .dropDuplicates("batch_id", "corpus_id")
-    if (materialize) Scratch.materializeThenFree(pairs, shB) else pairs
+    if (materialize) Scratch.materializeThenFree(pairs, shB, batchSh)
+    else pairs
   }
 
   /** Incremental near-dup pairs against a MATERIALIZED banded index: the

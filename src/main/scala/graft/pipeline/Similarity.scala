@@ -907,6 +907,22 @@ object Similarity {
     */
   private def adcScoredAll(corpus: DataFrame, queries: DataFrame,
       cb: Array[Array[Array[Float]]], idCol: String,
+      vecCol: String): DataFrame =
+    adcScoredAllCodes(
+      corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        gvec.pqEncode(col(vecCol), cb).as("codes")),
+      queries, cb, idCol, vecCol)
+
+  /** [[adcScoredAll]] over ALREADY-STORED codes (a materialized index's
+    * `codes` relation, (neighbor_id, codes)): the same LUT-scan shape
+    * minus the encode — per pair cost is m table reads, never the
+    * dim float multiplies the former codes×broadcast(queries) pair join
+    * paid ([[Kernels.pqAdcMicro]] per pair). Scores are bit-identical to
+    * the per-pair form by [[adcLut]]'s construction, so callers keep
+    * their exactness oracles unchanged.
+    */
+  private def adcScoredAllCodes(codes: DataFrame, queries: DataFrame,
+      cb: Array[Array[Array[Float]]], idCol: String,
       vecCol: String): DataFrame = {
     val qRows = queries
       .select(col(idCol).cast("long"), col(vecCol))
@@ -915,10 +931,9 @@ object Similarity {
       .sortBy(_._1)
     val qIds = qRows.map(_._1).toSeq
     val luts = qRows.map(q => adcLut(q._2, cb))
-    corpus
-      .select(col(idCol).cast("long").as("neighbor_id"),
-        posexplode(gvec.pqAdcAllMicro(
-          gvec.pqEncode(col(vecCol), cb), luts)))
+    codes
+      .select(col("neighbor_id"),
+        posexplode(gvec.pqAdcAllMicro(col("codes"), luts)))
       .select(
         element_at(typedlit(qIds), col("pos") + 1).as("query_id"),
         col("neighbor_id"),
@@ -1156,11 +1171,16 @@ object Similarity {
       else rerankExact(shortOrTopk, rawPruned, queries, k, idCol, vecCol)
     if (nProbe >= centroids.length) {
       // full probe: no filter — a cells-sized isin prunes nothing and
-      // costs planning that grows with the index (the v8 lesson)
-      val q = queries.select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).as("_qv"))
+      // costs planning that grows with the index (the v8 lesson). The
+      // stored codes ride the LUT scan ([[adcScoredAllCodes]]): m table
+      // reads per pair instead of the dim float mults the former
+      // codes×broadcast(queries) pqAdcMicro pair join paid — the r14
+      // verdict's v18 hot loop. The gated branch below keeps per-pair
+      // scoring on purpose: with < 1 candidate per (query, cell) row a
+      // score-all-queries explode would do nProbe× wasted table reads.
       finish(
-        adcRank(codes.crossJoin(broadcast(q)), codebooks,
+        rankScored(
+          adcScoredAllCodes(codes, queries, codebooks, idCol, vecCol),
           if (rerank <= 1) k else k * rerank, dedup = true),
         raw)
     } else {

@@ -1454,15 +1454,19 @@ object TextAnalysis {
     */
   def buildBpeModel(documents: DataFrame, path: String,
       numMerges: Int = 32, vocabCap: Int = 65536,
-      chunkWords: Int = 1): Unit = {
+      chunkWords: Int = 1, unitChars: Int = 0): Unit = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val merges = trainBpeMerges(documents, numMerges, vocabCap, chunkWords)
+    val merges = trainBpeMerges(documents, numMerges, vocabCap, chunkWords,
+      unitChars)
     // alphabet-bounded collect (distinct characters of ALL corpus units,
     // not just the capped training histogram — apply-time-known chars
-    // must have ids)
+    // must have ids). Char-window mode draws from the same unit source
+    // the trainer saw (space is an ordinary alphabet symbol there).
     val alphabet = documents
-      .select(explode(bpeUnits(col("text"), chunkWords)).as("w"))
+      .select(explode(
+        if (unitChars > 0) bpeUnitsChars(col("text"), unitChars)
+        else bpeUnits(col("text"), chunkWords)).as("w"))
       .select(explode(split(col("w"), "")).as("c"))
       .distinct().orderBy("c").collect().map(_.getString(0))
     merges.zipWithIndex
@@ -1500,12 +1504,12 @@ object TextAnalysis {
     */
   def bpeTokenizeIndexed(spark: org.apache.spark.sql.SparkSession,
       modelPath: String, documents: DataFrame,
-      chunkWords: Int = 1): DataFrame = {
+      chunkWords: Int = 1, unitChars: Int = 0): DataFrame = {
     val vocab = spark.read.parquet(s"$modelPath/vocab")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val idMap = map_from_arrays(
       typedLit(vocab.map(_._2).toSeq), typedLit(vocab.map(_._1).toSeq))
-    val toks = bpeTokensExpr(spark, modelPath, chunkWords)
+    val toks = bpeTokensExpr(spark, modelPath, chunkWords, unitChars)
     documents
       .select(col("doc_id"), toks(col("text")).as("tokens"))
       .select(col("doc_id"), col("tokens"),
@@ -1520,13 +1524,19 @@ object TextAnalysis {
     * instead of self-joining the tokenizer's output back to the corpus).
     */
   def bpeTokensExpr(spark: org.apache.spark.sql.SparkSession,
-      modelPath: String, chunkWords: Int = 1): Column => Column = {
+      modelPath: String, chunkWords: Int = 1,
+      unitChars: Int = 0): Column => Column = {
     val merges = spark.read.parquet(s"$modelPath/merges")
       .orderBy("rank").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    // null text → empty tokens, matching the pre-r13 coalesce contract
+    // null text → empty tokens, matching the pre-r13 coalesce contract.
+    // unitChars > 0 routes to the character-window apply expression —
+    // the model and the apply unit mode must agree, same contract as
+    // the chunkWords parameter
     text => coalesce(
-      graft.functions.text.bpeEncode(text, merges, chunkWords),
+      if (unitChars > 0)
+        graft.functions.text.bpeEncodeChars(text, merges, unitChars)
+      else graft.functions.text.bpeEncode(text, merges, chunkWords),
       typedLit(Seq.empty[String]))
   }
 }

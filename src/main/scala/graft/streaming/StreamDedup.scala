@@ -166,27 +166,36 @@ object StreamDedup {
           containTable.foreach(ct =>
             if (spark.catalog.tableExists(ct)) spark.catalog.refreshTable(ct))
         }
-        // every append adds up to one file per bucket; at micro-batch
-        // frequency that accretion degrades the bucketed scan — fold it
-        // back down every `compactEvery` batches (0 = caller compacts).
-        // AFTER the landing, outside the staged body: compaction has its
-        // own crash-safe swap protocol, must see the installed files, and
+        // every append adds up to one file per bucket (and, in
+        // manifested mode, one corpus segment); at micro-batch frequency
+        // that accretion degrades scans — the compaction POLICY is
+        // evaluated every `compactEvery` batches (0 = caller compacts),
+        // and it is SIZE-TIERED (r15, closes the r14 compact-term
+        // finding): a full fold is O(corpus) and fixed-cadence firing
+        // made the per-batch amortized bill GROW with the corpus
+        // (STREAMBENCH_r14 compact_big_over_small = 2.11 at 21× state);
+        // the tiered gates fold fully only when accretion reaches a
+        // fixed fraction of the base, so the amortized cost per ingested
+        // row is O(1). Between full folds the manifested corpus still
+        // pays the O(accretion) TAIL fold each cadence (segment count
+        // stays bounded), and the bucketed tables accrete bounded file
+        // counts (the gates' maxFilesPerBucket backstop). AFTER the
+        // landing, outside the staged body: compaction has its own
+        // crash-safe swap protocol, must see the installed files, and
         // skipping it on a clean replay costs nothing (the next cycle
-        // compacts the same accretion)
+        // folds the same accretion)
         if (landed && compactEvery > 0 &&
             batchId % compactEvery == compactEvery - 1) {
           val buckets = Dedup.readBandSpec(spark, shPath)
             .map(_.buckets).getOrElse(spec.buckets)
-          graft.engine.Layout.compactBucketed(spark, indexTable, "_bb",
+          graft.engine.Layout.compactBucketedMaybe(spark, indexTable, "_bb",
             buckets)
           containTable.foreach(ct =>
             if (spark.catalog.tableExists(ct))
-              graft.engine.Layout.compactBucketed(spark, ct, "_s", buckets))
-          // a manifested corpus accretes one segment per landed batch —
-          // fold the list back to one directory on the same cadence (the
-          // same O(corpus/compactEvery) repayment as the bucketed tables)
+              graft.engine.Layout.compactBucketedMaybe(spark, ct, "_s",
+                buckets))
           if (manifestedCorpus)
-            graft.engine.Layout.compactManifested(spark, corpusPath, 8)
+            graft.engine.Layout.compactManifestedMaybe(spark, corpusPath, 8)
         }
         ()
       }

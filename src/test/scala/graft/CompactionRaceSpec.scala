@@ -309,6 +309,146 @@ class CompactionRaceSpec extends SparkSpec {
     spark.sql(s"DROP TABLE `$tbl`")
   }
 
+  // the CURRENT manifest's segment list (root/_manifest/m<max k>) — the
+  // observable the tail-fold/tiering tests assert against
+  private def manifestNames(root: String): Seq[String] = {
+    val md = new org.apache.hadoop.fs.Path(root, "_manifest")
+    val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val k = fs.listStatus(md).map(_.getPath.getName)
+      .collect { case n if n.matches("m\\d+") => n.drop(1).toInt }.max
+    val in = fs.open(new org.apache.hadoop.fs.Path(md, s"m$k"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  test("manifested tail fold: O(accretion) fold leaves the base segment " +
+      "untouched; the size-tiered step full-folds only at the ratio") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_tailfold")
+      .resolve("data").toString
+    Layout.writeManifested((0L until 5000L).toDF("v"), root, targetFiles = 4)
+    val base = manifestNames(root).head
+    (0 until 3).foreach { i =>
+      Layout.appendManifested(
+        ((5000L + i * 10) until (5000L + (i + 1) * 10)).toDF("v"), root, 1)
+    }
+    assert(manifestNames(root).size === 4)
+    Layout.compactManifestedTail(spark, root, 2)
+    val m2 = manifestNames(root)
+    assert(m2.size === 2 && m2.head === base,
+      s"tail fold must commit [base, foldedTail], got $m2")
+    assert(Layout.readManifested(spark, root).count() === 5030)
+    // <= 2 segments: nothing to fold that isn't the base — no-op
+    Layout.compactManifestedTail(spark, root, 2)
+    assert(manifestNames(root) === m2)
+    // tiered step, small accretion: tail fold (false), base untouched
+    Layout.appendManifested((5030L until 5040L).toDF("v"), root, 1)
+    assert(!Layout.compactManifestedMaybe(spark, root, 2))
+    val m3 = manifestNames(root)
+    assert(m3.size === 2 && m3.head === base)
+    assert(Layout.readManifested(spark, root).count() === 5040)
+    // tiered step, accretion past ratio x base: the full fold fires
+    Layout.appendManifested((5040L until 11000L).toDF("v"), root, 2)
+    assert(Layout.compactManifestedMaybe(spark, root, 2))
+    assert(manifestNames(root).size === 1)
+    assert(Layout.readManifested(spark, root).count() === 11000)
+  }
+
+  test("size-tiered bucketed compaction: gate holds below the byte " +
+      "ratio, fires at it, and the file-count backstop forces the fold") {
+    import spark.implicits._
+    val tbl = "graft_tiered_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    // 200k-row base: at toy sizes parquet's fixed per-file footprint
+    // (~1 KB) would dominate a 40-row append file and trip the byte
+    // ratio spuriously; the gate targets real corpora where data bytes
+    // dwarf footprint
+    Layout.writeBucketed((0L until 200000L).toDF("k"), tbl, "k", 4)
+    def files: Int = {
+      val loc = graft.engine.Layout.currentTableLocation(spark, tbl)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).count(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    }
+    val f0 = files
+    (1 to 3).foreach { i =>
+      Layout.appendBucketed(
+        ((200000L * i) until (200000L * i + 40L)).toDF("k"), tbl, "k", 4)
+    }
+    // 40-row appends against a 200k-row base: below the byte ratio
+    assert(!Layout.compactBucketedMaybe(spark, tbl, "k", 4))
+    assert(files > f0, "the gate must not have folded")
+    // the file-count backstop bounds listing growth regardless of bytes
+    assert(Layout.compactBucketedMaybe(spark, tbl, "k", 4,
+      maxFilesPerBucket = 2))
+    assert(files === 4)
+    assert(spark.table(tbl).count() === 200120)
+    // an accretion comparable to the base fires on bytes alone
+    Layout.appendBucketed((1000000L until 1200000L).toDF("k"), tbl, "k", 4)
+    assert(Layout.compactBucketedMaybe(spark, tbl, "k", 4))
+    assert(files === 4)
+    assert(spark.table(tbl).count() === 400120)
+    spark.sql(s"DROP TABLE `$tbl`")
+  }
+
+  test("appendManifested layout guard: an EMPTY first snapshot accepts " +
+      "either layout; mismatches against real evidence still refuse") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_emptysnap")
+      .resolve("data").toString
+    // a zero-row partitioned first write leaves no col= dirs AND no
+    // top-level data files — r14 inferred layout from the former alone,
+    // so this legitimate partitioned append was refused (and a flat one
+    // wrongly accepted)
+    Layout.writeManifested(Seq.empty[(Long, String)].toDF("v", "p"),
+      root, 1, Seq("p"))
+    Layout.appendManifested(Seq((1L, "a"), (2L, "b")).toDF("v", "p"),
+      root, 1, Seq("p"))
+    assert(Layout.readManifested(spark, root).count() === 2)
+    // now there IS partition evidence — a flat append must refuse
+    intercept[IllegalArgumentException] {
+      Layout.appendManifested(Seq((3L, "c")).toDF("v", "p"), root, 1)
+    }
+    // and a flat snapshot with data refuses a partitioned append
+    val root2 = java.nio.file.Files.createTempDirectory("graft_flatsnap")
+      .resolve("data").toString
+    Layout.writeManifested(Seq((1L, "a")).toDF("v", "p"), root2, 1)
+    intercept[IllegalArgumentException] {
+      Layout.appendManifested(Seq((2L, "b")).toDF("v", "p"), root2, 1,
+        Seq("p"))
+    }
+  }
+
+  test("staged segment names embed the batch identity (not a hash); " +
+      "replay is a no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_segident")
+    val ledger = dir.resolve("ledger").toString
+    val root = dir.resolve("data").toString
+    def land(batchId: Long, rows: Seq[Long]): Boolean =
+      graft.engine.BatchLedger.stagedLanding(spark, ledger, batchId) { st =>
+        rows.toDF("v").write.mode("overwrite")
+          .parquet(st.segmentInto(root))
+      }
+    assert(land(0, 0L until 100L))
+    assert(Layout.readManifested(spark, root).count() === 100)
+    // the committed name is v<k>-<batchId>-<opIndex>: two distinct
+    // staged ops can never derive the same name at ANY segment count —
+    // the r14 form matched a 4-byte path hash via endsWith against all
+    // committed names, where one uuid8 collision deleted a new batch's
+    // staged data as a "replay"
+    assert(manifestNames(root) === Seq("v1-000000000000-s0"))
+    // a genuine replay of the same batch is detected and lands nothing
+    assert(!land(0, 0L until 100L))
+    assert(Layout.readManifested(spark, root).count() === 100)
+    assert(land(1, 100L until 150L))
+    assert(manifestNames(root) ===
+      Seq("v1-000000000000-s0", "v2-000000000001-s0"))
+    assert(Layout.readManifested(spark, root).count() === 150)
+  }
+
   test("a pre-r12 __compacting scaffold is swept when the live table " +
       "also survived the crash") {
     import spark.implicits._
