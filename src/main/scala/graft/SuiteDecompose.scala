@@ -57,6 +57,12 @@ object SuiteDecompose {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // SPARK_GRAFT_DECOMP_REF=1 mirrors Bench EXACTLY by also running the
+    // host-reference row first and last in every timed pass — the one
+    // structural difference between the two protocols, isolated so a row
+    // that reads differently under Bench than under this main can be
+    // attributed to the ref row's session side effects
+    val mirrorRef = sys.env.get("SPARK_GRAFT_DECOMP_REF").contains("1")
     val spark = GraftSession.local(cpus)
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warmup pass, exactly as Bench
@@ -69,7 +75,11 @@ object SuiteDecompose {
     // rows(q) = per-pass records
     val rows = scala.collection.mutable.Map[String,
       List[(Double, Snap, Snap)]]().withDefaultValue(Nil)
+    def refRow(): Unit =
+      try SparkEntry.queries(ScaleBench.HostRefRow)(spark, sfDir).count()
+      catch { case scala.util.control.NonFatal(_) => () }
     val passEnds = (1 to runs).map { _ =>
+      if (mirrorRef) refRow()
       names.foreach { n =>
         val before = snap()
         val t0 = System.nanoTime()
@@ -78,6 +88,7 @@ object SuiteDecompose {
         val el = (System.nanoTime() - t0) / 1e9
         rows(n) = rows(n) :+ ((el, before, snap()))
       }
+      if (mirrorRef) refRow()
       snap()
     }
     val qJson = names.map { n =>

@@ -1068,11 +1068,23 @@ object Similarity {
       else rerankExact(rankScored(scored, k * rerank, dedup = true),
         corpus, queries, k, idCol, vecCol)
     } else {
-      // one pass: code + cell(s) per corpus row. The gated join leaves
-      // pqEncode deferred into the match loop ON PURPOSE: with
-      // nProbe·|queries| broadcast probes over `centroids.length` cells
-      // the expected matches per corpus row are < 1, so lazy evaluation
-      // runs FEWER encodes than an eager per-row projection would
+      // one pass: code + cell(s) per corpus row. Whole-stage codegen
+      // DEFERS the pqEncode projection into the gated join's per-match
+      // loop (the r13 v16 mechanism) — which is a WIN only while the
+      // expected matches per corpus-code row stay under one (fewer
+      // encodes than an eager per-row projection). The break-even is
+      // computable from the gate's own parameters: matches/row ≈
+      // |queries| · min(nProbe, nCells) / nCells, and PAST it the
+      // deferred encode silently runs that many times per row — at the
+      // sf0.1 bench defaults (20 queries, nProbe 20 of ~40 cells) that
+      // is ~10 encodes/row, measured as v17's ~2 s gate bill
+      // (V17Decompose, r15: v17_nolloyd 3.32 s vs v17b_full 1.26 s).
+      // In that regime one exchange of the code rows (m ints + cell id
+      // per row — the corpus's COMPRESSED form) materializes the
+      // projection exactly once per row; below it the lazy form stands
+      // (production retrieval: thousands of cells, small query batches,
+      // matches/row ≪ 1, and the corpus-wide exchange is the thing to
+      // avoid). Scores and candidates are identical either way.
       val codes =
         if (spill <= 1)
           corpus.select(col(idCol).cast("long").as("neighbor_id"),
@@ -1083,13 +1095,21 @@ object Similarity {
             gvec.pqEncode(col(vecCol), cb).as("codes"),
             explode(probeCellsExpr(centroids, col(vecCol),
               math.min(spill, centroids.length))).as("cell_id"))
+      val nCells = centroids.length
+      val matchesPerRow = queries.count().toDouble *
+        math.min(nProbe, nCells) / nCells
+      val codesIn =
+        if (matchesPerRow >= 1)
+          codes.repartition(
+            corpus.sparkSession.sessionState.conf.numShufflePartitions)
+        else codes
       val probed = probedCellsOf(centroids, queries, nProbe, idCol, vecCol)
       if (rerank <= 1)
-        adcRank(codes.join(broadcast(probed), Seq("cell_id")), cb, k,
+        adcRank(codesIn.join(broadcast(probed), Seq("cell_id")), cb, k,
           dedup = true)
       else
         rerankExact(
-          adcRank(codes.join(broadcast(probed), Seq("cell_id")), cb,
+          adcRank(codesIn.join(broadcast(probed), Seq("cell_id")), cb,
             k * rerank, dedup = true),
           corpus, queries, k, idCol, vecCol)
     }
